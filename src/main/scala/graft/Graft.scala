@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session init + canonical ingestion layer.
+  *
+  * Reference data model (pandas-ta): one pandas DataFrame per instrument,
+  * DatetimeIndex rows, OHLCV columns (see SURVEY.md §1.1). Our canonical
+  * Spark model is the long/tidy layout: (series_id, ts, open/high/low/
+  * close/volume) with every indicator a window expression over
+  * `PARTITION BY series_id ORDER BY ts` — the 100 TB-safe choice (per-key
+  * parallelism is free; only one instrument's history must be ordered).
+  */
+object Graft {
+
+  /** Idempotent per-JVM init: SQL confs + custom function registration.
+    * Safe to call from every query closure (driver may pass us a session
+    * we did not build).
+    */
+  def init(spark: SparkSession): Unit = synchronized {
+    // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark 4 refuses
+    // it unless read as plain long (nanos since epoch).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    functions.Registry.register(spark)
+  }
+
+  /** Standalone session for mains (Verify/Bench build their own). */
+  def session(cores: String = "32", shufflePartitions: String = "32"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    init(s)
+    s
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    init(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Canonical events: ts kept as exact epoch-micros long (`ts`) plus a
+    * proper timestamp (`tstamp`). Integer `DIV` avoids the double-precision
+    * loss a float division of epoch-nanos would introduce (2^53 < 1.7e18).
+    * The DuckDB oracle reads the same file natively at microsecond
+    * precision (its TIMESTAMP type), so epoch-micros is the shared key.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Per-user value series: the partitioned indicator input.
+    * (series_id = user_id, ts = epoch micros, close = value).
+    * 15 series; ~67/667/6667 rows each at sf0.001/0.01/0.1.
+    */
+  def userSeries(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id").as("series_id"),
+      col("ts_us").as("ts"),
+      col("value").as("close")
+    )
+
+  /** Daily OHLCV bars from events (SURVEY Q01): the single-series OHLCV
+    * indicator input. open/close = value at min/max ts in the day (unique
+    * ts ⇒ deterministic); volume = row count. 30 rows at every sf.
+    */
+  def bars(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(to_date(col("tstamp")).as("ts"))
+      .agg(
+        min_by(col("value"), col("ts_us")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts_us")).as("close"),
+        count(lit(1)).cast("double").as("volume")
+      )
+      .select(lit("ALL").as("series_id"), col("ts"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+}

@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All paired (spark, oracle) queries. */
+  def allQ: Seq[Q] = Seq(
+    Q(
+      "q01_bars",
+      (s: SparkSession, dir: String) =>
+        Graft
+          .bars(s, dir)
+          .select(
+            col("series_id"),
+            col("ts"),
+            graft.ta.prim.normd(col("open")).as("open"),
+            graft.ta.prim.normd(col("high")).as("high"),
+            graft.ta.prim.normd(col("low")).as("low"),
+            graft.ta.prim.normd(col("close")).as("close"),
+            graft.ta.prim.normd(col("volume")).as("volume")
+          )
+          .orderBy("series_id", "ts"),
+      Some(
+        s"WITH bars AS (${sqlgen.barsCte}) SELECT series_id, ts, round(open, 6) AS open, " +
+          "round(high, 6) AS high, round(low, 6) AS low, round(close, 6) AS close, " +
+          "round(volume, 6) AS volume FROM bars ORDER BY series_id, ts"
+      )
+    )
+  ) ++ SeriesQueries.all
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: a small
+    * multi-indicator batch over the daily bars. */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.init(spark)
+    val dir = "/root/testdata/sf0.001"
+    import graft.ta.{prim => P}
+    graft.ta.stage
+      .ema(Graft.bars(spark, dir), "close", "ema_10", 10)
+      .withColumn("sma_10", P.rmean(col("close"), 10))
+      .withColumn("logret", P.sln(P.sdiv(col("close"), P.shift(col("close"), 1))))
+      .select("series_id", "ts", "close", "sma_10", "ema_10", "logret")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQ.map(q => q.name -> q.spark).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQ.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

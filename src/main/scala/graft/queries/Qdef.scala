@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (usually) the exact
+  * ANSI-SQL DuckDB oracle over the same parquet tables. Both sides follow
+  * the shared normalization contract (FIXTURES.md §4): double outputs
+  * rounded to 6 dp, NaN/±Inf → NULL, ORDER BY (series_id, ts).
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    sql: Option[String]
+)
+
+/** DuckDB-side SQL generators, mirroring graft.ta.prim expression-for-
+  * expression so both engines run the same arithmetic in the same order
+  * (FP-parity at 6 dp depends on it).
+  */
+object sqlgen {
+  val W = "PARTITION BY series_id ORDER BY ts"
+
+  /** Fixed frame of last n rows. */
+  def fr(n: Int) = s"OVER ($W ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+
+  /** Running frame. */
+  val cum = s"OVER ($W ROWS UNBOUNDED PRECEDING)"
+
+  /** Plain ordered window (lag/lead/row_number). */
+  val ov = s"OVER ($W)"
+
+  /** Emit a Scala double as a DuckDB DOUBLE literal (e-notation forces
+    * DOUBLE type; plain decimals would parse as DECIMAL and change the
+    * arithmetic). Double.toString round-trips, so the parsed value is
+    * bit-identical to the Spark-side literal. */
+  def d(v: Double): String = {
+    val s = v.toString
+    if (s.contains('e') || s.contains('E')) s else s + "e0"
+  }
+
+  /** min_periods gate. */
+  def gate(x: String, n: Int, v: String) = s"CASE WHEN count($x) ${fr(n)} >= $n THEN $v END"
+
+  def rmean(x: String, n: Int) = gate(x, n, s"avg($x) ${fr(n)}")
+  def rsum(x: String, n: Int) = gate(x, n, s"sum($x) ${fr(n)}")
+  def rmin(x: String, n: Int) = gate(x, n, s"min($x) ${fr(n)}")
+  def rmax(x: String, n: Int) = gate(x, n, s"max($x) ${fr(n)}")
+  def rstd(x: String, n: Int) = gate(x, n, s"stddev_samp($x) ${fr(n)}")
+  def rvar(x: String, n: Int) = gate(x, n, s"var_samp($x) ${fr(n)}")
+  def rquantile(x: String, q: Double, n: Int) = gate(x, n, s"quantile_cont($x, ${q}) ${fr(n)}")
+
+  /** pandas ewm(alpha, adjust=False).mean() — left fold over the running
+    * frame, null-skipping, seeded with the first non-null value. Matches
+    * graft.functions.LinRecur's update (1-a)*acc + a*x term-for-term. */
+  def ewm(x: String, alpha: Double): String =
+    s"CASE WHEN count($x) $cum >= 1 THEN " +
+      s"list_reduce(list_filter(list($x) $cum, v -> v IS NOT NULL), " +
+      s"(acc, v) -> (${d(1.0 - alpha)})*acc + (${d(alpha)})*v) END"
+
+  /** Wilder rma: ewm(1/n) masked until n observations. */
+  def rma(x: String, n: Int): String =
+    s"CASE WHEN count($x) $cum >= $n THEN ${ewm(x, 1.0 / n)} END"
+
+  /** Σ weights(i)·x_{t-i}, i=0 newest — mirror of prim.wdot lag-unroll. */
+  def wdot(x: String, weights: Seq[Double]): String =
+    weights.zipWithIndex
+      .map { case (wi, i) => s"lag($x, $i) $ov * (${d(wi)})" }
+      .mkString(" + ")
+
+  def wma(x: String, n: Int): String = {
+    val ws = (1 to n).map(_.toDouble)
+    val denom = ws.sum
+    wdot(x, ws.reverse.map(_ / denom))
+  }
+
+  /** Safe division (explicit, though DuckDB already NULLs div-by-zero). */
+  def sdiv(a: String, b: String) = s"($a / nullif($b, 0))"
+
+  /** Final normalization for a double output column. */
+  def normd(x: String) = s"round($x, 6)"
+
+  /** Per-user value series — canonical partitioned indicator input.
+    * epoch_us matches Spark's `ts DIV 1000` on the raw nanos long. */
+  val seriesCte =
+    "SELECT user_id AS series_id, epoch_us(ts) AS ts, value AS close FROM events"
+
+  /** Daily OHLCV bars from events (Q01 rule, FIXTURES.md §2.1). */
+  val barsCte =
+    "SELECT 'ALL' AS series_id, CAST(date_trunc('day', ts) AS DATE) AS ts, " +
+      "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +
+      "arg_max(value, ts) AS close, CAST(count(*) AS DOUBLE) AS volume " +
+      "FROM events GROUP BY 2"
+
+  val orderTail = " ORDER BY series_id, ts"
+}

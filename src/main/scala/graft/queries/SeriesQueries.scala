@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.ta.{prim => P}
+import graft.ta.stage
+import sqlgen._
+
+/** Close-only indicators over the per-user value series
+  * (series_id = user_id, ts = epoch micros, close = value).
+  * Each query pairs the Spark implementation with a structurally identical
+  * DuckDB oracle so both engines run the same arithmetic.
+  */
+object SeriesQueries {
+
+  /** Mutable CTE chain for generated oracle SQL. */
+  final class Cte(name0: String, body0: String) {
+    private val buf = scala.collection.mutable.ArrayBuffer((name0, body0))
+    var top: String = name0
+    def add(name: String, body: String): this.type = { buf += ((name, body)); top = name; this }
+    def addSel(name: String, exprs: String): this.type = add(name, s"SELECT *, $exprs FROM $top")
+    def result(finalSelect: String): String =
+      "WITH " + buf.map { case (n, b) => s"$n AS ($b)" }.mkString(", ") + " " + finalSelect
+  }
+  def series = new Cte("s", seriesCte)
+
+  /** Oracle mirror of stage.ema (sma-seeded adjust=False ema). */
+  def emaSql(b: Cte, src: String, out: String, n: Int): Cte = {
+    val a = 2.0 / (n + 1)
+    b.addSel(s"${out}_p", s"row_number() $ov AS ${out}_rn, avg($src) ${fr(n)} AS ${out}_sd")
+      .addSel(
+        s"${out}_z",
+        s"CASE WHEN ${out}_rn < $n THEN NULL WHEN ${out}_rn = $n THEN ${out}_sd ELSE $src END AS ${out}_zz"
+      )
+      .addSel(s"${out}_c", s"${ewm(s"${out}_zz", a)} AS $out")
+  }
+
+  def madSql(b: Cte, src: String, out: String, n: Int): Cte =
+    b.addSel(s"${out}_p", s"list($src) ${fr(n)} AS ${out}_xs, avg($src) ${fr(n)} AS ${out}_m, count($src) ${fr(n)} AS ${out}_cnt")
+      .addSel(
+        s"${out}_c",
+        s"CASE WHEN ${out}_cnt >= $n THEN list_reduce(list_transform(${out}_xs, v -> abs(v - ${out}_m)), (x, y) -> x + y) / len(${out}_xs) END AS $out"
+      )
+
+  /** Standard wrapper: build columns over userSeries, normalize + order. */
+  private def mk(name: String, outs: Seq[String], sql: String)(
+      build: DataFrame => DataFrame
+  ): Q =
+    Q(
+      name,
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        build(Graft.userSeries(spark, dir))
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(sql)
+    )
+
+  private def fin(b: Cte, outs: Seq[String]): String =
+    b.result(
+      s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+    )
+
+  // ---------------------------------------------------------------- sma
+  val qSma = mk("sma_10", Seq("sma_10"), fin(series.addSel("t1", s"${rmean("close", 10)} AS sma_10"), Seq("sma_10"))) {
+    _.withColumn("sma_10", P.rmean(col("close"), 10))
+  }
+
+  // ---------------------------------------------------------------- ema
+  val qEma = mk("ema_10", Seq("ema_10"), fin(emaSql(series, "close", "ema_10", 10), Seq("ema_10"))) {
+    stage.ema(_, "close", "ema_10", 10)
+  }
+
+  // ---------------------------------------------------------------- wma
+  val qWma = mk("wma_10", Seq("wma_10"), fin(series.addSel("t1", s"${wma("close", 10)} AS wma_10"), Seq("wma_10"))) {
+    _.withColumn("wma_10", P.wma(col("close"), 10))
+  }
+
+  // ---------------------------------------------------------------- rma
+  val qRma = mk("rma_10", Seq("rma_10"), fin(series.addSel("t1", s"${rma("close", 10)} AS rma_10"), Seq("rma_10"))) {
+    stage.rma(_, "close", "rma_10", 10)
+  }
+
+  // ------------------------------------------------------------ dema/tema
+  val qDema = {
+    val b = emaSql(emaSql(series, "close", "e1", 10), "e1", "e2", 10)
+      .addSel("t9", "2e0*e1 - e2 AS dema_10")
+    mk("dema_10", Seq("dema_10"), fin(b, Seq("dema_10"))) { df0 =>
+      val df1 = stage.ema(df0, "close", "e1", 10)
+      val df2 = stage.ema(df1, "e1", "e2", 10)
+      df2.withColumn("dema_10", lit(2.0) * col("e1") - col("e2"))
+    }
+  }
+
+  val qTema = {
+    val b = emaSql(emaSql(emaSql(series, "close", "e1", 10), "e1", "e2", 10), "e2", "e3", 10)
+      .addSel("t9", "3e0*e1 - 3e0*e2 + e3 AS tema_10")
+    mk("tema_10", Seq("tema_10"), fin(b, Seq("tema_10"))) { df0 =>
+      val d1 = stage.ema(df0, "close", "e1", 10)
+      val d2 = stage.ema(d1, "e1", "e2", 10)
+      val d3 = stage.ema(d2, "e2", "e3", 10)
+      d3.withColumn("tema_10", lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3"))
+    }
+  }
+
+  // ---------------------------------------------------------------- trima
+  val qTrima = {
+    // trima(n) = sma(sma(x, ceil((n+1)/2)), floor(n/2)+1); n=10 → 6, 6
+    val b = series
+      .addSel("t1", s"${rmean("close", 6)} AS tr_in")
+      .addSel("t2", s"${rmean("tr_in", 6)} AS trima_10")
+    mk("trima_10", Seq("trima_10"), fin(b, Seq("trima_10"))) {
+      _.withColumn("tr_in", P.rmean(col("close"), 6))
+        .withColumn("trima_10", P.rmean(col("tr_in"), 6))
+    }
+  }
+
+  // ---------------------------------------------------------------- hma
+  val qHma = {
+    // hma(n) = wma(2·wma(n/2) − wma(n), floor(√n)); n=10 → wma5, wma10, wma3
+    val b = series
+      .addSel("t1", s"${wma("close", 5)} AS w5, ${wma("close", 10)} AS w10")
+      .addSel("t2", "2e0*w5 - w10 AS hraw")
+      .addSel("t3", s"${wma("hraw", 3)} AS hma_10")
+    mk("hma_10", Seq("hma_10"), fin(b, Seq("hma_10"))) {
+      _.withColumn("w5", P.wma(col("close"), 5))
+        .withColumn("w10", P.wma(col("close"), 10))
+        .withColumn("hraw", lit(2.0) * col("w5") - col("w10"))
+        .withColumn("hma_10", P.wma(col("hraw"), 3))
+    }
+  }
+
+  // ---------------------------------------------------------------- rsi
+  val qRsi = {
+    val b = series
+      .addSel("t1", s"close - lag(close, 1) $ov AS d")
+      .addSel("t2", "CASE WHEN d IS NULL THEN NULL WHEN d > 0 THEN d ELSE 0e0 END AS up, " +
+        "CASE WHEN d IS NULL THEN NULL WHEN d < 0 THEN -d ELSE 0e0 END AS dn")
+      .addSel("t3", s"${rma("up", 10)} AS ru, ${rma("dn", 10)} AS rd")
+      .addSel("t4", s"100e0 * ${sdiv("ru", "(ru + rd)")} AS rsi_10")
+    mk("rsi_10", Seq("rsi_10"), fin(b, Seq("rsi_10"))) {
+      _.withColumn("d", P.diff(col("close")))
+        .withColumn("up", when(col("d").isNull, lit(null)).when(col("d") > 0, col("d")).otherwise(lit(0.0)))
+        .withColumn("dn", when(col("d").isNull, lit(null)).when(col("d") < 0, -col("d")).otherwise(lit(0.0)))
+        .withColumn("ru", P.rmaOf(col("up"), 10))
+        .withColumn("rd", P.rmaOf(col("dn"), 10))
+        .withColumn("rsi_10", lit(100.0) * P.sdiv(col("ru"), col("ru") + col("rd")))
+    }
+  }
+
+  // ---------------------------------------------------------------- macd
+  val qMacd = {
+    val a12 = 2.0 / 13; val a26 = 2.0 / 27; val a9 = 2.0 / 10
+    val b = series
+      .addSel("t1", s"${ewm("close", a12)} AS e12, ${ewm("close", a26)} AS e26")
+      .addSel("t2", "e12 - e26 AS macd")
+      .addSel("t3", s"${ewm("macd", a9)} AS macds")
+      .addSel("t4", "macd - macds AS macdh")
+    mk("macd_12_26_9", Seq("macd", "macds", "macdh"), fin(b, Seq("macd", "macds", "macdh"))) {
+      _.withColumn("e12", P.ewm(col("close"), a12))
+        .withColumn("e26", P.ewm(col("close"), a26))
+        .withColumn("macd", col("e12") - col("e26"))
+        .withColumn("macds", P.ewm(col("macd"), a9))
+        .withColumn("macdh", col("macd") - col("macds"))
+    }
+  }
+
+  // ---------------------------------------------------------------- mom/roc
+  val qMomRoc = {
+    val b = series.addSel(
+      "t1",
+      s"close - lag(close, 10) $ov AS mom_10, " +
+        s"100e0 * (${sdiv("close", s"lag(close, 10) $ov")} - 1e0) AS roc_10, " +
+        s"(close - lag(close, 1) $ov) / 1e0 AS slope_1"
+    )
+    mk("mom_roc_10", Seq("mom_10", "roc_10", "slope_1"), fin(b, Seq("mom_10", "roc_10", "slope_1"))) {
+      _.withColumn("mom_10", P.diff(col("close"), 10))
+        .withColumn("roc_10", lit(100.0) * P.pctChange(col("close"), 10))
+        .withColumn("slope_1", P.diff(col("close"), 1) / lit(1.0))
+    }
+  }
+
+  // ---------------------------------------------------------------- rolling stats
+  val qStats = {
+    val b = series.addSel(
+      "t1",
+      s"${rstd("close", 10)} AS stdev_10, ${rvar("close", 10)} AS variance_10, " +
+        s"${rquantile("close", 0.5, 10)} AS median_10, ${rquantile("close", 0.75, 10)} AS quantile_10_075, " +
+        s"${rmean("close", 10)} AS m10"
+    ).addSel("t2", s"${sdiv("(close - m10)", "stdev_10")} AS zscore_10")
+    mk(
+      "stats_10",
+      Seq("stdev_10", "variance_10", "median_10", "quantile_10_075", "zscore_10"),
+      fin(b, Seq("stdev_10", "variance_10", "median_10", "quantile_10_075", "zscore_10"))
+    ) {
+      _.withColumn("stdev_10", P.rstd(col("close"), 10))
+        .withColumn("variance_10", P.rvar(col("close"), 10))
+        .withColumn("median_10", P.rmedian(col("close"), 10))
+        .withColumn("quantile_10_075", P.rquantile(col("close"), 0.75, 10))
+        .withColumn("m10", P.rmean(col("close"), 10))
+        .withColumn("zscore_10", P.sdiv(col("close") - col("m10"), col("stdev_10")))
+    }
+  }
+
+  // -------------------------------------------------- mad / skew / kurt / entropy
+  val qStats2 = {
+    val ln2 = math.log(2.0)
+    val b0 = madSql(series, "close", "mad_10", 10)
+    val b = b0
+      .addSel("sk_p", s"sum(close) ${fr(10)} AS s1, sum(close*close) ${fr(10)} AS s2, " +
+        s"sum(close*close*close) ${fr(10)} AS s3, sum(close*close*close*close) ${fr(10)} AS s4, " +
+        s"count(close) ${fr(10)} AS cnt, ${rsum("close", 10)} AS rs10")
+      .addSel("sk_m", "s1/10e0 AS m, s2/10e0 - (s1/10e0)*(s1/10e0) AS m2, " +
+        "s3/10e0 - 3e0*(s1/10e0)*(s2/10e0) + 2e0*(s1/10e0)*(s1/10e0)*(s1/10e0) AS m3, " +
+        "s4/10e0 - 4e0*(s1/10e0)*(s3/10e0) + 6e0*(s1/10e0)*(s1/10e0)*(s2/10e0) - 3e0*(s1/10e0)*(s1/10e0)*(s1/10e0)*(s1/10e0) AS m4")
+      .addSel("sk_c",
+        s"CASE WHEN cnt >= 10 AND m2 > 0 THEN (${sdiv("m3", "sqrt(m2*m2*m2)")}) * sqrt(10e0*9e0) / 8e0 END AS skew_10, " +
+        s"CASE WHEN cnt >= 10 AND m2 > 0 THEN ((11e0)*((${sdiv("m4", "(m2*m2)")}) - 3e0) + 6e0) * 9e0 / (8e0*7e0) END AS kurt_10")
+      .addSel("en_p", s"${sdiv("close", "rs10")} AS p")
+      .addSel("en_t", s"CASE WHEN p > 0 THEN -p * ln(p) / (${d(ln2)}) END AS ent_term")
+      .addSel("en_c", s"${rsum("ent_term", 10)} AS entropy_10")
+    mk(
+      "stats2_10",
+      Seq("mad_10", "skew_10", "kurt_10", "entropy_10"),
+      fin(b, Seq("mad_10", "skew_10", "kurt_10", "entropy_10"))
+    ) { df0 =>
+      stage
+        .mad(df0, "close", "mad_10", 10)
+        .withColumn("skew_10", P.rskew(col("close"), 10))
+        .withColumn("kurt_10", P.rkurt(col("close"), 10))
+        .withColumn("rs10", P.rsum(col("close"), 10))
+        .withColumn("p", P.sdiv(col("close"), col("rs10")))
+        .withColumn("ent_term", when(col("p") > 0, -col("p") * log(col("p")) / lit(ln2)))
+        .withColumn("entropy_10", P.rsum(col("ent_term"), 10))
+    }
+  }
+
+  // ---------------------------------------------------------------- returns
+  val qReturns = {
+    val b = series.addSel(
+      "t1",
+      s"CASE WHEN ${sdiv("close", s"lag(close, 1) $ov")} > 0 THEN ln(${sdiv("close", s"lag(close, 1) $ov")}) END AS log_return_1, " +
+        s"${sdiv("close", s"lag(close, 1) $ov")} - 1e0 AS percent_return_1, " +
+        s"CASE WHEN ${sdiv("close", s"first_value(close) $cum")} > 0 THEN ln(${sdiv("close", s"first_value(close) $cum")}) END AS log_return_cum, " +
+        s"${sdiv("close", s"first_value(close) $cum")} - 1e0 AS percent_return_cum"
+    )
+    mk(
+      "returns",
+      Seq("log_return_1", "percent_return_1", "log_return_cum", "percent_return_cum"),
+      fin(b, Seq("log_return_1", "percent_return_1", "log_return_cum", "percent_return_cum"))
+    ) {
+      _.withColumn("log_return_1", P.sln(P.sdiv(col("close"), P.shift(col("close"), 1))))
+        .withColumn("percent_return_1", P.pctChange(col("close"), 1))
+        .withColumn("log_return_cum", P.sln(P.sdiv(col("close"), first(col("close")).over(P.cum))))
+        .withColumn("percent_return_cum", P.sdiv(col("close"), first(col("close")).over(P.cum)) - 1.0)
+    }
+  }
+
+  // ---------------------------------------------------------------- drawdown
+  val qDrawdown = {
+    val b = series
+      .addSel("t1", s"max(close) $cum AS cmax")
+      .addSel("t2", s"cmax - close AS dd, 1e0 - ${sdiv("close", "cmax")} AS dd_pct, " +
+        "CASE WHEN cmax > 0 THEN ln(cmax) END - CASE WHEN close > 0 THEN ln(close) END AS dd_log")
+    mk("drawdown", Seq("dd", "dd_pct", "dd_log"), fin(b, Seq("dd", "dd_pct", "dd_log"))) {
+      _.withColumn("cmax", P.cummax(col("close")))
+        .withColumn("dd", col("cmax") - col("close"))
+        .withColumn("dd_pct", lit(1.0) - P.sdiv(col("close"), col("cmax")))
+        .withColumn("dd_log", P.sln(col("cmax")) - P.sln(col("close")))
+    }
+  }
+
+  def all: Seq[Q] = Seq(
+    qSma, qEma, qWma, qRma, qDema, qTema, qTrima, qHma, qRsi, qMacd, qMomRoc,
+    qStats, qStats2, qReturns, qDrawdown
+  )
+}
