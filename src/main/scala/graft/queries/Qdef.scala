@@ -73,6 +73,30 @@ object sqlgen {
     wdot(x, ws.reverse.map(_ / denom))
   }
 
+  /** Rolling-OLS closed form vs x = 0..n−1 — mirror of stage.linreg.
+    * Emits SELECT-fragment columns <p>_slope, <p>_intercept, <p>_tsf, <p>_r
+    * given staged sxy/sy/syy columns (see linregStage). */
+  def linregStage(x: String, n: Int): String = {
+    val nn = n.toDouble
+    val sxy = (0 until n).map(j => s"lag($x, $j) $ov * (${d((n - 1 - j).toDouble)})").mkString(" + ")
+    s"CASE WHEN count($x) ${fr(n)} >= $n THEN $sxy END AS __sxy, " +
+      s"CASE WHEN count($x) ${fr(n)} >= $n THEN sum($x) ${fr(n)} END AS __sy, " +
+      s"CASE WHEN count($x) ${fr(n)} >= $n THEN sum($x*$x) ${fr(n)} END AS __syy"
+  }
+
+  def linregCalc(p: String, n: Int): (String, String) = {
+    val nn = n.toDouble
+    val sx = (0 until n).map(_.toDouble).sum
+    val sxx = (0 until n).map(i => i.toDouble * i).sum
+    val dx = nn * sxx - sx * sx
+    val slope = s"(${d(nn)} * __sxy - ${d(sx)} * __sy) / ${d(dx)} AS ${p}_slope"
+    val rest = s"(__sy - ${p}_slope * ${d(sx)}) / ${d(nn)} + ${p}_slope * ${d(nn - 1.0)} AS ${p}_tsf, " +
+      s"(__sy - ${p}_slope * ${d(sx)}) / ${d(nn)} AS ${p}_intercept, " +
+      s"(${d(nn)} * __sxy - ${d(sx)} * __sy) / (CASE WHEN (${d(nn)} * __syy - __sy * __sy) * ${d(dx)} > 0 " +
+      s"THEN sqrt((${d(nn)} * __syy - __sy * __sy) * ${d(dx)}) END) AS ${p}_r"
+    (slope, rest)
+  }
+
   /** Safe division (explicit, though DuckDB already NULLs div-by-zero). */
   def sdiv(a: String, b: String) = s"($a / nullif($b, 0))"
 

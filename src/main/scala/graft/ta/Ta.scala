@@ -250,6 +250,151 @@ final class Ta(private val df: DataFrame) {
       .drop("__e")
   }
 
+  def mom(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(s"mom_$n", diff(c(src), n))
+
+  def roc(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(s"roc_$n", lit(100.0) * pctChange(c(src), n))
+
+  /** Chande momentum: 100·(ΣU−ΣD)/(ΣU+ΣD), rolling-sum mode (declared). */
+  def cmo(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val dd = diff(x)
+    df.withColumn("__up", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
+      .withColumn("__dn", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
+      .withColumn(
+        s"cmo_$n",
+        lit(100.0) * sdiv(
+          rsum(col("__up"), n) - rsum(col("__dn"), n),
+          rsum(col("__up"), n) + rsum(col("__dn"), n)
+        )
+      )
+      .drop("__up", "__dn")
+  }
+
+  /** Absolute price oscillator, declared mamode=sma. */
+  def apo(fast: Int = 12, slow: Int = 26, src: String = "close"): DataFrame =
+    df.withColumn(s"apo_${fast}_$slow", rmean(c(src), fast) - rmean(c(src), slow))
+
+  /** Percentage price oscillator, pandas-ta default mamode=sma. */
+  def ppo(fast: Int = 12, slow: Int = 26, src: String = "close"): DataFrame =
+    df.withColumn(
+      s"ppo_${fast}_$slow",
+      lit(100.0) * sdiv(rmean(c(src), fast) - rmean(c(src), slow), rmean(c(src), slow))
+    )
+
+  def bias(n: Int = 26, src: String = "close"): DataFrame =
+    df.withColumn(s"bias_$n", lit(100.0) * (sdiv(c(src), rmean(c(src), n)) - 1.0))
+
+  /** Kaufman efficiency ratio: |Δₙc| / Σ|Δc| over n. */
+  def er(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    df.withColumn("__ad", abs(diff(x)))
+      .withColumn(s"er_$n", sdiv(abs(x - shift(x, n)), rsum(col("__ad"), n)))
+      .drop("__ad")
+  }
+
+  /** Psychological line: 100·count(Δc>0 over n)/n. */
+  def psl(n: Int = 12, src: String = "close"): DataFrame = {
+    val dd = diff(c(src))
+    df.withColumn("__gt", when(dd.isNull, lit(null)).when(dd > 0, 1.0).otherwise(0.0))
+      .withColumn(s"psl_$n", lit(100.0) * rsum(col("__gt"), n) / n.toDouble)
+      .drop("__gt")
+  }
+
+  /** Center of gravity: −Σ(i+1)·x_{t−i} / Σx over n (i=0 newest). */
+  def cg(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val num = wdot(x, (1 to n).map(_.toDouble))
+    df.withColumn(s"cg_$n", -sdiv(when(count(x).over(f(n)) >= n, num), rsum(x, n)))
+  }
+
+  /** Chande forecast oscillator: 100·(c − linreg_tsf(c,n))/c. */
+  def cfo(n: Int = 10, src: String = "close"): DataFrame =
+    stage
+      .linreg(df, src, s"__lr", n)
+      .withColumn(s"cfo_$n", lit(100.0) * sdiv(c(src) - col("__lr_tsf"), c(src)))
+      .drop("__lr_slope", "__lr_intercept", "__lr_tsf", "__lr_r")
+
+  /** Correlation trend indicator: rolling Pearson r of src vs 0..n−1. */
+  def cti(n: Int = 12, src: String = "close"): DataFrame =
+    stage
+      .linreg(df, src, s"__lr", n)
+      .withColumn(s"cti_$n", col("__lr_r"))
+      .drop("__lr_slope", "__lr_intercept", "__lr_tsf", "__lr_r")
+
+  /** Coppock curve: wma(roc(fast) + roc(slow), n). */
+  def coppock(n: Int = 10, fast: Int = 11, slow: Int = 14, src: String = "close"): DataFrame = {
+    val x = c(src)
+    df.withColumn(
+        "__rsum2",
+        lit(100.0) * pctChange(x, fast) + lit(100.0) * pctChange(x, slow)
+      )
+      .withColumn(s"coppock_${n}_${fast}_$slow", prim.wma(col("__rsum2"), n))
+      .drop("__rsum2")
+  }
+
+  /** Know-sure-thing: Σᵢ i·sma(roc(rᵢ), sᵢ), signal = sma(kst, sig). */
+  def kst(
+      r: Seq[Int] = Seq(10, 15, 20, 30),
+      s: Seq[Int] = Seq(10, 10, 10, 15),
+      sig: Int = 9,
+      src: String = "close"
+  ): DataFrame = {
+    val x = c(src)
+    val terms = r.zip(s).zipWithIndex.map { case ((ri, si), i) =>
+      lit((i + 1).toDouble) * rmean(lit(100.0) * pctChange(x, ri), si)
+    }
+    df.withColumn("kst", terms.reduce(_ + _))
+      .withColumn(s"kst_signal", rmean(col("kst"), sig))
+  }
+
+  /** Trix: 100·pct_change of triple sma-seeded ema. */
+  def trix(n: Int = 10, src: String = "close"): DataFrame = {
+    val d1 = stage.ema(df, src, "__te1", n)
+    val d2 = stage.ema(d1, "__te1", "__te2", n)
+    val d3 = stage.ema(d2, "__te2", "__te3", n)
+    d3.withColumn(s"trix_$n", lit(100.0) * pctChange(col("__te3"), 1))
+      .drop("__te1", "__te2", "__te3")
+  }
+
+  /** True strength index: 100·ema(ema(Δc,slow),fast)/ema(ema(|Δc|,slow),fast)
+    * (sma-seeded ema chains per the declared spec). */
+  def tsi(fast: Int = 13, slow: Int = 25, src: String = "close"): DataFrame = {
+    val tmp = df
+      .withColumn("__d", diff(c(src)))
+      .withColumn("__ad", abs(diff(c(src))))
+    val e1 = stage.ema(stage.ema(tmp, "__d", "__ds", slow), "__ds", "__dss", fast)
+    val e2 = stage.ema(stage.ema(e1, "__ad", "__as", slow), "__as", "__ass", fast)
+    e2.withColumn(s"tsi_${fast}_$slow", lit(100.0) * sdiv(col("__dss"), col("__ass")))
+      .drop("__d", "__ad", "__ds", "__dss", "__as", "__ass")
+  }
+
+  /** StochRSI: stoch range position of rsi(n), smoothed k and d. */
+  def stochrsi(n: Int = 10, k: Int = 3, d: Int = 3, src: String = "close"): DataFrame = {
+    val withRsi = rsiAs(df, src, "__rsi", n)
+    val lo = rmin(col("__rsi"), n); val hi = rmax(col("__rsi"), n)
+    withRsi
+      .withColumn("__srsi", lit(100.0) * sdiv(col("__rsi") - lo, hi - lo))
+      .withColumn(s"stochrsi_k", rmean(col("__srsi"), k))
+      .withColumn(s"stochrsi_d", rmean(col(s"stochrsi_k"), d))
+      .drop("__rsi", "__srsi")
+  }
+
+  def rsi(n: Int = 10, src: String = "close"): DataFrame =
+    rsiAs(df, src, s"rsi_$n", n)
+
+  private def rsiAs(d0: DataFrame, src: String, out: String, n: Int): DataFrame = {
+    val dd = diff(c(src))
+    d0.withColumn("__rup", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
+      .withColumn("__rdn", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
+      .withColumn(
+        out,
+        lit(100.0) * sdiv(rmaOf(col("__rup"), n), rmaOf(col("__rup"), n) + rmaOf(col("__rdn"), n))
+      )
+      .drop("__rup", "__rdn")
+  }
+
   // ========================================================= trend =====
   /** Aroon: 100·(n − bars-since-extreme)/n over n+1 rows; ties → most
     * recent occurrence (reference reverses then argmax). */
@@ -296,6 +441,14 @@ final class Ta(private val df: DataFrame) {
 
   def qstick(n: Int = 10): DataFrame =
     df.withColumn(s"qstick_$n", rmean(close - open, n))
+
+  /** Vertical horizontal filter: |HH(c,n)−LL(c,n)| / Σ|Δc| over n. */
+  def vhf(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    df.withColumn("__ad", abs(diff(x)))
+      .withColumn(s"vhf_$n", sdiv(abs(rmax(x, n) - rmin(x, n)), rsum(col("__ad"), n)))
+      .drop("__ad")
+  }
 
   def increasing(n: Int = 1, src: String = "close"): DataFrame =
     df.withColumn(s"increasing_$n", when(diff(c(src), n) > 0, 1.0).otherwise(0.0))
