@@ -1,0 +1,63 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.F): media payloads as opaque
+  * `BINARY` columns with a typed metadata struct, and a batched
+  * feature-extraction pass over `mapPartitions`.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic pseudo-features from the
+  * raw bytes. Everything around it — schema, typed Dataset, partition-wise
+  * batching, feature struct — is the real pipeline a codec would slot into:
+  * replace `decodeStub`'s body with the JNI/codec call and nothing else
+  * changes. Executor-side batching (one iterator pass per partition, zero
+  * driver collection) is exactly the mapInPandas/Arrow batch shape of the
+  * Python equivalent.
+  */
+object Media {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum_64: Long, width: Int, frames: Int)
+
+  /** Wrap a documents table into a media table: payload = utf-8 bytes of
+    * `text` (stand-in for an image/audio blob), metadata derived. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        lit("application/octet-stream").as("mime")
+      ).as("meta")
+    )
+
+  /** STUB decoder — deterministic fake features from raw bytes.
+    * Replace with a real codec (JPEG decode, PCM frame split, …); the
+    * signature `Array[Byte] => MediaFeatures'` is the codec contract. */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var s = 0L
+    var i = 0
+    val n = math.min(64, bytes.length)
+    while (i < n) { s += (bytes(i) & 0xffL); i += 1 }
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      byte_sum_64 = s,
+      width = (bytes.length % 640).toInt,
+      frames = (bytes.length / 1024 + 1).toInt
+    )
+  }
+
+  /** Batched executor-side feature extraction: one sequential pass per
+    * partition (the batch boundary a real decoder would amortize setup
+    * over), no shuffle, no driver round-trip. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.F) over
+  * `(vec_id BIGINT, embedding ARRAY<FLOAT>, …)`.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — a map-only job plus a per-query top-k
+  * aggregation; no corpus shuffle. The IVF path clusters the corpus once
+  * (one extra shuffle to co-locate cells) and probes only nprobe cells per
+  * query — the standard sub-linear ANN layout; at 100 TB the cell id also
+  * becomes the storage partition key so probing prunes parquet files.
+  *
+  * All dot products run in DOUBLE with strict left-to-right accumulation
+  * (`aggregate` HOF) so the DuckDB oracle (list_reduce) is bit-identical.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float/double
+    * vectors — native codegen'd kernel (graft.functions.ArrayDot), not an
+    * interpreted HOF fold; registered by Graft.init. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def l2norm(a: Column): Column = sqrt(call_function("graft_normsq", a))
+
+  /** Cosine similarity (inputs need not be unit-norm). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force exact top-k: for every query vector, the k most-cosine-
+    * similar corpus vectors (self excluded). Queries are broadcast; the
+    * corpus is scanned once; rank window is per-query (small). */
+  def topkBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .as("c")
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .where(col("q_id") =!= col("c.vec_id"))
+      .select(
+        col("q_id"),
+        col("c.vec_id").as("nbr_id"),
+        dot(col("q_emb"), col("c.embedding")).as("sim")
+      )
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
+
+  /** Exact cosine near-dup pairs (sim ≥ threshold, a < b). Brute-force
+    * self-join — the oracle-verifiable exact path; use simhash/IVF
+    * blocking when n² is unaffordable. */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus
+      .as("x")
+      .join(corpus.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a_id"),
+        col("y.vec_id").as("b_id"),
+        dot(col("x.embedding"), col("y.embedding")).as("sim")
+      )
+      .where(col("sim") >= threshold)
+
+  /** IVF (inverted-file) index: deterministic coarse quantizer using the
+    * first nCells corpus vectors (by vec_id) as centroids; every vector is
+    * assigned to its nearest centroid.
+    *
+    * Returns (vec_id, embedding, cell). At scale, write partitioned by
+    * `cell` so probes prune storage. Centroid seeding by lowest ids keeps
+    * the whole pipeline deterministic (no RNG in the engine contract);
+    * swap in k-means iterations offline for better balance.
+    */
+  def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame = {
+    val cents = corpus
+      .orderBy("vec_id")
+      .limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val scored = corpus
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cent_id"),
+        dot(col("embedding"), col("cent_emb")).as("csim")
+      )
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** ANN top-k via IVF probing: each query scores only the vectors in its
+    * nprobe nearest cells. Approximate — recall measured vs topkBrute in
+    * the test suite. */
+  def topkIvf(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val cents = index
+      .where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val qcells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("cent_id"), dot(col("q_emb"), col("cent_emb")).as("csim"))
+    import org.apache.spark.sql.expressions.Window
+    val crk = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qcells
+      .withColumn("crk", row_number().over(crk))
+      .where(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+    val scored = index
+      .join(broadcast(probes), "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"), dot(col("q_emb"), col("embedding")).as("sim"))
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
+}

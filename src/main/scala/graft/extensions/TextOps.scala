@@ -1,0 +1,167 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for the LLM-data-pipeline extensions
+  * (SURVEY.md §2.F): tokenization, shingling, portable hashing, MinHash,
+  * SimHash, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Every function here is a pure Catalyst `Column` expression (HOFs over
+  * arrays — codegen-friendly, no UDFs), and every hash uses explicit
+  * modular arithmetic so the DuckDB oracle can reproduce the exact same
+  * values with `list_transform`/`list_reduce`. All arithmetic stays below
+  * 2^63 (p = 1e9+7; multipliers < 1e5; 1e5·1e9 ≪ 2^63).
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashes (fits in 30 bits). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokens, empty strings removed (consecutive-space safety —
+    * both Spark `split` and DuckDB `string_split` emit empty tokens there).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Polynomial rolling hash of a string's chars mod P — base 31 left fold.
+    * ASCII-only corpus: Spark `ascii` ≡ DuckDB `unicode` on single chars.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % P
+    )
+
+  /** k-token shingles (joined with single spaces), empty below k tokens. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(
+      size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set — the unit of near-dup Jaccard similarity. */
+  def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(text, k))
+
+  // ---- MinHash ---------------------------------------------------------
+  /** Per-function (a, b) parameters: h_i(x) = (a_i·x + b_i) mod P.
+    * Small fixed primes — deterministic, shared with the oracle SQL. */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (7919L, 104729L), (12553L, 30011L), (17389L, 65537L), (23311L, 11939L),
+    (29443L, 86243L), (37813L, 50021L), (43691L, 75577L), (54001L, 23459L),
+    (62131L, 94007L), (70919L, 41843L), (78893L, 62987L), (83639L, 15149L),
+    (90023L, 71993L), (94771L, 33533L), (99377L, 87887L), (99991L, 57923L)
+  )
+
+  /** Poly-hashes of the distinct k-shingle set (the MinHash base values).
+    * Stage this into its own projection when several downstream
+    * expressions consume it: CollapseProject keeps multiply-referenced
+    * expensive producers un-inlined, so the HOF runs once per row instead
+    * of once per consumer. */
+  def shingleBases(text: Column, k: Int = 3): Column =
+    transform(shingleSet(text, k), s => polyHash(s))
+
+  /** Per-token poly-hashes (SimHash input) — same staging advice. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => polyHash(t))
+
+  /** MinHash signature from a staged shingleBases column. */
+  def minhashSigFromBases(bases: Column): Column = {
+    val sig = minhashParams.map { case (a, b) =>
+      aggregate(bases, lit(P), (acc, h) => least(acc, (h * a + b) % P))
+    }
+    when(size(bases) > 0, array(sig: _*))
+  }
+
+  /** MinHash signature (array of minhashParams.size values) over the
+    * distinct k-shingle set; null signature for docs with no shingles. */
+  def minhashSig(text: Column, k: Int = 3): Column =
+    minhashSigFromBases(shingleBases(text, k))
+
+  // ---- SimHash ---------------------------------------------------------
+  /** 30-bit SimHash over whitespace tokens (with multiplicity): bit j set
+    * iff Σ_tokens ±1 by token-hash bit j is positive. Bit index j is a
+    * plan-time constant, so `shiftright` unrolls to pure codegen. */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** SimHash from a staged tokenHashes column. */
+  def simhashFromHashes(ths: Column): Column = {
+    (0 until 30)
+      .map { j =>
+        val bitsum = aggregate(
+          ths,
+          lit(0L),
+          (acc, h) => acc + when(pmod(shiftright(h, j), lit(2L)) === 1L, 1L).otherwise(-1L)
+        )
+        when(bitsum > 0L, lit(1L << j)).otherwise(0L)
+      }
+      .reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (30-bit). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---- Language ID heuristic -------------------------------------------
+  /** Marker stopwords per language. Real-corpus heuristic: count marker
+    * hits per language, argmax with fixed priority order (en first). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de0", "le0", "shi", "zai", "he")
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(t === _).reduce(_ || _)))
+
+  /** Predicted language: argmax marker count, ties broken by langMarkers
+    * order (en > es > de > fr > zh). */
+  def langPredict(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc) }
+  }
+
+  // ---- Quality scoring -------------------------------------------------
+  /** Composite quality score in [0,1]:
+    * 0.4·min(n_tok/100, 1) + 0.3·(distinct_tok/n_tok) + 0.3·stopword_ratio.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = langScore(text, langMarkers.head._2).cast("double") / n
+    when(n > 0, lenScore * 0.4 + distinctRatio * 0.3 + stopRatio * 0.3)
+  }
+
+  // ---- Token counting --------------------------------------------------
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, and single
+    * other non-space chars (the pre-tokenizer split a byte-BPE would see).
+    */
+  def nTokensBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  // ---- Fingerprinting --------------------------------------------------
+  /** Whole-document rolling hash (order-sensitive). */
+  def fpDocument(text: Column): Column = polyHash(text)
+
+  /** Winnowing-style content fingerprint: min shingle hash (order-free,
+    * robust to shuffling; equal for exact dups and near-dups sharing the
+    * minimal shingle). */
+  def fpMinShingle(text: Column, k: Int = 3): Column = {
+    val bases = transform(shingleSet(text, k), s => polyHash(s))
+    when(size(bases) > 0, array_min(bases))
+  }
+}

@@ -77,6 +77,16 @@ object Registry {
           },
           "built-in"
         )
+        reg.createOrReplaceTempFunction(
+          "graft_dot",
+          exprs => ArrayDot(exprs(0), exprs(1)),
+          "built-in"
+        )
+        reg.createOrReplaceTempFunction(
+          "graft_normsq",
+          exprs => ArrayNormSq(exprs(0)),
+          "built-in"
+        )
         done += key
       }
     }

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.ta.{prim => P}
+import graft.extensions.{Dedup, Media, Similarity, TextOps}
+
+/** LLM-data-pipeline extension queries (SURVEY.md §2.F / §2.G Q46–Q48):
+  * dedup, near-dup, similarity search, text analysis, multimodal plumbing —
+  * each paired with a structurally identical DuckDB oracle.
+  *
+  * Hash portability contract: every hash is explicit modular arithmetic
+  * (TextOps.polyHash base 31 mod 1e9+7). DuckDB `list_reduce` has no
+  * initial accumulator (starts at the first element); Spark `aggregate`
+  * starts at 0 — identical results because (0·31 + c₁) = c₁.
+  */
+object ExtensionQueries {
+
+  private val P0: Long = TextOps.P
+
+  // ---------------------------------------------------------------- SQL helpers
+  /** tokens CTE fragment: tk = non-empty whitespace tokens. */
+  private val toksCte =
+    "SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents"
+
+  /** polyHash of a string expression (DuckDB side). */
+  private def ph(s: String): String =
+    s"list_reduce(list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT)), " +
+      s"(acc, x) -> (acc * 31 + x) % $P0)"
+
+  /** distinct 3-shingle list from tk. */
+  private val shExpr =
+    "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END"
+
+  /** per-doc shingle base-hash list CTE chain (docs → toks → sh → bases). */
+  private val basesCtes =
+    s"toks AS ($toksCte), sh AS (SELECT doc_id, $shExpr AS s FROM toks), " +
+      s"bases AS (SELECT doc_id, list_transform(s, x -> ${ph("x")}) AS bh, len(s) AS n_sh FROM sh)"
+
+  /** Exact pairwise shingle-Jaccard ≥ threshold (brute cross join). */
+  private def jacPairsSql(threshold: Double): String =
+    s"WITH $basesCtes, shs AS (SELECT doc_id, s FROM sh) " +
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac " +
+      "FROM shs a, shs b WHERE a.doc_id < b.doc_id " +
+      s"AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= $threshold " +
+      "ORDER BY a_id, b_id"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  // ---------------------------------------------------------------- queries
+  private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
+
+  /** Q48 text analysis: token counts + fingerprints. */
+  val qTextStats = Q(
+    "x_text_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.nTokens(col("text")).cast("long").as("n_tok"),
+          TextOps.nTokensBpe(col("text")).cast("long").as("n_tok_bpe"),
+          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"),
+          TextOps.fpDocument(col("text")).as("fp_doc"),
+          TextOps.fpMinShingle(col("text")).as("fp_minshingle")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"WITH $basesCtes " +
+        "SELECT toks.doc_id AS doc_id, len(tk) AS n_tok, " +
+        raw"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tok_bpe, " +
+        "len(list_distinct(tk)) AS n_distinct, " +
+        s"${ph("text")} AS fp_doc, " +
+        "CASE WHEN len(bh) > 0 THEN list_min(bh) END AS fp_minshingle " +
+        "FROM toks JOIN bases ON toks.doc_id = bases.doc_id ORDER BY doc_id"
+    )
+  )
+
+  /** Q48 language-ID heuristic + quality score. */
+  val qLangQuality = Q(
+    "x_lang_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.langPredict(col("text")).as("lang_pred"),
+          P.normd(TextOps.qualityScore(col("text"))).as("quality")
+        )
+        .orderBy("doc_id"),
+    Some {
+      def score(markers: Seq[String]) =
+        s"len(list_filter(tk, t -> ${markers.map(m => s"t = '$m'").mkString(" OR ")}))"
+      val scores = TextOps.langMarkers.map { case (l, m) => l -> score(m) }
+      val sCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+      val best = s"greatest(${scores.map("s_" + _._1).mkString(", ")})"
+      val pred = scores.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+      s"WITH toks AS ($toksCte), sc AS (SELECT doc_id, tk, $sCols FROM toks) " +
+        s"SELECT doc_id, CASE $pred ELSE 'und' END AS lang_pred, " +
+        "round(0.4 * least(len(tk)::DOUBLE / 100, 1.0) + " +
+        "0.3 * (len(list_distinct(tk))::DOUBLE / len(tk)) + " +
+        "0.3 * (s_en::DOUBLE / len(tk)), 6) AS quality " +
+        "FROM sc ORDER BY doc_id"
+    }
+  )
+
+  /** Q46 exact dedup groups. */
+  val qDedupExact = Q(
+    "x_dedup_exact",
+    (s, dir) =>
+      Dedup
+        .exactGroups(docs(s, dir))
+        .select(col("text_hash"), col("keep_id"), col("n_dups"))
+        .orderBy("keep_id"),
+    Some(
+      "SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups " +
+        "FROM documents GROUP BY text ORDER BY keep_id"
+    )
+  )
+
+  /** Q46 near-dup: exact shingle-Jaccard pairs via inverted-index join. */
+  val qNeardupJaccard = Q(
+    "x_neardup_jaccard",
+    (s, dir) =>
+      Dedup
+        .jaccardPairs(docs(s, dir), threshold = 0.5)
+        .select(col("a_id"), col("b_id"), P.normd(col("jac")).as("jac"))
+        .orderBy("a_id", "b_id"),
+    Some(jacPairsSql(0.5))
+  )
+
+  /** Q46 near-dup via MinHash-LSH (bands=8 × rows=2) + exact verify.
+    * Oracle is the same brute-force set: with these parameters recall is 1
+    * on this corpus (verified; LSH misses would fail the compare). */
+  val qNeardupLsh = Q(
+    "x_neardup_lsh",
+    (s, dir) =>
+      Dedup
+        .minhashLshPairs(docs(s, dir), threshold = 0.5)
+        .select(col("a_id"), col("b_id"), P.normd(col("jac")).as("jac"))
+        .orderBy("a_id", "b_id"),
+    Some(jacPairsSql(0.5))
+  )
+
+  /** Q46 MinHash signatures (first 8 hash functions as columns). */
+  val qMinhash = Q(
+    "x_minhash_sig",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.shingleBases(col("text")).as("__bh"))
+        .select(
+          col("doc_id") +:
+            TextOps.minhashParams.take(8).zipWithIndex.map { case ((a, b), i) =>
+              when(
+                size(col("__bh")) > 0,
+                aggregate(col("__bh"), lit(TextOps.P), (acc, h) => least(acc, (h * a + b) % TextOps.P))
+              ).as(s"mh$i")
+            }: _*
+        )
+        .orderBy("doc_id"),
+    Some {
+      val cols = TextOps.minhashParams.take(8).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"CASE WHEN n_sh > 0 THEN list_min(list_transform(bh, h -> (h * $a + $b) % $P0)) END AS mh$i"
+        }
+        .mkString(", ")
+      s"WITH $basesCtes SELECT doc_id, $cols FROM bases ORDER BY doc_id"
+    }
+  )
+
+  /** Q46 SimHash (30-bit) per document. */
+  val qSimhash = Q(
+    "x_simhash",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("__th"))
+        .select(col("doc_id"), TextOps.simhashFromHashes(col("__th")).as("simhash"))
+        .orderBy("doc_id"),
+    Some {
+      val terms = (0 until 30)
+        .map { j =>
+          s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+            s"THEN ${1L << j} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      s"WITH toks AS ($toksCte), th AS (SELECT doc_id, list_transform(tk, t -> ${ph("t")}) AS th FROM toks) " +
+        s"SELECT doc_id, $terms AS simhash FROM th ORDER BY doc_id"
+    }
+  )
+
+  /** Q47 brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
+  val qCosineTopk = Q(
+    "x_cosine_topk",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity
+        .topkBrute(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    Some(
+      "SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS nbr_id, ${dotSql("q.embedding", "c.embedding")} AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "WHERE rk <= 5 ORDER BY q_id, rk"
+    )
+  )
+
+  /** Q47 embedding-cosine near-dup pairs (sim ≥ 0.45). */
+  val qCosinePairs = Q(
+    "x_cosine_pairs",
+    (s, dir) =>
+      Similarity
+        .cosinePairs(embs(s, dir), threshold = 0.45)
+        .select(col("a_id"), col("b_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("a_id", "b_id"),
+    Some(
+      s"SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+        s"AND ${dotSql("a.embedding", "b.embedding")} >= 0.45 ORDER BY a_id, b_id"
+    )
+  )
+
+  /** Multimodal plumbing: binary payload + typed metadata + stub decode.
+    * Oracle exploits the ASCII corpus: utf-8 byte values = char codes. */
+  val qMediaFeatures = Q(
+    "x_media_features",
+    (s, dir) =>
+      Media
+        .extractFeatures(s, Media.asMediaTable(docs(s, dir)))
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("byte_sum_64"),
+          col("width").cast("long").as("width"),
+          col("frames").cast("long").as("frames")
+        )
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        "list_sum(list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(unicode(c) AS BIGINT))) AS byte_sum_64, " +
+        "octet_length(encode(text)) % 640 AS width, " +
+        "octet_length(encode(text)) // 1024 + 1 AS frames " +
+        "FROM documents ORDER BY doc_id"
+    )
+  )
+
+  /** Q47 scale path: IVF ANN top-k (approximate — driver rows-only check;
+    * recall vs brute force asserted in the test suite). */
+  val qAnnIvf = Q(
+    "x_ann_ivf_topk",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val idx = Similarity.ivfIndex(e, nCells = 16)
+      Similarity
+        .topkIvf(idx, e.where(col("vec_id") < 10), k = 5, nCells = 16, nprobe = 4)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    None
+  )
+
+  /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
+    * by pigeonhole). Oracle: brute-force Hamming over the same simhash. */
+  val qSimhashPairs = Q(
+    "x_simhash_pairs",
+    (s, dir) =>
+      Dedup
+        .simhashPairs(docs(s, dir), maxDist = 1)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+        .orderBy("a_id", "b_id"),
+    Some {
+      val terms = (0 until 30)
+        .map { j =>
+          s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+            s"THEN ${1L << j} ELSE 0 END)"
+        }
+        .mkString(" + ")
+      s"WITH toks AS ($toksCte), th AS (SELECT doc_id, list_transform(tk, t -> ${ph("t")}) AS th FROM toks), " +
+        s"simh AS (SELECT doc_id, $terms AS sh FROM th) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.sh, b.sh)) AS dist " +
+        "FROM simh a, simh b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 1 " +
+        "ORDER BY a_id, b_id"
+    }
+  )
+
+  val all: Seq[Q] = Seq(
+    qTextStats,
+    qLangQuality,
+    qDedupExact,
+    qNeardupJaccard,
+    qNeardupLsh,
+    qMinhash,
+    qSimhash,
+    qSimhashPairs,
+    qCosineTopk,
+    qCosinePairs,
+    qMediaFeatures,
+    qAnnIvf
+  )
+}
