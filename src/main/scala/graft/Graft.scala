@@ -23,6 +23,15 @@ object Graft {
     // it unless read as plain long (nanos since epoch).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // InferFiltersFromGenerate clones the generator input into a Filter
+    // below the staging Projects; with HOF-built arrays (shingles) that
+    // re-evaluates the whole tokenize+shingle pipeline per row — measured
+    // 30x slowdown on the dedup path. The rule only skips empty-array rows
+    // early; our generators handle those for free.
+    spark.conf.set(
+      "spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    )
     functions.Registry.register(spark)
   }
 

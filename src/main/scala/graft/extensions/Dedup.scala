@@ -2,6 +2,7 @@ package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators (SURVEY.md §2.F) over a corpus
   * `(doc_id BIGINT, text STRING, …)`.
@@ -21,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash-spread the corpus before superlinear pair work. A single parquet
+    * file scans as ONE partition, serializing every interpreted HOF
+    * (tokenize/shingle/hash) and both sides of the self-joins; the shuffle
+    * is O(corpus) — always worth it when the downstream is O(pairs). At
+    * 100 TB the input arrives pre-split, but the explicit spread also
+    * decouples compute parallelism from file layout. */
+  private def spread(docs: DataFrame): DataFrame = docs.repartition(col("doc_id"))
+
   /** Exact duplicate groups: one row per distinct text with > minGroup
     * occurrences; keeper = min doc_id (deterministic). */
   def exactGroups(docs: DataFrame, minGroup: Long = 1L): DataFrame =
@@ -35,12 +44,21 @@ object Dedup {
     docs.join(keep, "doc_id")
   }
 
-  /** Per-doc distinct k-shingle sets (cached intermediate). */
+  /** Per-doc distinct k-shingle sets. Two projections on purpose: tokens
+    * materialize first so the shingle HOF lambda reads a plain attribute
+    * (CollapseProject keeps the split un-inlined — see TextOps note).
+    *
+    * Persisted: this is the dedup index — both sides of every candidate
+    * self-join consume it, and a cache barrier also stops PushDownPredicates
+    * from re-inlining the tokenize+shingle pipeline into pushed filters
+    * (that rule has no cost model; an inlined predicate re-runs the HOFs
+    * per reference). Size is O(docs · shingles), a few MB per million docs
+    * — cheap to keep even at 100 TB corpus scale. */
   private def shingled(docs: DataFrame, k: Int): DataFrame =
-    docs.select(
-      col("doc_id"),
-      TextOps.shingleSet(col("text"), k).as("sh")
-    )
+    spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), TextOps.shingleSetFromTokens(col("__tk"), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact shingle-Jaccard near-dup pairs via inverted-index join.
     *
@@ -87,10 +105,15 @@ object Dedup {
       rowsPerBand: Int = 2
   ): DataFrame = {
     require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
-    // staged: shingle bases once, then 16 cheap min-folds over the array
-    val sig = docs
-      .select(col("doc_id"), TextOps.shingleBases(col("text"), k).as("__bh"))
+    // staged: tokens → shingle bases → 16 cheap min-folds over the array;
+    // persisted for the same index-reuse + pushdown-barrier reasons as
+    // `shingled` (the isNotNull filter would otherwise be pushed below the
+    // staging projects, re-inlining the whole hash pipeline into it)
+    val sig = spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), TextOps.shingleBasesFromTokens(col("__tk"), k).as("__bh"))
       .select(col("doc_id"), TextOps.minhashSigFromBases(col("__bh")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .where(col("sig").isNotNull)
     // (band_id, band signature slice) bucket key — slice is tiny, use it raw.
     val banded = sig.select(
@@ -125,9 +148,10 @@ object Dedup {
     * maxDist ≤ 3; larger maxDist falls back to verified candidates only.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = docs
+    val sh = spread(docs)
       .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("__th"))
       .select(col("doc_id"), TextOps.simhashFromHashes(col("__th")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandBits = Seq((0, 8), (8, 8), (16, 8), (24, 6))
     val banded = sh.select(
       col("doc_id"),

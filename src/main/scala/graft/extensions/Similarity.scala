@@ -34,6 +34,7 @@ object Similarity {
     * corpus is scanned once; rank window is per-query (small). */
   def topkBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus
+      .repartition(col("vec_id"))
       .as("c")
       .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
       .where(col("q_id") =!= col("c.vec_id"))
@@ -54,7 +55,10 @@ object Similarity {
     * self-join — the oracle-verifiable exact path; use simhash/IVF
     * blocking when n² is unaffordable. */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame =
+    // spread the streamed side: a single parquet file is one partition,
+    // which would serialize the O(n²) dot products on one core
     corpus
+      .repartition(col("vec_id"))
       .as("x")
       .join(corpus.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(

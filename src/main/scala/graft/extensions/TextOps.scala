@@ -34,9 +34,12 @@ object TextOps {
       (acc, x) => (acc * 31L + x) % P
     )
 
-  /** k-token shingles (joined with single spaces), empty below k tokens. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+  /** k-token shingles from a STAGED tokens column (must be a materialized
+    * attribute, not an expression: HOF lambdas are interpreted — no codegen
+    * CSE — so an inlined `tokens(text)` subtree would re-run split+filter
+    * once per `element_at`, ~3× per shingle. Staging keeps lambda refs
+    * O(1) array reads; measured 30× faster on the sf0.1 corpus.) */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(
       size(toks) >= k,
       transform(
@@ -44,10 +47,17 @@ object TextOps {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)
       )
     ).otherwise(array().cast("array<string>"))
-  }
+
+  /** k-token shingles (joined with single spaces), empty below k tokens.
+    * Only for single-use contexts; hot paths stage tokens first. */
+  def shingles(text: Column, k: Int = 3): Column = shinglesFromTokens(tokens(text), k)
 
   /** Distinct shingle set — the unit of near-dup Jaccard similarity. */
   def shingleSet(text: Column, k: Int = 3): Column = array_distinct(shingles(text, k))
+
+  /** Distinct shingle set from a staged tokens column (hot path). */
+  def shingleSetFromTokens(toks: Column, k: Int = 3): Column =
+    array_distinct(shinglesFromTokens(toks, k))
 
   // ---- MinHash ---------------------------------------------------------
   /** Per-function (a, b) parameters: h_i(x) = (a_i·x + b_i) mod P.
@@ -66,6 +76,10 @@ object TextOps {
     * of once per consumer. */
   def shingleBases(text: Column, k: Int = 3): Column =
     transform(shingleSet(text, k), s => polyHash(s))
+
+  /** Shingle base hashes from a staged tokens column (hot path). */
+  def shingleBasesFromTokens(toks: Column, k: Int = 3): Column =
+    transform(shingleSetFromTokens(toks, k), s => polyHash(s))
 
   /** Per-token poly-hashes (SimHash input) — same staging advice. */
   def tokenHashes(text: Column): Column =
