@@ -30,7 +30,8 @@ object SparkEntry {
           "round(volume, 6) AS volume FROM bars ORDER BY series_id, ts"
       )
     )
-  ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++ ExtensionQueries.all
+  ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++
+    ExtensionQueries.all ++ RelationalQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a small
     * multi-indicator batch over the daily bars. */

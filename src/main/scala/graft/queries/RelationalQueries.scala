@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Graft
+import graft.ta.{prim => P}
+import sqlgen._
+
+/** Volume profile (vp), whole-series performance metrics, anchored vwap,
+  * and the relational sanity queries (SURVEY.md §2.G Q32/Q37/Q45/Q49/Q50).
+  *
+  * Scale notes:
+  *  - q49 joins keep the TPC-H shape: fact-fact shuffle joins on the fact
+  *    keys, dimension side broadcast (`broadcast(nation)`), and the money
+  *    sum runs in DECIMAL so it is exact and order-independent — a double
+  *    sum over 600k rows would differ from the oracle in the 6th decimal
+  *    depending on partitioning.
+  *  - q50 sessionization is one window pass + one partial-aggregated
+  *    groupBy per user — no data ever leaves its user partition.
+  *  - vp is a two-pass profile: per-series min/max via an unbounded window
+  *    (no join), then a 10-way hash aggregate.
+  */
+object RelationalQueries {
+
+  // ------------------------------------------------------------ Q32 vp
+  /** Volume profile over the daily bars: close range split into 10 equal
+    * bins; per bin mean close, up/down/total volume. Up-bar rule matches
+    * obv's signed_series convention: Δclose ≥ 0 (first row up). Bucket
+    * arithmetic is plain double math, identical on both engines. */
+  val qVp = Q(
+    "vp_10",
+    (s: SparkSession, dir: String) => {
+      val full = Window
+        .partitionBy("series_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w = Window.partitionBy("series_id").orderBy("ts")
+      Graft
+        .bars(s, dir)
+        .withColumn("lo", min("close").over(full))
+        .withColumn("hi", max("close").over(full))
+        .withColumn("up", coalesce(col("close") >= lag("close", 1).over(w), lit(true)))
+        .withColumn(
+          "bucket",
+          least(floor((col("close") - col("lo")) * 10.0 / (col("hi") - col("lo"))), lit(9.0))
+            .cast("long")
+        )
+        .groupBy("series_id", "bucket")
+        .agg(
+          P.normd(avg("close")).as("mean_close"),
+          P.normd(sum(when(col("up"), col("volume")).otherwise(0.0))).as("pos_vol"),
+          P.normd(sum(when(!col("up"), col("volume")).otherwise(0.0))).as("neg_vol"),
+          P.normd(sum("volume")).as("total_vol"),
+          count(lit(1)).as("n_bars")
+        )
+        .orderBy("series_id", "bucket")
+    },
+    Some(
+      s"WITH bars AS ($barsCte), r AS (SELECT *, min(close) OVER (PARTITION BY series_id) AS lo, " +
+        "max(close) OVER (PARTITION BY series_id) AS hi, " +
+        s"coalesce(close >= lag(close, 1) $ov, TRUE) AS up FROM bars), " +
+        "b AS (SELECT *, CAST(least(floor((close - lo) * 10e0 / (hi - lo)), 9e0) AS BIGINT) AS bucket FROM r) " +
+        "SELECT series_id, bucket, round(avg(close), 6) AS mean_close, " +
+        "round(sum(CASE WHEN up THEN volume ELSE 0e0 END), 6) AS pos_vol, " +
+        "round(sum(CASE WHEN NOT up THEN volume ELSE 0e0 END), 6) AS neg_vol, " +
+        "round(sum(volume), 6) AS total_vol, count(*) AS n_bars " +
+        "FROM b GROUP BY series_id, bucket ORDER BY series_id, bucket"
+    )
+  )
+
+  // ------------------------------------------------------------ Q45 metrics
+  /** Whole-series scalar metrics over the daily bars (annualization 252):
+    * sharpe = mean(ret)/std(ret)·√252, volatility = std(ret)·√252,
+    * max_drawdown = max(1 − close/cummax), cagr = (last/first)^(252/(n−1))−1.
+    * ret = pct_change(close, 1); std is sample (ddof=1). */
+  val qMetrics = Q(
+    "perf_metrics",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("series_id").orderBy("ts")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ann = math.sqrt(252.0)
+      Graft
+        .bars(s, dir)
+        .withColumn("ret", P.sdiv(col("close"), lag("close", 1).over(w)) - 1.0)
+        .withColumn("dd", lit(1.0) - P.sdiv(col("close"), max("close").over(cum)))
+        .groupBy("series_id")
+        .agg(
+          P.normd(avg("ret") / stddev_samp("ret") * ann).as("sharpe"),
+          P.normd(stddev_samp(col("ret")) * ann).as("volatility"),
+          P.normd(max("dd")).as("max_drawdown"),
+          P.normd(
+            pow(
+              max_by(col("close"), col("ts")) / min_by(col("close"), col("ts")),
+              lit(252.0) / (count(lit(1)) - 1.0)
+            ) - 1.0
+          ).as("cagr")
+        )
+        .orderBy("series_id")
+    },
+    Some(
+      s"WITH bars AS ($barsCte), r AS (SELECT *, close / nullif(lag(close, 1) $ov, 0) - 1e0 AS ret, " +
+        s"1e0 - close / nullif(max(close) $cum, 0) AS dd FROM bars) " +
+        "SELECT series_id, round(avg(ret) / stddev_samp(ret) * sqrt(252e0), 6) AS sharpe, " +
+        "round(stddev_samp(ret) * sqrt(252e0), 6) AS volatility, " +
+        "round(max(dd), 6) AS max_drawdown, " +
+        "round(pow(arg_max(close, ts) / arg_min(close, ts), 252e0 / (count(*) - 1e0)) - 1e0, 6) AS cagr " +
+        "FROM r GROUP BY series_id ORDER BY series_id"
+    )
+  )
+
+  // ------------------------------------------------------------ Q37 anchored vwap
+  /** vwap(anchor=D) on the per-user event stream (volume ≡ 1): cumulative
+    * mean of value within each (user, day) anchor group. */
+  val qVwapAnchor = Q(
+    "vwap_anchor_d",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft.events(s, dir)
+      val wd = Window
+        .partitionBy(col("user_id"), to_date(col("tstamp")))
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+        col("user_id").as("series_id"),
+        col("ts_us").as("ts"),
+        P.normd(sum("value").over(wd) / count(lit(1)).over(wd)).as("vwap_d")
+      ).orderBy("series_id", "ts")
+    },
+    Some(
+      "SELECT user_id AS series_id, epoch_us(ts) AS ts, " +
+        "round(sum(value) OVER wd / count(*) OVER wd, 6) AS vwap_d FROM events " +
+        "WINDOW wd AS (PARTITION BY user_id, date_trunc('day', ts) ORDER BY epoch_us(ts) " +
+        "ROWS UNBOUNDED PRECEDING) ORDER BY series_id, ts"
+    )
+  )
+
+  // ------------------------------------------------------------ Q49 revenue
+  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation. DECIMAL sum
+    * for order-independent money totals; nation broadcast. */
+  val qRevenueNation = Q(
+    "q49_revenue_nation",
+    (s: SparkSession, dir: String) => {
+      val li = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders")
+      val c = Graft.table(s, dir, "customer")
+      val n = Graft.table(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)))
+            .cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .select(col("n_name"), P.normd(col("revenue")).as("revenue"), col("n_items"))
+        .orderBy("n_name")
+    },
+    Some(
+      "SELECT n_name, round(CAST(sum(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"
+    )
+  )
+
+  // ------------------------------------------------------------ Q50 sessions
+  /** Sessionization: a new session starts after a >30 min gap. Per user:
+    * session count, event count, events per session. Integer arithmetic
+    * except the final ratio — hash-stable. */
+  val qSessions = Q(
+    "q50_sessions",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      Graft
+        .events(s, dir)
+        .withColumn(
+          "new_s",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 30L * 60L * 1000000L, 1L)
+            .otherwise(lit(0L))
+        )
+        .withColumn(
+          "sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .groupBy(col("user_id").as("series_id"))
+        .agg(
+          (max("sid") + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          P.normd(count(lit(1)).cast("double") / (max("sid") + 1L)).as("events_per_session")
+        )
+        .orderBy("series_id")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "g AS (SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id AS series_id, max(sid) + 1 AS n_sessions, count(*) AS n_events, " +
+        "round(CAST(count(*) AS DOUBLE) / (max(sid) + 1), 6) AS events_per_session " +
+        "FROM s GROUP BY user_id ORDER BY series_id"
+    )
+  )
+
+  val all: Seq[Q] = Seq(qVp, qMetrics, qVwapAnchor, qRevenueNation, qSessions)
+}
