@@ -491,6 +491,394 @@ final class Ta(private val df: DataFrame) {
     Seq("open", "high", "low", "close").foldLeft(df) { (d, s) =>
       d.withColumn(s"${s}_z_$n", sdiv(c(s) - rmean(c(s), n), rstd(c(s), n)))
     }
+
+  /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
+  def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
+    df.withColumn(
+      s"cdl_doji_$n",
+      when(rmean(high - low, n).isNotNull && abs(close - open) < lit(factor) * rmean(high - low, n), 1.0)
+        .otherwise(when(rmean(high - low, n).isNotNull, 0.0))
+    )
+
+  // ============================================== adaptive MAs (LinRecur) =====
+  /** Kaufman adaptive MA (reference overlap/kama.py, declared spec): ER =
+    * |Δₙc|/Σ|Δc| over n; sc = (ER·(2/(f+1) − 2/(s+1)) + 2/(s+1))²; seed =
+    * close at first row with sc defined, then y = (1−sc)·y' + sc·x. */
+  def kama(n: Int = 10, fast: Int = 2, slow: Int = 30, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val fsc = 2.0 / (fast + 1); val ssc = 2.0 / (slow + 1)
+    val er = sdiv(abs(x - shift(x, n)), rsum(abs(diff(x)), n))
+    val sc = pow(er * (fsc - ssc) + ssc, 2.0)
+    df.withColumn("__sc", sc)
+      .withColumn(
+        s"kama_$n",
+        graft.functions.wf
+          .linrec(lit(1.0) - col("__sc"), col("__sc") * x, when(col("__sc").isNotNull, x))
+          .over(cum)
+      )
+      .drop("__sc")
+  }
+
+  /** VIDYA (reference overlap/vidya.py, declared): α = |CMO_n|/100 ·
+    * 2/(n+1); same seeded recursion as kama. CMO in rolling-sum mode. */
+  def vidya(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val d1 = diff(x)
+    val up = when(d1 > 0, d1).otherwise(0.0)
+    val dn = when(d1 < 0, -d1).otherwise(0.0)
+    val cmoAbs = sdiv(abs(rsum(up, n) - rsum(dn, n)), rsum(up, n) + rsum(dn, n))
+    val alpha = cmoAbs * (2.0 / (n + 1))
+    df.withColumn("__al", alpha)
+      .withColumn(
+        s"vidya_$n",
+        graft.functions.wf
+          .linrec(lit(1.0) - col("__al"), col("__al") * x, when(col("__al").isNotNull, x))
+          .over(cum)
+      )
+      .drop("__al")
+  }
+
+  // ============================================== closed-form recursions =====
+  /** Linear decay y = max(x, y'−1/n, 0) (reference trend/decay.py).
+    * Associative closed form: y_t = max(0, max_{i≤t}(x_i + i/n) − t/n) —
+    * fully parallel (no sequential pass). Precision note: i/n grows with
+    * series length; exact to 1e-6 for series < ~1e8 rows per key. */
+  def decay(n: Int = 5, src: String = "close"): DataFrame =
+    df.withColumn("__rn", rn.cast("double"))
+      .withColumn(
+        s"decay_$n",
+        greatest(max(c(src) + col("__rn") / n).over(cum) - col("__rn") / n, lit(0.0))
+      )
+      .drop("__rn")
+
+  /** Negative Volume Index (reference volume/nvi.py, declared): base 1000,
+    * compounds pct_change(close) only on volume-down rows. Log-space
+    * closed form: 1000·exp(Σ log1p(ret·1{Δv<0})); null after ret ≤ −1. */
+  def nvi(initial: Double = 1000.0): DataFrame = nviPvi(true, initial, "nvi")
+
+  /** Positive Volume Index: same on volume-up rows. */
+  def pvi(initial: Double = 1000.0): DataFrame = nviPvi(false, initial, "pvi")
+
+  private def nviPvi(onDown: Boolean, initial: Double, out: String): DataFrame = {
+    val ret = pctChange(close)
+    val gate = if (onDown) diff(volume) < 0 else diff(volume) > 0
+    val term = when(gate && ret.isNotNull, log(lit(1.0) + ret)).otherwise(0.0)
+    df.withColumn(out, lit(initial) * exp(sum(term).over(cum)))
+  }
+
+  // ============================================== REC kernel indicators =====
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField}
+  private def dbl(name: String) = StructField(name, DoubleType, nullable = true)
+
+  /** Parabolic SAR — see rec.Psar for the declared state machine. */
+  def psar(af0: Double = 0.02, afStep: Double = 0.02, maxAf: Double = 0.2): DataFrame =
+    rec.perSeries(
+      df,
+      Seq(dbl("psar_long"), dbl("psar_short"), dbl("psar_af"), StructField("psar_reversal", IntegerType, nullable = true))
+    )(() => new rec.Psar(af0, afStep, maxAf))
+
+  /** Supertrend — see rec.Supertrend. */
+  def supertrend(n: Int = 7, mult: Double = 3.0): DataFrame =
+    rec.perSeries(
+      df,
+      Seq(dbl(s"supert_$n"), StructField(s"supertd_$n", IntegerType, nullable = true), dbl(s"supertl_$n"), dbl(s"superts_$n"))
+    )(() => new rec.Supertrend(n, mult))
+
+  /** Heikin-Ashi bars — see rec.HeikinAshi. */
+  def ha: DataFrame =
+    rec.perSeries(df, Seq(dbl("ha_open"), dbl("ha_high"), dbl("ha_low"), dbl("ha_close")))(
+      () => new rec.HeikinAshi
+    )
+
+  /** McGinley Dynamic — see rec.Mcgd. */
+  def mcgd(n: Int = 10, src: String = "close"): DataFrame =
+    rec.perSeries(df, Seq(dbl(s"mcgd_$n")))(() => new rec.Mcgd(n, src))
+
+  /** Ehlers 2-pole super smoother — see rec.Ssf. */
+  def ssf(n: Int = 10, src: String = "close"): DataFrame =
+    rec.perSeries(df, Seq(dbl(s"ssf_$n")))(() => new rec.Ssf(n, src))
+
+  /** Holt-Winter MA — see rec.Hwma. */
+  def hwma(na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1, src: String = "close"): DataFrame =
+    rec.perSeries(df, Seq(dbl("hwma")))(() => new rec.Hwma(na, nb, nc, src))
+
+  /** Fisher transform (reference momentum/fisher.py): rolling position in
+    * the HH/LL range feeds the v/fisher recursion (rec.Fisher). */
+  def fisher(n: Int = 9): DataFrame = {
+    val m = (high + low) / 2.0
+    val hh = rmax(m, n); val ll = rmin(m, n)
+    val staged = df.withColumn(
+      "__pos",
+      lit(2.0) * (sdiv(m - ll, hh - ll) - 0.5)
+    )
+    rec
+      .perSeries(staged, Seq(dbl(s"fisher_$n"), dbl(s"fisher_signal_$n")))(() => new rec.Fisher)
+      .drop("__pos")
+  }
+
+  /** Gann HiLo activator (reference overlap/hilo.py): sma(high,hn) /
+    * sma(low,ln) bands + trend state machine (rec.Hilo). */
+  def hilo(hn: Int = 13, ln: Int = 21): DataFrame = {
+    val staged = df
+      .withColumn("__mh", rmean(high, hn))
+      .withColumn("__ml", rmean(low, ln))
+    rec
+      .perSeries(staged, Seq(dbl("hilo"), dbl("hilo_long"), dbl("hilo_short")))(
+        () => new rec.Hilo
+      )
+      .drop("__mh", "__ml")
+  }
+
+  // ============================================== more compositions =====
+  /** T3 (reference overlap/t3.py): six chained sma-seeded emas, Tillson
+    * coefficients on e3..e6 with a = 0.7. */
+  def t3(n: Int = 10, a: Double = 0.7, src: String = "close"): DataFrame = {
+    val c1 = -a * a * a
+    val c2 = 3.0 * a * a + 3.0 * a * a * a
+    val c3 = -6.0 * a * a - 3.0 * a - 3.0 * a * a * a
+    val c4 = 1.0 + 3.0 * a + a * a * a + 3.0 * a * a
+    val d1 = stage.ema(df, src, "__e1", n)
+    val d2 = stage.ema(d1, "__e1", "__e2", n)
+    val d3 = stage.ema(d2, "__e2", "__e3", n)
+    val d4 = stage.ema(d3, "__e3", "__e4", n)
+    val d5 = stage.ema(d4, "__e4", "__e5", n)
+    val d6 = stage.ema(d5, "__e5", "__e6", n)
+    d6.withColumn(
+      s"t3_$n",
+      lit(c1) * col("__e6") + lit(c2) * col("__e5") + lit(c3) * col("__e4") + lit(c4) * col("__e3")
+    ).drop("__e1", "__e2", "__e3", "__e4", "__e5", "__e6")
+  }
+
+  /** Zero-lag EMA (reference overlap/zlma.py): ema(2x − x.shift(⌊(n−1)/2⌋), n). */
+  def zlma(n: Int = 10, src: String = "close"): DataFrame = {
+    val lagN = (n - 1) / 2
+    val d0 = df.withColumn("__zl", lit(2.0) * c(src) - shift(c(src), lagN))
+    stage.ema(d0, "__zl", s"zlma_$n", n).drop("__zl")
+  }
+
+  /** Directional Movement (reference momentum/dm.py): ±DM rma-smoothed. */
+  def dm(n: Int = 14): DataFrame = {
+    val up = diff(high)
+    val dn = -diff(low)
+    val pdm = when(up > dn && up > 0, up).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+    val mdm = when(dn > up && dn > 0, dn).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+    df.withColumn(s"dmp_$n", rmaOf(pdm, n)).withColumn(s"dmn_$n", rmaOf(mdm, n))
+  }
+
+  /** ADX (reference trend/adx.py, declared): DI± = 100·rma(±DM,n)/atr(n);
+    * DX = 100·|DI+−DI−|/(DI++DI−); ADX = rma(DX, lensig). */
+  def adx(n: Int = 14, lensig: Int = 14): DataFrame = {
+    val d0 = new Ta(new Ta(dm(n)).trueRange).rmaAs("__atr", "true_range", n)
+    val dip = lit(100.0) * sdiv(col(s"dmp_$n"), col("__atr"))
+    val dim = lit(100.0) * sdiv(col(s"dmn_$n"), col("__atr"))
+    val d1 = d0.withColumn(s"dip_$n", dip).withColumn(s"dim_$n", dim)
+    val dx = lit(100.0) * sdiv(abs(col(s"dip_$n") - col(s"dim_$n")), col(s"dip_$n") + col(s"dim_$n"))
+    val d2 = d1.withColumn("__dx", dx)
+    new Ta(d2)
+      .rmaAs(s"adx_$lensig", "__dx", lensig)
+      .drop("__atr", "__dx", "true_range")
+  }
+
+  /** Keltner channel (reference volatility/kc.py, declared sma-seeded ema
+    * basis + ema of true range). */
+  def kc(n: Int = 20, scalar: Double = 2.0): DataFrame = {
+    val d0 = stage.ema(new Ta(df).trueRange, "close", "__basis", n)
+    val d1 = stage.ema(d0, "true_range", "__band", n)
+    d1.withColumn(s"kcb_$n", col("__basis"))
+      .withColumn(s"kcl_$n", col("__basis") - lit(scalar) * col("__band"))
+      .withColumn(s"kcu_$n", col("__basis") + lit(scalar) * col("__band"))
+      .drop("__basis", "__band", "true_range")
+  }
+
+  /** Mass index (reference volatility/massi.py): Σ₍slow₎ ema(h−l,fast)/
+    * ema(ema(h−l,fast),fast). */
+  def massi(fast: Int = 9, slow: Int = 25): DataFrame = {
+    val d0 = df.withColumn("__hr", high - low)
+    val d1 = stage.ema(d0, "__hr", "__e1", fast)
+    val d2 = stage.ema(d1, "__e1", "__e2", fast)
+    d2.withColumn(s"massi_${fast}_$slow", rsum(sdiv(col("__e1"), col("__e2")), slow))
+      .drop("__hr", "__e1", "__e2")
+  }
+
+  /** Relative Volatility Index (reference volatility/rvi.py, declared rma
+    * smoothing): stdev split by close-move sign → RSI-like on volatility. */
+  def rvi(n: Int = 14): DataFrame = {
+    val sd = rstd(close, n)
+    val d1 = diff(close)
+    val pos = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 > 0, sd).otherwise(0.0))
+    val neg = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 < 0, sd).otherwise(0.0))
+    df.withColumn("__p", rmaOf(pos, n))
+      .withColumn("__q", rmaOf(neg, n))
+      .withColumn(s"rvi_$n", lit(100.0) * sdiv(col("__p"), col("__p") + col("__q")))
+      .drop("__p", "__q")
+  }
+
+  /** Elder thermometer (reference volatility/thermo.py): max(|Δh|, |Δl|),
+    * sma-seeded ema smoothing. */
+  def thermo(n: Int = 20): DataFrame = {
+    val t = greatest(abs(diff(high)), abs(diff(low)))
+    val d0 = df.withColumn("thermo", t)
+    stage.ema(d0, "thermo", s"thermo_ma_$n", n)
+  }
+
+  /** Aberration (reference volatility/aberration.py): zg = sma(hlc3, n);
+    * bands ± atr(atrN). */
+  def aberration(n: Int = 5, atrN: Int = 15): DataFrame = {
+    val d0 = new Ta(df).atr(atrN)
+    val zg = rmean((high + low + close) / 3.0, n)
+    d0.withColumn(s"abe_zg_$n", zg)
+      .withColumn(s"abe_sg_$n", zg + col(s"atr_$atrN"))
+      .withColumn(s"abe_xg_$n", zg - col(s"atr_$atrN"))
+      .drop(s"atr_$atrN", "true_range")
+  }
+
+  /** Chande-Kroll stops (reference trend/cksp.py, declared): long =
+    * rmax_q(rmax_p(high) − x·atr(p)); short symmetric. */
+  def cksp(p: Int = 10, x: Double = 1.0, q: Int = 9): DataFrame = {
+    val d0 = new Ta(df).atr(p)
+    val ls0 = rmax(high, p) - lit(x) * col(s"atr_$p")
+    val ss0 = rmin(low, p) + lit(x) * col(s"atr_$p")
+    d0.withColumn("__ls0", ls0)
+      .withColumn("__ss0", ss0)
+      .withColumn(s"cksp_long_$p", rmax(col("__ls0"), q))
+      .withColumn(s"cksp_short_$p", rmin(col("__ss0"), q))
+      .drop("__ls0", "__ss0", s"atr_$p", "true_range")
+  }
+
+  /** Detrended price oscillator (reference trend/dpo.py, centered=True
+    * default: close_t − sma_{t+⌊n/2⌋+1} — uses FUTURE data, non-streaming). */
+  def dpo(n: Int = 20, centered: Boolean = true): DataFrame = {
+    val t = n / 2 + 1
+    val smaN = rmean(close, n)
+    val v =
+      if (centered) close - shift(smaN, -t) // lead
+      else shift(close, t) - smaN
+    df.withColumn(s"dpo_$n", v)
+  }
+
+  /** Percentage volume oscillator (reference momentum/pvo.py): sma-seeded
+    * emas over volume. */
+  def pvo(fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {
+    val d1 = stage.ema(df, "volume", "__vf", fast)
+    val d2 = stage.ema(d1, "volume", "__vs", slow)
+    val d3 = d2.withColumn(s"pvo_${fast}_$slow", lit(100.0) * sdiv(col("__vf") - col("__vs"), col("__vs")))
+    val d4 = stage.ema(d3, s"pvo_${fast}_$slow", s"pvos_${fast}_$slow", sig)
+    d4.withColumn(s"pvoh_${fast}_$slow", col(s"pvo_${fast}_$slow") - col(s"pvos_${fast}_$slow"))
+      .drop("__vf", "__vs")
+  }
+
+  /** BRAR (reference momentum/brar.py): AR = 100·Σ(h−o)/Σ(o−l);
+    * BR = 100·Σmax(0,h−pc)/Σmax(0,pc−l), over n. */
+  def brar(n: Int = 26): DataFrame = {
+    val pc = shift(close, 1)
+    val hcy = when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), high - pc))
+    val cyl = when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), pc - low))
+    df.withColumn(s"ar_$n", lit(100.0) * sdiv(rsum(high - open, n), rsum(open - low, n)))
+      .withColumn(s"br_$n", lit(100.0) * sdiv(rsum(hcy, n), rsum(cyl, n)))
+  }
+
+  /** A/D oscillator (reference volume/adosc.py): ema(ad,fast) − ema(ad,slow). */
+  def adosc(fast: Int = 3, slow: Int = 10): DataFrame = {
+    val d0 = new Ta(df).ad
+    val d1 = stage.ema(d0, "ad", "__af", fast)
+    val d2 = stage.ema(d1, "ad", "__as", slow)
+    d2.withColumn(s"adosc_${fast}_$slow", col("__af") - col("__as")).drop("__af", "__as")
+  }
+
+  /** Pretty Good Oscillator (reference momentum/pgo.py):
+    * (c − sma(n)) / ema(true_range, n). */
+  def pgo(n: Int = 14): DataFrame = {
+    val d0 = stage.ema(new Ta(df).trueRange, "true_range", "__etr", n)
+    d0.withColumn(s"pgo_$n", sdiv(close - rmean(close, n), col("__etr")))
+      .drop("__etr", "true_range")
+  }
+
+  /** TTM trend (reference trend/ttm_trend.py): close vs sma(hl2, n) → ±1. */
+  def ttmTrend(n: Int = 6): DataFrame =
+    df.withColumn(
+      s"ttm_trend_$n",
+      when(rmean((high + low) / 2.0, n).isNull, lit(null))
+        .otherwise(when(close > rmean((high + low) / 2.0, n), 1.0).otherwise(-1.0))
+    )
+
+  /** long_run flags (reference trend/long_run.py): potential bottom
+    * (fast↑ & slow↓) or both↑ over n rows. */
+  def longRun(fastCol: String, slowCol: String, n: Int = 2, out: String = "long_run"): DataFrame = {
+    val fInc = diff(c(fastCol), n) > 0
+    val sInc = diff(c(slowCol), n) > 0
+    val sDec = diff(c(slowCol), n) < 0
+    df.withColumn(out, when((fInc && sDec) || (fInc && sInc), 1.0).otherwise(0.0))
+  }
+
+  /** short_run flags (reference trend/short_run.py). */
+  def shortRun(fastCol: String, slowCol: String, n: Int = 2, out: String = "short_run"): DataFrame = {
+    val fDec = diff(c(fastCol), n) < 0
+    val sInc = diff(c(slowCol), n) > 0
+    val sDec = diff(c(slowCol), n) < 0
+    df.withColumn(out, when((fDec && sInc) || (fDec && sDec), 1.0).otherwise(0.0))
+  }
+
+  /** Archer MA trends (reference trend/amat.py): long/short run of
+    * ema(fast) vs ema(slow). */
+  def amat(fast: Int = 8, slow: Int = 21, n: Int = 2): DataFrame = {
+    val d1 = stage.ema(df, "close", "__maf", fast)
+    val d2 = stage.ema(d1, "close", "__mas", slow)
+    val d3 = new Ta(d2).longRun("__maf", "__mas", n, s"amat_lr_$fast")
+    new Ta(d3).shortRun("__maf", "__mas", n, s"amat_sr_$fast").drop("__maf", "__mas")
+  }
+
+  /** Cross-driven trade signals (reference trend/xsignals.py): trend = 1
+    * from a cross-above until the next cross-below, then tsignals. */
+  def xsignals(a: String, b: String): DataFrame = {
+    val d0 = new Ta(df).crossAbove(a, b, "__xup")
+    val pa = shift(c(a), 1); val pb = shift(c(b), 1)
+    val xdn = when(c(a) < c(b) && pa.isNotNull && pb.isNotNull && pa >= pb, 1.0).otherwise(0.0)
+    val d1 = d0.withColumn("__xdn", xdn)
+    val ev = when(col("__xup") === 1.0, 1.0).otherwise(when(col("__xdn") === 1.0, 0.0))
+    val d2 = d1.withColumn("__trend", coalesce(last(ev, ignoreNulls = true).over(cum), lit(0.0)))
+    new Ta(d2).tsignals("__trend").drop("__xup", "__xdn", "__trend")
+  }
+
+  /** KDJ (reference momentum/kdj.py): RSV = fastK(n); K/D = α=1/3
+    * recursive smoothing (seeded at first RSV); J = 3K − 2D. */
+  def kdj(n: Int = 9, signal: Int = 3): DataFrame = {
+    val ll = rmin(low, n); val hh = rmax(high, n)
+    val rsv = lit(100.0) * sdiv(close - ll, hh - ll)
+    val alpha = 1.0 / signal
+    val d0 = df.withColumn("__rsv", rsv)
+    val d1 = d0.withColumn(s"kdj_k_$n", prim.ewm(col("__rsv"), alpha))
+    val d2 = d1.withColumn(s"kdj_d_$n", prim.ewm(col(s"kdj_k_$n"), alpha))
+    d2.withColumn(s"kdj_j_$n", lit(3.0) * col(s"kdj_k_$n") - lit(2.0) * col(s"kdj_d_$n"))
+      .drop("__rsv")
+  }
+
+  /** TOS stdev-all (reference statistics/tos_stdevall.py): OLS line over
+    * the WHOLE series (per key) ± k·stdev(close) parallel bands. */
+  def tosStdevall(stds: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val full = org.apache.spark.sql.expressions.Window
+      .partitionBy("series_id")
+      .orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val i = rn.cast("double") - 1.0
+    val d0 = df.withColumn("__i", i)
+    val nN = count(col("close")).over(full).cast("double")
+    val si = sum(col("__i")).over(full)
+    val sii = sum(col("__i") * col("__i")).over(full)
+    val sy = sum(col("close")).over(full)
+    val siy = sum(col("__i") * col("close")).over(full)
+    val slope = sdiv(nN * siy - si * sy, nN * sii - si * si)
+    val d1 = d0.withColumn("__b", slope)
+    val d2 = d1
+      .withColumn("__a", (sy - col("__b") * si) / nN)
+      .withColumn("__sd", stddev_samp(col("close")).over(full))
+    val d3 = d2.withColumn("tos_line", col("__a") + col("__b") * col("__i"))
+    stds
+      .foldLeft(d3) { (d, k) =>
+        d.withColumn(s"tos_u_$k", col("tos_line") + lit(k.toDouble) * col("__sd"))
+          .withColumn(s"tos_l_$k", col("tos_line") - lit(k.toDouble) * col("__sd"))
+      }
+      .drop("__i", "__b", "__a", "__sd")
+  }
 }
 
 object Ta {
