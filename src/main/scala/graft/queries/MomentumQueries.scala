@@ -43,7 +43,7 @@ object MomentumQueries {
         "t2",
         "CASE WHEN dd IS NULL THEN NULL WHEN dd > 0 THEN dd ELSE 0e0 END AS up, " +
           "CASE WHEN dd IS NULL THEN NULL WHEN dd < 0 THEN -dd ELSE 0e0 END AS dn, " +
-          "CASE WHEN dd IS NULL THEN NULL WHEN dd > 0 THEN 1e0 ELSE 0e0 END AS gt, " +
+          "CASE WHEN dd > 0 THEN 1e0 ELSE 0e0 END AS gt, " +
           "abs(dd) AS ad"
       )
       .addSel(

@@ -294,10 +294,12 @@ final class Ta(private val df: DataFrame) {
       .drop("__ad")
   }
 
-  /** Psychological line: 100·count(Δc>0 over n)/n. */
+  /** Psychological line: 100·count(Δc>0 over n)/n. pandas parity: the
+    * first row's NaN diff counts as 0 (False), so first valid row is n−1
+    * (golden fv=9 for n=10, FIXTURES §3). */
   def psl(n: Int = 12, src: String = "close"): DataFrame = {
     val dd = diff(c(src))
-    df.withColumn("__gt", when(dd.isNull, lit(null)).when(dd > 0, 1.0).otherwise(0.0))
+    df.withColumn("__gt", when(dd > 0, 1.0).otherwise(0.0))
       .withColumn(s"psl_$n", lit(100.0) * rsum(col("__gt"), n) / n.toDouble)
       .drop("__gt")
   }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.ta.Ta._
+
+/** SURVEY §5.2(6): a multi-indicator batch over one canonical window spec
+  * must plan as a SINGLE shuffle (Exchange) — the design rule that makes a
+  * 50-indicator Strategy one-pass at 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def synthetic = {
+    import spark.implicits._
+    val rows = for {
+      s <- Seq("A", "B", "C")
+      t <- 1 to 200
+    } yield (s, t.toLong, 100.0 + 10 * math.sin(t / 7.0) + (t % 13), 100.0 + 10 * math.sin(t / 7.0) + (t % 13) + 5,
+      100.0 + 10 * math.sin(t / 7.0) + (t % 13) - 5, 100.0 + 10 * math.sin(t / 7.0) + ((t * 31) % 17), 1000.0 + (t % 7) * 10)
+    rows.toDF("series_id", "ts", "open", "high", "low", "close", "volume")
+  }
+
+  test("12-indicator window batch plans with exactly one shuffle") {
+    // repartition by the window key: every subsequent window spec must
+    // REUSE this partitioning — any extra Exchange fails the test. (The
+    // un-repartitioned local relation is a single partition, which
+    // trivially satisfies every distribution and would hide regressions.)
+    val out = synthetic.repartition(col("series_id")).ta
+      .sma(10)
+      .ta.ema(10)
+      .ta.wma(10)
+      .ta.rma(10)
+      .ta.rsi(14)
+      .ta.atr(14)
+      .ta.bbands(5, 2.0)
+      .ta.willr(14)
+      .ta.stoch(14, 3, 3)
+      .ta.obv
+      .ta.mfi(14)
+      .ta.roc(10)
+    out.collect() // force execution so AQE finalizes the plan
+    val plan = out.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$finalPlan")
+  }
+
+  test("window batch keeps a bounded number of WindowExec nodes") {
+    val out = synthetic.ta.sma(10).ta.rsi(14).ta.willr(14).ta.roc(10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    // same-spec window functions must be grouped, not one node per column
+    assert(windows.size <= 6, s"window nodes not consolidated: ${windows.size}")
+  }
+
+  test("parquet scan prunes columns (close-only pipeline)") {
+    val ser = Graft.userSeries(spark, TestSpark.sfDir).ta.sma(10)
+    ser.collect()
+    val plan = ser.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(
+      !readCols.contains("props") && !readCols.contains("event_type"),
+      s"scan reads unused columns: $readCols"
+    )
+  }
+}
