@@ -854,6 +854,211 @@ final class Ta(private val df: DataFrame) {
       .drop("__rsv")
   }
 
+  // ============================================== weighted-window MAs =====
+  /** Weighted dot over the last n rows; `weights(i)` applies to window
+    * position i with i=0 the OLDEST row (pandas rolling.apply order).
+    * Normalized by Σw. Null until the series holds n rows. */
+  private def wdotMa(out: String, x: Column, weights: Seq[Double]): DataFrame = {
+    val s = weights.sum
+    // prim.wdot indexes by lag (0 = newest) → reverse to window order
+    df.withColumn(out, gated(x, weights.size)(wdot(x, weights.reverse.map(_ / s))))
+  }
+
+  /** Arnaud Legoux MA (reference overlap/alma.py): gaussian weights,
+    * m = offset·(n−1), s = n/sigma, wᵢ = exp(−(i−m)²/(2s²)). */
+  def alma(n: Int = 10, sigma: Double = 6.0, offset: Double = 0.85, src: String = "close"): DataFrame = {
+    val m = offset * (n - 1)
+    val s = n / sigma
+    val w = (0 until n).map(i => math.exp(-(i - m) * (i - m) / (2 * s * s)))
+    wdotMa(s"alma_$n", c(src), w)
+  }
+
+  /** Fibonacci-weighted MA (reference overlap/fwma.py): ascending fibs,
+    * newest row gets the largest weight. */
+  def fwma(n: Int = 10, src: String = "close"): DataFrame = {
+    val fib = Iterator.iterate((1.0, 1.0)) { case (a, b) => (b, a + b) }.map(_._1).take(n).toSeq
+    wdotMa(s"fwma_$n", c(src), fib)
+  }
+
+  /** Pascal-triangle-weighted MA (reference overlap/pwma.py). */
+  def pwma(n: Int = 10, src: String = "close"): DataFrame = {
+    val row = (0 until n).scanLeft(1.0) { case (acc, k) => acc * (n - 1 - k) / (k + 1) }.take(n)
+    wdotMa(s"pwma_$n", c(src), row)
+  }
+
+  /** Symmetric-triangle-weighted MA (reference overlap/swma.py). */
+  def swma(n: Int = 10, src: String = "close"): DataFrame = {
+    val half = (n + 1) / 2
+    val tri = (1 to half) ++ (if (n % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1))
+    wdotMa(s"swma_$n", c(src), tri.map(_.toDouble))
+  }
+
+  /** Sine-weighted MA (reference overlap/sinwma.py): sin((i+1)π/(n+1)). */
+  def sinwma(n: Int = 10, src: String = "close"): DataFrame = {
+    val w = (0 until n).map(i => math.sin((i + 1) * math.Pi / (n + 1)))
+    wdotMa(s"sinwma_$n", c(src), w)
+  }
+
+  /** Triangular MA (reference overlap/trima.py): sma(sma(x, ⌈(n+1)/2⌉), ⌊n/2⌋+1). */
+  def trima(n: Int = 10, src: String = "close"): DataFrame = {
+    val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1) // ceil((n+1)/2)
+    val second = n / 2 + 1
+    df.withColumn("__t1", rmean(c(src), half))
+      .withColumn(s"trima_$n", rmean(col("__t1"), second))
+      .drop("__t1")
+  }
+
+  /** Ichimoku (reference overlap/ichimoku.py): tenkan/kijun = midprice,
+    * spans shifted FORWARD by `shift` (lookahead-free), chikou shifted
+    * back (LOOKAHEAD — excluded from streaming). */
+  def ichimoku(tenkanN: Int = 9, kijunN: Int = 26, spanBN: Int = 52, shiftN: Int = 26): DataFrame = {
+    val tenkan = (rmax(high, tenkanN) + rmin(low, tenkanN)) / 2.0
+    val kijun = (rmax(high, kijunN) + rmin(low, kijunN)) / 2.0
+    val spanB0 = (rmax(high, spanBN) + rmin(low, spanBN)) / 2.0
+    df.withColumn("isa_raw", (tenkan + kijun) / 2.0)
+      .withColumn("isb_raw", spanB0)
+      .withColumn(s"its_$tenkanN", tenkan)
+      .withColumn(s"iks_$kijunN", kijun)
+      .withColumn(s"isa_$tenkanN", shift(col("isa_raw"), shiftN))
+      .withColumn(s"isb_$kijunN", shift(col("isb_raw"), shiftN))
+      .withColumn(s"ics_$kijunN", shift(close, -shiftN))
+      .drop("isa_raw", "isb_raw")
+  }
+
+  /** Relative Vigor (reference momentum/rvgi.py): swma(c−o,4)/swma(h−l,4)
+    * ratio of rolling sums + swma signal. */
+  def rvgi(n: Int = 14, swmaN: Int = 4): DataFrame = {
+    def sw(x: Column, out: String): Column = {
+      val half = (swmaN + 1) / 2
+      val tri = ((1 to half) ++ (if (swmaN % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1)))
+        .map(_.toDouble)
+      val s = tri.sum
+      gated(x, swmaN)(wdot(x, tri.reverse.map(_ / s)))
+    }
+    val d0 = df
+      .withColumn("__num", sw(close - open, "n"))
+      .withColumn("__den", sw(high - low, "d"))
+    val d1 = d0.withColumn(s"rvgi_$n", sdiv(rsum(col("__num"), n), rsum(col("__den"), n)))
+    d1.withColumn(s"rvgis_$n", sw(col(s"rvgi_$n"), "s")).drop("__num", "__den")
+  }
+
+  /** SMI ergodic-style oscillator (declared spec, reference
+    * momentum/smi.py is M-confidence): m = close − ½(HH(n)+LL(n));
+    * smi = 100·ema(ema(m,f),s) / (ema(ema(HH−LL,f),s)/2). */
+  def smi(n: Int = 10, fast: Int = 5, slow: Int = 3): DataFrame = {
+    val hh = rmax(high, n); val ll = rmin(low, n)
+    val d0 = df.withColumn("__m", close - (hh + ll) / 2.0).withColumn("__r", hh - ll)
+    val d1 = stage.ema(d0, "__m", "__m1", fast)
+    val d2 = stage.ema(d1, "__m1", "__m2", slow)
+    val d3 = stage.ema(d2, "__r", "__r1", fast)
+    val d4 = stage.ema(d3, "__r1", "__r2", slow)
+    d4.withColumn(s"smi_$n", lit(100.0) * sdiv(col("__m2"), col("__r2") / 2.0))
+      .drop("__m", "__r", "__m1", "__m2", "__r1", "__r2")
+  }
+
+  /** TTM squeeze (reference momentum/squeeze.py, declared): BB(bbN, 2)
+    * inside KC(kcN, 1.5) flag + linreg-endpoint momentum of the price
+    * delta vs the midline average. */
+  def squeeze(bbN: Int = 20, kcN: Int = 20, momN: Int = 12): DataFrame = {
+    val mid = rmean(close, bbN)
+    val dev = rstd(close, bbN) * 2.0
+    val bbl = mid - dev; val bbu = mid + dev
+    val d0 = stage.ema(new Ta(df).trueRange, "close", "__basis", kcN)
+    val d1 = stage.ema(d0, "true_range", "__band", kcN)
+    val kcl = col("__basis") - lit(1.5) * col("__band")
+    val kcu = col("__basis") + lit(1.5) * col("__band")
+    val d2 = d1
+      .withColumn("sqz_on", when(bbl.isNull || kcl.isNull, lit(null)).otherwise((bbl > kcl && bbu < kcu).cast("double")))
+      .withColumn("sqz_off", when(bbl.isNull || kcl.isNull, lit(null)).otherwise((bbl < kcl && bbu > kcu).cast("double")))
+      .withColumn("__delta", close - ((rmax(high, momN) + rmin(low, momN)) / 2.0 + rmean(close, momN)) / 2.0)
+    stage
+      .linreg(d2, "__delta", "__sqz", momN)
+      .withColumn("sqz_mom", col("__sqz_tsf"))
+      .drop("__delta", "__sqz_slope", "__sqz_intercept", "__sqz_tsf", "__sqz_r", "__basis", "__band", "true_range")
+  }
+
+  /** Schaff Trend Cycle (reference momentum/stc.py, declared): double
+    * stochastic of the (sma-seeded) macd line with α=0.5 smoothing. */
+  def stc(tc: Int = 10, fast: Int = 12, slow: Int = 26): DataFrame = {
+    val d1 = stage.ema(df, "close", "__ef", fast)
+    val d2 = stage.ema(d1, "close", "__es", slow)
+    val d3 = d2.withColumn("__macd", col("__ef") - col("__es"))
+    val st1 = lit(100.0) * sdiv(
+      col("__macd") - rmin(col("__macd"), tc),
+      rmax(col("__macd"), tc) - rmin(col("__macd"), tc)
+    )
+    val d4 = d3.withColumn("__st1", st1)
+    val d5 = d4.withColumn("__d1", prim.ewm(col("__st1"), 0.5))
+    val st2 = lit(100.0) * sdiv(
+      col("__d1") - rmin(col("__d1"), tc),
+      rmax(col("__d1"), tc) - rmin(col("__d1"), tc)
+    )
+    val d6 = d5.withColumn("__st2", st2)
+    d6.withColumn(s"stc_$tc", prim.ewm(col("__st2"), 0.5))
+      .withColumn(s"stc_macd_$tc", col("__macd"))
+      .drop("__ef", "__es", "__macd", "__st1", "__d1", "__st2")
+  }
+
+  /** Inertia (reference momentum/inertia.py): linreg endpoint of rvi. */
+  def inertia(n: Int = 20, rviN: Int = 14): DataFrame = {
+    val d0 = new Ta(df).rvi(rviN)
+    stage
+      .linreg(d0, s"rvi_$rviN", "__in", n)
+      .withColumn(s"inertia_$n", col("__in_tsf"))
+      .drop("__in_slope", "__in_intercept", "__in_tsf", "__in_r", s"rvi_$rviN")
+  }
+
+  /** Archer OBV (reference volume/aobv.py): obv + fast/slow (sma-seeded)
+    * emas + long/short run flags. */
+  def aobv(fast: Int = 4, slow: Int = 12, runN: Int = 2): DataFrame = {
+    val d0 = new Ta(df).obv
+    val d1 = stage.ema(d0, "obv", s"obv_fast_$fast", fast)
+    val d2 = stage.ema(d1, "obv", s"obv_slow_$slow", slow)
+    val d3 = new Ta(d2).longRun(s"obv_fast_$fast", s"obv_slow_$slow", runN, "aobv_lr")
+    new Ta(d3).shortRun(s"obv_fast_$fast", s"obv_slow_$slow", runN, "aobv_sr")
+  }
+
+  /** Klinger Volume Oscillator (reference volume/kvo.py, declared):
+    * sv = sign(Δhlc3)·volume (null row 0); kvo = ewm-span(sv, fast) −
+    * ewm-span(sv, slow); signal = ewm-span(kvo, sig). Unseeded ewms. */
+  def kvo(fast: Int = 34, slow: Int = 55, sig: Int = 13): DataFrame = {
+    val tp = (high + low + close) / 3.0
+    val dtp = tp - shift(tp, 1)
+    val sv = when(dtp > 0, volume).when(dtp < 0, -volume).when(dtp === 0, lit(0.0))
+    val d0 = df.withColumn("__sv", sv)
+    val d1 = d0
+      .withColumn("__kf", prim.ewm(col("__sv"), 2.0 / (fast + 1)))
+      .withColumn("__ks", prim.ewm(col("__sv"), 2.0 / (slow + 1)))
+    val d2 = d1.withColumn(s"kvo_$fast", col("__kf") - col("__ks"))
+    d2.withColumn(s"kvos_$fast", prim.ewm(col(s"kvo_$fast"), 2.0 / (sig + 1)))
+      .drop("__sv", "__kf", "__ks")
+  }
+
+  // ============================================== signal utils =====
+  def below(a: String, b: String, out: String): DataFrame =
+    df.withColumn(out, when(c(a) <= c(b), 1.0).otherwise(0.0))
+
+  def aboveValue(a: String, v: Double, out: String): DataFrame =
+    df.withColumn(out, when(c(a) >= v, 1.0).otherwise(0.0))
+
+  def belowValue(a: String, v: Double, out: String): DataFrame =
+    df.withColumn(out, when(c(a) <= v, 1.0).otherwise(0.0))
+
+  /** cross below: a<b now, a≥b on the previous row. */
+  def crossBelow(a: String, b: String, out: String): DataFrame = {
+    val pa = shift(c(a), 1); val pb = shift(c(b), 1)
+    df.withColumn(
+      out,
+      when(c(a) < c(b) && pa.isNotNull && pb.isNotNull && pa >= pb, 1.0).otherwise(0.0)
+    )
+  }
+
+  /** cross of a over a constant value. */
+  def crossValue(a: String, v: Double, out: String): DataFrame = {
+    val pa = shift(c(a), 1)
+    df.withColumn(out, when(c(a) > v && pa.isNotNull && pa <= v, 1.0).otherwise(0.0))
+  }
+
   /** TOS stdev-all (reference statistics/tos_stdevall.py): OLS line over
     * the WHOLE series (per key) ± k·stdev(close) parallel bands. */
   def tosStdevall(stds: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
