@@ -854,6 +854,104 @@ final class Ta(private val df: DataFrame) {
       .drop("__rsv")
   }
 
+  // ============================================== basic composites =====
+  /** DEMA: 2·e1 − e2 over sma-seeded emas (reference overlap/dema.py). */
+  def dema(n: Int = 10, src: String = "close"): DataFrame = {
+    val d1 = stage.ema(df, src, "__de1", n)
+    val d2 = stage.ema(d1, "__de1", "__de2", n)
+    d2.withColumn(s"dema_$n", lit(2.0) * col("__de1") - col("__de2")).drop("__de1", "__de2")
+  }
+
+  /** TEMA: 3e1 − 3e2 + e3 (reference overlap/tema.py). */
+  def tema(n: Int = 10, src: String = "close"): DataFrame = {
+    val d1 = stage.ema(df, src, "__te1", n)
+    val d2 = stage.ema(d1, "__te1", "__te2", n)
+    val d3 = stage.ema(d2, "__te2", "__te3", n)
+    d3.withColumn(s"tema_$n", lit(3.0) * col("__te1") - lit(3.0) * col("__te2") + col("__te3"))
+      .drop("__te1", "__te2", "__te3")
+  }
+
+  /** HMA: wma(2·wma(n/2) − wma(n), ⌊√n⌋) (reference overlap/hma.py). */
+  def hma(n: Int = 10, src: String = "close"): DataFrame = {
+    val half = n / 2
+    val sq = math.sqrt(n.toDouble).toInt
+    df.withColumn("__h", lit(2.0) * prim.wma(c(src), half) - prim.wma(c(src), n))
+      .withColumn(s"hma_$n", prim.wma(col("__h"), sq))
+      .drop("__h")
+  }
+
+  /** MACD on UNseeded adjust=False ewms (declared spec SURVEY §2.B). */
+  def macd(fast: Int = 12, slow: Int = 26, sig: Int = 9, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val d0 = df
+      .withColumn("__mf", prim.ewm(x, 2.0 / (fast + 1)))
+      .withColumn("__ms", prim.ewm(x, 2.0 / (slow + 1)))
+      .withColumn("macd", col("__mf") - col("__ms"))
+    d0.withColumn("macds", prim.ewm(col("macd"), 2.0 / (sig + 1)))
+      .withColumn("macdh", col("macd") - col("macds"))
+      .drop("__mf", "__ms")
+  }
+
+  def logReturn(n: Int = 1, cumulative: Boolean = false, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val v =
+      if (cumulative) sln(sdiv(x, first(x, ignoreNulls = true).over(cum)))
+      else sln(sdiv(x, shift(x, n)))
+    df.withColumn(if (cumulative) "log_return_cum" else s"log_return_$n", v)
+  }
+
+  def percentReturn(n: Int = 1, cumulative: Boolean = false, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val v =
+      if (cumulative) sdiv(x, first(x, ignoreNulls = true).over(cum)) - 1.0
+      else sdiv(x, shift(x, n)) - 1.0
+    df.withColumn(if (cumulative) "percent_return_cum" else s"percent_return_$n", v)
+  }
+
+  /** Drawdown family (reference performance/drawdown.py). */
+  def drawdown: DataFrame = {
+    val mx = cummax(close)
+    df.withColumn("dd", mx - close)
+      .withColumn("dd_pct", lit(1.0) - sdiv(close, mx))
+      .withColumn("dd_log", sln(mx) - sln(close))
+  }
+
+  // rolling statistics (reference statistics/*.py)
+  def stdev(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"stdev_$n", rstd(c(src), n))
+  def variance(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"variance_$n", rvar(c(src), n))
+  def median(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"median_$n", rmedian(c(src), n))
+  def quantile(n: Int = 30, q: Double = 0.5, src: String = "close"): DataFrame =
+    df.withColumn(s"quantile_$n", rquantile(c(src), q, n))
+  def mad(n: Int = 30, src: String = "close"): DataFrame =
+    stage.mad(df, src, s"mad_$n", n)
+  def skew(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"skew_$n", rskew(c(src), n))
+  def kurtosis(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"kurtosis_$n", rkurt(c(src), n))
+  def zscore(n: Int = 30, src: String = "close"): DataFrame =
+    df.withColumn(s"zscore_$n", sdiv(c(src) - rmean(c(src), n), rstd(c(src), n)))
+
+  /** Rolling Shannon entropy of the value share within the window
+    * (reference statistics/entropy.py): −Σ p·log_b(p), p = x/Σx. */
+  def entropy(n: Int = 10, base: Double = 2.0, src: String = "close"): DataFrame = {
+    val lnB = math.log(base)
+    val x = c(src)
+    df.withColumn("__rs", rsum(x, n))
+      .withColumn("__p", sdiv(x, col("__rs")))
+      .withColumn("__et", when(col("__p") > 0, -col("__p") * log(col("__p")) / lnB))
+      .withColumn(s"entropy_$n", rsum(col("__et"), n))
+      .drop("__rs", "__p", "__et")
+  }
+
+  /** Slope (reference momentum/slope.py): Δₙ/n, optionally as angle. */
+  def slope(n: Int = 1, asAngle: Boolean = false, src: String = "close"): DataFrame = {
+    val v = diff(c(src), n) / n.toDouble
+    df.withColumn(s"slope_$n", if (asAngle) atan(v) else v)
+  }
+
   // ============================================== weighted-window MAs =====
   /** Weighted dot over the last n rows; `weights(i)` applies to window
     * position i with i=0 the OLDEST row (pandas rolling.apply order).
@@ -1091,5 +1189,13 @@ final class Ta(private val df: DataFrame) {
 object Ta {
   implicit class RichTaDf(val df: DataFrame) extends AnyVal {
     def ta: Ta = new Ta(df)
+
+    /** Run a batch of indicator specs as ONE compiled plan (reference
+      * df.ta.strategy). */
+    def taStrategy(st: Strategy): DataFrame = registry.strategy(df, st)
+
+    /** Dynamic dispatch by indicator name (reference df.ta(kind=...)). */
+    def taIndicator(kind: String, params: Map[String, Any] = Map.empty): DataFrame =
+      registry(df, IndicatorSpec(kind, params))
   }
 }

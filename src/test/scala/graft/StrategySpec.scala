@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.ta.{registry, IndicatorSpec, Strategy}
+import graft.ta.Ta._
+
+/** Reference core.py surface: Strategy compilation, registry, kwargs. */
+class StrategySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def bars = Graft.bars(spark, TestSpark.sfDir)
+
+  test("registry lists categories and indicators") {
+    assert(registry.categories == Seq("candles", "momentum", "overlap", "performance", "statistics", "trend", "volatility", "volume"))
+    assert(registry.indicators.size >= 90, s"only ${registry.indicators.size} indicators registered")
+    assert(registry.byCategory("overlap").contains("kama"))
+  }
+
+  test("Common strategy compiles to one plan with expected columns") {
+    val out = bars.taStrategy(Strategy.Common)
+    val cols = out.columns.toSet
+    assert(Set("sma_10", "sma_20", "sma_50", "macd", "macds", "macdh", "rsi_10").subsetOf(cols))
+    assert(out.count() == 30)
+  }
+
+  test("strategy of window indicators keeps a single shuffle") {
+    val specs = Seq("sma", "ema", "wma", "rsi", "atr", "bbands", "willr", "cci", "mfi", "obv")
+      .map(k => IndicatorSpec(k))
+    val out = registry.strategy(bars.repartition(col("series_id")), Strategy("w", specs))
+    out.collect()
+    val exchanges = out.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    // one for the bars groupBy + the explicit repartition; no window may add more
+    assert(exchanges.size <= 2, s"window strategy added shuffles: ${exchanges.size}")
+  }
+
+  test("offset kwarg shifts appended output only") {
+    val plain = bars.ta.sma(10).orderBy("ts").collect().map(r => Option(r.getAs[Any]("sma_10")))
+    val shifted = bars
+      .taIndicator("sma", Map("length" -> 10, "offset" -> 2))
+      .orderBy("ts")
+      .collect()
+      .map(r => Option(r.getAs[Any]("sma_10")))
+    assert(shifted(11) == plain(9) && shifted(12) == plain(10))
+    assert(shifted(0).isEmpty && shifted(1).isEmpty)
+  }
+
+  test("fillna and prefix/suffix kwargs") {
+    val out = bars.taIndicator("sma", Map("length" -> 10, "fillna" -> 0.0, "prefix" -> "P", "suffix" -> "S"))
+    assert(out.columns.contains("P_sma_10_S"))
+    assert(out.where(col("P_sma_10_S").isNull).count() == 0)
+  }
+
+  test("unknown indicator raises with the available list") {
+    val e = intercept[IllegalArgumentException](bars.taIndicator("nope"))
+    assert(e.getMessage.contains("unknown indicator"))
+  }
+}
