@@ -69,30 +69,49 @@ object Graft {
       .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  // Derived-fixture cache: bars (30 rows) and userSeries (events-sized)
+  // feed dozens of independent queries per session; recomputing the
+  // events scan + aggregate per query is pure overhead. Keyed by
+  // (sessionUUID, dir) so Verify/Bench/test sessions never cross wires.
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame
+  ): DataFrame =
+    derivedCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir, kind),
+      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
+
   /** Per-user value series: the partitioned indicator input.
     * (series_id = user_id, ts = epoch micros, close = value).
     * 15 series; ~67/667/6667 rows each at sf0.001/0.01/0.1.
     */
   def userSeries(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
-      col("user_id").as("series_id"),
-      col("ts_us").as("ts"),
-      col("value").as("close")
-    )
+    cached(spark, dir, "series") {
+      events(spark, dir).select(
+        col("user_id").as("series_id"),
+        col("ts_us").as("ts"),
+        col("value").as("close")
+      )
+    }
 
   /** Daily OHLCV bars from events (SURVEY Q01): the single-series OHLCV
     * indicator input. open/close = value at min/max ts in the day (unique
     * ts ⇒ deterministic); volume = row count. 30 rows at every sf.
     */
   def bars(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .groupBy(to_date(col("tstamp")).as("ts"))
-      .agg(
-        min_by(col("value"), col("ts_us")).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), col("ts_us")).as("close"),
-        count(lit(1)).cast("double").as("volume")
-      )
-      .select(lit("ALL").as("series_id"), col("ts"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+    cached(spark, dir, "bars") {
+      events(spark, dir)
+        .groupBy(to_date(col("tstamp")).as("ts"))
+        .agg(
+          min_by(col("value"), col("ts_us")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts_us")).as("close"),
+          count(lit(1)).cast("double").as("volume")
+        )
+        .select(lit("ALL").as("series_id"), col("ts"), col("open"), col("high"), col("low"), col("close"), col("volume"))
+    }
 }

@@ -65,7 +65,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("parquet scan prunes columns (close-only pipeline)") {
-    val ser = Graft.userSeries(spark, TestSpark.sfDir).ta.sma(10)
+    // build the series projection directly (userSeries is cached in-memory,
+    // which would hide the parquet scan this test inspects)
+    val ser = Graft
+      .events(spark, TestSpark.sfDir)
+      .select(col("user_id").as("series_id"), col("ts_us").as("ts"), col("value").as("close"))
+      .ta.sma(10)
     ser.collect()
     val plan = ser.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
