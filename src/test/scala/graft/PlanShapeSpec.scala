@@ -65,12 +65,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("parquet scan prunes columns (close-only pipeline)") {
-    // build the series projection directly (userSeries is cached in-memory,
-    // which would hide the parquet scan this test inspects)
+    // distinct aliases on purpose: the persisted userSeries fragment would
+    // otherwise be substituted by the CacheManager, hiding the file scan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy("t").rowsBetween(-9, 0)
     val ser = Graft
       .events(spark, TestSpark.sfDir)
-      .select(col("user_id").as("series_id"), col("ts_us").as("ts"), col("value").as("close"))
-      .ta.sma(10)
+      .select(col("user_id").as("sid"), col("ts_us").as("t"), col("value").as("v"))
+      .withColumn("m", avg(col("v")).over(w))
     ser.collect()
     val plan = ser.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
