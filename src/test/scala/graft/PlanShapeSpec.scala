@@ -78,10 +78,17 @@ class PlanShapeSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val scans = plan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    assert(scans.nonEmpty)
+    // the CacheManager may substitute the persisted userSeries fragment
+    // (alias-insensitive canonical match) — the file scan then lives inside
+    // the InMemoryRelation's cached plan; pruning must hold either way
+    def collectScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          collectScans(im.relation.cachedPlan)
+      }.flatten
+    val scans = collectScans(plan)
+    assert(scans.nonEmpty, s"no FileSourceScanExec in:\n$plan")
     val readCols = scans.head.requiredSchema.fieldNames.toSet
     assert(
       !readCols.contains("props") && !readCols.contains("event_type"),
