@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2.E "joins"): align each left row to the most
+  * recent right row with right.ts ≤ left.ts, per key — the canonical
+  * trades⋈quotes / events⋈bars alignment the reference does implicitly
+  * with pandas' index alignment (and pandas.merge_asof does explicitly).
+  *
+  * Spark-first shape: UNION the two sides tagged by origin, ONE window
+  * pass per key ordered by (ts, origin) carrying the right payload with
+  * `last(_, ignoreNulls)`, then filter back to left rows. Cost = one
+  * shuffle on the key + one sort — no range-join explosion, no skew
+  * amplification: at 100 TB this is the same exchange every indicator
+  * already needs, and Catalyst reuses it when composed.
+  *
+  * Right-side ties (same key, same ts): the LATEST right row in input
+  * order wins (deterministic because the right side is sorted by a
+  * final tiebreak on its row order within ts via monotonically increasing
+  * id is avoided — instead callers must ensure unique (key, ts) on the
+  * right, which holds for bar/quote tables by construction).
+  */
+object AsofJoin {
+
+  /** Left rows enriched with the as-of-latest right columns (null when no
+    * right row precedes). `rightCols` are renamed with `prefix`. */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      prefix: String = "r_"
+  ): DataFrame = {
+    val leftTagged = left.withColumn("__side", lit(1))
+    val rightTagged = right
+      .select(col(keyCol) +: col(tsCol) +: rightCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    // align schemas: left keeps all its columns; right contributes payload
+    val leftCols = left.columns
+    val l2 = leftTagged.select(
+      (leftCols.map(col) :+ col("__side")) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*
+    )
+    val r2 = rightTagged.select(
+      (leftCols.map {
+        case c0 if c0 == keyCol => col(keyCol)
+        case c0 if c0 == tsCol => col(tsCol)
+        case c0 => lit(null).cast(left.schema(c0).dataType).as(c0)
+      }.toSeq :+ col("__side")) ++ rightCols.map(c => col(c).as(s"__p_$c")): _*
+    )
+    val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
+    // right rows sort BEFORE left rows at equal ts (__side 0 < 1): a bar
+    // stamped at ts is visible to an event at the same ts
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (d, c0) =>
+      d.withColumn(s"$prefix$c0", last(col(s"__p_$c0"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__side") === 1)
+      .drop("__side")
+      .drop(rightCols.map(c => s"__p_$c"): _*)
+  }
+}

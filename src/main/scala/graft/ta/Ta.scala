@@ -494,6 +494,43 @@ final class Ta(private val df: DataFrame) {
       d.withColumn(s"${s}_z_$n", sdiv(c(s) - rmean(c(s), n), rstd(c(s), n)))
     }
 
+  /** Native candle patterns (reference candles/cdl_pattern.py delegates
+    * to TA-Lib; these are self-contained declared specs for the most-used
+    * patterns — no TA-Lib dependency). All emit 1.0/0.0 (null while the
+    * needed lags are undefined). Body = |c−o|, range = h−l. */
+  def cdlPatterns: DataFrame = {
+    val body = abs(close - open)
+    val rng = high - low
+    val po = shift(open, 1); val pc = shift(close, 1)
+    val pBody = abs(pc - po)
+    val upShadow = high - greatest(open, close)
+    val dnShadow = least(open, close) - low
+    val bull = close > open
+    val bear = close < open
+    val pBull = pc > po
+    val pBear = pc < po
+    def flag(name: String, cond: Column, needsPrev: Boolean = true): (String, Column) =
+      name -> (if (needsPrev) when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+               else when(cond, 1.0).otherwise(0.0))
+    val defs = Seq(
+      // engulfing: current body engulfs previous opposite-color body
+      flag("cdl_engulfing_bull", bull && pBear && open <= pc && close >= po),
+      flag("cdl_engulfing_bear", bear && pBull && open >= pc && close <= po),
+      // hammer: long lower shadow (≥2×body), small upper (≤body)
+      flag("cdl_hammer", dnShadow >= lit(2.0) * body && upShadow <= body && body > 0, needsPrev = false),
+      // shooting star: mirror of hammer
+      flag("cdl_shooting_star", upShadow >= lit(2.0) * body && dnShadow <= body && body > 0, needsPrev = false),
+      // harami: current body inside previous opposite body
+      flag("cdl_harami_bull", bull && pBear && open >= pc && close <= po),
+      flag("cdl_harami_bear", bear && pBull && open <= pc && close >= po),
+      // marubozu: body ≥ 95% of range
+      flag("cdl_marubozu", rng > 0 && body >= lit(0.95) * rng, needsPrev = false),
+      // spinning top: small body (≤ 30% range) with both shadows longer than body
+      flag("cdl_spinning_top", rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body, needsPrev = false)
+    )
+    defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
+  }
+
   /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
   def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
     df.withColumn(
