@@ -32,7 +32,7 @@ object SparkEntry {
     )
   ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++
     ExtensionQueries.all ++ RelationalQueries.all ++ RecQueries.all ++
-    CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all
+    CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all ++ Rec2Queries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a small
     * multi-indicator batch over the daily bars. */

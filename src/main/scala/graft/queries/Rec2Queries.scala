@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.ta.{prim => P}
+import graft.ta.Ta._
+import sqlgen._
+
+/** Second REC wave — the reference's "hard" roadmap ops (td_seq, qqe, rsx,
+  * ebsw, hwc, jma) as per-series kernels with recursive-CTE oracles
+  * (jma: rows-only — its ring-buffer volatility state has no practical
+  * SQL fold).
+  */
+object Rec2Queries {
+
+  private def mkBars(name: String, outs: Seq[String], sql: Option[String])(
+      build: DataFrame => DataFrame
+  ): Q =
+    Q(
+      name,
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        build(Graft.bars(spark, dir))
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o).cast("double")).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      sql
+    )
+
+  // ------------------------------------------------------------- td_seq
+  val qTdSeq = mkBars(
+    "td_seq",
+    Seq("td_seq_up", "td_seq_dn"),
+    Some(
+      s"WITH RECURSIVE bars AS ($barsCte), " +
+        s"b AS (SELECT *, lag(close, 4) $ov AS c4, row_number() OVER ($W) AS rn FROM bars), " +
+        "r AS (SELECT series_id, ts, rn, CAST(0 AS BIGINT) AS up, CAST(0 AS BIGINT) AS dn, " +
+        "c4 IS NOT NULL AS started FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT b.series_id, b.ts, b.rn, " +
+        "CASE WHEN b.c4 IS NULL THEN 0 WHEN b.close > b.c4 THEN (CASE WHEN r.up = 9 THEN 1 ELSE r.up + 1 END) ELSE 0 END AS up, " +
+        "CASE WHEN b.c4 IS NULL THEN 0 WHEN b.close < b.c4 THEN (CASE WHEN r.dn = 9 THEN 1 ELSE r.dn + 1 END) ELSE 0 END AS dn, " +
+        "b.c4 IS NOT NULL AS started " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) " +
+        "SELECT series_id, ts, CASE WHEN started THEN CAST(up AS DOUBLE) END AS td_seq_up, " +
+        "CASE WHEN started THEN CAST(dn AS DOUBLE) END AS td_seq_dn FROM r" + orderTail
+    )
+  )(_.ta.tdSeq)
+
+  // ------------------------------------------------------------- ebsw
+  val qEbsw = {
+    val (n, bars0) = (20, 10)
+    val alpha1 = (1.0 - math.sin(2.0 * math.Pi / n)) / math.cos(2.0 * math.Pi / n)
+    val a1 = math.exp(-math.sqrt(2.0) * math.Pi / bars0)
+    val b1 = 2.0 * a1 * math.cos(math.sqrt(2.0) * math.Pi / bars0)
+    val c2 = b1; val c3 = -a1 * a1; val c1 = 1.0 - c2 - c3
+    mkBars(
+      s"ebsw_$n",
+      Seq(s"ebsw_$n"),
+      Some(
+        s"WITH RECURSIVE bars AS ($barsCte), " +
+          s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM bars), " +
+          "r AS (SELECT series_id, ts, rn, close AS pc, 0e0 AS hp1, 0e0 AS f1, 0e0 AS f2, " +
+          "CAST(NULL AS DOUBLE) AS ebsw FROM b WHERE rn = 1 " +
+          "UNION ALL SELECT z1.series_id, z1.ts, z1.rn, z1.pc, z1.hp1, z1.f1, z1.f2, z1.ebsw FROM (" +
+          "SELECT z0.series_id, z0.ts, z0.rn, z0.close AS pc, z0.hp AS hp1, z0.filt AS f1, z0.f1 AS f2, " +
+          "CASE WHEN z0.rn <= 3 THEN NULL WHEN (z0.filt*z0.filt + z0.f1*z0.f1 + z0.f2*z0.f2) / 3e0 > 0 " +
+          "THEN ((z0.filt + z0.f1 + z0.f2) / 3e0) / sqrt((z0.filt*z0.filt + z0.f1*z0.f1 + z0.f2*z0.f2) / 3e0) END AS ebsw " +
+          "FROM (" +
+          s"SELECT b.series_id, b.ts, b.rn, b.close, r.f1, r.f2, " +
+          s"(${d(0.5 * (1.0 + alpha1))}) * (b.close - r.pc) + (${d(alpha1)}) * r.hp1 AS hp, " +
+          s"(${d(c1)}) * ((((${d(0.5 * (1.0 + alpha1))}) * (b.close - r.pc) + (${d(alpha1)}) * r.hp1) + r.hp1) / 2e0) + " +
+          s"(${d(c2)}) * r.f1 + (${d(c3)}) * r.f2 AS filt " +
+          "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z0" +
+          ") z1) " +
+          s"SELECT series_id, ts, round(ebsw, 6) AS ebsw_$n FROM r" + orderTail
+      )
+    )(_.ta.ebsw(n, bars0))
+  }
+
+  // ------------------------------------------------------------- hwc
+  val qHwc = {
+    val (na, nb, nc, nd, k) = (0.2, 0.1, 0.1, 0.1, 1.0)
+    val fN = s"((${d(1 - na)}) * (r.f + r.v + 0.5e0 * r.a) + (${d(na)}) * b.close)"
+    val vN = s"((${d(1 - nb)}) * (r.v + r.a) + (${d(nb)}) * ($fN - r.f))"
+    val aN = s"((${d(1 - nc)}) * r.a + (${d(nc)}) * ($vN - r.v))"
+    val hw = s"($fN + $vN + 0.5e0 * $aN)"
+    val varN = s"((${d(1 - nd)}) * r.vr + (${d(nd)}) * (b.close - r.hw) * (b.close - r.hw))"
+    mkBars(
+      "hwc",
+      Seq("hwc_mid", "hwc_upper", "hwc_lower"),
+      Some(
+        s"WITH RECURSIVE bars AS ($barsCte), " +
+          s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM bars), " +
+          "r AS (SELECT series_id, ts, rn, close AS f, 0e0 AS v, 0e0 AS a, 0e0 AS vr, close AS hw FROM b WHERE rn = 1 " +
+          s"UNION ALL SELECT b.series_id, b.ts, b.rn, $fN AS f, $vN AS v, $aN AS a, $varN AS vr, $hw AS hw " +
+          "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) " +
+          s"SELECT series_id, ts, round(hw, 6) AS hwc_mid, round(hw + ${d(k)} * sqrt(vr), 6) AS hwc_upper, " +
+          s"round(hw - ${d(k)} * sqrt(vr), 6) AS hwc_lower FROM r" + orderTail
+      )
+    )(_.ta.hwc(na, nb, nc, nd, k))
+  }
+
+  // ------------------------------------------------------------- rsx
+  val qRsx = {
+    val n = 10
+    val f18 = 3.0 / (n + 2.0); val f20 = 1.0 - f18
+    // cascade generator: (inName, aPrefix) → 6 state updates
+    def casc(v: String, s1: String, s2: String, s3: String, s4: String, s5: String, s6: String): (String, String) = {
+      val u1 = s"(${d(f20)}) * r.$s1 + (${d(f18)}) * $v"
+      val u2 = s"(${d(f18)}) * ($u1) + (${d(f20)}) * r.$s2"
+      val vA = s"(1.5e0 * ($u1) - 0.5e0 * ($u2))"
+      val u3 = s"(${d(f20)}) * r.$s3 + (${d(f18)}) * $vA"
+      val u4 = s"(${d(f18)}) * ($u3) + (${d(f20)}) * r.$s4"
+      val vB = s"(1.5e0 * ($u3) - 0.5e0 * ($u4))"
+      val u5 = s"(${d(f20)}) * r.$s5 + (${d(f18)}) * $vB"
+      val u6 = s"(${d(f18)}) * ($u5) + (${d(f20)}) * r.$s6"
+      val out = s"(1.5e0 * ($u5) - 0.5e0 * ($u6))"
+      (Seq(s"$u1 AS $s1", s"$u2 AS $s2", s"$u3 AS $s3", s"$u4 AS $s4", s"$u5 AS $s5", s"$u6 AS $s6").mkString(", "), out)
+    }
+    val v8 = "(100e0 * b.close - r.f8)"
+    val (upd1, v14) = casc(v8, "f28", "f30", "f38", "f40", "f48", "f50")
+    val (upd2, v20) = casc(s"abs($v8)", "f58", "f60", "f68", "f70", "f78", "f80")
+    val states = Seq("f28", "f30", "f38", "f40", "f48", "f50", "f58", "f60", "f68", "f70", "f78", "f80")
+    mkBars(
+      s"rsx_$n",
+      Seq(s"rsx_$n"),
+      Some(
+        s"WITH RECURSIVE bars AS ($barsCte), " +
+          s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM bars), " +
+          "r AS (SELECT series_id, ts, rn, 100e0 * close AS f8, " +
+          states.map(s0 => s"0e0 AS $s0").mkString(", ") + ", CAST(NULL AS DOUBLE) AS rsx FROM b WHERE rn = 1 " +
+          s"UNION ALL SELECT b.series_id, b.ts, b.rn, 100e0 * b.close AS f8, $upd1, $upd2, " +
+          s"CASE WHEN b.rn <= ${n + 1} THEN NULL WHEN $v20 = 0e0 THEN 50e0 " +
+          s"ELSE greatest(0e0, least(100e0, 100e0 * ($v14 / $v20 + 1e0) / 2e0)) END AS rsx " +
+          "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) " +
+          s"SELECT series_id, ts, round(rsx, 6) AS rsx_$n FROM r" + orderTail
+      )
+    )(_.ta.rsx(n))
+  }
+
+  // ------------------------------------------------------------- qqe
+  val qQqe = {
+    val (n, sm, fac) = (6, 3, 4.236)
+    val wilders = n * 2 - 1
+    // rsi(n) with Wilder rma (mirror of Ta.rsiAs), then sma-seeded ema(sm)
+    val b0 = new SeriesQueries.Cte("bars", barsCte)
+      .addSel("q0", s"close - lag(close, 1) $ov AS dc")
+      .addSel(
+        "q1",
+        "CASE WHEN dc IS NULL THEN NULL WHEN dc > 0 THEN dc ELSE 0e0 END AS up, " +
+          "CASE WHEN dc IS NULL THEN NULL WHEN dc < 0 THEN -dc ELSE 0e0 END AS dn"
+      )
+      .addSel("q2", s"${rma("up", n)} AS ru, ${rma("dn", n)} AS rd")
+      .addSel("q3", s"100e0 * ${sdiv("ru", "(ru + rd)")} AS qrsi")
+    val b1 = SeriesQueries.emaSql(b0, "qrsi", "rsima", sm)
+      .addSel("q5", s"abs(rsima - lag(rsima, 1) $ov) AS adr")
+      .addSel("q6", s"${ewm("adr", 1.0 / wilders)} AS matr")
+      .addSel("q7", s"${ewm("matr", 1.0 / wilders)} * ${d(fac)} AS dar")
+    val base = b1.result("SELECT series_id, ts, rsima, dar FROM " + b1.top)
+    val sql =
+      s"WITH RECURSIVE base AS ($base), " +
+        s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM base), " +
+        "r AS (SELECT series_id, ts, rn, rsima, " +
+        "CASE WHEN rsima IS NOT NULL AND dar IS NOT NULL THEN rsima - dar END AS lb, " +
+        "CASE WHEN rsima IS NOT NULL AND dar IS NOT NULL THEN rsima + dar END AS sb, " +
+        "1 AS trend, rsima IS NOT NULL AND dar IS NOT NULL AS started FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT z1.series_id, z1.ts, z1.rn, z1.rsima, z1.lb, z1.sb, z1.trend, z1.started FROM (" +
+        "SELECT b.series_id, b.ts, b.rn, b.rsima, " +
+        // not yet started: pass through; first valid row initializes
+        "CASE WHEN b.rsima IS NULL OR b.dar IS NULL THEN r.lb " +
+        "WHEN NOT r.started THEN b.rsima - b.dar " +
+        "WHEN r.rsima > r.lb AND b.rsima > r.lb THEN greatest(r.lb, b.rsima - b.dar) ELSE b.rsima - b.dar END AS lb, " +
+        "CASE WHEN b.rsima IS NULL OR b.dar IS NULL THEN r.sb " +
+        "WHEN NOT r.started THEN b.rsima + b.dar " +
+        "WHEN r.rsima < r.sb AND b.rsima < r.sb THEN least(r.sb, b.rsima + b.dar) ELSE b.rsima + b.dar END AS sb, " +
+        "CASE WHEN b.rsima IS NULL OR b.dar IS NULL OR NOT r.started THEN r.trend " +
+        "WHEN b.rsima > r.sb AND r.rsima <= r.sb THEN 1 " +
+        "WHEN b.rsima < r.lb AND r.rsima >= r.lb THEN -1 ELSE r.trend END AS trend, " +
+        "r.started OR (b.rsima IS NOT NULL AND b.dar IS NOT NULL) AS started " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z1) " +
+        s"SELECT series_id, ts, " +
+        s"round(CASE WHEN started AND rsima IS NOT NULL THEN (CASE WHEN trend = 1 THEN lb ELSE sb END) END, 6) AS qqe_$n, " +
+        s"CASE WHEN started AND rsima IS NOT NULL THEN CAST(trend AS DOUBLE) END AS qqe_trend_$n " +
+        "FROM r" + orderTail
+    mkBars(s"qqe_$n", Seq(s"qqe_$n", s"qqe_trend_$n"), Some(sql))(_.ta.qqe(n, sm, fac))
+  }
+
+  // ------------------------------------------------------------- jma (rows-only)
+  val qJma = mkBars("jma_7", Seq("jma_7"), None)(_.ta.jma(7))
+
+  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma)
+}

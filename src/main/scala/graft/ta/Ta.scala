@@ -655,6 +655,52 @@ final class Ta(private val df: DataFrame) {
       .drop("__pos")
   }
 
+  /** TD Sequential setup counts — see rec.TdSeq. */
+  def tdSeq: DataFrame = {
+    val staged = df.withColumn("__c4", shift(close, 4))
+    rec
+      .perSeries(
+        staged,
+        Seq(StructField("td_seq_up", LongType, nullable = true), StructField("td_seq_dn", LongType, nullable = true))
+      )(() => new rec.TdSeq)
+      .drop("__c4")
+  }
+
+  /** QQE (reference momentum/qqe.py): RSI → ema smooth → double-Wilder
+    * DAR bands → trailing state machine (rec.Qqe). */
+  def qqe(n: Int = 14, smooth: Int = 5, factor: Double = 4.236): DataFrame = {
+    val wilders = n * 2 - 1
+    val d0 = rsiAs(df, "close", "__qrsi", n)
+    val d1 = stage.ema(d0, "__qrsi", "__rsima", smooth)
+    val d2 = d1.withColumn("__adr", abs(diff(col("__rsima"))))
+    val d3 = d2.withColumn("__matr", prim.ewm(col("__adr"), 1.0 / wilders))
+    val d4 = d3.withColumn("__dar", prim.ewm(col("__matr"), 1.0 / wilders) * factor)
+    rec
+      .perSeries(
+        d4,
+        Seq(dbl(s"qqe_$n"), StructField(s"qqe_trend_$n", IntegerType, nullable = true), dbl(s"qqe_long_$n"), dbl(s"qqe_short_$n"))
+      )(() => new rec.Qqe)
+      .drop("__qrsi", "__rsima", "__adr", "__matr", "__dar")
+  }
+
+  /** Jurik RSX — see rec.Rsx. */
+  def rsx(n: Int = 14): DataFrame =
+    rec.perSeries(df, Seq(dbl(s"rsx_$n")))(() => new rec.Rsx(n))
+
+  /** Ehlers Even Better SineWave — see rec.Ebsw. */
+  def ebsw(n: Int = 40, bars: Int = 10): DataFrame =
+    rec.perSeries(df, Seq(dbl(s"ebsw_$n")))(() => new rec.Ebsw(n, bars))
+
+  /** Holt-Winter channel — see rec.Hwc. */
+  def hwc(na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1, nd: Double = 0.1, k: Double = 1.0): DataFrame =
+    rec.perSeries(df, Seq(dbl("hwc_mid"), dbl("hwc_upper"), dbl("hwc_lower")))(
+      () => new rec.Hwc(na, nb, nc, nd, k)
+    )
+
+  /** Jurik MA — see rec.Jma (rows-only oracle; ring-buffer state). */
+  def jma(n: Int = 7, phase: Double = 0.0): DataFrame =
+    rec.perSeries(df, Seq(dbl(s"jma_$n")))(() => new rec.Jma(n, phase))
+
   /** Gann HiLo activator (reference overlap/hilo.py): sma(high,hn) /
     * sma(low,ln) bands + trend state machine (rec.Hilo). */
   def hilo(hn: Int = 13, ln: Int = 21): DataFrame = {

@@ -298,6 +298,228 @@ object rec {
     }
   }
 
+  /** TD Sequential setup counters (reference: pandas_ta/momentum/td_seq.py,
+    * declared): consecutive count of close > close[4] (up) / close <
+    * close[4] (down); counts wrap 9 → 1; 0 when the condition fails; null
+    * while close[4] is undefined. Consumes staged `__c4` = lag(close, 4). */
+  final class TdSeq extends Kernel {
+    private var iC, iC4 = 0
+    private var up, dn = 0L
+    def init(schema: StructType): Unit = {
+      iC = schema.fieldIndex("close"); iC4 = schema.fieldIndex("__c4")
+    }
+    def reset(): Unit = { up = 0L; dn = 0L }
+    def update(row: Row): Array[Any] = {
+      if (isN(row, iC4)) return Array(null, null)
+      val c = d(row, iC); val c4 = d(row, iC4)
+      up = if (c > c4) (if (up == 9L) 1L else up + 1L) else 0L
+      dn = if (c < c4) (if (dn == 9L) 1L else dn + 1L) else 0L
+      Array(up, dn)
+    }
+  }
+
+  /** QQE trailing bands (reference: pandas_ta/momentum/qqe.py, declared):
+    * consumes staged `__rsima` (ema of rsi) and `__dar` (double-Wilder-
+    * smoothed |Δrsima| × 4.236). Long band ratchets up while rsima stays
+    * above it; short band ratchets down; trend flips when rsima crosses
+    * the carried opposite band. qqe = active band. */
+  final class Qqe extends Kernel {
+    private var iR, iD = 0
+    private var have = false
+    private var prsima, plb, psb = 0.0
+    private var trend = 1
+    def init(schema: StructType): Unit = {
+      iR = schema.fieldIndex("__rsima"); iD = schema.fieldIndex("__dar")
+    }
+    def reset(): Unit = { have = false; trend = 1 }
+    def update(row: Row): Array[Any] = {
+      if (isN(row, iR) || isN(row, iD)) return Array(null, null, null, null)
+      val r = d(row, iR); val dar = d(row, iD)
+      val nl = r - dar; val ns = r + dar
+      if (!have) {
+        plb = nl; psb = ns; prsima = r; have = true; trend = 1
+        return Array(if (trend == 1) plb else psb, trend, plb, psb)
+      }
+      val lb = if (prsima > plb && r > plb) math.max(plb, nl) else nl
+      val sb = if (prsima < psb && r < psb) math.min(psb, ns) else ns
+      if (r > psb && prsima <= psb) trend = 1
+      else if (r < plb && prsima >= plb) trend = -1
+      plb = lb; psb = sb; prsima = r
+      Array(if (trend == 1) lb else sb, trend, lb, sb)
+    }
+  }
+
+  /** Jurik RSX (reference: pandas_ta/momentum/rsx.py, declared): the
+    * public-domain three-stage cascade filter on the 100·close momentum
+    * and its absolute value; rsx = 100·(v14/v20 + 1)/2 clamped [0,100],
+    * masked for the first n rows. */
+  final class Rsx(n: Int = 14) extends Kernel {
+    private var iC = 0
+    private val f18 = 3.0 / (n + 2.0)
+    private val f20 = 1.0 - f18
+    private var count = 0L
+    private var f8p = 0.0
+    private var f28, f30, f38, f40, f48, f50 = 0.0
+    private var f58, f60, f68, f70, f78, f80 = 0.0
+    def init(schema: StructType): Unit = { iC = schema.fieldIndex("close") }
+    def reset(): Unit = {
+      count = 0L; f8p = 0.0
+      f28 = 0; f30 = 0; f38 = 0; f40 = 0; f48 = 0; f50 = 0
+      f58 = 0; f60 = 0; f68 = 0; f70 = 0; f78 = 0; f80 = 0
+    }
+    def update(row: Row): Array[Any] = {
+      val f8 = 100.0 * d(row, iC)
+      count += 1
+      if (count == 1L) { f8p = f8; return Array(null) }
+      val v8 = f8 - f8p
+      f8p = f8
+      f28 = f20 * f28 + f18 * v8
+      f30 = f18 * f28 + f20 * f30
+      val vC = 1.5 * f28 - 0.5 * f30
+      f38 = f20 * f38 + f18 * vC
+      f40 = f18 * f38 + f20 * f40
+      val v10 = 1.5 * f38 - 0.5 * f40
+      f48 = f20 * f48 + f18 * v10
+      f50 = f18 * f48 + f20 * f50
+      val v14 = 1.5 * f48 - 0.5 * f50
+      val a8 = math.abs(v8)
+      f58 = f20 * f58 + f18 * a8
+      f60 = f18 * f58 + f20 * f60
+      val vD = 1.5 * f58 - 0.5 * f60
+      f68 = f20 * f68 + f18 * vD
+      f70 = f18 * f68 + f20 * f70
+      val v18 = 1.5 * f68 - 0.5 * f70
+      f78 = f20 * f78 + f18 * v18
+      f80 = f18 * f78 + f20 * f80
+      val v20 = 1.5 * f78 - 0.5 * f80
+      if (count <= n + 1) return Array(null)
+      val rsx =
+        if (v20 == 0.0) 50.0
+        else math.max(0.0, math.min(100.0, 100.0 * (v14 / v20 + 1.0) / 2.0))
+      Array(rsx)
+    }
+  }
+
+  /** Ehlers Even Better SineWave (reference: pandas_ta/cycles/ebsw.py,
+    * declared): 1-pole HP filter (duration n) → 2-pole super smoother
+    * (bars) → 3-bar wave/power normalization. Null for the first 2 rows. */
+  final class Ebsw(n: Int = 40, bars: Int = 10) extends Kernel {
+    private var iC = 0
+    private val alpha1 = (1.0 - math.sin(2.0 * math.Pi / n)) / math.cos(2.0 * math.Pi / n)
+    private val a1 = math.exp(-math.sqrt(2.0) * math.Pi / bars)
+    private val b1 = 2.0 * a1 * math.cos(math.sqrt(2.0) * math.Pi / bars)
+    private val c2 = b1
+    private val c3 = -a1 * a1
+    private val c1 = 1.0 - c2 - c3
+    private var count = 0L
+    private var prevClose, hp1, f1, f2 = 0.0
+    def init(schema: StructType): Unit = { iC = schema.fieldIndex("close") }
+    def reset(): Unit = { count = 0L; hp1 = 0; f1 = 0; f2 = 0 }
+    def update(row: Row): Array[Any] = {
+      val c = d(row, iC)
+      count += 1
+      if (count == 1L) { prevClose = c; return Array(null) }
+      val hp = 0.5 * (1.0 + alpha1) * (c - prevClose) + alpha1 * hp1
+      prevClose = c
+      val filt = c1 * (hp + hp1) / 2.0 + c2 * f1 + c3 * f2
+      hp1 = hp
+      val wave = (filt + f1 + f2) / 3.0
+      val pwr = (filt * filt + f1 * f1 + f2 * f2) / 3.0
+      f2 = f1; f1 = filt
+      if (count <= 3L) return Array(null)
+      Array(if (pwr > 0.0) wave / math.sqrt(pwr) else null)
+    }
+  }
+
+  /** Holt-Winter channel (reference: pandas_ta/volatility/hwc.py,
+    * declared): hwma F/V/A recursion + variance recursion
+    * var = (1−nd)·var' + nd·(x − hwma')², bands = hwma ± k·√var. */
+  final class Hwc(
+      na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1,
+      nd: Double = 0.1, k: Double = 1.0
+  ) extends Kernel {
+    private var iX = 0
+    private var first = true
+    private var fS, vS, aS, varS, prevHwma = 0.0
+    def init(schema: StructType): Unit = { iX = schema.fieldIndex("close") }
+    def reset(): Unit = { first = true; varS = 0.0 }
+    def update(row: Row): Array[Any] = {
+      val x = d(row, iX)
+      if (first) {
+        fS = x; vS = 0.0; aS = 0.0; varS = 0.0; first = false
+        prevHwma = fS + vS + 0.5 * aS
+        return Array(prevHwma, prevHwma, prevHwma)
+      }
+      val pf = fS; val pv = vS; val pa = aS
+      fS = (1.0 - na) * (pf + pv + 0.5 * pa) + na * x
+      vS = (1.0 - nb) * (pv + pa) + nb * (fS - pf)
+      aS = (1.0 - nc) * pa + nc * (vS - pv)
+      val hwma = fS + vS + 0.5 * aS
+      varS = (1.0 - nd) * varS + nd * (x - prevHwma) * (x - prevHwma)
+      prevHwma = hwma
+      val sd = math.sqrt(varS)
+      Array(hwma, hwma + k * sd, hwma - k * sd)
+    }
+  }
+
+  /** Jurik MA (reference: pandas_ta/overlap/jma.py, declared from the
+    * public-domain JMA recursion): adaptive volatility bands modulate the
+    * smoothing power; 10-tick volatility sum with a 65-tick average.
+    * Ring-buffer state — oracle is rows-only (SQL fold impractical). */
+  final class Jma(n: Int = 7, phase: Double = 0.0) extends Kernel {
+    private var iC = 0
+    private val len1 = math.max(math.log(math.sqrt(0.5 * (n - 1))) / math.log(2.0) + 2.0, 0.0)
+    private val pow1 = math.max(len1 - 2.0, 0.5)
+    private val len2 = math.sqrt(0.5 * (n - 1)) * len1
+    private val pr = if (phase < -100) 0.5 else if (phase > 100) 2.5 else 1.5 + phase * 0.01
+    private val beta = 0.45 * (n - 1) / (0.45 * (n - 1) + 2.0)
+    private var count = 0L
+    private var upperBand, lowerBand, ma1, jma, det0, det1 = 0.0
+    private val voltyBuf = new Array[Double](11)
+    private val vsumBuf = new Array[Double](65)
+    private var vSum = 0.0
+    def init(schema: StructType): Unit = { iC = schema.fieldIndex("close") }
+    def reset(): Unit = {
+      count = 0L; vSum = 0.0
+      java.util.Arrays.fill(voltyBuf, 0.0); java.util.Arrays.fill(vsumBuf, 0.0)
+      det0 = 0.0; det1 = 0.0
+    }
+    def update(row: Row): Array[Any] = {
+      val price = d(row, iC)
+      count += 1
+      if (count == 1L) {
+        upperBand = price; lowerBand = price; ma1 = price; jma = price
+        return Array(jma)
+      }
+      val del1 = price - upperBand
+      val del2 = price - lowerBand
+      val volty = if (math.abs(del1) != math.abs(del2)) math.max(math.abs(del1), math.abs(del2)) else 0.0
+      voltyBuf(((count - 1) % 11).toInt) = volty
+      val voltyOld = voltyBuf(((count - 1 + 11 - math.min(count - 1, 10)) % 11).toInt)
+      vSum += (volty - voltyOld) / 10.0
+      vsumBuf(((count - 1) % 65).toInt) = vSum
+      val m = math.min(count - 1, 65L).toInt
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += vsumBuf(i); i += 1 }
+      val avgVolty = if (m > 0) s / m else 0.0
+      val dVolty = if (avgVolty > 0) volty / avgVolty else 0.0
+      val rVolty = math.max(1.0, math.min(math.pow(len1, 1.0 / pow1), dVolty))
+      val pow2 = math.pow(rVolty, pow1)
+      val kv = math.pow(len2 / (len2 + 1.0), math.sqrt(pow2))
+      upperBand = if (del1 > 0) price else price - kv * del1
+      lowerBand = if (del2 < 0) price else price - kv * del2
+      // adaptive EMA
+      val alpha = math.pow(beta, pow2)
+      ma1 = (1.0 - alpha) * price + alpha * ma1
+      det0 = (price - ma1) * (1.0 - beta) + beta * det0
+      val ma2 = ma1 + pr * det0
+      det1 = (ma2 - jma) * math.pow(1.0 - alpha, 2) + alpha * alpha * det1
+      jma = jma + det1
+      Array(jma)
+    }
+  }
+
   /** Gann HiLo activator state (reference: pandas_ta/overlap/hilo.py).
     * Consumes pre-computed `__mh` = sma(high, 13), `__ml` = sma(low, 21)
     * columns; trend flips when close crosses the PREVIOUS row's band:

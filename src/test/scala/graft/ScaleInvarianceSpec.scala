@@ -37,6 +37,11 @@ class ScaleInvarianceSpec extends AnyFunSuite {
     invariant(df => graft.ta.stage.ema(df, "close", "ema_10", 10), Seq("ema_10"))
   }
 
+  test("rsx_10 scale-invariant") { invariant(_.ta.rsx(10), Seq("rsx_10")) }
+  test("ebsw scale-invariant") { invariant(_.ta.ebsw(20, 10), Seq("ebsw_20")) }
+  test("hwc scale-invariant") { invariant(_.ta.hwc(), Seq("hwc_mid", "hwc_upper")) }
+  test("jma scale-invariant") { invariant(_.ta.jma(7), Seq("jma_7")) }
+
   test("psar/supertrend/ha scale-invariant on bars") {
     val base = Graft.bars(spark, TestSpark.sfDir)
     def run(df: DataFrame) =
