@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.TaskContext
+
+/** SURVEY §4.3 — the single-series parallelism problem.
+  *
+  * `Window.partitionBy(series_id)` serializes one instrument's history on
+  * one task. For a 100 TB single-series table that is the bottleneck; the
+  * two mitigations here restore full parallelism with EXACT results:
+  *
+  *  - `chunked` (W/WW/SHIFT class): range-split the series into contiguous
+  *    ts chunks, duplicate the last (n−1) rows of each chunk into the next
+  *    ("halo"), run the ordinary window per (series, chunk) — every frame
+  *    of ≤ n rows sees exactly the rows it would globally — then drop the
+  *    halo rows. One extra narrow pass + one shuffle; chunks compute
+  *    independently on all executors.
+  *
+  *  - `chunkedEwm` (EW / linear-REC class): the recurrence
+  *    y_t = a·y_{t−1} + b_t is associative under
+  *    (a₁,b₁)∘(a₂,b₂) = (a₁a₂, a₂b₁+b₂). Each chunk folds its local
+  *    (A, B) coefficient pair in parallel; the tiny per-chunk carries are
+  *    prefix-scanned on the driver (Blelloch step over ≤ #chunks values);
+  *    a broadcast of the chunk-entry states finishes the per-row pass.
+  *    Two narrow passes, zero row shuffles beyond the range partitioning.
+  */
+object Halo {
+
+  /** Range-partition the series into `chunks` contiguous pieces, tag each
+    * row with its chunk id, and append duplicated halo rows (the last
+    * `haloRows` rows of each chunk, re-tagged for the NEXT chunk). */
+  private def withHalo(df: DataFrame, haloRows: Int, chunks: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(
+      inSchema.fields :+ StructField("__chunk", IntegerType, false) :+ StructField("__halo", BooleanType, false)
+    )
+    val enc = Encoders.row(outSchema)
+    val sidIdx = inSchema.fieldIndex("series_id")
+    df.repartitionByRange(chunks, col("series_id"), col("ts"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val ring = new scala.collection.mutable.ArrayDeque[Row]()
+        var curSid: Any = null
+        new Iterator[Row] {
+          private var tail: Iterator[Row] = null
+          def hasNext: Boolean = (tail == null && it.hasNext) || (tail != null && tail.hasNext)
+          def next(): Row = {
+            if (tail != null) return tail.next()
+            val r = it.next()
+            val sid = r.get(sidIdx)
+            if (sid != curSid) { ring.clear(); curSid = sid }
+            ring.append(r)
+            if (ring.size > haloRows) ring.removeHead()
+            val out = Row.fromSeq(r.toSeq :+ pid :+ false)
+            if (!it.hasNext) {
+              // emit the halo copies for the next chunk after the last row
+              val halo = ring.toSeq.map(h => Row.fromSeq(h.toSeq :+ (pid + 1) :+ true))
+              tail = halo.iterator
+            }
+            out
+          }
+        }
+      }(enc)
+  }
+
+  /** Run `build` (any chain of same-window indicators with frames of at
+    * most `n` rows) over a chunked view of the series; results are exactly
+    * the global-window results, computed with `chunks`-way parallelism per
+    * series. */
+  def chunked(df: DataFrame, n: Int, chunks: Int)(build: DataFrame => DataFrame): DataFrame = {
+    val originalCols = df.columns
+    val tagged = withHalo(df, math.max(n - 1, 0), chunks)
+      .withColumn("__sid0", col("series_id"))
+      .withColumn("series_id", concat(col("series_id").cast("string"), lit("#"), col("__chunk")))
+    val built = build(tagged)
+    val added = built.columns.filterNot(
+      (originalCols ++ Seq("series_id", "__chunk", "__halo", "__sid0")).contains
+    )
+    built
+      .where(!col("__halo"))
+      .withColumn("series_id", col("__sid0"))
+      .select((originalCols ++ added).map(col): _*)
+  }
+
+  /** ewm(alpha, adjust=False) — y₀ = x₀, y = (1−α)y' + αx, null-skipping —
+    * over arbitrarily long series with two parallel passes (segmented
+    * scan). Appends `out`. */
+  def chunkedEwm(df: DataFrame, src: String, out: String, alpha: Double, chunks: Int): DataFrame = {
+    val inSchema = df.schema
+    val enc1 = Encoders.row(
+      StructType(inSchema.fields :+ StructField("__chunk", IntegerType, false))
+    )
+    val sidIdx = inSchema.fieldIndex("series_id")
+    val srcIdx = inSchema.fieldIndex(src)
+
+    val parts = df
+      .repartitionByRange(chunks, col("series_id"), col("ts"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(r => Row.fromSeq(r.toSeq :+ pid))
+      }(enc1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: per (series, chunk) local folds. Two variants, because a
+    // chunk cannot know locally whether an earlier chunk already seeded:
+    //  - non-seeding: a = ∏(1−α), b = fold of α·x  (used when a carry
+    //    arrives: y_end = a·carry + b)
+    //  - seeded: ySeed = plain recursion from the chunk's own first value
+    //    (used when this chunk starts the series)
+    val folds = parts
+      .mapPartitions { it =>
+        var key: (Any, Int) = null
+        var a = 1.0; var b = 0.0; var seedY = 0.0; var any = false
+        val outRows = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit =
+          if (key != null) outRows += Row(key._1, key._2, a, b, seedY, any)
+        it.foreach { r =>
+          val k = (r.get(sidIdx), r.getInt(inSchema.size))
+          if (k != key) { flush(); key = k; a = 1.0; b = 0.0; seedY = 0.0; any = false }
+          if (!r.isNullAt(srcIdx)) {
+            val x = r.getDouble(srcIdx)
+            if (!any) { seedY = x; any = true }
+            else seedY = (1.0 - alpha) * seedY + alpha * x
+            a *= (1.0 - alpha)
+            b = (1.0 - alpha) * b + alpha * x
+          }
+        }
+        flush()
+        outRows.iterator
+      }(Encoders.row(StructType(Seq(
+        StructField("sid", inSchema(sidIdx).dataType, true),
+        StructField("chunk", IntegerType, false),
+        StructField("a", DoubleType, false),
+        StructField("b", DoubleType, false),
+        StructField("seedY", DoubleType, false),
+        StructField("any", BooleanType, false)
+      ))))
+      .collect()
+
+    // driver prefix-scan of the tiny carry table → entry state per chunk
+    val entry = scala.collection.mutable.Map[(Any, Int), Option[Double]]()
+    folds.groupBy(_.get(0)).foreach { case (sid, rows) =>
+      var carry: Option[Double] = None
+      rows.sortBy(_.getInt(1)).foreach { r =>
+        entry((sid, r.getInt(1))) = carry
+        val a = r.getDouble(2); val b = r.getDouble(3)
+        val seedY = r.getDouble(4); val any = r.getBoolean(5)
+        carry =
+          if (!any) carry
+          else carry match {
+            case Some(y) => Some(a * y + b)
+            case None => Some(seedY)
+          }
+      }
+    }
+    val entryB = parts.sparkSession.sparkContext.broadcast(entry.toMap)
+
+    // pass 2: per-row sequential emit with the broadcast entry state
+    val enc2 = Encoders.row(
+      StructType(inSchema.fields :+ StructField(out, DoubleType, true))
+    )
+    parts
+      .mapPartitions { it =>
+        var key: (Any, Int) = null
+        var acc: Option[Double] = None
+        it.map { r =>
+          val k = (r.get(sidIdx), r.getInt(inSchema.size))
+          if (k != key) { key = k; acc = entryB.value.getOrElse(k, None) }
+          if (!r.isNullAt(srcIdx)) {
+            val x = r.getDouble(srcIdx)
+            acc = Some(acc match {
+              case Some(y) => (1.0 - alpha) * y + alpha * x
+              case None => x
+            })
+          }
+          Row.fromSeq(r.toSeq.dropRight(1) :+ acc.orNull)
+        }
+      }(enc2)
+  }
+}
