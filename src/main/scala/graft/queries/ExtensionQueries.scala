@@ -61,13 +61,23 @@ object ExtensionQueries {
     "x_text_stats",
     (s, dir) =>
       docs(s, dir)
+        // stage tokens/bases as attributes: HOF lambdas over an inlined
+        // tokens(text) subtree re-run split+filter per element_at (see
+        // TextOps.shinglesFromTokens note)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__tk"))
         .select(
           col("doc_id"),
-          TextOps.nTokens(col("text")).cast("long").as("n_tok"),
+          col("text"),
+          col("__tk"),
+          TextOps.shingleBasesFromTokens(col("__tk")).as("__bh")
+        )
+        .select(
+          col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tok"),
           TextOps.nTokensBpe(col("text")).cast("long").as("n_tok_bpe"),
-          size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"),
+          size(array_distinct(col("__tk"))).cast("long").as("n_distinct"),
           TextOps.fpDocument(col("text")).as("fp_doc"),
-          TextOps.fpMinShingle(col("text")).as("fp_minshingle")
+          when(size(col("__bh")) > 0, array_min(col("__bh"))).as("fp_minshingle")
         )
         .orderBy("doc_id"),
     Some(
@@ -290,7 +300,68 @@ object ExtensionQueries {
     }
   )
 
+  /** Q48 tf-idf top-3 terms per document (ties → lexicographic term):
+    * tf = in-doc count, idf = ln(N/df), df over distinct doc terms. */
+  val qTfidf = Q(
+    "x_tfidf_top3",
+    (s, dir) => {
+      val d0 = docs(s, dir)
+      val toks = d0
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), explode(col("__tk")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").count().withColumnRenamed("count", "tf")
+      // corpus size stays in-plan (1-row broadcast) — no driver action
+      val nDf = d0.agg(count(lit(1)).cast("double").as("__n"))
+      val df0 = toks.select(col("doc_id"), col("term")).distinct().groupBy("term").count()
+        .withColumnRenamed("count", "df")
+      val scored = tf
+        .join(df0, "term")
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"), P.normd(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), t AS (SELECT doc_id, unnest(tk) AS term FROM toks), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS tfidf, " +
+        "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term ASC) AS rk " +
+        "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) " +
+        "SELECT doc_id, rk, term, round(tfidf, 6) AS tfidf FROM sc WHERE rk <= 3 ORDER BY doc_id, rk"
+    )
+  )
+
+  /** Q48 corpus language/source distribution with quality means. */
+  val qLangDist = Q(
+    "x_lang_dist",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          P.normd(avg(length(col("text")))).as("avg_chars"),
+          P.normd(avg(TextOps.nTokens(col("text")).cast("double"))).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources")
+        )
+        .orderBy("lang"),
+    Some(
+      "SELECT lang, count(*) AS n_docs, round(avg(length(text)), 6) AS avg_chars, " +
+        "round(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE), 6) AS avg_tokens, " +
+        "count(DISTINCT source) AS n_sources FROM documents GROUP BY lang ORDER BY lang"
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qTfidf,
+    qLangDist,
     qTextStats,
     qLangQuality,
     qDedupExact,
