@@ -158,6 +158,28 @@ object MaQueries {
     mk("squeeze", outs, fin(b, outs))(_.ta.squeeze(bbN, kcN, momN))
   }
 
+  val qSqueezePro = {
+    val (bbN, kcN, momN) = (10, 10, 6)
+    val b0 = bars
+      .addSel("p0", s"$trExpr AS true_range")
+      .addSel("p1", s"${rmean("close", bbN)} AS mid, ${rstd("close", bbN)} * 2e0 AS dev")
+    val b1 = emaSql(b0, "close", "basis", kcN)
+    def onFlag(mult: Double, out: String) =
+      s"CASE WHEN mid IS NULL OR basis IS NULL THEN NULL " +
+        s"WHEN (mid - dev) > (basis - ${d(mult)} * band) AND (mid + dev) < (basis + ${d(mult)} * band) THEN 1e0 ELSE 0e0 END AS $out"
+    val b2 = emaSql(b1, "true_range", "band", kcN)
+      .addSel(
+        "p2",
+        Seq(onFlag(2.0, "sqzpro_on_wide"), onFlag(1.5, "sqzpro_on_normal"), onFlag(1.0, "sqzpro_on_narrow")).mkString(", ") +
+          s", close - ((${rmax("high", momN)} + ${rmin("low", momN)}) / 2e0 + ${rmean("close", momN)}) / 2e0 AS delta"
+      )
+      .addSel("p3", linregStage("delta", momN))
+    val (slope, rest) = linregCalc("sp", momN)
+    val b = b2.addSel("p4", slope).addSel("p5", rest).addSel("p6", "sp_tsf AS sqzpro_mom")
+    val outs = Seq("sqzpro_on_wide", "sqzpro_on_normal", "sqzpro_on_narrow", "sqzpro_mom")
+    mk("squeeze_pro", outs, fin(b, outs))(_.ta.squeezePro(bbN, kcN, momN))
+  }
+
   val qStc = {
     val (tc, f, s0) = (5, 6, 10)
     val b0 = emaSql(bars, "close", "ef", f)
@@ -258,6 +280,6 @@ object MaQueries {
 
   val all: Seq[Q] = Seq(
     qAlma, qFwma, qPwma, qSwma, qSinwma, qTrima, qIchimoku, qRvgi, qSmi,
-    qSqueeze, qStc, qInertia, qAobv, qKvo, qSignals2
+    qSqueeze, qSqueezePro, qStc, qInertia, qAobv, qKvo, qSignals2
   )
 }

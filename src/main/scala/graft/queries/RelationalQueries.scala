@@ -84,28 +84,55 @@ object RelationalQueries {
         .bars(s, dir)
         .withColumn("ret", P.sdiv(col("close"), lag("close", 1).over(w)) - 1.0)
         .withColumn("dd", lit(1.0) - P.sdiv(col("close"), max("close").over(cum)))
+        .withColumn("ddl", P.sln(max("close").over(cum)) - P.sln(col("close")))
+        .withColumn("dpct", lit(100.0) * (col("close") - max("close").over(cum)) / max("close").over(cum))
+        .withColumn("dneg", least(col("ret"), lit(0.0)))
         .groupBy("series_id")
         .agg(
-          P.normd(avg("ret") / stddev_samp("ret") * ann).as("sharpe"),
-          P.normd(stddev_samp(col("ret")) * ann).as("volatility"),
-          P.normd(max("dd")).as("max_drawdown"),
-          P.normd(
-            pow(
-              max_by(col("close"), col("ts")) / min_by(col("close"), col("ts")),
-              lit(252.0) / (count(lit(1)) - 1.0)
-            ) - 1.0
-          ).as("cagr")
+          (avg("ret") / stddev_samp("ret") * ann).as("__sharpe"),
+          (stddev_samp(col("ret")) * ann).as("__vol"),
+          max("dd").as("__mdd"),
+          max("ddl").as("__mddl"),
+          (pow(
+            max_by(col("close"), col("ts")) / min_by(col("close"), col("ts")),
+            lit(252.0) / (count(lit(1)) - 1.0)
+          ) - 1.0).as("__cagr"),
+          (sqrt(avg(col("dneg") * col("dneg"))) * ann).as("__ddev"),
+          sqrt(avg(col("dpct") * col("dpct"))).as("__ui"),
+          (avg("ret") * 252.0).as("__annret")
+        )
+        .select(
+          col("series_id"),
+          P.normd(col("__sharpe")).as("sharpe"),
+          P.normd(col("__vol")).as("volatility"),
+          P.normd(col("__mdd")).as("max_drawdown"),
+          P.normd(col("__mddl")).as("log_max_drawdown"),
+          P.normd(col("__cagr")).as("cagr"),
+          P.normd(col("__ddev")).as("downside_deviation"),
+          P.normd(P.sdiv(col("__annret"), col("__ddev")) * math.sqrt(252.0) / 252.0 * 252.0).as("sortino"),
+          P.normd(P.sdiv(col("__cagr"), col("__mdd"))).as("calmar"),
+          P.normd(P.sdiv(col("__annret"), col("__ui"))).as("ulcer_performance_index")
         )
         .orderBy("series_id")
     },
     Some(
       s"WITH bars AS ($barsCte), r AS (SELECT *, close / nullif(lag(close, 1) $ov, 0) - 1e0 AS ret, " +
-        s"1e0 - close / nullif(max(close) $cum, 0) AS dd FROM bars) " +
-        "SELECT series_id, round(avg(ret) / stddev_samp(ret) * sqrt(252e0), 6) AS sharpe, " +
-        "round(stddev_samp(ret) * sqrt(252e0), 6) AS volatility, " +
-        "round(max(dd), 6) AS max_drawdown, " +
-        "round(pow(arg_max(close, ts) / arg_min(close, ts), 252e0 / (count(*) - 1e0)) - 1e0, 6) AS cagr " +
-        "FROM r GROUP BY series_id ORDER BY series_id"
+        s"1e0 - close / nullif(max(close) $cum, 0) AS dd, " +
+        s"(CASE WHEN max(close) $cum > 0 THEN ln(max(close) $cum) END) - (CASE WHEN close > 0 THEN ln(close) END) AS ddl, " +
+        s"100e0 * (close - max(close) $cum) / max(close) $cum AS dpct, " +
+        s"least(close / nullif(lag(close, 1) $ov, 0) - 1e0, 0e0) AS dneg FROM bars), " +
+        "g AS (SELECT series_id, avg(ret) / stddev_samp(ret) * sqrt(252e0) AS sh, " +
+        "stddev_samp(ret) * sqrt(252e0) AS vol, max(dd) AS mdd, max(ddl) AS mddl, " +
+        "pow(arg_max(close, ts) / arg_min(close, ts), 252e0 / (count(*) - 1e0)) - 1e0 AS cagr, " +
+        "sqrt(avg(dneg * dneg)) * sqrt(252e0) AS ddev, sqrt(avg(dpct * dpct)) AS ui, " +
+        "avg(ret) * 252e0 AS annret FROM r GROUP BY series_id) " +
+        "SELECT series_id, round(sh, 6) AS sharpe, round(vol, 6) AS volatility, " +
+        "round(mdd, 6) AS max_drawdown, round(mddl, 6) AS log_max_drawdown, round(cagr, 6) AS cagr, " +
+        "round(ddev, 6) AS downside_deviation, " +
+        "round(annret / nullif(ddev, 0) * sqrt(252e0) / 252e0 * 252e0, 6) AS sortino, " +
+        "round(cagr / nullif(mdd, 0), 6) AS calmar, " +
+        "round(annret / nullif(ui, 0), 6) AS ulcer_performance_index " +
+        "FROM g ORDER BY series_id"
     )
   )
 

@@ -71,6 +71,7 @@ object registry {
     "mcgd" -> ("overlap", (df, p) => df.ta.mcgd(i(p, "length", 10))),
     "ssf" -> ("overlap", (df, p) => df.ta.ssf(i(p, "length", 10))),
     "hwma" -> ("overlap", (df, p) => df.ta.hwma(dd(p, "na", 0.2), dd(p, "nb", 0.1), dd(p, "nc", 0.1))),
+    "jma" -> ("overlap", (df, p) => df.ta.jma(i(p, "length", 7), dd(p, "phase", 0.0))),
     "hilo" -> ("overlap", (df, p) => df.ta.hilo(i(p, "high_length", 13), i(p, "low_length", 21))),
     "supertrend" -> ("overlap", (df, p) => df.ta.supertrend(i(p, "length", 7), dd(p, "multiplier", 3.0))),
     "ichimoku" -> ("overlap", (df, p) => df.ta.ichimoku(i(p, "tenkan", 9), i(p, "kijun", 26), i(p, "senkou", 52), i(p, "shift", 26))),
@@ -117,6 +118,10 @@ object registry {
     "slope" -> ("momentum", (df, p) => df.ta.slope(i(p, "length", 1))),
     "smi" -> ("momentum", (df, p) => df.ta.smi(i(p, "length", 10), i(p, "fast", 5), i(p, "slow", 3))),
     "squeeze" -> ("momentum", (df, p) => df.ta.squeeze(i(p, "bb_length", 20), i(p, "kc_length", 20), i(p, "mom_length", 12))),
+    "squeeze_pro" -> ("momentum", (df, p) => df.ta.squeezePro(i(p, "bb_length", 20), i(p, "kc_length", 20), i(p, "mom_length", 12))),
+    "qqe" -> ("momentum", (df, p) => df.ta.qqe(i(p, "length", 14), i(p, "smooth", 5), dd(p, "factor", 4.236))),
+    "rsx" -> ("momentum", (df, p) => df.ta.rsx(i(p, "length", 14))),
+    "td_seq" -> ("momentum", (df, _) => df.ta.tdSeq),
     "stc" -> ("momentum", (df, p) => df.ta.stc(i(p, "tclength", 10), i(p, "fast", 12), i(p, "slow", 26))),
     "trix" -> ("momentum", (df, p) => df.ta.trix(i(p, "length", 10))),
     "tsi" -> ("momentum", (df, p) => df.ta.tsi(i(p, "fast", 13), i(p, "slow", 25))),
@@ -148,6 +153,7 @@ object registry {
     "pdist" -> ("volatility", (df, _) => df.ta.pdist()),
     "rvi" -> ("volatility", (df, p) => df.ta.rvi(i(p, "length", 14))),
     "thermo" -> ("volatility", (df, p) => df.ta.thermo(i(p, "length", 20))),
+    "hwc" -> ("volatility", (df, p) => df.ta.hwc(dd(p, "na", 0.2), dd(p, "nb", 0.1), dd(p, "nc", 0.1))),
     "true_range" -> ("volatility", (df, _) => df.ta.trueRange),
     "ui" -> ("volatility", (df, p) => df.ta.ui(i(p, "length", 10))),
     // volume
@@ -184,6 +190,8 @@ object registry {
     "ha" -> ("candles", (df, _) => df.ta.ha),
     "cdl_doji" -> ("candles", (df, p) => df.ta.cdlDoji(i(p, "length", 10), dd(p, "factor", 0.1))),
     "cdl_inside" -> ("candles", (df, _) => df.ta.cdlInside),
+    "cdl_pattern" -> ("candles", (df, _) => df.ta.cdlPatterns),
+    "ebsw" -> ("cycles", (df, p) => df.ta.ebsw(i(p, "length", 40), i(p, "bars", 10))),
     "cdl_z" -> ("candles", (df, p) => df.ta.cdlZ(i(p, "length", 10)))
   )
 

@@ -1158,6 +1158,31 @@ final class Ta(private val df: DataFrame) {
       .drop("__delta", "__sqz_slope", "__sqz_intercept", "__sqz_tsf", "__sqz_r", "__basis", "__band", "true_range")
   }
 
+  /** TTM squeeze pro (reference momentum/squeeze_pro.py): squeeze flags
+    * against three KC multipliers (wide 2, normal 1.5, narrow 1). */
+  def squeezePro(bbN: Int = 20, kcN: Int = 20, momN: Int = 12): DataFrame = {
+    val mid = rmean(close, bbN)
+    val dev = rstd(close, bbN) * 2.0
+    val bbl = mid - dev; val bbu = mid + dev
+    val d0 = stage.ema(new Ta(df).trueRange, "close", "__basis", kcN)
+    val d1 = stage.ema(d0, "true_range", "__band", kcN)
+    def onFlag(mult: Double): Column = {
+      val kcl = col("__basis") - lit(mult) * col("__band")
+      val kcu = col("__basis") + lit(mult) * col("__band")
+      when(bbl.isNull || col("__basis").isNull, lit(null))
+        .otherwise((bbl > kcl && bbu < kcu).cast("double"))
+    }
+    val d2 = d1
+      .withColumn("sqzpro_on_wide", onFlag(2.0))
+      .withColumn("sqzpro_on_normal", onFlag(1.5))
+      .withColumn("sqzpro_on_narrow", onFlag(1.0))
+      .withColumn("__delta", close - ((rmax(high, momN) + rmin(low, momN)) / 2.0 + rmean(close, momN)) / 2.0)
+    stage
+      .linreg(d2, "__delta", "__sqp", momN)
+      .withColumn("sqzpro_mom", col("__sqp_tsf"))
+      .drop("__delta", "__sqp_slope", "__sqp_intercept", "__sqp_tsf", "__sqp_r", "__basis", "__band", "true_range")
+  }
+
   /** Schaff Trend Cycle (reference momentum/stc.py, declared): double
     * stochastic of the (sma-seeded) macd line with α=0.5 smoothing. */
   def stc(tc: Int = 10, fast: Int = 12, slow: Int = 26): DataFrame = {

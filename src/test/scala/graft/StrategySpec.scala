@@ -13,7 +13,7 @@ class StrategySpec extends AnyFunSuite {
   private def bars = Graft.bars(spark, TestSpark.sfDir)
 
   test("registry lists categories and indicators") {
-    assert(registry.categories == Seq("candles", "momentum", "overlap", "performance", "statistics", "trend", "volatility", "volume"))
+    assert(registry.categories == Seq("candles", "cycles", "momentum", "overlap", "performance", "statistics", "trend", "volatility", "volume"))
     assert(registry.indicators.size >= 90, s"only ${registry.indicators.size} indicators registered")
     assert(registry.byCategory("overlap").contains("kama"))
   }
