@@ -60,4 +60,37 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
   }
+
+  case class Frame(doc_id: Long, frame_id: Int, frame_len: Int, frame_sum: Long)
+
+  /** Frame sampling over the binary payload: one `frameLen`-byte frame
+    * every `stride` bytes (a video keyframe / audio window sampler).
+    * Flat-map on the executor — output volume is rows × frames, driver
+    * untouched; a real codec would decode each slice here. frame_sum is
+    * the deterministic stand-in for the decoded feature. */
+  def frameSample(
+      spark: SparkSession,
+      media: DataFrame,
+      frameLen: Int = 256,
+      stride: Int = 512
+  ): Dataset[Frame] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Iterator
+          .from(0)
+          .map(_ * stride)
+          .takeWhile(_ < bytes.length)
+          .zipWithIndex
+          .map { case (off, fid) =>
+            val end = math.min(off + frameLen, bytes.length)
+            var s = 0L
+            var i = off
+            while (i < end) { s += (bytes(i) & 0xffL); i += 1 }
+            Frame(id, fid, end - off, s)
+          }
+      }
+  }
 }

@@ -261,6 +261,30 @@ object ExtensionQueries {
     )
   )
 
+  /** Multimodal frame sampling: 256-byte frame every 512 bytes of the
+    * payload. Oracle exploits the ASCII corpus (byte value = char code). */
+  val qMediaFrames = Q(
+    "x_media_frames",
+    (s, dir) =>
+      Media
+        .frameSample(s, Media.asMediaTable(docs(s, dir)), 256, 512)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("frame_id").cast("long").as("frame_id"),
+          col("frame_len").cast("long").as("frame_len"),
+          col("frame_sum")
+        )
+        .orderBy("doc_id", "frame_id"),
+    Some(
+      "WITH f AS (SELECT doc_id, unnest(range(0, CAST(ceil(octet_length(encode(text)) / 512.0) AS BIGINT))) AS frame_id, text FROM documents) " +
+        "SELECT doc_id, frame_id, " +
+        "least(CAST(octet_length(encode(text)) AS BIGINT) - frame_id * 512, 256) AS frame_len, " +
+        "list_sum(list_transform(string_split(substr(text, CAST(frame_id * 512 + 1 AS INTEGER), 256), ''), c -> CAST(unicode(c) AS BIGINT))) AS frame_sum " +
+        "FROM f ORDER BY doc_id, frame_id"
+    )
+  )
+
   /** Q47 scale path: IVF ANN top-k (approximate — driver rows-only check;
     * recall vs brute force asserted in the test suite). */
   val qAnnIvf = Q(
@@ -373,6 +397,7 @@ object ExtensionQueries {
     qCosineTopk,
     qCosinePairs,
     qMediaFeatures,
+    qMediaFrames,
     qAnnIvf
   )
 }
