@@ -34,17 +34,27 @@ object SparkEntry {
     ExtensionQueries.all ++ RelationalQueries.all ++ RecQueries.all ++
     CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all ++ Rec2Queries.all
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0: a small
-    * multi-indicator batch over the daily bars. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the Strategy
+    * batch compiler running a multi-indicator set over the daily bars —
+    * one compiled plan, one shuffle for the whole window batch. */
   def entry(spark: SparkSession): DataFrame = {
     Graft.init(spark)
     val dir = "/root/testdata/sf0.001"
-    import graft.ta.{prim => P}
-    graft.ta.stage
-      .ema(Graft.bars(spark, dir), "close", "ema_10", 10)
-      .withColumn("sma_10", P.rmean(col("close"), 10))
-      .withColumn("logret", P.sln(P.sdiv(col("close"), P.shift(col("close"), 1))))
-      .select("series_id", "ts", "close", "sma_10", "ema_10", "logret")
+    import graft.ta.{IndicatorSpec, Strategy, registry}
+    val flagship = Strategy(
+      "flagship",
+      Seq(
+        IndicatorSpec("sma", Map("length" -> 10)),
+        IndicatorSpec("ema", Map("length" -> 10)),
+        IndicatorSpec("rsi", Map("length" -> 14)),
+        IndicatorSpec("macd", Map()),
+        IndicatorSpec("bbands", Map("length" -> 5)),
+        IndicatorSpec("atr", Map("length" -> 10)),
+        IndicatorSpec("obv", Map()),
+        IndicatorSpec("log_return", Map())
+      )
+    )
+    registry.strategy(Graft.bars(spark, dir), flagship)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
