@@ -138,11 +138,17 @@ object prim {
   }
 
   // ---- output normalization (shared contract FIXTURES.md §4) -----------
-  /** NaN/±Inf → NULL, round 6 — applied to every double output column. */
-  def normd(c: Column): Column =
-    round(
-      when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, lit(null))
-        .otherwise(c),
-      6
-    )
+  /** NaN/±Inf → NULL, round 6 — applied to every double output column.
+    *
+    * Rounding runs in DOUBLE (×1e6, round-half-away, ÷1e6) to mirror
+    * DuckDB's round(DOUBLE, k) bit-for-bit. Spark's round(col, 6) goes
+    * through BigDecimal on the shortest decimal representation, which
+    * disagrees with the double-multiply path exactly at representable
+    * .xxxxxx5 boundaries (e.g. 8.0046875 → 8.004688 vs 8.004687; hit at
+    * sf0.1). Both half-away conventions agree elsewhere. */
+  def normd(c: Column): Column = {
+    val v = when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, lit(null))
+      .otherwise(c)
+    round(v * 1e6, 0) / 1e6
+  }
 }
