@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SortExec
+import graft.sources.Layout
+import graft.ta.Ta._
+
+/** SURVEY §4.2: a bucketed+sorted layout must let window pipelines run
+  * with ZERO exchanges (the scan satisfies the required distribution). */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed layout removes the window shuffle entirely") {
+    val ser = Graft.userSeries(spark, TestSpark.sfDir)
+      .select(col("series_id").cast("string").as("series_id"), col("ts"), col("close"))
+    spark.sql("DROP TABLE IF EXISTS graft_series_bucketed")
+    ser
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "series_id")
+      .sortBy("series_id", "ts")
+      .format("parquet")
+      .saveAsTable("graft_series_bucketed")
+
+    val out = spark.table("graft_series_bucketed").ta.sma(10).ta.rsi(10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"bucketed scan still shuffles:\n$plan")
+
+    // values must equal the plain-layout computation
+    val bucketed = out.select("series_id", "ts", "sma_10", "rsi_10")
+      .orderBy("series_id", "ts").collect().toSeq
+    val plain = ser.ta.sma(10).ta.rsi(10).select("series_id", "ts", "sma_10", "rsi_10")
+      .orderBy("series_id", "ts").collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("csv/json ingestion resolves case-insensitive OHLCV like the reference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
+    Seq(("A", 1L, 1.0, 2.0, 0.5, 1.5, 10.0))
+      .toDF("Series_ID", "TS", "Open", "HIGH", "low", "Close", "Volume")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/csv")
+    val c = Layout.readCsv(spark, s"$dir/csv")
+    assert(c.columns.toSeq == Layout.canonical)
+    assert(c.collect().head.getDouble(3) == 2.0) // high
+
+    Seq(("B", 2L, 1.0, 2.0, 0.5, 1.5))
+      .toDF("series_id", "ts", "open", "high", "low", "close")
+      .write.mode("overwrite").json(s"$dir/json")
+    val j = Layout.readJson(spark, s"$dir/json")
+    assert(j.collect().head.getDouble(6) == 0.0) // defaulted volume
+  }
+
+  test("time-partitioned write prunes partitions on ts filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp").toFile.getAbsolutePath
+    Layout.writeTimePartitioned(Graft.bars(spark, TestSpark.sfDir), s"$dir/bars")
+    val rd = spark.read.parquet(s"$dir/bars").where(col("ts_month") === "2024-01")
+    assert(rd.count() == 30)
+    val scans = rd.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.head.metadata("PartitionFilters").contains("ts_month"))
+  }
+}
