@@ -117,6 +117,74 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  /** OHLCV tick for kernel streaming. */
+  case class BarTick(
+      series_id: String, ts: Long,
+      open: Double, high: Double, low: Double, close: Double, volume: Double
+  )
+
+  case class KernelOut(series_id: String, ts: Long, values: Seq[Option[Double]])
+
+  private val barSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("series_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("open", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("high", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("low", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("close", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("volume", org.apache.spark.sql.types.DoubleType)
+    )
+  )
+
+  /** Stream ANY batch REC kernel (graft.ta.rec.Kernel — psar, supertrend,
+    * ha, mcgd, …) over an OHLCV tick stream: the kernel object itself IS
+    * the per-key state (java-serialized between micro-batches), so
+    * streaming output ≡ the batch mapPartitions pass row-for-row.
+    * Same per-key in-order requirement as `indicators`. */
+  def kernelStream(
+      ticks: Dataset[BarTick],
+      make: () => graft.ta.rec.Kernel
+  ): Dataset[KernelOut] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val kernelEnc: org.apache.spark.sql.Encoder[graft.ta.rec.Kernel] =
+      org.apache.spark.sql.Encoders.javaSerialization[graft.ta.rec.Kernel]
+
+    def step(
+        key: String,
+        rows: Iterator[BarTick],
+        gs: GroupState[graft.ta.rec.Kernel]
+    ): Iterator[KernelOut] = {
+      val kernel = gs.getOption.getOrElse {
+        val k = make()
+        k.init(barSchema)
+        k.reset()
+        k
+      }
+      val out = rows.toSeq.sortBy(_.ts).map { t =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume),
+          barSchema
+        )
+        val vals = kernel.update(row).map {
+          case null => None
+          case d: Double => Some(d)
+          case i: Int => Some(i.toDouble)
+          case l: Long => Some(l.toDouble)
+          case other => Some(other.toString.toDouble)
+        }
+        KernelOut(key, t.ts, vals.toSeq)
+      }
+      gs.update(kernel)
+      out.iterator
+    }
+
+    ticks
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each text hash.
     * Watermark bounds the state for late data at scale. */
   def dedupStream(docs: DataFrame, eventTimeCol: String, watermark: String = "1 hour"): DataFrame =

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extensions.{Dedup, Similarity}
+
+/** Cross-validation of the dedup/similarity implementations against each
+  * other (the brute-force DuckDB oracle DNFs beyond sf0.01 — see
+  * BASELINE.md — so exactness at larger scale is asserted engine-side). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Graft.table(spark, TestSpark.sfDir, "documents")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs at threshold 0.5") {
+    val exact = pairSet(Dedup.jaccardPairs(docs, 0.5))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, 0.5))
+    assert(lsh == exact, s"missing=${exact -- lsh} spurious=${lsh -- exact}")
+    assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+  }
+
+  test("hot-shingle df-cap keeps high-similarity pairs") {
+    val uncapped = pairSet(Dedup.jaccardPairs(docs, 0.5))
+    val capped = pairSet(Dedup.jaccardPairs(docs, 0.5, maxDf = 50))
+    // capping may drop borderline pairs whose overlap is only common
+    // shingles, but must retain every pair found by both
+    assert((uncapped -- capped).isEmpty || capped.subsetOf(uncapped))
+    assert(capped.nonEmpty)
+  }
+
+  test("IVF top-k recall vs brute force is >= 0.9 at nprobe=4/16") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity
+      .topkBrute(e, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.ivfIndex(e, 16)
+    val ann = Similarity
+      .topkIvf(idx, queries, 5, 16, 4)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val kept = Dedup.dropExactDups(docs)
+    assert(kept.count() == docs.select("text").distinct().count())
+    assert(kept.select("text").distinct().count() == kept.count())
+  }
+}
