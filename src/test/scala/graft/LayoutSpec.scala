@@ -16,6 +16,17 @@ class LayoutSpec extends AnyFunSuite {
     val ser = Graft.userSeries(spark, TestSpark.sfDir)
       .select(col("series_id").cast("string").as("series_id"), col("ts"), col("close"))
     spark.sql("DROP TABLE IF EXISTS graft_series_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear it or CREATE TABLE refuses the location
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_series_bucketed"
+    )
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
     ser
       .write
       .mode("overwrite")
