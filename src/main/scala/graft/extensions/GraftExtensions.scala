@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Subtract, Multiply, Cast => CCast}
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{ArrayDot, ArrayNormSq, LinRecur}
+import graft.functions.{ArrayDot, ArrayNormSq, LinRecur, PolyHash}
 
 /** Catalyst injection point: enables the graft function surface on ANY
   * session via configuration —
@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_normsq"),
         new ExpressionInfo(classOf[ArrayNormSq].getName, "graft_normsq"),
         (exprs: Seq[Expression]) => ArrayNormSq(exprs(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_polyhash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+        (exprs: Seq[Expression]) => PolyHash(exprs(0))
       )
     )
   }

@@ -87,6 +87,11 @@ object Registry {
           exprs => ArrayNormSq(exprs(0)),
           "built-in"
         )
+        reg.createOrReplaceTempFunction(
+          "graft_polyhash",
+          exprs => PolyHash(exprs(0)),
+          "built-in"
+        )
         done += key
       }
     }
