@@ -68,6 +68,60 @@ object Similarity {
       )
       .where(col("sim") >= threshold)
 
+  /** Bounded top-k accumulator for the heap aggregation path: keeps the k
+    * best (sim, id) pairs; merge is k-bounded, so partial (map-side)
+    * aggregation shrinks the shuffle from |corpus| rows per query to k
+    * rows per partition per query — the SURVEY §2.F scale path. */
+  final case class TopKAcc(k: Int, items: List[(Double, Long)]) {
+    def add(sim: Double, id: Long): TopKAcc = insert((sim, id))
+    private def insert(p: (Double, Long)): TopKAcc = {
+      val merged = (p :: items).sortBy(x => (-x._1, x._2)).take(k)
+      copy(items = merged)
+    }
+    def merge(o: TopKAcc): TopKAcc =
+      copy(items = (items ++ o.items).sortBy(x => (-x._1, x._2)).take(k))
+  }
+
+  /** Exact top-k via a typed Aggregator (partial-agg heap) instead of a
+    * window sort: equal results to topkBrute, but the per-query state
+    * that crosses the shuffle is k pairs, not the whole scored corpus. */
+  def topkHeap(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus
+      .repartition(col("vec_id"))
+      .as("c")
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .where(col("q_id") =!= col("c.vec_id"))
+      .select(
+        col("q_id"),
+        col("c.vec_id").as("nbr_id"),
+        dot(col("q_emb"), col("c.embedding")).as("sim")
+      )
+      .as[(Long, Long, Double)]
+    val agg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double), TopKAcc, Seq[(Long, Double)]] {
+      def zero: TopKAcc = TopKAcc(k, Nil)
+      def reduce(b: TopKAcc, r: (Long, Long, Double)): TopKAcc = b.add(r._3, r._2)
+      def merge(a: TopKAcc, b: TopKAcc): TopKAcc = a.merge(b)
+      def finish(b: TopKAcc): Seq[(Long, Double)] = b.items.map(p => (p._2, p._1))
+      def bufferEncoder: org.apache.spark.sql.Encoder[TopKAcc] =
+        org.apache.spark.sql.Encoders.kryo[TopKAcc]
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+        implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]
+    }
+    scored
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("rk0", "p")))
+      .select(
+        col("q_id"),
+        (col("rk0") + 1).cast("long").as("rk"),
+        col("p._1").as("nbr_id"),
+        col("p._2").as("sim")
+      )
+  }
+
   /** IVF (inverted-file) index: deterministic coarse quantizer using the
     * first nCells corpus vectors (by vec_id) as centroids; every vector is
     * assigned to its nearest centroid.

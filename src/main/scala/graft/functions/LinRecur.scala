@@ -92,6 +92,26 @@ object Registry {
           exprs => PolyHash(exprs(0)),
           "built-in"
         )
+        reg.createOrReplaceTempFunction(
+          "graft_ewm_adjust",
+          // pandas ewm(adjust=True): Spark's internal EWM implements it
+          // exactly (verified numerically, SURVEY §0 environment table).
+          // EWM is private[sql] at the Scala level (public bytecode), so
+          // construct reflectively.
+          exprs => {
+            val alpha = exprs(1) match {
+              case Literal(v: Double, DoubleType) => v
+              case other =>
+                throw new IllegalArgumentException(s"graft_ewm_adjust alpha must be a double literal, got $other")
+            }
+            val cls = Class.forName("org.apache.spark.sql.catalyst.expressions.EWM")
+            cls
+              .getConstructor(classOf[Expression], java.lang.Double.TYPE, java.lang.Boolean.TYPE)
+              .newInstance(dbl(exprs(0)), java.lang.Double.valueOf(alpha), java.lang.Boolean.TRUE)
+              .asInstanceOf[Expression]
+          },
+          "built-in"
+        )
         done += key
       }
     }

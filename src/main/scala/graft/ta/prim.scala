@@ -103,6 +103,13 @@ object prim {
   def rmaOf(x: Column, n: Int): Column =
     when(cumcount(x) >= n, ewm(x, 1.0 / n))
 
+  /** pandas ewm(alpha, adjust=True).mean() — Σ(1−α)ⁱx / Σ(1−α)ⁱ. Uses
+    * Spark's internal EWM window function (≡ pandas, verified). */
+  def ewmAdjust(x: Column, alpha: Double): Column =
+    org.apache.spark.sql.functions
+      .call_function("graft_ewm_adjust", x.cast("double"), lit(alpha))
+      .over(cum)
+
   // ---- moment-formula rolling skew/kurt (pandas bias-corrected) --------
   private def moments(x: Column, n: Int): (Column, Column, Column, Column) = {
     val s1 = sum(x).over(f(n))
