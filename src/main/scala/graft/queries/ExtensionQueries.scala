@@ -285,8 +285,9 @@ object ExtensionQueries {
     )
   )
 
-  /** Q47 scale path: IVF ANN top-k (approximate — driver rows-only check;
-    * recall vs brute force asserted in the test suite). */
+  /** Q47 scale path: IVF ANN top-k. Deterministic (fixed centroids +
+    * total tie-breaks), so the DuckDB oracle replays the exact index →
+    * probe → rank pipeline. Recall vs brute force asserted in tests. */
   val qAnnIvf = Q(
     "x_ann_ivf_topk",
     (s, dir) => {
@@ -297,7 +298,21 @@ object ExtensionQueries {
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
         .orderBy("q_id", "rk")
     },
-    None
+    Some(
+      "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16), " +
+        "assign AS (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
+        "idx AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rk = 1), " +
+        "probes AS (SELECT q_id, q_emb, cell FROM (" +
+        "SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id AS cell, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS crk " +
+        "FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE crk <= 4), " +
+        "scored AS (SELECT p.q_id, i.vec_id AS nbr_id, " +
+        s"${dotSql("p.q_emb", "i.embedding")} AS sim, " +
+        s"row_number() OVER (PARTITION BY p.q_id ORDER BY ${dotSql("p.q_emb", "i.embedding")} DESC, i.vec_id ASC) AS rk " +
+        "FROM idx i JOIN probes p ON i.cell = p.cell WHERE p.q_id <> i.vec_id) " +
+        "SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM scored WHERE rk <= 5 ORDER BY q_id, rk"
+    )
   )
 
   /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
