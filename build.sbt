@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst analysis recurses per stacked projection; a 90-indicator
+  // strategy plan needs a deeper thread stack than the JVM default
+  "-Xss64m",
 )

@@ -52,6 +52,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$finalPlan")
   }
 
+  test("every window-class registry indicator in ONE strategy = one shuffle") {
+    import graft.ta.{registry, IndicatorSpec, Strategy}
+    // REC kernels repartition internally (mapPartitions state machines);
+    // everything else must share the single (series_id, ts) exchange
+    val kernelKinds = Set(
+      "psar", "supertrend", "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
+      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma"
+    )
+    val kinds = registry.indicators.filterNot(kernelKinds)
+    assert(kinds.size >= 80, s"registry smaller than expected: ${kinds.size}")
+    val out = registry.strategy(
+      synthetic.repartition(col("series_id")),
+      Strategy("all-window", kinds.map(k => IndicatorSpec(k)))
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(
+      exchanges.size == 1,
+      s"${kinds.size}-indicator strategy shuffled ${exchanges.size} times"
+    )
+  }
+
   test("window batch keeps a bounded number of WindowExec nodes") {
     val out = synthetic.ta.sma(10).ta.rsi(14).ta.willr(14).ta.roc(10)
     out.collect()
