@@ -82,5 +82,35 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns)
+  /** Candle utils + rolling geometric mean over the bars. */
+  val qCandleUtils = {
+    val bars = new Cte("bars", barsCte)
+    val lnx = "CASE WHEN close > 0 THEN ln(close) END"
+    val b = bars.addSel(
+      "u0",
+      "CASE WHEN close >= open THEN 1e0 ELSE -1e0 END AS candle_color, " +
+        "abs(close - open) AS real_body, high - low AS high_low_range, " +
+        s"exp(CASE WHEN count($lnx) ${fr(10)} >= 10 THEN avg($lnx) ${fr(10)} END) AS geomean_10"
+    )
+    val outs = Seq("candle_color", "real_body", "high_low_range", "geomean_10")
+    Q(
+      "candle_utils",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .bars(s, dir)
+          .ta.candleUtils
+          .ta.geometricMean(10)
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCandleUtils)
 }

@@ -191,6 +191,8 @@ object registry {
     "cdl_doji" -> ("candles", (df, p) => df.ta.cdlDoji(i(p, "length", 10), dd(p, "factor", 0.1))),
     "cdl_inside" -> ("candles", (df, _) => df.ta.cdlInside),
     "cdl_pattern" -> ("candles", (df, _) => df.ta.cdlPatterns),
+    "candle_utils" -> ("candles", (df, _) => df.ta.candleUtils),
+    "geometric_mean" -> ("statistics", (df, p) => df.ta.geometricMean(i(p, "length", 10))),
     "ebsw" -> ("cycles", (df, p) => df.ta.ebsw(i(p, "length", 40), i(p, "bars", 10))),
     "cdl_z" -> ("candles", (df, p) => df.ta.cdlZ(i(p, "length", 10)))
   )

@@ -494,6 +494,20 @@ final class Ta(private val df: DataFrame) {
       d.withColumn(s"${s}_z_$n", sdiv(c(s) - rmean(c(s), n), rstd(c(s), n)))
     }
 
+  /** Candle utils (reference utils/_candles.py): color ±1, |body|, range. */
+  def candleUtils: DataFrame =
+    df.withColumn("candle_color", when(close >= open, 1.0).otherwise(-1.0))
+      .withColumn("real_body", abs(close - open))
+      .withColumn("high_low_range", high - low)
+
+  /** Rolling geometric mean (reference utils/_math.py::geometric_mean):
+    * exp(mean(ln x)) over n, null if any x ≤ 0 in the window. */
+  def geometricMean(n: Int = 10, src: String = "close"): DataFrame = {
+    val x = c(src)
+    val lnx = when(x > 0, log(x))
+    df.withColumn(s"geomean_$n", exp(rmean(lnx, n)))
+  }
+
   /** Native candle patterns (reference candles/cdl_pattern.py delegates
     * to TA-Lib; these are self-contained declared specs for the most-used
     * patterns — no TA-Lib dependency). All emit 1.0/0.0 (null while the
