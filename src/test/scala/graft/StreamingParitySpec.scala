@@ -89,6 +89,34 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming exact dedup keeps one row per text hash") {
+    val srcDir = Files.createTempDirectory("graft_dedup_src").toFile
+    Graft
+      .table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"), current_timestamp().as("etime"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(srcDir.getAbsolutePath)
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, etime TIMESTAMP")
+      .parquet(srcDir.getAbsolutePath)
+    val q = graft.streaming.StreamingTa
+      .dedupStream(stream, "etime")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_stream").count()
+    val distinct = Graft.table(spark, TestSpark.sfDir, "documents").select("text").distinct().count()
+    assert(kept == distinct)
+  }
+
   test("streaming bar construction equals batch bars") {
     val srcDir = Files.createTempDirectory("graft_bars_src").toFile
     Graft
