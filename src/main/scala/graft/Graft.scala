@@ -97,6 +97,25 @@ object Graft {
       )
     }
 
+  /** Per-user daily OHLCV bars (multi-key kernel/oracle input: 15 series
+    * × 30 days). Same aggregation rule as `bars`, keyed by user. */
+  def userBars(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "userBars") {
+      events(spark, dir)
+        .groupBy(col("user_id"), to_date(col("tstamp")).as("ts"))
+        .agg(
+          min_by(col("value"), col("ts_us")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts_us")).as("close"),
+          count(lit(1)).cast("double").as("volume")
+        )
+        .select(
+          col("user_id").cast("string").as("series_id"),
+          col("ts"), col("open"), col("high"), col("low"), col("close"), col("volume")
+        )
+    }
+
   /** Daily OHLCV bars from events (SURVEY Q01): the single-series OHLCV
     * indicator input. open/close = value at min/max ts in the day (unique
     * ts ⇒ deterministic); volume = row count. 30 rows at every sf.

@@ -115,5 +115,12 @@ object sqlgen {
       "arg_max(value, ts) AS close, CAST(count(*) AS DOUBLE) AS volume " +
       "FROM events GROUP BY 2"
 
+  /** Per-user daily OHLCV bars (multi-key kernel input: 15 × 30 rows). */
+  val userBarsCte =
+    "SELECT CAST(user_id AS VARCHAR) AS series_id, CAST(date_trunc('day', ts) AS DATE) AS ts, " +
+      "arg_min(value, ts) AS open, max(value) AS high, min(value) AS low, " +
+      "arg_max(value, ts) AS close, CAST(count(*) AS DOUBLE) AS volume " +
+      "FROM events GROUP BY 1, 2"
+
   val orderTail = " ORDER BY series_id, ts"
 }

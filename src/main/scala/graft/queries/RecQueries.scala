@@ -339,8 +339,39 @@ object RecQueries {
   val qNvi = mkBars("nvi", Seq("nvi"), nviPviSql("<", "nvi"))(_.ta.nvi())
   val qPvi = mkBars("pvi", Seq("pvi"), nviPviSql(">", "pvi"))(_.ta.pvi())
 
+  // ------------------------------------- multi-key kernel variants
+  /** The same psar/supertrend state machines over the PER-USER bars
+    * (15 series × 30 rows): exercises kernel key-boundary resets and the
+    * oracle's per-series recursion under real partitioning. SQL = the
+    * single-series oracle with the bars CTE swapped. */
+  private def mkUserBars(name: String, outs: Seq[String], sql: Option[String])(
+      build: DataFrame => DataFrame
+  ): Q =
+    Q(
+      name,
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        build(Graft.userBars(spark, dir))
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      sql
+    )
+
+  val qPsarMulti = mkUserBars(
+    "psar_multi",
+    Seq("psar_long", "psar_short", "psar_af"),
+    qPsar.sql.map(_.replace(barsCte, userBarsCte))
+  )(_.ta.psar().drop("psar_reversal"))
+
+  val qSupertrendMulti = mkUserBars(
+    "supertrend_multi",
+    Seq("supert_7", "supertl_7", "superts_7"),
+    qSupertrend.sql.map(_.replace(barsCte, userBarsCte))
+  )(_.ta.supertrend(7, 3.0).drop("supertd_7"))
+
   val all: Seq[Q] = Seq(
     qHa, qMcgd, qSsf, qHwma, qFisher, qHilo, qPsar, qSupertrend,
-    qKama, qVidya, qDecay, qNvi, qPvi
+    qKama, qVidya, qDecay, qNvi, qPvi, qPsarMulti, qSupertrendMulti
   )
 }
