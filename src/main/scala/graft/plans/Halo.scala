@@ -69,7 +69,13 @@ object Halo {
   /** Run `build` (any chain of same-window indicators with frames of at
     * most `n` rows) over a chunked view of the series; results are exactly
     * the global-window results, computed with `chunks`-way parallelism per
-    * series. */
+    * series.
+    *
+    * PRECONDITION: every chunk must hold at least n−1 rows of each series
+    * it continues (the halo only reaches one chunk back). Range
+    * partitioning gives ~rows/chunks per chunk, so choose
+    * `chunks ≤ seriesRows / n`; at 100 TB that is always satisfiable
+    * (chunks ≈ cluster cores, n ≪ rows/cores). */
   def chunked(df: DataFrame, n: Int, chunks: Int)(build: DataFrame => DataFrame): DataFrame = {
     val originalCols = df.columns
     val tagged = withHalo(df, math.max(n - 1, 0), chunks)
