@@ -59,16 +59,22 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (lg, lc) = elemGetter(left.dataType)
     val (rg, rc) = elemGetter(right.dataType)
+    // freshName: two instances can land in ONE codegen method (cosine =
+    // dot + two normsq) where nullSafeExec emits no brace scope for
+    // non-nullable children — fixed names would collide and janino-fail.
+    val n = ctx.freshName("gad_n")
+    val s = ctx.freshName("gad_s")
+    val i = ctx.freshName("gad_i")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  s += $lc$a.$lg(i) * $rc$b.$rg(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += $lc$a.$lg($i) * $rc$b.$rg($i);
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
       """.stripMargin
     )
   }
@@ -109,14 +115,18 @@ case class ArrayNormSq(child: Expression) extends UnaryExpression {
       case ArrayType(DoubleType, _) => ("getDouble", "")
       case other => throw new IllegalArgumentException(s"graft_normsq: unsupported $other")
     }
+    val n = ctx.freshName("gan_n")
+    val s = ctx.freshName("gan_s")
+    val i = ctx.freshName("gan_i")
+    val v = ctx.freshName("gan_v")
     nullSafeCodeGen(
       ctx,
       ev,
       a => s"""
-        |int n = $a.numElements();
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) { double v = $c$a.$g(i); s += v * v; }
-        |${ev.value} = s;
+        |int $n = $a.numElements();
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) { double $v = $c$a.$g($i); $s += $v * $v; }
+        |${ev.value} = $s;
       """.stripMargin
     )
   }

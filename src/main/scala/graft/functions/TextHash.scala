@@ -40,19 +40,26 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: with a non-nullable child nullSafeExec emits no brace
+    // scope, so two PolyHash instances in one codegen'd method would
+    // collide on fixed local names (janino failure → interpreted fallback).
+    val b = ctx.freshName("gph_b")
+    val acc = ctx.freshName("gph_acc")
+    val i = ctx.freshName("gph_i")
     nullSafeCodeGen(
       ctx,
       ev,
       s => s"""
-        |byte[] gph_b = $s.getBytes();
-        |long gph_acc = 0L;
-        |for (int gph_i = 0; gph_i < gph_b.length; gph_i++) {
-        |  gph_acc = (gph_acc * 31L + (gph_b[gph_i] & 0xffL)) % 1000000007L;
+        |byte[] $b = $s.getBytes();
+        |long $acc = 0L;
+        |for (int $i = 0; $i < $b.length; $i++) {
+        |  $acc = ($acc * 31L + ($b[$i] & 0xffL)) % 1000000007L;
         |}
-        |${ev.value} = gph_acc;
+        |${ev.value} = $acc;
       """.stripMargin
     )
+  }
 
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join (SURVEY §2.E "joins"): align each left row to the most
   * recent right row with right.ts ≤ left.ts, per key — the canonical
@@ -38,17 +39,22 @@ object AsofJoin {
     val rightTagged = right
       .select(col(keyCol) +: col(tsCol) +: rightCols.map(col): _*)
       .withColumn("__side", lit(0))
-    // align schemas: left keeps all its columns; right contributes payload
+    // align schemas: left keeps all its columns; right contributes its
+    // payload as ONE struct so `last(ignoreNulls)` carries the whole latest
+    // right ROW atomically — per-column carry would back-fill a NULL cell
+    // from an older right row, mixing columns across rows (merge_asof
+    // semantics are row-level, including genuine NULLs in the latest row).
+    val payloadType = StructType(rightCols.map(c => StructField(c, right.schema(c).dataType)))
     val leftCols = left.columns
     val l2 = leftTagged.select(
-      (leftCols.map(col) :+ col("__side")) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*
+      (leftCols.map(col) :+ col("__side")) :+ lit(null).cast(payloadType).as("__p"): _*
     )
     val r2 = rightTagged.select(
       (leftCols.map {
         case c0 if c0 == keyCol => col(keyCol)
         case c0 if c0 == tsCol => col(tsCol)
         case c0 => lit(null).cast(left.schema(c0).dataType).as(c0)
-      }.toSeq :+ col("__side")) ++ rightCols.map(c => col(c).as(s"__p_$c")): _*
+      }.toSeq :+ col("__side")) :+ struct(rightCols.map(col): _*).as("__p"): _*
     )
     val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
     // right rows sort BEFORE left rows at equal ts (__side 0 < 1): a bar
@@ -57,12 +63,13 @@ object AsofJoin {
       .partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (d, c0) =>
-      d.withColumn(s"$prefix$c0", last(col(s"__p_$c0"), ignoreNulls = true).over(w))
-    }
+    val carried =
+      unioned.withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
     carried
       .where(col("__side") === 1)
-      .drop("__side")
-      .drop(rightCols.map(c => s"__p_$c"): _*)
+      .select(
+        leftCols.map(col) ++
+          rightCols.map(c => col("__pc").getField(c).as(s"$prefix$c")): _*
+      )
   }
 }
