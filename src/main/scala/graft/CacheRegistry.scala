@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for every DataFrame the library persists
+  * (derived fixtures, dedup indexes, Halo chunk stages).
+  *
+  * Operators return LAZY plans, so they cannot unpersist their own
+  * indexes — the caller materializes the result later. Instead every
+  * persist goes through here, keyed by `sessionUUID`, and the session
+  * owner calls `release(spark)` when done (Verify/Bench do; tests via
+  * afterAll). `memo` additionally dedupes: repeated calls with the same
+  * key (e.g. LSH verification reusing the shingle index the candidate
+  * stage built) return the SAME persisted handle instead of stacking a
+  * second cache entry.
+  */
+object CacheRegistry {
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Weak-keyed session identity: a session that is GC'd without release()
+  // stops matching any key (no stale cross-session reuse, the failure mode
+  // of identity-hash keying).
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]()
+  )
+  private def sid(spark: SparkSession): String =
+    ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  /** Stable hash of a DataFrame's canonicalized plan — lets operator
+    * indexes key on "same session, same input, same params". */
+  def planKey(df: DataFrame): Int = df.queryExecution.analyzed.canonicalized.hashCode
+
+  /** Persist-once per (session, key); later calls reuse the handle. */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    entries.computeIfAbsent(
+      (sid(spark), key),
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+  /** Persist + track a one-off stage (no dedup key — unique per call). */
+  def track(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    entries.put((sid(df.sparkSession), s"__transient_${seq.incrementAndGet()}"), p)
+    p
+  }
+
+  /** Unpersist and forget everything this session pinned. */
+  def release(spark: SparkSession): Unit = {
+    val uuid = sid(spark)
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == uuid) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+}

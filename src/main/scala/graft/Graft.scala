@@ -72,17 +72,12 @@ object Graft {
   // Derived-fixture cache: bars (30 rows) and userSeries (events-sized)
   // feed dozens of independent queries per session; recomputing the
   // events scan + aggregate per query is pure overhead. Keyed by
-  // (sessionUUID, dir) so Verify/Bench/test sessions never cross wires.
-  private val derivedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
-
+  // (sessionUUID, dir) so Verify/Bench/test sessions never cross wires;
+  // CacheRegistry.release(spark) drops a session's entries.
   private def cached(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame
   ): DataFrame =
-    derivedCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, dir, kind),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    )
+    CacheRegistry.memo(spark, s"fixture:$dir:$kind")(build)
 
   /** Per-user value series: the partitioned indicator input.
     * (series_id = user_id, ts = epoch micros, close = value).

@@ -33,33 +33,7 @@ object SparkEntry {
   ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++
     ExtensionQueries.all ++ RelationalQueries.all ++ RecQueries.all ++
     CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all ++ Rec2Queries.all ++
-    Seq(qStrategy50)
-
-  /** Throughput flagship (rows-only check): ~50 indicators over the 100k-
-    * row user series in ONE compiled pass — the reference runs this class
-    * of batch through a multiprocessing pool with per-indicator frame
-    * pickling; here it is a single Exchange + Sort + window chain. */
-  private def qStrategy50: Q = Q(
-    "strategy50_batch",
-    (s: SparkSession, dir: String) => {
-      Graft.init(s)
-      import graft.ta.{IndicatorSpec, Strategy, registry}
-      val kinds = Seq(
-        "sma", "ema", "wma", "rma", "dema", "tema", "trima", "hma", "zlma",
-        "alma", "fwma", "pwma", "swma", "sinwma", "t3", "kama", "vidya",
-        "midpoint", "linreg", "rsi", "macd", "mom", "roc", "cmo", "apo",
-        "ppo", "bias", "cfo", "cg", "coppock", "cti", "er", "psl", "slope",
-        "trix", "tsi", "stdev", "variance", "median", "quantile", "mad",
-        "skew", "kurtosis", "zscore", "entropy", "log_return",
-        "percent_return", "drawdown", "decay", "geometric_mean"
-      )
-      registry.strategy(
-        Graft.userSeries(s, dir),
-        Strategy("batch50", kinds.map(k => IndicatorSpec(k)))
-      )
-    },
-    None
-  )
+    Seq(Strategy50Queries.q)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the Strategy
     * batch compiler running a multi-indicator set over the daily bars —

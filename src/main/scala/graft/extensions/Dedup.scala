@@ -2,7 +2,7 @@ package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.CacheRegistry
 
 /** Deduplication operators (SURVEY.md §2.F) over a corpus
   * `(doc_id BIGINT, text STRING, …)`.
@@ -48,17 +48,21 @@ object Dedup {
     * materialize first so the shingle HOF lambda reads a plain attribute
     * (CollapseProject keeps the split un-inlined — see TextOps note).
     *
-    * Persisted: this is the dedup index — both sides of every candidate
-    * self-join consume it, and a cache barrier also stops PushDownPredicates
-    * from re-inlining the tokenize+shingle pipeline into pushed filters
-    * (that rule has no cost model; an inlined predicate re-runs the HOFs
-    * per reference). Size is O(docs · shingles), a few MB per million docs
-    * — cheap to keep even at 100 TB corpus scale. */
+    * Persisted (via CacheRegistry.memo, so jaccardPairs and the LSH
+    * verification stage share ONE handle per (corpus, k) and
+    * CacheRegistry.release drops it): this is the dedup index — both
+    * sides of every candidate self-join consume it, and a cache barrier
+    * also stops PushDownPredicates from re-inlining the tokenize+shingle
+    * pipeline into pushed filters (that rule has no cost model; an
+    * inlined predicate re-runs the HOFs per reference). Size is
+    * O(docs · shingles), a few MB per million docs — cheap to keep even
+    * at 100 TB corpus scale. */
   private def shingled(docs: DataFrame, k: Int): DataFrame =
-    spread(docs)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
-      .select(col("doc_id"), TextOps.shingleSetFromTokens(col("__tk"), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.memo(docs.sparkSession, s"dedup:shingle:$k:${CacheRegistry.planKey(docs)}") {
+      spread(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), TextOps.shingleSetFromTokens(col("__tk"), k).as("sh"))
+    }
 
   /** Exact shingle-Jaccard near-dup pairs via inverted-index join.
     *
@@ -109,11 +113,13 @@ object Dedup {
     // persisted for the same index-reuse + pushdown-barrier reasons as
     // `shingled` (the isNotNull filter would otherwise be pushed below the
     // staging projects, re-inlining the whole hash pipeline into it)
-    val sig = spread(docs)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
-      .select(col("doc_id"), TextOps.shingleBasesFromTokens(col("__tk"), k).as("__bh"))
-      .select(col("doc_id"), TextOps.minhashSigFromBases(col("__bh")).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = CacheRegistry
+      .memo(docs.sparkSession, s"dedup:minhash:$k:${CacheRegistry.planKey(docs)}") {
+        spread(docs)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+          .select(col("doc_id"), TextOps.shingleBasesFromTokens(col("__tk"), k).as("__bh"))
+          .select(col("doc_id"), TextOps.minhashSigFromBases(col("__bh")).as("sig"))
+      }
       .where(col("sig").isNotNull)
     // (band_id, band signature slice) bucket key — slice is tiny, use it raw.
     val banded = sig.select(
@@ -148,10 +154,11 @@ object Dedup {
     * maxDist ≤ 3; larger maxDist falls back to verified candidates only.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = spread(docs)
-      .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("__th"))
-      .select(col("doc_id"), TextOps.simhashFromHashes(col("__th")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheRegistry.memo(docs.sparkSession, s"dedup:simhash:${CacheRegistry.planKey(docs)}") {
+      spread(docs)
+        .select(col("doc_id"), TextOps.tokenHashes(col("text")).as("__th"))
+        .select(col("doc_id"), TextOps.simhashFromHashes(col("__th")).as("sh"))
+    }
     val bandBits = Seq((0, 8), (8, 8), (16, 8), (24, 6))
     val banded = sh.select(
       col("doc_id"),

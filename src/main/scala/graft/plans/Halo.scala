@@ -102,14 +102,17 @@ object Halo {
     val sidIdx = inSchema.fieldIndex("series_id")
     val srcIdx = inSchema.fieldIndex(src)
 
-    val parts = df
+    val parts0 = df
       .repartitionByRange(chunks, col("series_id"), col("ts"))
       .sortWithinPartitions("series_id", "ts")
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         it.map(r => Row.fromSeq(r.toSeq :+ pid))
       }(enc1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted via the registry: pass 1 materializes it here, pass 2
+    // re-reads it inside the returned lazy plan — the session owner
+    // releases it (CacheRegistry.release) once results are consumed
+    val parts = graft.CacheRegistry.track(parts0)
 
     // pass 1: per (series, chunk) local folds. Two variants, because a
     // chunk cannot know locally whether an earlier chunk already seeded:

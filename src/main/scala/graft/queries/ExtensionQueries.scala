@@ -254,7 +254,7 @@ object ExtensionQueries {
         .orderBy("doc_id"),
     Some(
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
-        "list_sum(list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(unicode(c) AS BIGINT))) AS byte_sum_64, " +
+        "CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS byte_sum_64, " +
         "octet_length(encode(text)) % 640 AS width, " +
         "octet_length(encode(text)) // 1024 + 1 AS frames " +
         "FROM documents ORDER BY doc_id"
@@ -280,7 +280,7 @@ object ExtensionQueries {
       "WITH f AS (SELECT doc_id, unnest(range(0, CAST(ceil(octet_length(encode(text)) / 512.0) AS BIGINT))) AS frame_id, text FROM documents) " +
         "SELECT doc_id, frame_id, " +
         "least(CAST(octet_length(encode(text)) AS BIGINT) - frame_id * 512, 256) AS frame_len, " +
-        "list_sum(list_transform(string_split(substr(text, CAST(frame_id * 512 + 1 AS INTEGER), 256), ''), c -> CAST(unicode(c) AS BIGINT))) AS frame_sum " +
+        "CAST(list_sum(list_transform(string_split(substr(text, CAST(frame_id * 512 + 1 AS INTEGER), 256), ''), c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS frame_sum " +
         "FROM f ORDER BY doc_id, frame_id"
     )
   )

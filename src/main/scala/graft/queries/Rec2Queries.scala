@@ -8,9 +8,7 @@ import graft.ta.Ta._
 import sqlgen._
 
 /** Second REC wave — the reference's "hard" roadmap ops (td_seq, qqe, rsx,
-  * ebsw, hwc, jma) as per-series kernels with recursive-CTE oracles
-  * (jma: rows-only — its ring-buffer volatility state has no practical
-  * SQL fold).
+  * ebsw, hwc, jma) as per-series kernels with recursive-CTE oracles.
   */
 object Rec2Queries {
 
@@ -186,8 +184,52 @@ object Rec2Queries {
     mkBars(s"qqe_$n", Seq(s"qqe_$n", s"qqe_trend_$n"), Some(sql))(_.ta.qqe(n, sm, fac))
   }
 
-  // ------------------------------------------------------------- jma (rows-only)
-  val qJma = mkBars("jma_7", Seq("jma_7"), None)(_.ta.jma(7))
+  // ------------------------------------------------------------- jma
+  /** The kernel's two ring buffers fold into LIST/scalar state: `vbuf`
+    * mirrors the 11-slot volty ring as "last ≤10 volty values" (voltyOld =
+    * head once full, else the ring's untouched 0.0), and the 65-slot vsum
+    * ring's average collapses to `vcum / (rn-1)` because slot 0 stays 0
+    * and the current vsum is written past the averaged range. That closed
+    * form requires rn ≤ 65 — fine for the 30-row bars fixture, asserted
+    * nowhere else. Constants are Scala-computed and emitted via d() so
+    * both engines run bit-identical literals. */
+  val qJma = {
+    val n = 7; val phase = 0.0
+    val len1 = math.max(math.log(math.sqrt(0.5 * (n - 1))) / math.log(2.0) + 2.0, 0.0)
+    val pow1 = math.max(len1 - 2.0, 0.5)
+    val len2 = math.sqrt(0.5 * (n - 1)) * len1
+    val pr = if (phase < -100) 0.5 else if (phase > 100) 2.5 else 1.5 + phase * 0.01
+    val beta = 0.45 * (n - 1) / (0.45 * (n - 1) + 2.0)
+    val sql =
+      s"WITH RECURSIVE bars AS ($barsCte), " +
+        s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM bars), " +
+        "r AS (SELECT series_id, ts, rn, close AS ub, close AS lb, close AS ma1, close AS jma, " +
+        "0e0 AS det0, 0e0 AS det1, 0e0 AS vsum, 0e0 AS vcum, CAST([] AS DOUBLE[]) AS vbuf FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT z.series_id, z.ts, z.rn, z.ub, z.lb, z.ma1, z.jma, z.det0, z.det1, z.vsum, " +
+        "z.pvcum + z.vsum AS vcum, " +
+        "CASE WHEN len(z.pvbuf) >= 10 THEN list_append(z.pvbuf[2:], z.volty) ELSE list_append(z.pvbuf, z.volty) END AS vbuf " +
+        "FROM (" +
+        "SELECT *, pjma + det1 AS jma FROM (" +
+        s"SELECT *, (ma1 + (${d(pr)}) * det0 - pjma) * pow(1e0 - alpha, 2e0) + alpha * alpha * pdet1 AS det1 FROM (" +
+        s"SELECT *, (p - ma1) * (${d(1.0 - beta)}) + (${d(beta)}) * pdet0 AS det0 FROM (" +
+        "SELECT *, CASE WHEN del1 > 0 THEN p ELSE p - kv * del1 END AS ub, " +
+        "CASE WHEN del2 < 0 THEN p ELSE p - kv * del2 END AS lb, " +
+        "(1e0 - alpha) * p + alpha * pma1 AS ma1 FROM (" +
+        s"SELECT *, pow(${d(len2 / (len2 + 1.0))}, sqrt(pow2)) AS kv, pow(${d(beta)}, pow2) AS alpha FROM (" +
+        s"SELECT *, pow(greatest(1e0, least(${d(math.pow(len1, 1.0 / pow1))}, " +
+        "CASE WHEN pvcum / (rn - 1) > 0 THEN volty / (pvcum / (rn - 1)) ELSE 0e0 END)), " +
+        s"${d(pow1)}) AS pow2 FROM (" +
+        "SELECT *, pvsum + (volty - (CASE WHEN len(pvbuf) = 10 THEN pvbuf[1] ELSE 0e0 END)) / 10e0 AS vsum FROM (" +
+        "SELECT *, CASE WHEN abs(del1) <> abs(del2) THEN greatest(abs(del1), abs(del2)) ELSE 0e0 END AS volty FROM (" +
+        "SELECT b.series_id, b.ts, b.rn, b.close AS p, " +
+        "r.ma1 AS pma1, r.jma AS pjma, r.det0 AS pdet0, r.det1 AS pdet1, " +
+        "r.vsum AS pvsum, r.vcum AS pvcum, r.vbuf AS pvbuf, " +
+        "b.close - r.ub AS del1, b.close - r.lb AS del2 " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1" +
+        ") z0) z1) z2) z3) z4) z5) z6) z7) z) " +
+        s"SELECT series_id, ts, round(jma, 6) AS jma_$n FROM r" + orderTail
+    mkBars(s"jma_$n", Seq(s"jma_$n"), Some(sql))(_.ta.jma(n))
+  }
 
   val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma)
 }

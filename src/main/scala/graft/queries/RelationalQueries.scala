@@ -226,7 +226,7 @@ object RelationalQueries {
         "g AS (SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000 " +
         "THEN 1 ELSE 0 END AS new_s FROM e), " +
         "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
-        "SELECT user_id AS series_id, max(sid) + 1 AS n_sessions, count(*) AS n_events, " +
+        "SELECT user_id AS series_id, CAST(max(sid) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events, " +
         "round(CAST(count(*) AS DOUBLE) / (max(sid) + 1), 6) AS events_per_session " +
         "FROM s GROUP BY user_id ORDER BY series_id"
     )
