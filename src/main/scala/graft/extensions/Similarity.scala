@@ -131,11 +131,19 @@ object Similarity {
     * the whole pipeline deterministic (no RNG in the engine contract);
     * swap in k-means iterations offline for better balance.
     */
-  def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame = {
-    val cents = corpus
+  /** Deterministic centroid set: the nCells lowest-id vectors. ONE shared
+    * derivation for the build side (ivfIndex) and the probe side (topkIvf)
+    * — a probe-side quantizer that differs from the build-side one
+    * silently degrades recall (e.g. `vec_id < nCells` on a corpus whose
+    * ids are non-contiguous selects the wrong — or an empty — set). */
+  def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame =
+    vectors
       .orderBy("vec_id")
       .limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells)
     val scored = corpus
       .crossJoin(broadcast(cents))
       .select(
@@ -156,9 +164,9 @@ object Similarity {
     * nprobe nearest cells. Approximate — recall measured vs topkBrute in
     * the test suite. */
   def topkIvf(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val cents = index
-      .where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // index rows = corpus rows (+cell), so this reproduces EXACTLY the
+    // centroid set ivfIndex quantized against, for any id distribution
+    val cents = ivfCentroids(index, nCells)
     val qcells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))

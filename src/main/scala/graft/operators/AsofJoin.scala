@@ -35,10 +35,21 @@ object AsofJoin {
       rightCols: Seq[String],
       prefix: String = "r_"
   ): DataFrame = {
-    val leftTagged = left.withColumn("__side", lit(1))
+    require(rightCols.nonEmpty, "asof: rightCols must be non-empty")
+    require(
+      rightCols.forall(c => !left.columns.contains(s"$prefix$c")),
+      s"asof: output name collision — left already has ${rightCols.map(prefix + _).filter(left.columns.contains).mkString(", ")}"
+    )
+    // collision-free internal names (a user column literally named "__side"
+    // must survive the union/carry untouched)
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val sideC = fresh("__side"); val pC = fresh("__p"); val pcC = fresh("__pc")
+    val leftTagged = left.withColumn(sideC, lit(1))
     val rightTagged = right
       .select(col(keyCol) +: col(tsCol) +: rightCols.map(col): _*)
-      .withColumn("__side", lit(0))
+      .withColumn(sideC, lit(0))
     // align schemas: left keeps all its columns; right contributes its
     // payload as ONE struct so `last(ignoreNulls)` carries the whole latest
     // right ROW atomically — per-column carry would back-fill a NULL cell
@@ -47,29 +58,29 @@ object AsofJoin {
     val payloadType = StructType(rightCols.map(c => StructField(c, right.schema(c).dataType)))
     val leftCols = left.columns
     val l2 = leftTagged.select(
-      (leftCols.map(col) :+ col("__side")) :+ lit(null).cast(payloadType).as("__p"): _*
+      (leftCols.map(col) :+ col(sideC)) :+ lit(null).cast(payloadType).as(pC): _*
     )
     val r2 = rightTagged.select(
       (leftCols.map {
         case c0 if c0 == keyCol => col(keyCol)
         case c0 if c0 == tsCol => col(tsCol)
         case c0 => lit(null).cast(left.schema(c0).dataType).as(c0)
-      }.toSeq :+ col("__side")) :+ struct(rightCols.map(col): _*).as("__p"): _*
+      }.toSeq :+ col(sideC)) :+ struct(rightCols.map(col): _*).as(pC): _*
     )
     val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
-    // right rows sort BEFORE left rows at equal ts (__side 0 < 1): a bar
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1): a bar
     // stamped at ts is visible to an event at the same ts
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried =
-      unioned.withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
+      unioned.withColumn(pcC, last(col(pC), ignoreNulls = true).over(w))
     carried
-      .where(col("__side") === 1)
+      .where(col(sideC) === 1)
       .select(
         leftCols.map(col) ++
-          rightCols.map(c => col("__pc").getField(c).as(s"$prefix$c")): _*
+          rightCols.map(c => col(pcC).getField(c).as(s"$prefix$c")): _*
       )
   }
 }

@@ -245,7 +245,17 @@ object registry {
       }
   }
 
-  /** Compile and run a whole Strategy — one lazy plan, no process pool. */
-  def strategy(df: DataFrame, st: Strategy): DataFrame =
-    st.ta.foldLeft(df)((d, spec) => apply(d, spec))
+  /** Compile and run a whole Strategy — one lazy plan, no process pool.
+    *
+    * Specs with a StrategyCompiler lowering merge into a handful of
+    * `withColumns` levels (driver-side compile cost stops scaling with
+    * indicator count × plan size — see StrategyCompiler); the rest run
+    * through the per-spec builder fold. Output columns are identical to
+    * folding `apply` over every spec. */
+  def strategy(df: DataFrame, st: Strategy): DataFrame = {
+    val lowered = st.ta.map(s => s -> StrategyCompiler.compile(s))
+    val plans = lowered.collect { case (_, Some(plan)) => plan }
+    val rest = lowered.collect { case (s, None) => s }
+    rest.foldLeft(StrategyCompiler.run(df, plans))((d, spec) => apply(d, spec))
+  }
 }

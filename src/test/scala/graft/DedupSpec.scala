@@ -45,6 +45,26 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("IVF results are invariant under a vec_id offset (non-contiguous ids)") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val base = Similarity
+      .topkIvf(Similarity.ivfIndex(e, 16), queries, 5, 16, 4)
+      .select("q_id", "rk", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // same corpus with ids shifted far past nCells: the probe-side
+    // quantizer must still find the build-side centroid set
+    val off = 100000L
+    val eOff = e.withColumn("vec_id", col("vec_id") + off)
+    val qOff = queries.withColumn("vec_id", col("vec_id") + off)
+    val shifted = Similarity
+      .topkIvf(Similarity.ivfIndex(eOff, 16), qOff, 5, 16, 4)
+      .select("q_id", "rk", "nbr_id").collect()
+      .map(r => (r.getLong(0) - off, r.getInt(1), r.getLong(2) - off)).toSet
+    assert(shifted == base, s"missing=${base -- shifted} spurious=${shifted -- base}")
+    assert(base.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
