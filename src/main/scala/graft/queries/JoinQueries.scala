@@ -82,6 +82,63 @@ object JoinQueries {
     )
   }
 
+  /** Second-wave candle patterns over the PER-USER bars (multi-key, 15
+    * series — exercises the per-key lag semantics the single-series bars
+    * cannot). Oracle mirrors Ta.cdlPatterns2 term-for-term. */
+  val qCdlPatterns2 = {
+    val bars = new Cte("bars", userBarsCte)
+    val outs = Seq(
+      "cdl_piercing", "cdl_dark_cloud", "cdl_morning_star", "cdl_evening_star",
+      "cdl_3_white_soldiers", "cdl_3_black_crows", "cdl_hanging_man",
+      "cdl_inverted_hammer", "cdl_dragonfly_doji", "cdl_gravestone_doji",
+      "cdl_long_legged_doji"
+    )
+    val b = bars
+      .addSel(
+        "c0",
+        s"abs(close - open) AS body, high - low AS rng, " +
+          s"lag(open, 1) $ov AS po, lag(close, 1) $ov AS pc, " +
+          s"lag(open, 2) $ov AS po2, lag(close, 2) $ov AS pc2, " +
+          "high - greatest(open, close) AS ush, least(open, close) - low AS dsh"
+      )
+      .addSel(
+        "c1",
+        "abs(pc - po) AS pbody, abs(pc2 - po2) AS p2body, " +
+          "close > open AS bull, close < open AS bear, " +
+          "pc > po AS pbull, pc < po AS pbear, pc2 > po2 AS p2bull, pc2 < po2 AS p2bear"
+      )
+      .addSel(
+        "c2",
+        "CASE WHEN pc IS NULL THEN NULL WHEN pbear AND bull AND open <= pc AND close > (po + pc) / 2e0 AND close < po THEN 1e0 ELSE 0e0 END AS cdl_piercing, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN pbull AND bear AND open >= pc AND close < (po + pc) / 2e0 AND close > po THEN 1e0 ELSE 0e0 END AS cdl_dark_cloud, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbody <= 0.3e0 * p2body AND bull AND close > (po2 + pc2) / 2e0 THEN 1e0 ELSE 0e0 END AS cdl_morning_star, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbody <= 0.3e0 * p2body AND bear AND close < (po2 + pc2) / 2e0 THEN 1e0 ELSE 0e0 END AS cdl_evening_star, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN bull AND pbull AND p2bull AND close > pc AND pc > pc2 AND open > po AND open < pc AND po > po2 AND po < pc2 THEN 1e0 ELSE 0e0 END AS cdl_3_white_soldiers, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN bear AND pbear AND p2bear AND close < pc AND pc < pc2 AND open < po AND open > pc AND po < po2 AND po > pc2 THEN 1e0 ELSE 0e0 END AS cdl_3_black_crows, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN dsh >= 2e0 * body AND ush <= body AND body > 0 AND pbull THEN 1e0 ELSE 0e0 END AS cdl_hanging_man, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN ush >= 2e0 * body AND dsh <= body AND body > 0 AND pbear THEN 1e0 ELSE 0e0 END AS cdl_inverted_hammer, " +
+          "CASE WHEN rng > 0 AND body <= 0.1e0 * rng AND ush <= 0.1e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_dragonfly_doji, " +
+          "CASE WHEN rng > 0 AND body <= 0.1e0 * rng AND dsh <= 0.1e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_gravestone_doji, " +
+          "CASE WHEN rng > 0 AND body <= 0.1e0 * rng AND ush >= 0.3e0 * rng AND dsh >= 0.3e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_long_legged_doji"
+      )
+    Q(
+      "cdl_patterns2",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .userBars(s, dir)
+          .ta.cdlPatterns2
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
   /** Candle utils + rolling geometric mean over the bars. */
   val qCandleUtils = {
     val bars = new Cte("bars", barsCte)
@@ -112,5 +169,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCandleUtils)
 }

@@ -191,6 +191,7 @@ object registry {
     "cdl_doji" -> ("candles", (df, p) => df.ta.cdlDoji(i(p, "length", 10), dd(p, "factor", 0.1))),
     "cdl_inside" -> ("candles", (df, _) => df.ta.cdlInside),
     "cdl_pattern" -> ("candles", (df, _) => df.ta.cdlPatterns),
+    "cdl_pattern_2" -> ("candles", (df, _) => df.ta.cdlPatterns2),
     "candle_utils" -> ("candles", (df, _) => df.ta.candleUtils),
     "geometric_mean" -> ("statistics", (df, p) => df.ta.geometricMean(i(p, "length", 10))),
     "ebsw" -> ("cycles", (df, p) => df.ta.ebsw(i(p, "length", 40), i(p, "bars", 10))),

@@ -545,6 +545,57 @@ final class Ta(private val df: DataFrame) {
     defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
   }
 
+  /** Second wave of native candle patterns (reference candles/
+    * cdl_pattern.py TA-Lib delegation — self-contained declared specs, no
+    * TA-Lib): 2-candle reversals (piercing, dark cloud, hanging man,
+    * inverted hammer), 3-candle stars and soldiers/crows, and the doji
+    * family. Null while the needed lags are undefined; else 1.0/0.0. */
+  def cdlPatterns2: DataFrame = {
+    val body = abs(close - open)
+    val rng = high - low
+    val po = shift(open, 1); val pc = shift(close, 1)
+    val po2 = shift(open, 2); val pc2 = shift(close, 2)
+    val upShadow = high - greatest(open, close)
+    val dnShadow = least(open, close) - low
+    val bull = close > open; val bear = close < open
+    val pBull = pc > po; val pBear = pc < po
+    val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
+    val pBody = abs(pc - po); val p2Body = abs(pc2 - po2)
+    def flag2(cond: Column): Column =
+      when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flag3(cond: Column): Column =
+      when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
+    val defs: Seq[(String, Column)] = Seq(
+      // piercing: gap into the prior bear body, close above its midpoint
+      "cdl_piercing" -> flag2(pBear && bull && open <= pc && close > (po + pc) / 2.0 && close < po),
+      "cdl_dark_cloud" -> flag2(pBull && bear && open >= pc && close < (po + pc) / 2.0 && close > po),
+      // stars: long first body, small middle body, third closes past the
+      // first body's midpoint
+      "cdl_morning_star" -> flag3(p2Bear && pBody <= lit(0.3) * p2Body && bull && close > (po2 + pc2) / 2.0),
+      "cdl_evening_star" -> flag3(p2Bull && pBody <= lit(0.3) * p2Body && bear && close < (po2 + pc2) / 2.0),
+      // three advancing/declining candles, each opening within the prior body
+      "cdl_3_white_soldiers" -> flag3(
+        bull && pBull && p2Bull && close > pc && pc > pc2 &&
+          open > po && open < pc && po > po2 && po < pc2
+      ),
+      "cdl_3_black_crows" -> flag3(
+        bear && pBear && p2Bear && close < pc && pc < pc2 &&
+          open < po && open > pc && po < po2 && po > pc2
+      ),
+      // hammer/shooting-star shapes with a prior-candle trend proxy
+      "cdl_hanging_man" -> flag2(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0 && pBull),
+      "cdl_inverted_hammer" -> flag2(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0 && pBear),
+      // doji family: tiny body, shadow distribution decides the name
+      "cdl_dragonfly_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && upShadow <= lit(0.1) * rng),
+      "cdl_gravestone_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && dnShadow <= lit(0.1) * rng),
+      "cdl_long_legged_doji" -> flag1(
+        rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
+      )
+    )
+    defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
+  }
+
   /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
   def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
     df.withColumn(
