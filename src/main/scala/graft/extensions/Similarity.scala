@@ -85,6 +85,38 @@ object Similarity {
   /** Exact top-k via a typed Aggregator (partial-agg heap) instead of a
     * window sort: equal results to topkBrute, but the per-query state
     * that crosses the shuffle is k pairs, not the whole scored corpus. */
+  private def topkAgg(k: Int)(implicit outEnc: org.apache.spark.sql.Encoder[Seq[(Long, Double)]]) =
+    new org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double), TopKAcc, Seq[(Long, Double)]] {
+      def zero: TopKAcc = TopKAcc(k, Nil)
+      def reduce(b: TopKAcc, r: (Long, Long, Double)): TopKAcc = b.add(r._3, r._2)
+      def merge(a: TopKAcc, b: TopKAcc): TopKAcc = a.merge(b)
+      def finish(b: TopKAcc): Seq[(Long, Double)] = b.items.map(p => (p._2, p._1))
+      def bufferEncoder: org.apache.spark.sql.Encoder[TopKAcc] =
+        org.apache.spark.sql.Encoders.kryo[TopKAcc]
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] = outEnc
+    }
+
+  /** Heap-aggregate (q_id, nbr_id, sim) triples to ranked top-k rows —
+    * the only per-query state crossing the shuffle is k pairs. Rank order
+    * matches the window-sort paths: sim desc, nbr_id asc. */
+  private def heapRank(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int
+  ): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
+      .groupByKey(_._1)
+      .agg(topkAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("rk0", "p")))
+      .select(
+        col("q_id"),
+        (col("rk0") + 1).cast("long").as("rk"),
+        col("p._1").as("nbr_id"),
+        col("p._2").as("sim")
+      )
+  }
+
   def topkHeap(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -99,27 +131,7 @@ object Similarity {
         dot(col("q_emb"), col("c.embedding")).as("sim")
       )
       .as[(Long, Long, Double)]
-    val agg = new org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double), TopKAcc, Seq[(Long, Double)]] {
-      def zero: TopKAcc = TopKAcc(k, Nil)
-      def reduce(b: TopKAcc, r: (Long, Long, Double)): TopKAcc = b.add(r._3, r._2)
-      def merge(a: TopKAcc, b: TopKAcc): TopKAcc = a.merge(b)
-      def finish(b: TopKAcc): Seq[(Long, Double)] = b.items.map(p => (p._2, p._1))
-      def bufferEncoder: org.apache.spark.sql.Encoder[TopKAcc] =
-        org.apache.spark.sql.Encoders.kryo[TopKAcc]
-      def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
-        implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]
-    }
-    scored
-      .groupByKey(_._1)
-      .agg(agg.toColumn.name("topk"))
-      .toDF("q_id", "topk")
-      .select(col("q_id"), posexplode(col("topk")).as(Seq("rk0", "p")))
-      .select(
-        col("q_id"),
-        (col("rk0") + 1).cast("long").as("rk"),
-        col("p._1").as("nbr_id"),
-        col("p._2").as("sim")
-      )
+    heapRank(scored, k)
   }
 
   /** IVF (inverted-file) index: deterministic coarse quantizer using the
@@ -186,5 +198,35 @@ object Similarity {
       .withColumn("rk", row_number().over(rk))
       .where(col("rk") <= k)
       .select("q_id", "rk", "nbr_id", "sim")
+  }
+
+  /** IVF probing for query sets too large to broadcast: probes meet the
+    * index through a SHUFFLE join co-partitioned on `cell` (at 100 TB,
+    * cell is also the storage partition key, so the index side arrives
+    * pre-partitioned), and per-query top-k uses the bounded-heap
+    * Aggregator, so only k pairs per query per partition cross the final
+    * shuffle. Centroids stay broadcast — nCells is small by design.
+    * Result-identical to topkIvf (same ranking tiebreaks; spec-asserted). */
+  def topkIvfLarge(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(index, nCells)
+    val qcells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("cent_id"), dot(col("q_emb"), col("cent_emb")).as("csim"))
+    import org.apache.spark.sql.expressions.Window
+    val crk = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qcells
+      .withColumn("crk", row_number().over(crk))
+      .where(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+    val scored = index
+      .repartition(col("cell"))
+      .join(probes.repartition(col("cell")), "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"), dot(col("q_emb"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+    heapRank(scored, k)
   }
 }

@@ -315,6 +315,22 @@ object ExtensionQueries {
     )
   )
 
+  /** Large-query-set IVF path: shuffle join on cell + bounded-heap top-k
+    * (no broadcast of the probe table). Same semantics as x_ann_ivf_topk,
+    * so it shares the oracle SQL verbatim. */
+  val qAnnIvfBig = Q(
+    "x_ann_ivf_topk_big",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val idx = Similarity.ivfIndex(e, nCells = 16)
+      Similarity
+        .topkIvfLarge(idx, e.where(col("vec_id") < 10), k = 5, nCells = 16, nprobe = 4)
+        .select(col("q_id"), col("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    qAnnIvf.sql
+  )
+
   /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
     * by pigeonhole). Oracle: brute-force Hamming over the same simhash. */
   val qSimhashPairs = Q(
@@ -413,6 +429,7 @@ object ExtensionQueries {
     qCosinePairs,
     qMediaFeatures,
     qMediaFrames,
-    qAnnIvf
+    qAnnIvf,
+    qAnnIvfBig
   )
 }

@@ -65,6 +65,19 @@ class DedupSpec extends AnyFunSuite {
     assert(base.nonEmpty)
   }
 
+  test("topkIvfLarge (shuffle join + heap) equals topkIvf (broadcast probes)") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val idx = Similarity.ivfIndex(e, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rk").cast("long"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val small = rows(Similarity.topkIvf(idx, queries, 5, 16, 4))
+    val large = rows(Similarity.topkIvfLarge(idx, queries, 5, 16, 4))
+    assert(large == small, s"missing=${small -- large} spurious=${large -- small}")
+    assert(small.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
