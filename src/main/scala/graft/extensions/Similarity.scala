@@ -200,6 +200,59 @@ object Similarity {
       .select("q_id", "rk", "nbr_id", "sim")
   }
 
+  /** Deterministic hyperplane set for sign-LSH over dim-d embeddings:
+    * w(p, i) = sin(1 + p·dim + i). No RNG — the planes are a pure
+    * function of (nPlanes, dim), so the DuckDB oracle replays them as
+    * identical double literals. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(i => math.sin((1 + p * dim + i).toDouble)))
+
+  /** Sign-LSH signature: bit p set iff dot(w_p, emb) > 0. */
+  def hyperplaneSig(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (w, p) => when(dot(emb, array(w.map(lit): _*)) > 0, lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+
+  /** Embedding-cosine near-dup pairs, sub-quadratic: sign-LSH banding
+    * (any pair agreeing on ≥1 of `bands` signature slices becomes a
+    * candidate) + exact-dot verification, so false positives are
+    * eliminated and the only approximation is recall on near-threshold
+    * pairs (P[bit agree] = 1 − θ/π; 8 bands × 2 bits keeps recall ≈ 1
+    * for high-cosine pairs). Shuffle volume is vectors × bands — the
+    * scale alternative to cosinePairs' O(n²) self-join, same contract as
+    * minhashLshPairs for text. */
+  def cosineNeardupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      dim: Int,
+      nPlanes: Int = 16,
+      bands: Int = 8
+  ): DataFrame = {
+    require(nPlanes % bands == 0 && nPlanes <= 62, "bands must partition the signature")
+    val planes = hyperplanes(nPlanes, dim)
+    val sigd = corpus
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"), hyperplaneSig(col("embedding"), planes).as("sig"))
+    val bb = nPlanes / bands
+    val banded = sigd.select(
+      col("vec_id"),
+      posexplode(
+        array((0 until bands).map(b => pmod(shiftright(col("sig"), b * bb), lit(1L << bb))): _*)
+      ).as(Seq("band", "bkey"))
+    )
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sigd.select(col("vec_id").as("a_id"), col("embedding").as("emb_a")), "a_id")
+      .join(sigd.select(col("vec_id").as("b_id"), col("embedding").as("emb_b")), "b_id")
+      .select(col("a_id"), col("b_id"), dot(col("emb_a"), col("emb_b")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** IVF probing for query sets too large to broadcast: probes meet the
     * index through a SHUFFLE join co-partitioned on `cell` (at 100 TB,
     * cell is also the storage partition key, so the index side arrives

@@ -236,6 +236,40 @@ object ExtensionQueries {
     )
   )
 
+  /** Embedding near-dup, scale path: sign-LSH banding + exact-dot verify.
+    * Deterministic (sin-formula hyperplanes emitted as literals), so the
+    * oracle replays signature → bands → candidate join → verification
+    * exactly; recall vs the exact x_cosine_pairs asserted in DedupSpec. */
+  val qVecNeardup = {
+    val (nPlanes, bands, dim, threshold) = (16, 8, 64, 0.45)
+    val bb = nPlanes / bands
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    def planeLit(w: Seq[Double]) = "[" + w.map(sqlgen.d).mkString(", ") + "]"
+    val sigExpr = planes.zipWithIndex
+      .map { case (w, p) =>
+        s"(CASE WHEN ${dotSql("embedding", planeLit(w))} > 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    Q(
+      "x_vec_neardup",
+      (s, dir) =>
+        Similarity
+          .cosineNeardupPairs(embs(s, dir), threshold, dim, nPlanes, bands)
+          .select(col("a_id"), col("b_id"), P.normd(col("sim")).as("sim"))
+          .orderBy("a_id", "b_id"),
+      Some(
+        s"WITH sigs AS (SELECT vec_id, embedding, $sigExpr AS sig FROM embeddings), " +
+          s"banded AS (SELECT vec_id, band, (sig >> (band * $bb)) % ${1L << bb} AS bkey " +
+          s"FROM sigs, (SELECT unnest(range(0, $bands)) AS band)), " +
+          "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
+          "FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id) " +
+          s"SELECT c.a_id, c.b_id, round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim " +
+          "FROM cand c JOIN sigs a ON c.a_id = a.vec_id JOIN sigs b ON c.b_id = b.vec_id " +
+          s"WHERE ${dotSql("a.embedding", "b.embedding")} >= $threshold ORDER BY a_id, b_id"
+      )
+    )
+  }
+
   /** Multimodal plumbing: binary payload + typed metadata + stub decode.
     * Oracle exploits the ASCII corpus: utf-8 byte values = char codes. */
   val qMediaFeatures = Q(
@@ -430,6 +464,7 @@ object ExtensionQueries {
     qMediaFeatures,
     qMediaFrames,
     qAnnIvf,
-    qAnnIvfBig
+    qAnnIvfBig,
+    qVecNeardup
   )
 }

@@ -78,6 +78,22 @@ class DedupSpec extends AnyFunSuite {
     assert(small.nonEmpty)
   }
 
+  test("sign-LSH embedding near-dup: perfect precision, full recall above the borderline band") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val exact = Similarity.cosinePairs(e, 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = pairSet(Similarity.cosineNeardupPairs(e, 0.45, dim = 64))
+    // exact verification ⇒ no false positives, ever
+    assert(lsh.subsetOf(exact.keySet), s"spurious=${lsh -- exact.keySet}")
+    // LSH recall loss is confined to near-threshold pairs; everything
+    // clearly above the threshold must be found (fixture max sim ≈ 0.479;
+    // the one miss at sf0.001 sits at 0.454, just over the 0.45 line)
+    val strong = exact.filter(_._2 >= 0.46).keySet
+    assert(strong.subsetOf(lsh), s"missed strong pairs: ${strong -- lsh}")
+    assert((lsh & exact.keySet).size.toDouble / exact.size >= 0.75)
+    assert(strong.nonEmpty)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
