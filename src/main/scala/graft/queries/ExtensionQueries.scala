@@ -398,11 +398,18 @@ object ExtensionQueries {
       val toks = d0
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
         .select(col("doc_id"), explode(col("__tk")).as("term"))
-      val tf = toks.groupBy("doc_id", "term").count().withColumnRenamed("count", "tf")
+      // tf persisted (CacheRegistry): both the scoring branch and the
+      // document-frequency aggregate consume it, and without the barrier
+      // the tokenize HOF pipeline ran TWICE (column pruning makes the two
+      // subtrees differ, so ReuseExchange cannot dedupe them). df comes
+      // straight off tf — one row per (doc, term), so its per-term count
+      // IS the document frequency; the old distinct() shuffle is gone.
+      val tf = graft.CacheRegistry.memo(s, s"tfidf:tf:$dir") {
+        toks.groupBy("doc_id", "term").count().withColumnRenamed("count", "tf")
+      }
       // corpus size stays in-plan (1-row broadcast) — no driver action
       val nDf = d0.agg(count(lit(1)).cast("double").as("__n"))
-      val df0 = toks.select(col("doc_id"), col("term")).distinct().groupBy("term").count()
-        .withColumnRenamed("count", "df")
+      val df0 = tf.groupBy("term").count().withColumnRenamed("count", "df")
       val scored = tf
         .join(df0, "term")
         .crossJoin(broadcast(nDf))

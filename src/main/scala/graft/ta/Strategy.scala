@@ -246,6 +246,9 @@ object registry {
       }
   }
 
+  /** True when the spec has a StrategyCompiler lowering (test hook). */
+  def hasLowering(spec: IndicatorSpec): Boolean = StrategyCompiler.compile(spec).isDefined
+
   /** Compile and run a whole Strategy — one lazy plan, no process pool.
     *
     * Specs with a StrategyCompiler lowering merge into a handful of

@@ -32,6 +32,20 @@ private[ta] object StrategyCompiler {
   final case class ColPlan(levels: Seq[Level], temps: Seq[String])
 
   private val close = col("close")
+  private val open = col("open")
+  private val high = col("high")
+  private val low = col("low")
+  private val volume = col("volume")
+
+  /** max(h−l, |h−pc|, |l−pc|); null on the first row (mirror Ta.trueRange). */
+  private def trExpr: Column = {
+    val pc = shift(close, 1)
+    when(pc.isNull, lit(null)).otherwise(greatest(high - low, abs(high - pc), abs(low - pc)))
+  }
+
+  /** CLV = ((c−l)−(h−c))/(h−l), 0 when h=l (mirror Ta.clv). */
+  private def clvExpr: Column =
+    when(high =!= low, ((close - low) - (high - close)) / (high - low)).otherwise(0.0)
 
   /** sma-seeded adjust=False ema levels (mirror of stage.ema with the z
     * CASE inlined into the ewm argument — same ops, same order). Uses the
@@ -418,6 +432,270 @@ private[ta] object StrategyCompiler {
         val n = i(p, "length", 10)
         val lnx = when(close > 0, log(close))
         Some(one(s"geomean_$n", exp(rmean(lnx, n))))
+
+      // ----- OHLCV single/few-level kinds (mirror the Ta methods) -----
+      case "hl2" => Some(one("hl2", (high + low) / 2.0))
+      case "hlc3" => Some(one("hlc3", (high + low + close) / 3.0))
+      case "ohlc4" => Some(one("ohlc4", (open + high + low + close) / 4.0))
+      case "wcp" => Some(one("wcp", (high + low + lit(2.0) * close) / 4.0))
+      case "midprice" =>
+        val n = i(p, "length", 10)
+        Some(one(s"midprice_$n", (rmax(high, n) + rmin(low, n)) / 2.0))
+      case "bop" => Some(one("bop", sdiv(close - open, high - low)))
+      case "qstick" =>
+        val n = i(p, "length", 10)
+        Some(one(s"qstick_$n", rmean(close - open, n)))
+      case "true_range" => Some(one("true_range", trExpr))
+      case "pdist" =>
+        Some(one("pdist", lit(2.0) * (high - low) - abs(close - open) + abs(open - shift(close, 1))))
+      case "increasing" =>
+        val n = i(p, "length", 1)
+        Some(one(s"increasing_$n", when(diff(close, n) > 0, 1.0).otherwise(0.0)))
+      case "decreasing" =>
+        val n = i(p, "length", 1)
+        Some(one(s"decreasing_$n", when(diff(close, n) < 0, 1.0).otherwise(0.0)))
+      case "vhf" =>
+        val n = i(p, "length", 10)
+        val ad = s"__vhf${n}_ad"
+        Some(ColPlan(
+          Seq(
+            Seq(ad -> abs(diff(close))),
+            Seq(s"vhf_$n" -> sdiv(abs(rmax(close, n) - rmin(close, n)), rsum(col(ad), n)))
+          ),
+          Seq(ad)
+        ))
+      case "donchian" =>
+        val n = i(p, "length", 10)
+        Some(ColPlan(
+          Seq(
+            Seq(s"dcl_$n" -> rmin(low, n), s"dcu_$n" -> rmax(high, n)),
+            Seq(s"dcm_$n" -> ((col(s"dcl_$n") + col(s"dcu_$n")) / 2.0))
+          ),
+          Nil
+        ))
+      case "willr" =>
+        val n = i(p, "length", 10)
+        val ll = rmin(low, n); val hh = rmax(high, n)
+        Some(one(s"willr_$n", lit(100.0) * sdiv(close - hh, hh - ll)))
+      case "stoch" =>
+        val n = i(p, "k", 10); val sK = i(p, "smooth_k", 3); val dN = i(p, "d", 3)
+        val fk = "__stoch_fastk"
+        val ll = rmin(low, n); val hh = rmax(high, n)
+        Some(ColPlan(
+          Seq(
+            Seq(fk -> (lit(100.0) * sdiv(close - ll, hh - ll))),
+            Seq("stoch_k" -> rmean(col(fk), sK)),
+            Seq("stoch_d" -> rmean(col("stoch_k"), dN))
+          ),
+          Seq(fk)
+        ))
+      case "ao" =>
+        val fast = i(p, "fast", 5); val slow = i(p, "slow", 20)
+        val h2 = s"__ao_hl2"
+        Some(ColPlan(
+          Seq(
+            Seq(h2 -> ((high + low) / 2.0)),
+            Seq(s"ao_${fast}_$slow" -> (rmean(col(h2), fast) - rmean(col(h2), slow)))
+          ),
+          Seq(h2)
+        ))
+      case "accbands" =>
+        val n = i(p, "length", 10)
+        val ratio = lit(4.0) * sdiv(high - low, high + low)
+        val au = s"__accb${n}_au"; val al = s"__accb${n}_al"
+        Some(ColPlan(
+          Seq(
+            Seq(au -> (high * (lit(1.0) + ratio)), al -> (low * (lit(1.0) - ratio))),
+            Seq(
+              s"accbu_$n" -> rmean(col(au), n),
+              s"accbl_$n" -> rmean(col(al), n),
+              s"accbm_$n" -> rmean(close, n)
+            )
+          ),
+          Seq(au, al)
+        ))
+      case "ui" =>
+        val n = i(p, "length", 10)
+        val hh = rmax(close, n)
+        val d2 = s"__ui${n}_d2"
+        val dpct = lit(100.0) * sdiv(close - hh, hh)
+        Some(ColPlan(
+          Seq(
+            Seq(d2 -> (dpct * dpct)),
+            Seq(s"ui_$n" -> { val m = rmean(col(d2), n); when(m >= 0.0, sqrt(m)) })
+          ),
+          Seq(d2)
+        ))
+      case "uo" =>
+        val fN = i(p, "fast", 7); val mN = i(p, "medium", 14); val sN = i(p, "slow", 28)
+        val pc = shift(close, 1)
+        val bp = "__uo_bp"; val tr = "__uo_tr"
+        def avgN(n0: Int) = sdiv(rsum(col(bp), n0), rsum(col(tr), n0))
+        Some(ColPlan(
+          Seq(
+            Seq(
+              bp -> when(pc.isNull, lit(null)).otherwise(close - least(low, pc)),
+              tr -> when(pc.isNull, lit(null)).otherwise(greatest(high, pc) - least(low, pc))
+            ),
+            Seq(s"uo_${fN}_${mN}_$sN" -> (lit(100.0) * (lit(4.0) * avgN(fN) + lit(2.0) * avgN(mN) + avgN(sN)) / 7.0))
+          ),
+          Seq(bp, tr)
+        ))
+      case "eri" =>
+        val n = i(p, "length", 10)
+        val (l, t) = emaLv(close, "__eri_e", n)
+        Some(ColPlan(
+          l :+ Seq(s"bull_$n" -> (high - col("__eri_e")), s"bear_$n" -> (low - col("__eri_e"))),
+          "__eri_e" +: t
+        ))
+      case "cci" =>
+        val n = i(p, "length", 10); val scalar = dd(p, "scalar", 0.015)
+        val tp = "__cci_tp"; val xs = "__cci_xs"; val m = "__cci_m"; val md = "__cci_mad"
+        Some(ColPlan(
+          Seq(
+            Seq(tp -> ((high + low + close) / 3.0)),
+            Seq(xs -> collect_list(col(tp)).over(f(n)), m -> avg(col(tp)).over(f(n))),
+            Seq(md -> when(
+              count(col(tp)).over(f(n)) >= n,
+              aggregate(col(xs), lit(0.0), (acc, v) => acc + abs(v - col(m))) / size(col(xs))
+            )),
+            Seq(s"cci_$n" -> sdiv(col(tp) - rmean(col(tp), n), lit(scalar) * col(md)))
+          ),
+          Seq(tp, xs, m, md)
+        ))
+      case "atr" =>
+        val n = i(p, "length", 10)
+        Some(ColPlan(
+          Seq(Seq("true_range" -> trExpr), Seq(s"atr_$n" -> rmaOf(col("true_range"), n))),
+          Nil // true_range is a real output of the atr builder too
+        ))
+      case "natr" =>
+        val n = i(p, "length", 10)
+        Some(ColPlan(
+          Seq(
+            Seq("true_range" -> trExpr),
+            Seq(s"atr_$n" -> rmaOf(col("true_range"), n)),
+            Seq(s"natr_$n" -> (lit(100.0) * sdiv(col(s"atr_$n"), close)))
+          ),
+          Nil
+        ))
+      case "chop" =>
+        val n = i(p, "length", 10)
+        val ratio = sdiv(rsum(col("true_range"), n), rmax(high, n) - rmin(low, n))
+        Some(ColPlan(
+          Seq(
+            Seq("true_range" -> trExpr),
+            Seq(s"chop_$n" -> (lit(100.0) * sln(ratio) / lit(math.log(n.toDouble))))
+          ),
+          Nil
+        ))
+      case "vortex" =>
+        val n = i(p, "length", 10)
+        val pl = shift(low, 1); val ph = shift(high, 1)
+        val vmp = s"__vtx${n}_vmp"; val vmm = s"__vtx${n}_vmm"
+        Some(ColPlan(
+          Seq(
+            Seq(
+              "true_range" -> trExpr,
+              vmp -> when(pl.isNull, lit(null)).otherwise(abs(high - pl)),
+              vmm -> when(ph.isNull, lit(null)).otherwise(abs(low - ph))
+            ),
+            Seq(
+              s"vtxp_$n" -> sdiv(rsum(col(vmp), n), rsum(col("true_range"), n)),
+              s"vtxm_$n" -> sdiv(rsum(col(vmm), n), rsum(col("true_range"), n))
+            )
+          ),
+          Seq(vmp, vmm)
+        ))
+      case "vwma" =>
+        val n = i(p, "length", 10)
+        Some(one(s"vwma_$n", sdiv(rmean(close * volume, n), rmean(volume, n))))
+      case "vwap" =>
+        val tp = "__vwap_tp"
+        Some(ColPlan(
+          Seq(
+            Seq(tp -> ((high + low + close) / 3.0)),
+            Seq("vwap" -> sdiv(cumsum(col(tp) * volume), cumsum(volume)))
+          ),
+          Seq(tp)
+        ))
+      case "obv" =>
+        val sC = "__obv_s"
+        val dcl = diff(close)
+        val sgn = when(rn === 1, 1.0)
+          .otherwise(when(dcl > 0, 1.0).when(dcl < 0, -1.0).otherwise(0.0))
+        Some(ColPlan(
+          Seq(Seq(sC -> (sgn * volume)), Seq("obv" -> cumsum(col(sC)))),
+          Seq(sC)
+        ))
+      case "ad" =>
+        val cv = "__ad_clvv"
+        Some(ColPlan(
+          Seq(Seq(cv -> (clvExpr * volume)), Seq("ad" -> cumsum(col(cv)))),
+          Seq(cv)
+        ))
+      case "cmf" =>
+        val n = i(p, "length", 10)
+        val cv = s"__cmf${n}_clvv"
+        Some(ColPlan(
+          Seq(
+            Seq(cv -> (clvExpr * volume)),
+            Seq(s"cmf_$n" -> sdiv(rsum(col(cv), n), rsum(volume, n)))
+          ),
+          Seq(cv)
+        ))
+      case "efi" =>
+        val n = i(p, "length", 10)
+        val fC = s"__efi${n}_f"
+        val (l, t) = emaLv(col(fC), s"efi_$n", n)
+        Some(ColPlan(Seq(fC -> (diff(close) * volume)) +: l, fC +: t))
+      case "eom" =>
+        val n = i(p, "length", 14); val divisor = 1e8
+        val h2 = s"__eom${n}_hl2"; val raw = s"__eom${n}_raw"
+        Some(ColPlan(
+          Seq(
+            Seq(h2 -> ((high + low) / 2.0)),
+            Seq(raw -> (lit(divisor) * diff(col(h2)) * sdiv(high - low, volume))),
+            Seq(s"eom_$n" -> rmean(col(raw), n))
+          ),
+          Seq(h2, raw)
+        ))
+      case "mfi" =>
+        val n = i(p, "length", 10)
+        val tp = s"__mfi${n}_tp"; val dtp = s"__mfi${n}_dtp"
+        val pos = s"__mfi${n}_pos"; val neg = s"__mfi${n}_neg"
+        Some(ColPlan(
+          Seq(
+            Seq(tp -> ((high + low + close) / 3.0)),
+            Seq(dtp -> diff(col(tp))),
+            Seq(
+              pos -> when(col(dtp) > 0, col(tp) * volume).otherwise(0.0),
+              neg -> when(col(dtp) < 0, col(tp) * volume).otherwise(0.0)
+            ),
+            Seq(s"mfi_$n" -> (lit(100.0) * sdiv(rsum(col(pos), n), rsum(col(pos), n) + rsum(col(neg), n))))
+          ),
+          Seq(tp, dtp, pos, neg)
+        ))
+      case "pvol" => Some(one("pvol", volume * close))
+      case "pvr" =>
+        val dc = diff(close); val dv = diff(volume)
+        Some(one(
+          "pvr",
+          when(dc.isNull || dv.isNull, lit(null))
+            .when(dc >= 0 && dv >= 0, 1.0)
+            .when(dc >= 0 && dv < 0, 2.0)
+            .when(dc < 0 && dv >= 0, 3.0)
+            .otherwise(4.0)
+        ))
+      case "pvt" =>
+        val r = "__pvt_r"
+        Some(ColPlan(
+          Seq(
+            Seq(r -> coalesce(pctChange(close, 1) * volume, lit(0.0))),
+            Seq("pvt" -> cumsum(col(r)))
+          ),
+          Seq(r)
+        ))
       case _ => None
     }
   }
@@ -432,8 +710,12 @@ private[ta] object StrategyCompiler {
     for (k <- 0 until nLevels) {
       val cols = plans.flatMap(_.levels.lift(k).getOrElse(Nil))
       if (cols.nonEmpty) {
-        require(cols.map(_._1).distinct.size == cols.size, s"level $k name collision: ${cols.map(_._1)}")
-        d = d.withColumns(cols.toMap)
+        // duplicate names (e.g. true_range from atr+natr+chop in one batch):
+        // keep the LAST occurrence — the same replace-semantics the builder
+        // fold has (the colliding expressions are identical by construction
+        // for the shared-stage cases)
+        val dedup = cols.map(_._1).distinct.map(n0 => n0 -> cols.reverse.find(_._1 == n0).get._2)
+        d = d.withColumns(dedup.toMap)
       }
     }
     val temps = ("__rn" +: plans.flatMap(_.temps)).distinct

@@ -35,6 +35,23 @@ class StrategySpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"window strategy added shuffles: ${exchanges.size}")
   }
 
+  test("compiled lowering equals the builder for every lowerable kind") {
+    val lowered = registry.indicators.map(IndicatorSpec(_)).filter(registry.hasLowering)
+    assert(lowered.size >= 70, s"only ${lowered.size} kinds have lowerings")
+    lowered.foreach { spec =>
+      val viaStrategy = registry.strategy(bars, Strategy("one", Seq(spec)))
+      val viaBuilder = registry(bars, spec)
+      assert(
+        viaStrategy.columns.sorted.sameElements(viaBuilder.columns.sorted),
+        s"${spec.kind}: columns ${viaStrategy.columns.sorted.toSeq} vs ${viaBuilder.columns.sorted.toSeq}"
+      )
+      val cols = viaBuilder.columns.sorted.toSeq
+      val a = viaStrategy.select(cols.map(col): _*).orderBy("ts").collect()
+      val b = viaBuilder.select(cols.map(col): _*).orderBy("ts").collect()
+      assert(a.sameElements(b), s"${spec.kind}: values differ")
+    }
+  }
+
   test("offset kwarg shifts appended output only") {
     val plain = bars.ta.sma(10).orderBy("ts").collect().map(r => Option(r.getAs[Any]("sma_10")))
     val shifted = bars
