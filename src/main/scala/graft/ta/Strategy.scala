@@ -260,6 +260,10 @@ object registry {
     val lowered = st.ta.map(s => s -> StrategyCompiler.compile(s))
     val plans = lowered.collect { case (_, Some(plan)) => plan }
     val rest = lowered.collect { case (s, None) => s }
-    rest.foldLeft(StrategyCompiler.run(df, plans))((d, spec) => apply(d, spec))
+    // builder-fold specs (REC kernels, kwargs) run FIRST, while the plan is
+    // still narrow — each fold step re-analyzes the whole accumulated plan,
+    // so folding over the 200+-column compiled batch would pay that cost
+    // per step for nothing (the kernels read only base OHLCV columns)
+    StrategyCompiler.run(rest.foldLeft(df)((d, spec) => apply(d, spec)), plans)
   }
 }

@@ -696,6 +696,486 @@ private[ta] object StrategyCompiler {
           ),
           Seq(r)
         ))
+
+      // ----- ema-chain / multi-stage OHLCV composites -----
+      case "bbands" =>
+        val n = i(p, "length", 5); val k = dd(p, "std", 2.0)
+        val mid = rmean(close, n)
+        val dev = rstd(close, n) * k
+        val ks = if (k == k.floor) k.toInt.toString else k.toString.replace('.', '_')
+        Some(ColPlan(
+          Seq(Seq(
+            s"bbm_${n}_$ks" -> mid,
+            s"bbl_${n}_$ks" -> (mid - dev),
+            s"bbu_${n}_$ks" -> (mid + dev),
+            s"bbb_${n}_$ks" -> (lit(100.0) * sdiv(lit(2.0) * dev, mid)),
+            s"bbp_${n}_$ks" -> sdiv(close - (mid - dev), lit(2.0) * dev)
+          )),
+          Nil
+        ))
+      case "dm" =>
+        val n = i(p, "length", 14)
+        val up = diff(high)
+        val dn = -diff(low)
+        val pdm = when(up > dn && up > 0, up).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+        val mdm = when(dn > up && dn > 0, dn).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+        Some(ColPlan(
+          Seq(Seq(s"dmp_$n" -> rmaOf(pdm, n), s"dmn_$n" -> rmaOf(mdm, n))),
+          Nil
+        ))
+      case "adx" =>
+        val n = i(p, "length", 14); val lensig = i(p, "lensig", 14)
+        val up = diff(high)
+        val dn = -diff(low)
+        val pdm = when(up > dn && up > 0, up).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+        val mdm = when(dn > up && dn > 0, dn).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
+        val atr0 = "__adx_atr"; val dx = "__adx_dx"
+        Some(ColPlan(
+          Seq(
+            Seq(s"dmp_$n" -> rmaOf(pdm, n), s"dmn_$n" -> rmaOf(mdm, n), "true_range" -> trExpr),
+            Seq(atr0 -> rmaOf(col("true_range"), n)),
+            Seq(
+              s"dip_$n" -> (lit(100.0) * sdiv(col(s"dmp_$n"), col(atr0))),
+              s"dim_$n" -> (lit(100.0) * sdiv(col(s"dmn_$n"), col(atr0)))
+            ),
+            Seq(dx -> (lit(100.0) * sdiv(abs(col(s"dip_$n") - col(s"dim_$n")), col(s"dip_$n") + col(s"dim_$n")))),
+            Seq(s"adx_$lensig" -> rmaOf(col(dx), lensig))
+          ),
+          Seq(atr0, dx, "true_range")
+        ))
+      case "kc" =>
+        val n = i(p, "length", 20); val scalar = dd(p, "scalar", 2.0)
+        val (lb, tb) = emaLv(close, "__kc_basis", n)
+        val (lb2, tb2) = emaLv(col("true_range"), "__kc_band", n)
+        Some(ColPlan(
+          (Seq(Seq("true_range" -> trExpr)) ++ lb ++ lb2) :+ Seq(
+            s"kcb_$n" -> col("__kc_basis"),
+            s"kcl_$n" -> (col("__kc_basis") - lit(scalar) * col("__kc_band")),
+            s"kcu_$n" -> (col("__kc_basis") + lit(scalar) * col("__kc_band"))
+          ),
+          Seq("__kc_basis", "__kc_band", "true_range") ++ tb ++ tb2
+        ))
+      case "massi" =>
+        val fast = i(p, "fast", 9); val slow = i(p, "slow", 25)
+        val hr = "__massi_hr"
+        val (l1, t1) = emaLv(col(hr), "__massi_e1", fast)
+        val (l2, t2) = emaLv(col("__massi_e1"), "__massi_e2", fast)
+        Some(ColPlan(
+          (Seq(Seq(hr -> (high - low))) ++ l1 ++ l2) :+
+            Seq(s"massi_${fast}_$slow" -> rsum(sdiv(col("__massi_e1"), col("__massi_e2")), slow)),
+          Seq(hr, "__massi_e1", "__massi_e2") ++ t1 ++ t2
+        ))
+      case "rvi" =>
+        val n = i(p, "length", 14)
+        val sd = rstd(close, n)
+        val d1 = diff(close)
+        val pos = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 > 0, sd).otherwise(0.0))
+        val neg = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 < 0, sd).otherwise(0.0))
+        val pP = s"__rvi${n}_p"; val qP = s"__rvi${n}_q"
+        Some(ColPlan(
+          Seq(
+            Seq(pP -> rmaOf(pos, n), qP -> rmaOf(neg, n)),
+            Seq(s"rvi_$n" -> (lit(100.0) * sdiv(col(pP), col(pP) + col(qP))))
+          ),
+          Seq(pP, qP)
+        ))
+      case "thermo" =>
+        val n = i(p, "length", 20)
+        val (l, t) = emaLv(col("thermo"), s"thermo_ma_$n", n)
+        Some(ColPlan(
+          Seq(Seq("thermo" -> greatest(abs(diff(high)), abs(diff(low))))) ++ l,
+          t
+        ))
+      case "aberration" =>
+        val n = i(p, "length", 5); val atrN = i(p, "atr_length", 15)
+        val zg = rmean((high + low + close) / 3.0, n)
+        Some(ColPlan(
+          Seq(
+            Seq("true_range" -> trExpr),
+            Seq(s"atr_$atrN" -> rmaOf(col("true_range"), atrN)),
+            Seq(
+              s"abe_zg_$n" -> zg,
+              s"abe_sg_$n" -> (zg + col(s"atr_$atrN")),
+              s"abe_xg_$n" -> (zg - col(s"atr_$atrN"))
+            )
+          ),
+          Seq("true_range", s"atr_$atrN")
+        ))
+      case "cksp" =>
+        val pN = i(p, "p", 10); val x = dd(p, "x", 1.0); val q = i(p, "q", 9)
+        val ls0 = "__cksp_ls0"; val ss0 = "__cksp_ss0"
+        Some(ColPlan(
+          Seq(
+            Seq("true_range" -> trExpr),
+            Seq(s"atr_$pN" -> rmaOf(col("true_range"), pN)),
+            Seq(
+              ls0 -> (rmax(high, pN) - lit(x) * col(s"atr_$pN")),
+              ss0 -> (rmin(low, pN) + lit(x) * col(s"atr_$pN"))
+            ),
+            Seq(s"cksp_long_$pN" -> rmax(col(ls0), q), s"cksp_short_$pN" -> rmin(col(ss0), q))
+          ),
+          Seq("true_range", s"atr_$pN", ls0, ss0)
+        ))
+      case "dpo" =>
+        val n = i(p, "length", 20); val t = n / 2 + 1
+        Some(one(s"dpo_$n", close - shift(rmean(close, n), -t)))
+      case "pvo" =>
+        val fast = i(p, "fast", 12); val slow = i(p, "slow", 26); val sig = i(p, "signal", 9)
+        val (l1, t1) = emaLv(volume, "__pvo_vf", fast)
+        val (l2, t2) = emaLv(volume, "__pvo_vs", slow)
+        val (l3, t3) = emaLv(col(s"pvo_${fast}_$slow"), s"pvos_${fast}_$slow", sig)
+        Some(ColPlan(
+          (l1 ++ l2) ++
+            (Seq(Seq(s"pvo_${fast}_$slow" -> (lit(100.0) * sdiv(col("__pvo_vf") - col("__pvo_vs"), col("__pvo_vs"))))) ++ l3) :+
+            Seq(s"pvoh_${fast}_$slow" -> (col(s"pvo_${fast}_$slow") - col(s"pvos_${fast}_$slow"))),
+          Seq("__pvo_vf", "__pvo_vs") ++ t1 ++ t2 ++ t3
+        ))
+      case "brar" =>
+        val n = i(p, "length", 26)
+        val pc = shift(close, 1)
+        val hcy = when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), high - pc))
+        val cyl = when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), pc - low))
+        Some(ColPlan(
+          Seq(Seq(
+            s"ar_$n" -> (lit(100.0) * sdiv(rsum(high - open, n), rsum(open - low, n))),
+            s"br_$n" -> (lit(100.0) * sdiv(rsum(hcy, n), rsum(cyl, n)))
+          )),
+          Nil
+        ))
+      case "adosc" =>
+        val fast = i(p, "fast", 3); val slow = i(p, "slow", 10)
+        val cv = "__adosc_clvv"
+        val (l1, t1) = emaLv(col("ad"), "__adosc_af", fast)
+        val (l2, t2) = emaLv(col("ad"), "__adosc_as", slow)
+        Some(ColPlan(
+          (Seq(Seq(cv -> (clvExpr * volume)), Seq("ad" -> cumsum(col(cv)))) ++ l1 ++ l2) :+
+            Seq(s"adosc_${fast}_$slow" -> (col("__adosc_af") - col("__adosc_as"))),
+          Seq(cv, "__adosc_af", "__adosc_as") ++ t1 ++ t2
+        ))
+      case "pgo" =>
+        val n = i(p, "length", 14)
+        val (l, t) = emaLv(col("true_range"), "__pgo_etr", n)
+        Some(ColPlan(
+          (Seq(Seq("true_range" -> trExpr)) ++ l) :+
+            Seq(s"pgo_$n" -> sdiv(close - rmean(close, n), col("__pgo_etr"))),
+          Seq("true_range", "__pgo_etr") ++ t
+        ))
+      case "ttm_trend" =>
+        val n = i(p, "length", 6)
+        val avgHl2 = rmean((high + low) / 2.0, n)
+        Some(one(
+          s"ttm_trend_$n",
+          when(avgHl2.isNull, lit(null)).otherwise(when(close > avgHl2, 1.0).otherwise(-1.0))
+        ))
+      case "amat" =>
+        val fast = i(p, "fast", 8); val slow = i(p, "slow", 21); val n = 2
+        val (l1, t1) = emaLv(close, "__amat_maf", fast)
+        val (l2, t2) = emaLv(close, "__amat_mas", slow)
+        val fInc = diff(col("__amat_maf"), n) > 0
+        val fDec = diff(col("__amat_maf"), n) < 0
+        val sInc = diff(col("__amat_mas"), n) > 0
+        val sDec = diff(col("__amat_mas"), n) < 0
+        Some(ColPlan(
+          (l1 ++ l2) :+ Seq(
+            s"amat_lr_$fast" -> when((fInc && sDec) || (fInc && sInc), 1.0).otherwise(0.0),
+            s"amat_sr_$fast" -> when((fDec && sInc) || (fDec && sDec), 1.0).otherwise(0.0)
+          ),
+          Seq("__amat_maf", "__amat_mas") ++ t1 ++ t2
+        ))
+      case "kdj" =>
+        val n = i(p, "length", 9); val signal = i(p, "signal", 3)
+        val alpha = 1.0 / signal
+        val ll = rmin(low, n); val hh = rmax(high, n)
+        val rsv = "__kdj_rsv"
+        Some(ColPlan(
+          Seq(
+            Seq(rsv -> (lit(100.0) * sdiv(close - ll, hh - ll))),
+            Seq(s"kdj_k_$n" -> ewm(col(rsv), alpha)),
+            Seq(s"kdj_d_$n" -> ewm(col(s"kdj_k_$n"), alpha)),
+            Seq(s"kdj_j_$n" -> (lit(3.0) * col(s"kdj_k_$n") - lit(2.0) * col(s"kdj_d_$n")))
+          ),
+          Seq(rsv)
+        ))
+      case "kst" =>
+        val r = Seq(10, 15, 20, 30); val s0 = Seq(10, 10, 10, 15); val sig = 9
+        val terms = r.zip(s0).zipWithIndex.map { case ((ri, si), j) =>
+          lit((j + 1).toDouble) * rmean(lit(100.0) * pctChange(close, ri), si)
+        }
+        Some(ColPlan(
+          Seq(
+            Seq("kst" -> terms.reduce(_ + _)),
+            Seq("kst_signal" -> rmean(col("kst"), sig))
+          ),
+          Nil
+        ))
+      case "stochrsi" =>
+        val n = i(p, "length", 10); val k = 3; val dN = 3
+        val up = "__srsi_rup"; val dn = "__srsi_rdn"; val rsi0 = "__srsi_rsi"; val sr = "__srsi_srsi"
+        val d0 = diff(close)
+        val lo = rmin(col(rsi0), n); val hi = rmax(col(rsi0), n)
+        Some(ColPlan(
+          Seq(
+            Seq(
+              up -> when(d0.isNull, lit(null)).when(d0 > 0, d0).otherwise(lit(0.0)),
+              dn -> when(d0.isNull, lit(null)).when(d0 < 0, -d0).otherwise(lit(0.0))
+            ),
+            Seq(rsi0 -> (lit(100.0) * sdiv(rmaOf(col(up), n), rmaOf(col(up), n) + rmaOf(col(dn), n)))),
+            Seq(sr -> (lit(100.0) * sdiv(col(rsi0) - lo, hi - lo))),
+            Seq("stochrsi_k" -> rmean(col(sr), k)),
+            Seq("stochrsi_d" -> rmean(col("stochrsi_k"), dN))
+          ),
+          Seq(up, dn, rsi0, sr)
+        ))
+      case "ichimoku" =>
+        val tN = i(p, "tenkan", 9); val kN = i(p, "kijun", 26)
+        val sN = i(p, "senkou", 52); val sh = i(p, "shift", 26)
+        val tenkan = (rmax(high, tN) + rmin(low, tN)) / 2.0
+        val kijun = (rmax(high, kN) + rmin(low, kN)) / 2.0
+        val spanB0 = (rmax(high, sN) + rmin(low, sN)) / 2.0
+        Some(ColPlan(
+          Seq(
+            Seq(
+              "isa_raw" -> ((tenkan + kijun) / 2.0),
+              "isb_raw" -> spanB0,
+              s"its_$tN" -> tenkan,
+              s"iks_$kN" -> kijun
+            ),
+            Seq(
+              s"isa_$tN" -> shift(col("isa_raw"), sh),
+              s"isb_$kN" -> shift(col("isb_raw"), sh),
+              s"ics_$kN" -> shift(close, -sh)
+            )
+          ),
+          Seq("isa_raw", "isb_raw")
+        ))
+      case "rvgi" =>
+        val n = i(p, "length", 14); val swmaN = i(p, "swma_length", 4)
+        def sw(x: Column): Column = {
+          val half = (swmaN + 1) / 2
+          val tri = ((1 to half) ++ (if (swmaN % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1)))
+            .map(_.toDouble)
+          val s0 = tri.sum
+          gated(x, swmaN)(wdot(x, tri.reverse.map(_ / s0)))
+        }
+        Some(ColPlan(
+          Seq(
+            Seq("__rvgi_num" -> sw(close - open), "__rvgi_den" -> sw(high - low)),
+            Seq(s"rvgi_$n" -> sdiv(rsum(col("__rvgi_num"), n), rsum(col("__rvgi_den"), n))),
+            Seq(s"rvgis_$n" -> sw(col(s"rvgi_$n")))
+          ),
+          Seq("__rvgi_num", "__rvgi_den")
+        ))
+      case "smi" =>
+        val n = i(p, "length", 10); val fast = i(p, "fast", 5); val slow = i(p, "slow", 3)
+        val hh = rmax(high, n); val ll = rmin(low, n)
+        val (l1, t1) = emaLv(col("__smi_m"), "__smi_m1", fast)
+        val (l2, t2) = emaLv(col("__smi_m1"), "__smi_m2", slow)
+        val (l3, t3) = emaLv(col("__smi_r"), "__smi_r1", fast)
+        val (l4, t4) = emaLv(col("__smi_r1"), "__smi_r2", slow)
+        Some(ColPlan(
+          (Seq(Seq("__smi_m" -> (close - (hh + ll) / 2.0), "__smi_r" -> (hh - ll))) ++ l1 ++ l2 ++ l3 ++ l4) :+
+            Seq(s"smi_$n" -> (lit(100.0) * sdiv(col("__smi_m2"), col("__smi_r2") / 2.0))),
+          Seq("__smi_m", "__smi_r", "__smi_m1", "__smi_m2", "__smi_r1", "__smi_r2") ++ t1 ++ t2 ++ t3 ++ t4
+        ))
+      case "squeeze" =>
+        val bbN = i(p, "bb_length", 20); val kcN = i(p, "kc_length", 20); val momN = i(p, "mom_length", 12)
+        val mid = rmean(close, bbN)
+        val dev = rstd(close, bbN) * 2.0
+        val bbl = mid - dev; val bbu = mid + dev
+        val (lb, tb) = emaLv(close, "__sqz_basis", kcN)
+        val (lb2, tb2) = emaLv(col("true_range"), "__sqz_band", kcN)
+        val kcl = col("__sqz_basis") - lit(1.5) * col("__sqz_band")
+        val kcu = col("__sqz_basis") + lit(1.5) * col("__sqz_band")
+        val (llr, tlr) = linregLv(col("__sqz_delta"), "__sqz_lr", momN)
+        Some(ColPlan(
+          (Seq(Seq("true_range" -> trExpr)) ++ lb ++ lb2) ++
+            (Seq(Seq(
+              "sqz_on" -> when(bbl.isNull || kcl.isNull, lit(null)).otherwise((bbl > kcl && bbu < kcu).cast("double")),
+              "sqz_off" -> when(bbl.isNull || kcl.isNull, lit(null)).otherwise((bbl < kcl && bbu > kcu).cast("double")),
+              "__sqz_delta" -> (close - ((rmax(high, momN) + rmin(low, momN)) / 2.0 + rmean(close, momN)) / 2.0)
+            )) ++ llr) :+
+            Seq("sqz_mom" -> col("__sqz_lr_tsf")),
+          Seq("true_range", "__sqz_basis", "__sqz_band", "__sqz_delta",
+            "__sqz_lr_slope", "__sqz_lr_intercept", "__sqz_lr_tsf", "__sqz_lr_r") ++ tb ++ tb2 ++ tlr
+        ))
+      case "squeeze_pro" =>
+        val bbN = i(p, "bb_length", 20); val kcN = i(p, "kc_length", 20); val momN = i(p, "mom_length", 12)
+        val mid = rmean(close, bbN)
+        val dev = rstd(close, bbN) * 2.0
+        val bbl = mid - dev; val bbu = mid + dev
+        val (lb, tb) = emaLv(close, "__sqp_basis", kcN)
+        val (lb2, tb2) = emaLv(col("true_range"), "__sqp_band", kcN)
+        def onFlag(mult: Double): Column = {
+          val kcl = col("__sqp_basis") - lit(mult) * col("__sqp_band")
+          val kcu = col("__sqp_basis") + lit(mult) * col("__sqp_band")
+          when(bbl.isNull || col("__sqp_basis").isNull, lit(null))
+            .otherwise((bbl > kcl && bbu < kcu).cast("double"))
+        }
+        val (llr, tlr) = linregLv(col("__sqp_delta"), "__sqp_lr", momN)
+        Some(ColPlan(
+          (Seq(Seq("true_range" -> trExpr)) ++ lb ++ lb2) ++
+            (Seq(Seq(
+              "sqzpro_on_wide" -> onFlag(2.0),
+              "sqzpro_on_normal" -> onFlag(1.5),
+              "sqzpro_on_narrow" -> onFlag(1.0),
+              "__sqp_delta" -> (close - ((rmax(high, momN) + rmin(low, momN)) / 2.0 + rmean(close, momN)) / 2.0)
+            )) ++ llr) :+
+            Seq("sqzpro_mom" -> col("__sqp_lr_tsf")),
+          Seq("true_range", "__sqp_basis", "__sqp_band", "__sqp_delta",
+            "__sqp_lr_slope", "__sqp_lr_intercept", "__sqp_lr_tsf", "__sqp_lr_r") ++ tb ++ tb2 ++ tlr
+        ))
+      case "stc" =>
+        val tc = i(p, "tclength", 10); val fast = i(p, "fast", 12); val slow = i(p, "slow", 26)
+        val (l1, t1) = emaLv(close, "__stc_ef", fast)
+        val (l2, t2) = emaLv(close, "__stc_es", slow)
+        val st1 = lit(100.0) * sdiv(
+          col("__stc_macd") - rmin(col("__stc_macd"), tc),
+          rmax(col("__stc_macd"), tc) - rmin(col("__stc_macd"), tc)
+        )
+        val st2 = lit(100.0) * sdiv(
+          col("__stc_d1") - rmin(col("__stc_d1"), tc),
+          rmax(col("__stc_d1"), tc) - rmin(col("__stc_d1"), tc)
+        )
+        Some(ColPlan(
+          (l1 ++ l2) ++ Seq(
+            Seq("__stc_macd" -> (col("__stc_ef") - col("__stc_es"))),
+            Seq("__stc_st1" -> st1),
+            Seq("__stc_d1" -> ewm(col("__stc_st1"), 0.5)),
+            Seq("__stc_st2" -> st2),
+            Seq(s"stc_$tc" -> ewm(col("__stc_st2"), 0.5), s"stc_macd_$tc" -> col("__stc_macd"))
+          ),
+          Seq("__stc_ef", "__stc_es", "__stc_macd", "__stc_st1", "__stc_d1", "__stc_st2") ++ t1 ++ t2
+        ))
+      case "inertia" =>
+        val n = i(p, "length", 20); val rviN = i(p, "rvi_length", 14)
+        val sd = rstd(close, rviN)
+        val d1 = diff(close)
+        val pos = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 > 0, sd).otherwise(0.0))
+        val neg = when(d1.isNull || sd.isNull, lit(null)).otherwise(when(d1 < 0, sd).otherwise(0.0))
+        val (llr, tlr) = linregLv(col(s"rvi_$rviN"), "__in_lr", n)
+        Some(ColPlan(
+          (Seq(
+            Seq("__in_p" -> rmaOf(pos, rviN), "__in_q" -> rmaOf(neg, rviN)),
+            Seq(s"rvi_$rviN" -> (lit(100.0) * sdiv(col("__in_p"), col("__in_p") + col("__in_q"))))
+          ) ++ llr) :+
+            Seq(s"inertia_$n" -> col("__in_lr_tsf")),
+          Seq("__in_p", "__in_q", s"rvi_$rviN",
+            "__in_lr_slope", "__in_lr_intercept", "__in_lr_tsf", "__in_lr_r") ++ tlr
+        ))
+      case "aobv" =>
+        val fast = i(p, "fast", 4); val slow = i(p, "slow", 12); val runN = 2
+        val sC = "__obv_s"
+        val dcl = diff(close)
+        val sgn = when(rn === 1, 1.0)
+          .otherwise(when(dcl > 0, 1.0).when(dcl < 0, -1.0).otherwise(0.0))
+        val (l1, t1) = emaLv(col("obv"), s"obv_fast_$fast", fast)
+        val (l2, t2) = emaLv(col("obv"), s"obv_slow_$slow", slow)
+        val fInc = diff(col(s"obv_fast_$fast"), runN) > 0
+        val fDec = diff(col(s"obv_fast_$fast"), runN) < 0
+        val sInc = diff(col(s"obv_slow_$slow"), runN) > 0
+        val sDec = diff(col(s"obv_slow_$slow"), runN) < 0
+        Some(ColPlan(
+          (Seq(Seq(sC -> (sgn * volume)), Seq("obv" -> cumsum(col(sC)))) ++ l1 ++ l2) :+ Seq(
+            "aobv_lr" -> when((fInc && sDec) || (fInc && sInc), 1.0).otherwise(0.0),
+            "aobv_sr" -> when((fDec && sInc) || (fDec && sDec), 1.0).otherwise(0.0)
+          ),
+          Seq(sC) ++ t1 ++ t2
+        ))
+      case "kvo" =>
+        val fast = i(p, "fast", 34); val slow = i(p, "slow", 55); val sig = i(p, "signal", 13)
+        val tp = (high + low + close) / 3.0
+        val dtp = tp - shift(tp, 1)
+        val sv = when(dtp > 0, volume).when(dtp < 0, -volume).when(dtp === 0, lit(0.0))
+        Some(ColPlan(
+          Seq(
+            Seq("__kvo_sv" -> sv),
+            Seq(
+              "__kvo_kf" -> ewm(col("__kvo_sv"), 2.0 / (fast + 1)),
+              "__kvo_ks" -> ewm(col("__kvo_sv"), 2.0 / (slow + 1))
+            ),
+            Seq(s"kvo_$fast" -> (col("__kvo_kf") - col("__kvo_ks"))),
+            Seq(s"kvos_$fast" -> ewm(col(s"kvo_$fast"), 2.0 / (sig + 1)))
+          ),
+          Seq("__kvo_sv", "__kvo_kf", "__kvo_ks")
+        ))
+      case "tos_stdevall" =>
+        val stds = Seq(1, 2, 3)
+        val full = org.apache.spark.sql.expressions.Window
+          .partitionBy("series_id")
+          .orderBy("ts")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing
+          )
+        val nN = count(close).over(full).cast("double")
+        val si = sum(col("__tos_i")).over(full)
+        val sii = sum(col("__tos_i") * col("__tos_i")).over(full)
+        val sy = sum(close).over(full)
+        val siy = sum(col("__tos_i") * close).over(full)
+        Some(ColPlan(
+          Seq(
+            Seq("__tos_i" -> (rn.cast("double") - 1.0)),
+            Seq("__tos_b" -> sdiv(nN * siy - si * sy, nN * sii - si * si)),
+            Seq(
+              "__tos_a" -> ((sy - col("__tos_b") * si) / nN),
+              "__tos_sd" -> stddev_samp(close).over(full)
+            ),
+            Seq("tos_line" -> (col("__tos_a") + col("__tos_b") * col("__tos_i"))),
+            stds.flatMap(k => Seq(
+              s"tos_u_$k" -> (col("tos_line") + lit(k.toDouble) * col("__tos_sd")),
+              s"tos_l_$k" -> (col("tos_line") - lit(k.toDouble) * col("__tos_sd"))
+            ))
+          ),
+          Seq("__tos_i", "__tos_b", "__tos_a", "__tos_sd")
+        ))
+      case "aroon" =>
+        val n = i(p, "length", 10)
+        val hs = s"__aroon${n}_hs"; val ls = s"__aroon${n}_ls"
+        Some(ColPlan(
+          Seq(
+            Seq(hs -> collect_list(high).over(f(n + 1)), ls -> collect_list(low).over(f(n + 1))),
+            Seq(
+              s"aroon_u_$n" -> when(
+                size(col(hs)) === n + 1,
+                lit(100.0) * (lit(n.toDouble) -
+                  (expr(s"array_position(reverse($hs), array_max($hs))") - 1.0)) / n.toDouble
+              ),
+              s"aroon_d_$n" -> when(
+                size(col(ls)) === n + 1,
+                lit(100.0) * (lit(n.toDouble) -
+                  (expr(s"array_position(reverse($ls), array_min($ls))") - 1.0)) / n.toDouble
+              )
+            )
+          ),
+          Seq(hs, ls)
+        ))
+      case "cdl_doji" =>
+        val n = i(p, "length", 10); val factor = dd(p, "factor", 0.1)
+        Some(one(
+          s"cdl_doji_$n",
+          when(rmean(high - low, n).isNotNull && abs(close - open) < lit(factor) * rmean(high - low, n), 1.0)
+            .otherwise(when(rmean(high - low, n).isNotNull, 0.0))
+        ))
+      case "cdl_inside" =>
+        val ph = shift(high, 1); val pl = shift(low, 1)
+        Some(one("cdl_inside", when(ph.isNotNull && high < ph && low > pl, 1.0).otherwise(0.0)))
+      case "cdl_z" =>
+        val n = i(p, "length", 10)
+        Some(ColPlan(
+          Seq(Seq("open", "high", "low", "close").map(s0 =>
+            s"${s0}_z_$n" -> sdiv(col(s0) - rmean(col(s0), n), rstd(col(s0), n))
+          )),
+          Nil
+        ))
+      case "candle_utils" =>
+        Some(ColPlan(
+          Seq(Seq(
+            "candle_color" -> when(close >= open, 1.0).otherwise(-1.0),
+            "real_body" -> abs(close - open),
+            "high_low_range" -> (high - low)
+          )),
+          Nil
+        ))
       case _ => None
     }
   }
@@ -718,7 +1198,11 @@ private[ta] object StrategyCompiler {
         d = d.withColumns(dedup.toMap)
       }
     }
-    val temps = ("__rn" +: plans.flatMap(_.temps)).distinct
+    // a column one plan treats as scratch (e.g. adx's true_range) may be
+    // another plan's declared OUTPUT (the atr builder keeps true_range):
+    // outputs win, only globally-unclaimed temps are dropped
+    val outputs = plans.flatMap(pl => pl.levels.flatten.map(_._1).filterNot(pl.temps.contains)).toSet
+    val temps = ("__rn" +: plans.flatMap(_.temps)).distinct.filterNot(outputs.contains)
     d.drop(temps: _*)
   }
 }
