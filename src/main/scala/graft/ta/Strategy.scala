@@ -247,7 +247,8 @@ object registry {
   }
 
   /** True when the spec has a StrategyCompiler lowering (test hook). */
-  def hasLowering(spec: IndicatorSpec): Boolean = StrategyCompiler.compile(spec).isDefined
+  def hasLowering(spec: IndicatorSpec): Boolean =
+    StrategyCompiler.compile(spec).isDefined || StrategyCompiler.compileRec(spec).isDefined
 
   /** Compile and run a whole Strategy — one lazy plan, no process pool.
     *
@@ -257,13 +258,19 @@ object registry {
     * through the per-spec builder fold. Output columns are identical to
     * folding `apply` over every spec. */
   def strategy(df: DataFrame, st: Strategy): DataFrame = {
-    val lowered = st.ta.map(s => s -> StrategyCompiler.compile(s))
-    val plans = lowered.collect { case (_, Some(plan)) => plan }
-    val rest = lowered.collect { case (s, None) => s }
-    // builder-fold specs (REC kernels, kwargs) run FIRST, while the plan is
-    // still narrow — each fold step re-analyzes the whole accumulated plan,
-    // so folding over the 200+-column compiled batch would pay that cost
-    // per step for nothing (the kernels read only base OHLCV columns)
-    StrategyCompiler.run(rest.foldLeft(df)((d, spec) => apply(d, spec)), plans)
+    val lowered = st.ta.map { s =>
+      val cp = StrategyCompiler.compile(s)
+      (s, cp, if (cp.isEmpty) StrategyCompiler.compileRec(s) else None)
+    }
+    val colPlans = lowered.collect { case (_, Some(cp), _) => cp }
+    val recPlans = lowered.collect { case (_, None, Some(rp)) => rp }
+    val rest = lowered.collect { case (s, None, None) => s }
+    // builder-fold specs (kwargs carriers, unlowered kinds) run FIRST,
+    // while the plan is still narrow — each fold step re-analyzes the
+    // whole accumulated plan, so folding over the 200+-column compiled
+    // batch would pay that cost per step for nothing. Then the column
+    // levels merge into a few withColumns, and ALL REC kernels run in one
+    // batched repartition+sort+mapPartitions pass instead of one each.
+    StrategyCompiler.runAll(rest.foldLeft(df)((d, spec) => apply(d, spec)), colPlans, recPlans)
   }
 }

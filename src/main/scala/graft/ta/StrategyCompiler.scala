@@ -1176,6 +1176,203 @@ private[ta] object StrategyCompiler {
           )),
           Nil
         ))
+      case "nvi" | "pvi" =>
+        val onDown = spec.kind == "nvi"
+        val ret = pctChange(close)
+        val gate0 = if (onDown) diff(volume) < 0 else diff(volume) > 0
+        val term = when(gate0 && ret.isNotNull, log(lit(1.0) + ret)).otherwise(0.0)
+        Some(one(spec.kind, lit(1000.0) * exp(sum(term).over(cum))))
+      case "cdl_pattern" =>
+        val body = abs(close - open)
+        val rng = high - low
+        val po = shift(open, 1); val pc = shift(close, 1)
+        val upShadow = high - greatest(open, close)
+        val dnShadow = least(open, close) - low
+        val bull = close > open
+        val bear = close < open
+        val pBull = pc > po
+        val pBear = pc < po
+        def flag(cond: Column, needsPrev: Boolean = true): Column =
+          if (needsPrev) when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+          else when(cond, 1.0).otherwise(0.0)
+        Some(ColPlan(
+          Seq(Seq(
+            "cdl_engulfing_bull" -> flag(bull && pBear && open <= pc && close >= po),
+            "cdl_engulfing_bear" -> flag(bear && pBull && open >= pc && close <= po),
+            "cdl_hammer" -> flag(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0, needsPrev = false),
+            "cdl_shooting_star" -> flag(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0, needsPrev = false),
+            "cdl_harami_bull" -> flag(bull && pBear && open >= pc && close <= po),
+            "cdl_harami_bear" -> flag(bear && pBull && open <= pc && close >= po),
+            "cdl_marubozu" -> flag(rng > 0 && body >= lit(0.95) * rng, needsPrev = false),
+            "cdl_spinning_top" -> flag(rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body, needsPrev = false)
+          )),
+          Nil
+        ))
+      case "cdl_pattern_2" =>
+        val body = abs(close - open)
+        val rng = high - low
+        val po = shift(open, 1); val pc = shift(close, 1)
+        val po2 = shift(open, 2); val pc2 = shift(close, 2)
+        val upShadow = high - greatest(open, close)
+        val dnShadow = least(open, close) - low
+        val bull = close > open; val bear = close < open
+        val pBull = pc > po; val pBear = pc < po
+        val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
+        val pBody = abs(pc - po); val p2Body = abs(pc2 - po2)
+        def flag2(cond: Column): Column =
+          when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        def flag3(cond: Column): Column =
+          when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
+        Some(ColPlan(
+          Seq(Seq(
+            "cdl_piercing" -> flag2(pBear && bull && open <= pc && close > (po + pc) / 2.0 && close < po),
+            "cdl_dark_cloud" -> flag2(pBull && bear && open >= pc && close < (po + pc) / 2.0 && close > po),
+            "cdl_morning_star" -> flag3(p2Bear && pBody <= lit(0.3) * p2Body && bull && close > (po2 + pc2) / 2.0),
+            "cdl_evening_star" -> flag3(p2Bull && pBody <= lit(0.3) * p2Body && bear && close < (po2 + pc2) / 2.0),
+            "cdl_3_white_soldiers" -> flag3(
+              bull && pBull && p2Bull && close > pc && pc > pc2 &&
+                open > po && open < pc && po > po2 && po < pc2
+            ),
+            "cdl_3_black_crows" -> flag3(
+              bear && pBear && p2Bear && close < pc && pc < pc2 &&
+                open < po && open > pc && po < po2 && po > pc2
+            ),
+            "cdl_hanging_man" -> flag2(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0 && pBull),
+            "cdl_inverted_hammer" -> flag2(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0 && pBear),
+            "cdl_dragonfly_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && upShadow <= lit(0.1) * rng),
+            "cdl_gravestone_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && dnShadow <= lit(0.1) * rng),
+            "cdl_long_legged_doji" -> flag1(
+              rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
+            )
+          )),
+          Nil
+        ))
+      case _ => None
+    }
+  }
+
+  /** A REC kernel spec lowered for the batched pass: staging column
+    * levels (names are the ones the kernel's init() resolves), kernel
+    * outputs, factory, and staging temps to drop afterwards. */
+  final case class RecPlan(
+      staging: Seq[Level],
+      outs: Seq[org.apache.spark.sql.types.StructField],
+      make: () => rec.Kernel,
+      temps: Seq[String]
+  )
+
+  private def dbl(name: String) =
+    org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType, nullable = true)
+  private def intF(name: String) =
+    org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.IntegerType, nullable = true)
+  private def longF(name: String) =
+    org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.LongType, nullable = true)
+
+  /** Lowerings for the REC mapPartitions kernels (mirror the Ta wrappers;
+    * staging names are FIXED — the kernels resolve them by fieldIndex). */
+  def compileRec(spec: IndicatorSpec): Option[RecPlan] = {
+    if (Seq("offset", "fillna", "prefix", "suffix").exists(spec.params.contains)) return None
+    val p = spec.params
+    spec.kind match {
+      case "psar" =>
+        val af0 = dd(p, "af0", 0.02); val af = dd(p, "af", 0.02); val maxAf = dd(p, "max_af", 0.2)
+        Some(RecPlan(
+          Nil,
+          Seq(dbl("psar_long"), dbl("psar_short"), dbl("psar_af"), intF("psar_reversal")),
+          () => new rec.Psar(af0, af, maxAf),
+          Nil
+        ))
+      case "supertrend" =>
+        val n = i(p, "length", 7); val mult = dd(p, "multiplier", 3.0)
+        Some(RecPlan(
+          Nil,
+          Seq(dbl(s"supert_$n"), intF(s"supertd_$n"), dbl(s"supertl_$n"), dbl(s"superts_$n")),
+          () => new rec.Supertrend(n, mult),
+          Nil
+        ))
+      case "ha" =>
+        Some(RecPlan(
+          Nil,
+          Seq(dbl("ha_open"), dbl("ha_high"), dbl("ha_low"), dbl("ha_close")),
+          () => new rec.HeikinAshi,
+          Nil
+        ))
+      case "mcgd" =>
+        val n = i(p, "length", 10)
+        Some(RecPlan(Nil, Seq(dbl(s"mcgd_$n")), () => new rec.Mcgd(n, "close"), Nil))
+      case "ssf" =>
+        val n = i(p, "length", 10)
+        Some(RecPlan(Nil, Seq(dbl(s"ssf_$n")), () => new rec.Ssf(n, "close"), Nil))
+      case "hwma" =>
+        val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        Some(RecPlan(Nil, Seq(dbl("hwma")), () => new rec.Hwma(na, nb, nc, "close"), Nil))
+      case "rsx" =>
+        val n = i(p, "length", 14)
+        Some(RecPlan(Nil, Seq(dbl(s"rsx_$n")), () => new rec.Rsx(n), Nil))
+      case "ebsw" =>
+        val n = i(p, "length", 40); val bars = i(p, "bars", 10)
+        Some(RecPlan(Nil, Seq(dbl(s"ebsw_$n")), () => new rec.Ebsw(n, bars), Nil))
+      case "hwc" =>
+        val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        Some(RecPlan(
+          Nil,
+          Seq(dbl("hwc_mid"), dbl("hwc_upper"), dbl("hwc_lower")),
+          () => new rec.Hwc(na, nb, nc, 0.1, 1.0),
+          Nil
+        ))
+      case "jma" =>
+        val n = i(p, "length", 7); val phase = dd(p, "phase", 0.0)
+        Some(RecPlan(Nil, Seq(dbl(s"jma_$n")), () => new rec.Jma(n, phase), Nil))
+      case "fisher" =>
+        val n = i(p, "length", 9)
+        val m = (high + low) / 2.0
+        val hh = rmax(m, n); val ll = rmin(m, n)
+        Some(RecPlan(
+          Seq(Seq("__pos" -> (lit(2.0) * (sdiv(m - ll, hh - ll) - 0.5)))),
+          Seq(dbl(s"fisher_$n"), dbl(s"fisher_signal_$n")),
+          () => new rec.Fisher,
+          Seq("__pos")
+        ))
+      case "td_seq" =>
+        Some(RecPlan(
+          Seq(Seq("__c4" -> shift(close, 4))),
+          Seq(longF("td_seq_up"), longF("td_seq_dn")),
+          () => new rec.TdSeq,
+          Seq("__c4")
+        ))
+      case "hilo" =>
+        val hn = i(p, "high_length", 13); val ln = i(p, "low_length", 21)
+        Some(RecPlan(
+          Seq(Seq("__mh" -> rmean(high, hn), "__ml" -> rmean(low, ln))),
+          Seq(dbl("hilo"), dbl("hilo_long"), dbl("hilo_short")),
+          () => new rec.Hilo,
+          Seq("__mh", "__ml")
+        ))
+      case "qqe" =>
+        val n = i(p, "length", 14); val smooth = i(p, "smooth", 5); val factor = dd(p, "factor", 4.236)
+        val wilders = n * 2 - 1
+        val d0 = diff(close)
+        val (lEma, tEma) = emaLv(col("__qrsi"), "__rsima", smooth)
+        Some(RecPlan(
+          Seq(
+            Seq(
+              "__qqe_rup" -> when(d0.isNull, lit(null)).when(d0 > 0, d0).otherwise(lit(0.0)),
+              "__qqe_rdn" -> when(d0.isNull, lit(null)).when(d0 < 0, -d0).otherwise(lit(0.0))
+            ),
+            Seq("__qrsi" -> (lit(100.0) * sdiv(
+              rmaOf(col("__qqe_rup"), n),
+              rmaOf(col("__qqe_rup"), n) + rmaOf(col("__qqe_rdn"), n)
+            )))
+          ) ++ lEma ++ Seq(
+            Seq("__adr" -> abs(diff(col("__rsima")))),
+            Seq("__matr" -> ewm(col("__adr"), 1.0 / wilders)),
+            Seq("__dar" -> (ewm(col("__matr"), 1.0 / wilders) * factor))
+          ),
+          Seq(dbl(s"qqe_$n"), intF(s"qqe_trend_$n"), dbl(s"qqe_long_$n"), dbl(s"qqe_short_$n")),
+          () => new rec.Qqe,
+          Seq("__qqe_rup", "__qqe_rdn", "__qrsi", "__rsima", "__adr", "__matr", "__dar") ++ tEma
+        ))
       case _ => None
     }
   }
@@ -1183,12 +1380,19 @@ private[ta] object StrategyCompiler {
   /** Merge compiled plans level-by-level; returns the widened DataFrame.
     * `__rn` (global per-series row number, used by every ema seed and
     * decay) is emitted once as a shared level-0 column. */
-  def run(df: DataFrame, plans: Seq[ColPlan]): DataFrame = {
-    if (plans.isEmpty) return df
-    var d = df.withColumns(Map("__rn" -> rn))
-    val nLevels = plans.map(_.levels.size).max
+  def run(df: DataFrame, plans: Seq[ColPlan]): DataFrame = runAll(df, plans, Nil)
+
+  /** Column plans merge into one withColumns per level; REC kernels then
+    * run in ONE batched repartition+sort+mapPartitions pass over their
+    * staged columns. Temps drop as early as possible (column temps before
+    * the kernel shuffle — narrower rows through the exchange). */
+  def runAll(df: DataFrame, plans: Seq[ColPlan], recPlans: Seq[RecPlan]): DataFrame = {
+    if (plans.isEmpty && recPlans.isEmpty) return df
+    val allPlans = plans ++ recPlans.map(rp => ColPlan(rp.staging, rp.temps))
+    var d = if (allPlans.isEmpty) df else df.withColumns(Map("__rn" -> rn))
+    val nLevels = if (allPlans.isEmpty) 0 else allPlans.map(_.levels.size).max
     for (k <- 0 until nLevels) {
-      val cols = plans.flatMap(_.levels.lift(k).getOrElse(Nil))
+      val cols = allPlans.flatMap(_.levels.lift(k).getOrElse(Nil))
       if (cols.nonEmpty) {
         // duplicate names (e.g. true_range from atr+natr+chop in one batch):
         // keep the LAST occurrence — the same replace-semantics the builder
@@ -1201,8 +1405,17 @@ private[ta] object StrategyCompiler {
     // a column one plan treats as scratch (e.g. adx's true_range) may be
     // another plan's declared OUTPUT (the atr builder keeps true_range):
     // outputs win, only globally-unclaimed temps are dropped
-    val outputs = plans.flatMap(pl => pl.levels.flatten.map(_._1).filterNot(pl.temps.contains)).toSet
-    val temps = ("__rn" +: plans.flatMap(_.temps)).distinct.filterNot(outputs.contains)
-    d.drop(temps: _*)
+    val outputs = allPlans.flatMap(pl => pl.levels.flatten.map(_._1).filterNot(pl.temps.contains)).toSet
+    val kernelNeeds = recPlans.flatMap(_.temps).toSet
+    val earlyTemps = ("__rn" +: plans.flatMap(_.temps)).distinct
+      .filterNot(outputs.contains)
+      .filterNot(kernelNeeds.contains)
+    if (allPlans.nonEmpty) d = d.drop(earlyTemps: _*)
+    if (recPlans.nonEmpty) {
+      d = rec.perSeriesBatch(d, recPlans.map(rp => (rp.outs, rp.make)))
+      val lateTemps = recPlans.flatMap(_.temps).distinct.filterNot(outputs.contains)
+      d = d.drop(lateTemps: _*)
+    }
+    d
   }
 }

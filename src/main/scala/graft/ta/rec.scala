@@ -58,6 +58,40 @@ object rec {
       }(enc)
   }
 
+  /** Run SEVERAL kernels in ONE repartition + sort + mapPartitions pass,
+    * appending each kernel's outputs in order. A Strategy with k REC
+    * indicators pays one shuffle and one sequential scan instead of k —
+    * the kernels are independent per row, only their per-series state is
+    * separate. Used by the Strategy batch compiler. */
+  def perSeriesBatch(df: DataFrame, parts: Seq[(Seq[StructField], () => Kernel)]): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ parts.flatMap(_._1))
+    val keyIdx = inSchema.fieldIndex("series_id")
+    val enc = Encoders.row(outSchema)
+    val makes = parts.map(_._2)
+    df.repartition(col("series_id"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        var kernels: Array[Kernel] = null
+        var curKey: Any = null
+        var started = false
+        it.map { row =>
+          val k = row.get(keyIdx)
+          if (!started || k != curKey) {
+            kernels = makes.map(_()).toArray
+            var j = 0
+            while (j < kernels.length) { kernels(j).init(inSchema); kernels(j).reset(); j += 1 }
+            curKey = k
+            started = true
+          }
+          val outs = scala.collection.mutable.ArrayBuffer[Any]()
+          var j = 0
+          while (j < kernels.length) { outs ++= kernels(j).update(row); j += 1 }
+          Row.fromSeq(row.toSeq ++ outs)
+        }
+      }(enc)
+  }
+
   private def d(row: Row, i: Int): Double = row.getDouble(i)
   private def isN(row: Row, i: Int): Boolean = row.isNullAt(i)
 
