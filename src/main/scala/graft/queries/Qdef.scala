@@ -123,4 +123,19 @@ object sqlgen {
       "FROM events GROUP BY 1, 2"
 
   val orderTail = " ORDER BY series_id, ts"
+
+  /** Join many per-indicator oracle queries on (series_id, ts), taking the
+    * named columns from each. Every part becomes a MATERIALIZED CTE —
+    * inlining 50+ window/recursive subquery trees into one plan sends
+    * DuckDB's optimizer into a multi-minute, tens-of-GB planning blowup;
+    * opaque materialized parts join in well under a second. */
+  def composeJoin(parts: Seq[(String, Seq[String])]): String = {
+    // "__oc" prefix cannot collide with any part's INTERNAL stage names
+    // (t1/p0/q0/... in the per-indicator CTE chains)
+    val aliased = parts.zipWithIndex.map { case ((sq, cols), i) => (s"__oc$i", sq, cols) }
+    val ctes = aliased.map { case (al, sq, _) => s"$al AS MATERIALIZED ($sq)" }.mkString(", ")
+    val joins = aliased.tail.map { case (al, _, _) => s"JOIN $al USING (series_id, ts)" }.mkString(" ")
+    val cols = aliased.flatMap { case (al, _, cs) => cs.map(c0 => s"$al.$c0") }.mkString(", ")
+    s"WITH $ctes SELECT __oc0.series_id, __oc0.ts, $cols FROM __oc0 $joins$orderTail"
+  }
 }

@@ -187,14 +187,6 @@ object Strategy50Queries {
         .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
         .orderBy("series_id", "ts")
     },
-    Some {
-      val aliased = parts.zipWithIndex.map { case ((sq, cols), i) => (s"p$i", sq, cols) }
-      val head = aliased.head
-      val joins = aliased.tail
-        .map { case (al, sq, _) => s"JOIN ($sq) $al USING (series_id, ts)" }
-        .mkString(" ")
-      val cols = aliased.flatMap { case (al, _, cs) => cs.map(c0 => s"$al.$c0") }.mkString(", ")
-      s"SELECT ${head._1}.series_id, ${head._1}.ts, $cols FROM (${head._2}) ${head._1} $joins$orderTail"
-    }
+    Some(composeJoin(parts))
   )
 }
