@@ -139,6 +139,61 @@ object JoinQueries {
     )
   }
 
+  /** Third-wave candle patterns over the per-user bars (multi-key).
+    * Oracle mirrors Ta.cdlPatterns3 term-for-term. */
+  val qCdlPatterns3 = {
+    val bars = new Cte("bars", userBarsCte)
+    val outs = Seq(
+      "cdl_3_inside_up", "cdl_3_inside_down", "cdl_3_outside_up", "cdl_3_outside_down",
+      "cdl_belt_hold_bull", "cdl_belt_hold_bear", "cdl_doji_star_bull", "cdl_doji_star_bear",
+      "cdl_kicking_bull", "cdl_kicking_bear"
+    )
+    val b = bars
+      .addSel(
+        "c0",
+        s"abs(close - open) AS body, high - low AS rng, " +
+          s"lag(open, 1) $ov AS po, lag(close, 1) $ov AS pc, " +
+          s"lag(high, 1) $ov AS ph, lag(low, 1) $ov AS pl, " +
+          s"lag(open, 2) $ov AS po2, lag(close, 2) $ov AS pc2, " +
+          "high - greatest(open, close) AS ush, least(open, close) - low AS dsh"
+      )
+      .addSel(
+        "c1",
+        "abs(pc - po) AS pbody, ph - pl AS prng, " +
+          "close > open AS bull, close < open AS bear, " +
+          "pc > po AS pbull, pc < po AS pbear, pc2 > po2 AS p2bull, pc2 < po2 AS p2bear"
+      )
+      .addSel(
+        "c2",
+        "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbull AND po >= pc2 AND pc <= po2 AND bull AND close > po2 THEN 1e0 ELSE 0e0 END AS cdl_3_inside_up, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbear AND po <= pc2 AND pc >= po2 AND bear AND close < po2 THEN 1e0 ELSE 0e0 END AS cdl_3_inside_down, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbull AND po <= pc2 AND pc >= po2 AND bull AND close > pc THEN 1e0 ELSE 0e0 END AS cdl_3_outside_up, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbear AND po >= pc2 AND pc <= po2 AND bear AND close < pc THEN 1e0 ELSE 0e0 END AS cdl_3_outside_down, " +
+          "CASE WHEN bull AND rng > 0 AND body >= 0.7e0 * rng AND dsh <= 0.05e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_belt_hold_bull, " +
+          "CASE WHEN bear AND rng > 0 AND body >= 0.7e0 * rng AND ush <= 0.05e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_belt_hold_bear, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN pbear AND rng > 0 AND body <= 0.1e0 * rng AND greatest(open, close) < pc THEN 1e0 ELSE 0e0 END AS cdl_doji_star_bull, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN pbull AND rng > 0 AND body <= 0.1e0 * rng AND least(open, close) > pc THEN 1e0 ELSE 0e0 END AS cdl_doji_star_bear, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN pbear AND prng > 0 AND pbody >= 0.95e0 * prng AND bull AND rng > 0 AND body >= 0.95e0 * rng AND open > ph THEN 1e0 ELSE 0e0 END AS cdl_kicking_bull, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN pbull AND prng > 0 AND pbody >= 0.95e0 * prng AND bear AND rng > 0 AND body >= 0.95e0 * rng AND open < pl THEN 1e0 ELSE 0e0 END AS cdl_kicking_bear"
+      )
+    Q(
+      "cdl_patterns3",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .userBars(s, dir)
+          .ta.cdlPatterns3
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
   /** Candle utils + rolling geometric mean over the bars. */
   val qCandleUtils = {
     val bars = new Cte("bars", barsCte)
@@ -169,5 +224,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCandleUtils)
 }

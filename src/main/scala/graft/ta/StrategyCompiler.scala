@@ -1248,6 +1248,42 @@ private[ta] object StrategyCompiler {
           )),
           Nil
         ))
+      case "cdl_pattern_3" =>
+        val body = abs(close - open)
+        val rng = high - low
+        val po = shift(open, 1); val pc = shift(close, 1)
+        val ph = shift(high, 1); val pl = shift(low, 1)
+        val po2 = shift(open, 2); val pc2 = shift(close, 2)
+        val upShadow = high - greatest(open, close)
+        val dnShadow = least(open, close) - low
+        val bull = close > open; val bear = close < open
+        val pBull = pc > po; val pBear = pc < po
+        val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
+        val pBody = abs(pc - po); val pRng = ph - pl
+        def flag2(cond: Column): Column =
+          when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        def flag3(cond: Column): Column =
+          when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
+        Some(ColPlan(
+          Seq(Seq(
+            "cdl_3_inside_up" -> flag3(p2Bear && pBull && po >= pc2 && pc <= po2 && bull && close > po2),
+            "cdl_3_inside_down" -> flag3(p2Bull && pBear && po <= pc2 && pc >= po2 && bear && close < po2),
+            "cdl_3_outside_up" -> flag3(p2Bear && pBull && po <= pc2 && pc >= po2 && bull && close > pc),
+            "cdl_3_outside_down" -> flag3(p2Bull && pBear && po >= pc2 && pc <= po2 && bear && close < pc),
+            "cdl_belt_hold_bull" -> flag1(bull && rng > 0 && body >= lit(0.7) * rng && dnShadow <= lit(0.05) * rng),
+            "cdl_belt_hold_bear" -> flag1(bear && rng > 0 && body >= lit(0.7) * rng && upShadow <= lit(0.05) * rng),
+            "cdl_doji_star_bull" -> flag2(pBear && rng > 0 && body <= lit(0.1) * rng && greatest(open, close) < pc),
+            "cdl_doji_star_bear" -> flag2(pBull && rng > 0 && body <= lit(0.1) * rng && least(open, close) > pc),
+            "cdl_kicking_bull" -> flag2(
+              pBear && pRng > 0 && pBody >= lit(0.95) * pRng && bull && rng > 0 && body >= lit(0.95) * rng && open > ph
+            ),
+            "cdl_kicking_bear" -> flag2(
+              pBull && pRng > 0 && pBody >= lit(0.95) * pRng && bear && rng > 0 && body >= lit(0.95) * rng && open < pl
+            )
+          )),
+          Nil
+        ))
       case _ => None
     }
   }
