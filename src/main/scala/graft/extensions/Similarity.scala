@@ -217,16 +217,27 @@ object Similarity {
     * (any pair agreeing on ≥1 of `bands` signature slices becomes a
     * candidate) + exact-dot verification, so false positives are
     * eliminated and the only approximation is recall on near-threshold
-    * pairs (P[bit agree] = 1 − θ/π; 8 bands × 2 bits keeps recall ≈ 1
-    * for high-cosine pairs). Shuffle volume is vectors × bands — the
-    * scale alternative to cosinePairs' O(n²) self-join, same contract as
-    * minhashLshPairs for text. */
+    * pairs (P[bit agree] = 1 − θ/π). Shuffle volume is vectors × bands —
+    * the scale alternative to cosinePairs' O(n²) self-join, same contract
+    * as minhashLshPairs for text.
+    *
+    * Parameter tradeoff: band width (nPlanes/bands bits) sets bucket
+    * selectivity — a b-bit band has 2^b buckets, so candidate volume per
+    * band is Σ_bucket n_b². The oracle-friendly small config (16 planes ×
+    * 8 bands = 2-bit keys) is fine at test scale but FAR too coarse for a
+    * large corpus; at 100 TB use wide bands (e.g. 64 planes, 4 × 16-bit
+    * bands) for genuinely-near-dup thresholds (≥0.9 cosine), and set
+    * `maxBucket` — the hot-bucket guard, same role as jaccardPairs'
+    * maxDf: a bucket of n vectors contributes n² candidates, and pairs
+    * that ONLY collide in an over-dense region of the sphere are below
+    * any near-dup threshold anyway. 0 = no cap (oracle mode). */
   def cosineNeardupPairs(
       corpus: DataFrame,
       threshold: Double,
       dim: Int,
       nPlanes: Int = 16,
-      bands: Int = 8
+      bands: Int = 8,
+      maxBucket: Long = 0L
   ): DataFrame = {
     require(nPlanes % bands == 0 && nPlanes <= 62, "bands must partition the signature")
     val planes = hyperplanes(nPlanes, dim)
@@ -234,12 +245,19 @@ object Similarity {
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"), hyperplaneSig(col("embedding"), planes).as("sig"))
     val bb = nPlanes / bands
-    val banded = sigd.select(
+    val banded0 = sigd.select(
       col("vec_id"),
       posexplode(
         array((0 until bands).map(b => pmod(shiftright(col("sig"), b * bb), lit(1L << bb))): _*)
       ).as(Seq("band", "bkey"))
     )
+    val banded =
+      if (maxBucket <= 0L) banded0
+      else {
+        val hot = banded0.groupBy("band", "bkey").count().where(col("count") > maxBucket)
+          .select("band", "bkey")
+        banded0.join(hot, Seq("band", "bkey"), "left_anti")
+      }
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bkey"))
