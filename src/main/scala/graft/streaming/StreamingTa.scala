@@ -185,6 +185,53 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  /** Stream SEVERAL REC kernels over one tick stream in a single
+    * stateful pass — the streaming counterpart of rec.perSeriesBatch:
+    * one groupByKey/state entry per series carries ALL kernels, and each
+    * tick emits the concatenated outputs. Output ≡ running the batch
+    * perSeriesBatch over the same rows, row-for-row. */
+  def kernelBatchStream(
+      ticks: Dataset[BarTick],
+      makes: Seq[() => graft.ta.rec.Kernel]
+  ): Dataset[KernelOut] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[graft.ta.rec.Kernel]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[graft.ta.rec.Kernel]]
+
+    def step(
+        key: String,
+        rows: Iterator[BarTick],
+        gs: GroupState[Array[graft.ta.rec.Kernel]]
+    ): Iterator[KernelOut] = {
+      val kernels = gs.getOption.getOrElse {
+        makes.map { mk =>
+          val k = mk(); k.init(barSchema); k.reset(); k
+        }.toArray
+      }
+      val out = rows.toSeq.sortBy(_.ts).map { t =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume),
+          barSchema
+        )
+        val vals = kernels.flatMap(_.update(row)).map {
+          case null => None
+          case d: Double => Some(d)
+          case i: Int => Some(i.toDouble)
+          case l: Long => Some(l.toDouble)
+          case other => Some(other.toString.toDouble)
+        }
+        KernelOut(key, t.ts, vals.toSeq)
+      }
+      gs.update(kernels)
+      out.iterator
+    }
+
+    ticks
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each text hash.
     * Watermark bounds the state for late data at scale. */
   def dedupStream(docs: DataFrame, eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
