@@ -194,6 +194,55 @@ object JoinQueries {
     )
   }
 
+  /** Fourth-wave (equal-price family) candle patterns over the per-user
+    * bars. nearEq tolerance = 0.05 · sma(h−l, 10), mirrored exactly. */
+  val qCdlPatterns4 = {
+    val bars = new Cte("bars", userBarsCte)
+    val outs = Seq(
+      "cdl_on_neck", "cdl_in_neck", "cdl_thrusting", "cdl_separating_lines_bull",
+      "cdl_separating_lines_bear", "cdl_matching_low", "cdl_stick_sandwich", "cdl_homing_pigeon"
+    )
+    val b = bars
+      .addSel(
+        "c0",
+        s"${rmean("(high - low)", 10)} AS avgrng, " +
+          s"lag(open, 1) $ov AS po, lag(close, 1) $ov AS pc, lag(low, 1) $ov AS pl, " +
+          s"lag(open, 2) $ov AS po2, lag(close, 2) $ov AS pc2"
+      )
+      .addSel(
+        "c1",
+        "close > open AS bull, close < open AS bear, " +
+          "pc > po AS pbull, pc < po AS pbear, pc2 < po2 AS p2bear"
+      )
+      .addSel(
+        "c2",
+        "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bull AND open < pl AND abs(close - pl) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_on_neck, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bull AND open < pl AND close >= pc AND close - pc <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_in_neck, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bull AND open < pl AND close > pc AND close < (po + pc) / 2e0 THEN 1e0 ELSE 0e0 END AS cdl_thrusting, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bull AND abs(open - po) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_separating_lines_bull, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbull AND bear AND abs(open - po) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_separating_lines_bear, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bear AND abs(close - pc) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_matching_low, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN p2bear AND pbull AND bear AND abs(close - pc2) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_stick_sandwich, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bear AND open < po AND close > pc THEN 1e0 ELSE 0e0 END AS cdl_homing_pigeon"
+      )
+    Q(
+      "cdl_patterns4",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .userBars(s, dir)
+          .ta.cdlPatterns4
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
   /** Candle utils + rolling geometric mean over the bars. */
   val qCandleUtils = {
     val bars = new Cte("bars", barsCte)
@@ -224,5 +273,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCandleUtils)
 }

@@ -1284,6 +1284,33 @@ private[ta] object StrategyCompiler {
           )),
           Nil
         ))
+      case "cdl_pattern_4" =>
+        val n = 10
+        val avgRng = rmean(high - low, n)
+        def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
+        val po = shift(open, 1); val pc = shift(close, 1)
+        val pl = shift(low, 1)
+        val po2 = shift(open, 2); val pc2 = shift(close, 2)
+        val bull = close > open; val bear = close < open
+        val pBull = pc > po; val pBear = pc < po
+        val p2Bear = pc2 < po2
+        def flag2(cond: Column): Column =
+          when(pc.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        def flag3(cond: Column): Column =
+          when(pc2.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+        Some(ColPlan(
+          Seq(Seq(
+            "cdl_on_neck" -> flag2(pBear && bull && open < pl && nearEq(close, pl)),
+            "cdl_in_neck" -> flag2(pBear && bull && open < pl && close >= pc && close - pc <= lit(0.05) * avgRng),
+            "cdl_thrusting" -> flag2(pBear && bull && open < pl && close > pc && close < (po + pc) / 2.0),
+            "cdl_separating_lines_bull" -> flag2(pBear && bull && nearEq(open, po)),
+            "cdl_separating_lines_bear" -> flag2(pBull && bear && nearEq(open, po)),
+            "cdl_matching_low" -> flag2(pBear && bear && nearEq(close, pc)),
+            "cdl_stick_sandwich" -> flag3(p2Bear && pBull && bear && nearEq(close, pc2)),
+            "cdl_homing_pigeon" -> flag2(pBear && bear && open < po && close > pc)
+          )),
+          Nil
+        ))
       case _ => None
     }
   }

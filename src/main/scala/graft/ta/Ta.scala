@@ -640,6 +640,46 @@ final class Ta(private val df: DataFrame) {
     defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
   }
 
+  /** Fourth wave of native candle patterns: the "price equality" family.
+    * TA-Lib's candle settings define Equal as a tolerance of the average
+    * range; here nearEq(a,b) ⇔ |a−b| ≤ 0.05·sma(h−l, 10), making the
+    * equal-price patterns (matching low, separating lines, on/in neck,
+    * stick sandwich) deterministic declared specs. Flags are null until
+    * the needed lags AND the average range are defined. */
+  def cdlPatterns4: DataFrame = {
+    val n = 10
+    val avgRng = rmean(high - low, n)
+    def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
+    val po = shift(open, 1); val pc = shift(close, 1)
+    val pl = shift(low, 1)
+    val po2 = shift(open, 2); val pc2 = shift(close, 2)
+    val bull = close > open; val bear = close < open
+    val pBull = pc > po; val pBear = pc < po
+    val p2Bear = pc2 < po2
+    def flag2(cond: Column): Column =
+      when(pc.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flag3(cond: Column): Column =
+      when(pc2.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    val defs: Seq[(String, Column)] = Seq(
+      // white candle gaps below the prior black low, closes AT the low
+      "cdl_on_neck" -> flag2(pBear && bull && open < pl && nearEq(close, pl)),
+      // ... or just inside the prior close
+      "cdl_in_neck" -> flag2(pBear && bull && open < pl && close >= pc && close - pc <= lit(0.05) * avgRng),
+      // ... or into the body but below its midpoint
+      "cdl_thrusting" -> flag2(pBear && bull && open < pl && close > pc && close < (po + pc) / 2.0),
+      // trend continuation: opposite color opening at the same price
+      "cdl_separating_lines_bull" -> flag2(pBear && bull && nearEq(open, po)),
+      "cdl_separating_lines_bear" -> flag2(pBull && bear && nearEq(open, po)),
+      // two black candles closing at the same level
+      "cdl_matching_low" -> flag2(pBear && bear && nearEq(close, pc)),
+      // black / white / black with the outer closes matching
+      "cdl_stick_sandwich" -> flag3(p2Bear && pBull && bear && nearEq(close, pc2)),
+      // harami with both candles black
+      "cdl_homing_pigeon" -> flag2(pBear && bear && open < po && close > pc)
+    )
+    defs.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
+  }
+
   /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
   def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
     df.withColumn(
