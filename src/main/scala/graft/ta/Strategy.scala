@@ -260,19 +260,67 @@ object registry {
     * through the per-spec builder fold. Output columns are identical to
     * folding `apply` over every spec. */
   def strategy(df: DataFrame, st: Strategy): DataFrame = {
-    val lowered = st.ta.map { s =>
+    require(
+      df.columns.forall(!_.startsWith("__")),
+      "strategy input has columns with the reserved '__' prefix (compiler temps): " +
+        df.columns.filter(_.startsWith("__")).mkString(", ")
+    )
+    val lowered0 = st.ta.map { s =>
       val cp = StrategyCompiler.compile(s)
       (s, cp, if (cp.isEmpty) StrategyCompiler.compileRec(s) else None)
     }
-    val colPlans = lowered.collect { case (_, Some(cp), _) => cp }
-    val recPlans = lowered.collect { case (_, None, Some(rp)) => rp }
-    val rest = lowered.collect { case (s, None, None) => s }
+    // Several lowerings reuse a param-INDEPENDENT temp name (__pos, __qrsi,
+    // __cci_mad, ...) whose expression is param-DEPENDENT. runAll's
+    // per-level name dedup keeps the last occurrence, so batching two
+    // same-kind/different-param specs would compute the first spec's
+    // outputs from the second's intermediates. Claim names first-come:
+    // a spec whose plan redefines an already-claimed name with a different
+    // expression (or whose kernel re-emits a claimed output) falls back to
+    // the builder fold — fold semantics are the contract, the merged batch
+    // is only the fast path. Identical redefinitions (e.g. the shared
+    // true_range stage from atr+natr+chop) still batch. Colliders fold
+    // AFTER the batch (a later spec's output must overwrite an earlier
+    // one's, per replace semantics), and once a name is routed every
+    // later spec writing it routes too, preserving last-wins order.
+    val claimed = scala.collection.mutable.Map.empty[String, String]
+    val routedNames = scala.collection.mutable.Set.empty[String]
+    val lowered = lowered0.map { case (s, cp, rp) =>
+      if (cp.isEmpty && rp.isEmpty) (s, cp, rp, false)
+      else {
+        val levels = cp.map(_.levels).orElse(rp.map(_.staging)).getOrElse(Nil)
+        val names: Seq[(String, String)] =
+          levels.flatten.map { case (n, c) => n -> c.toString } ++
+            rp.toSeq.flatMap(_.outs.map(f =>
+              f.name -> s"kernel:${s.kind}:${s.params.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString(",")}"
+            ))
+        val collides = names.exists { case (n, e) =>
+          routedNames.contains(n) || claimed.get(n).exists(_ != e)
+        }
+        if (collides) {
+          routedNames ++= names.map(_._1)
+          (s, None, None, true)
+        } else {
+          names.foreach { case (n, e) => claimed.getOrElseUpdate(n, e) }
+          (s, cp, rp, false)
+        }
+      }
+    }
+    val colPlans = lowered.collect { case (_, Some(cp), _, _) => cp }
+    val recPlans = lowered.collect { case (_, None, Some(rp), _) => rp }
+    val preFold = lowered.collect { case (s, None, None, false) => s }
+    val postFold = lowered.collect { case (s, None, None, true) => s }
     // builder-fold specs (kwargs carriers, unlowered kinds) run FIRST,
     // while the plan is still narrow — each fold step re-analyzes the
     // whole accumulated plan, so folding over the 200+-column compiled
     // batch would pay that cost per step for nothing. Then the column
     // levels merge into a few withColumns, and ALL REC kernels run in one
     // batched repartition+sort+mapPartitions pass instead of one each.
-    StrategyCompiler.runAll(rest.foldLeft(df)((d, spec) => apply(d, spec)), colPlans, recPlans)
+    // Collision-routed specs fold last so their outputs land in spec order.
+    val batched = StrategyCompiler.runAll(
+      preFold.foldLeft(df)((d, spec) => apply(d, spec)),
+      colPlans,
+      recPlans
+    )
+    postFold.foldLeft(batched)((d, spec) => apply(d, spec))
   }
 }

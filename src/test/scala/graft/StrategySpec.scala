@@ -52,6 +52,50 @@ class StrategySpec extends AnyFunSuite {
     }
   }
 
+  test("same-kind different-param specs equal the builder fold") {
+    // eri/cci/kc lowerings use param-independent temp names (__eri_e,
+    // __cci_mad, ...) — batching two variants of one kind must not compute
+    // the first spec's outputs from the second spec's intermediates
+    val specs = Seq(
+      IndicatorSpec("eri", Map("length" -> 10)),
+      IndicatorSpec("eri", Map("length" -> 20)),
+      IndicatorSpec("cci", Map("length" -> 10)),
+      IndicatorSpec("cci", Map("length" -> 14)),
+      IndicatorSpec("kc", Map("length" -> 20)),
+      IndicatorSpec("kc", Map("length" -> 10))
+    )
+    val viaStrategy = registry.strategy(bars, Strategy("dup", specs))
+    val viaFold = specs.foldLeft(bars)((d, s) => registry(d, s))
+    assert(viaStrategy.columns.sorted.sameElements(viaFold.columns.sorted))
+    val cols = viaFold.columns.sorted.toSeq
+    val a = viaStrategy.select(cols.map(col): _*).orderBy("ts").collect()
+    val b = viaFold.select(cols.map(col): _*).orderBy("ts").collect()
+    assert(a.sameElements(b), "same-kind batch diverged from the builder fold")
+  }
+
+  test("colliding output names keep last-wins fold order") {
+    // macd emits param-independent output names; the LAST spec's params
+    // must win, exactly as folding apply would
+    val specs = Seq(
+      IndicatorSpec("macd", Map("fast" -> 12, "slow" -> 26)),
+      IndicatorSpec("macd", Map("fast" -> 5, "slow" -> 35))
+    )
+    val viaStrategy = registry.strategy(bars, Strategy("mm", specs))
+    val viaFold = specs.foldLeft(bars)((d, s) => registry(d, s))
+    val cols = viaFold.columns.sorted.toSeq
+    val a = viaStrategy.select(cols.map(col): _*).orderBy("ts").collect()
+    val b = viaFold.select(cols.map(col): _*).orderBy("ts").collect()
+    assert(a.sameElements(b), "output-name collision diverged from fold order")
+  }
+
+  test("reserved __ prefix on input columns is rejected") {
+    val bad = bars.withColumn("__rn", lit(1))
+    val e = intercept[IllegalArgumentException](
+      registry.strategy(bad, Strategy("r", Seq(IndicatorSpec("sma"))))
+    )
+    assert(e.getMessage.contains("__"))
+  }
+
   test("offset kwarg shifts appended output only") {
     val plain = bars.ta.sma(10).orderBy("ts").collect().map(r => Option(r.getAs[Any]("sma_10")))
     val shifted = bars
