@@ -30,9 +30,15 @@ object CacheRegistry {
   private def sid(spark: SparkSession): String =
     ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
-  /** Stable hash of a DataFrame's canonicalized plan — lets operator
-    * indexes key on "same session, same input, same params". */
-  def planKey(df: DataFrame): Int = df.queryExecution.analyzed.canonicalized.hashCode
+  /** Key for a DataFrame's canonicalized plan — lets operator indexes key
+    * on "same session, same input, same params". The FULL plan string is
+    * part of the key (not just a 32-bit hash): a hash collision between
+    * two different corpora in one session must degrade to a cache miss,
+    * never to silently reusing the wrong persisted index. */
+  def planKey(df: DataFrame): String = {
+    val p = df.queryExecution.analyzed.canonicalized
+    s"${p.semanticHash()}:${p.toString}"
+  }
 
   /** Persist-once per (session, key); later calls reuse the handle. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
@@ -46,6 +52,23 @@ object CacheRegistry {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     entries.put((sid(df.sparkSession), s"__transient_${seq.incrementAndGet()}"), p)
     p
+  }
+
+  /** Unpersist only the one-off `track` stages this session pinned,
+    * keeping memo'd fixtures. Scoped cleanup for callers that loop many
+    * plans through one session (Bench) — `track` pins a NEW entry per
+    * invocation, so without this the pinned set grows with every loop
+    * iteration. */
+  def releaseTransients(spark: SparkSession): Unit = {
+    val uuid = sid(spark)
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == uuid && e.getKey._2.startsWith("__transient_")) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
   }
 
   /** Unpersist and forget everything this session pinned. */

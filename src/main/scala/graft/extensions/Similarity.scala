@@ -241,12 +241,22 @@ object Similarity {
   ): DataFrame = {
     require(nPlanes % bands == 0 && nPlanes <= 62, "bands must partition the signature")
     val planes = hyperplanes(nPlanes, dim)
+    // spread the corpus first: a small parquet arrives as ONE split, and
+    // the broadcast band-join parallelizes by stream-side partition
     val sigd = corpus
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"), hyperplaneSig(col("embedding"), planes).as("sig"))
     val bb = nPlanes / bands
+    // embeddings ride through the band shuffle (bands × row-size extra
+    // volume) so collision rows verify INLINE: the alternative — id-only
+    // candidates + distinct + two fetch joins — shuffles the full
+    // candidate set through a distinct and re-joins the corpus twice,
+    // three extra stages that dominate when candidates >> survivors.
+    // A pair colliding in k bands computes its dot k times; the dedup
+    // runs AFTER the threshold filter, when almost nothing is left.
     val banded0 = sigd.select(
       col("vec_id"),
+      col("embedding"),
       posexplode(
         array((0 until bands).map(b => pmod(shiftright(col("sig"), b * bb), lit(1L << bb))): _*)
       ).as(Seq("band", "bkey"))
@@ -258,17 +268,17 @@ object Similarity {
           .select("band", "bkey")
         banded0.join(hot, Seq("band", "bkey"), "left_anti")
       }
-    val cand = banded
+    banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bkey"))
       .where(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-    cand
-      .join(sigd.select(col("vec_id").as("a_id"), col("embedding").as("emb_a")), "a_id")
-      .join(sigd.select(col("vec_id").as("b_id"), col("embedding").as("emb_b")), "b_id")
-      .select(col("a_id"), col("b_id"), dot(col("emb_a"), col("emb_b")).as("sim"))
+      .select(
+        col("x.vec_id").as("a_id"),
+        col("y.vec_id").as("b_id"),
+        dot(col("x.embedding"), col("y.embedding")).as("sim")
+      )
       .where(col("sim") >= threshold)
+      .distinct()
   }
 
   /** IVF probing for query sets too large to broadcast: probes meet the

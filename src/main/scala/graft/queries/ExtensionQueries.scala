@@ -239,9 +239,17 @@ object ExtensionQueries {
   /** Embedding near-dup, scale path: sign-LSH banding + exact-dot verify.
     * Deterministic (sin-formula hyperplanes emitted as literals), so the
     * oracle replays signature → bands → candidate join → verification
-    * exactly; recall vs the exact x_cosine_pairs asserted in DedupSpec. */
+    * exactly; recall vs the exact x_cosine_pairs asserted in DedupSpec.
+    *
+    * Gate config is the SUB-QUADRATIC regime: 6-bit band keys (30 planes /
+    * 5 bands) make candidate volume Σ_bucket n_b² ≈ n²/64 per band — ~150k
+    * candidates at sf0.1 vs the 2M pairs x_cosine_pairs scores. (The old
+    * 2-bit config had only 4 buckets per band and generated MORE candidates
+    * than brute force — fine as an oracle exerciser, useless as a scale
+    * demonstration.) Recall concentrates on genuinely-near pairs, as LSH
+    * should; the exact path stays the recall oracle in DedupSpec. */
   val qVecNeardup = {
-    val (nPlanes, bands, dim, threshold) = (16, 8, 64, 0.45)
+    val (nPlanes, bands, dim, threshold) = (30, 5, 64, 0.45)
     val bb = nPlanes / bands
     val planes = Similarity.hyperplanes(nPlanes, dim)
     def planeLit(w: Seq[Double]) = "[" + w.map(sqlgen.d).mkString(", ") + "]"

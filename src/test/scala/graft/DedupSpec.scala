@@ -94,6 +94,28 @@ class DedupSpec extends AnyFunSuite {
     assert(strong.nonEmpty)
   }
 
+  test("sign-LSH gate config (30 planes / 5 bands) is sub-quadratic and precise") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val exact = pairSet(Similarity.cosinePairs(e, 0.45))
+    // the production 6-bit banding: candidates must be far below n² and
+    // verification keeps precision perfect (every emitted pair is exact)
+    val lshPairs = pairSet(Similarity.cosineNeardupPairs(e, 0.45, dim = 64, nPlanes = 30, bands = 5))
+    assert(lshPairs.subsetOf(exact), "false positive survived exact verification")
+    assert(lshPairs.nonEmpty, "gate config found no pairs; gate query would be vacuous")
+    val planes = Similarity.hyperplanes(30, 64)
+    val sigd = e.select(col("vec_id"), Similarity.hyperplaneSig(col("embedding"), planes).as("sig"))
+    val banded = sigd.select(
+      col("vec_id"),
+      posexplode(array((0 until 5).map(b => pmod(shiftright(col("sig"), b * 6), lit(64L))): _*))
+        .as(Seq("band", "bkey"))
+    )
+    val candVolume = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    assert(candVolume < n * (n - 1) / 4, s"candidate volume $candVolume not sub-quadratic for n=$n")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
