@@ -47,6 +47,20 @@ object CacheRegistry {
       _ => build.persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+  /** Compiled-PLAN cache (no data persisted): same session + same key →
+    * the same already-analyzed DataFrame. Prepared-statement semantics for
+    * expensive compilations (the 80-spec Strategy batch costs ~1.7s of
+    * Catalyst analysis — resolution is O(levels) fixed-point iterations
+    * over the full tree, and non-pruning analyzer rules rescan everything
+    * per iteration, a floor the DataFrame API cannot go below). Execution
+    * still runs from scratch on every action; `release`/`releasePlans`
+    * drop the entries. */
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+
+  def memoPlan(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    plans.computeIfAbsent((sid(spark), key), _ => build)
+
   /** Persist + track a one-off stage (no dedup key — unique per call). */
   def track(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -82,5 +96,7 @@ object CacheRegistry {
         it.remove()
       }
     }
+    val pit = plans.entrySet().iterator()
+    while (pit.hasNext) if (pit.next().getKey._1 == uuid) pit.remove()
   }
 }

@@ -46,6 +46,11 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // JVM-wide Janino cache (read once at first codegen): the default 100
+      // entries cannot hold one ~1000-expression Strategy batch (~244
+      // generated classes), so every run recompiled the whole plan — the
+      // round-3 "fixed exec overhead" on strategy_ohlcv_batch.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     init(s)

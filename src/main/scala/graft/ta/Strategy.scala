@@ -260,6 +260,21 @@ object registry {
     * through the per-spec builder fold. Output columns are identical to
     * folding `apply` over every spec. */
   def strategy(df: DataFrame, st: Strategy): DataFrame = {
+    // Compiled-plan cache (prepared-statement semantics): the 80-spec batch
+    // costs ~1.7s of Catalyst analysis per build — identical (input plan,
+    // strategy) in one session returns the SAME analyzed DataFrame; every
+    // action still executes from scratch. Key includes every spec kind+param
+    // (sorted, so Map iteration order cannot alias two strategies).
+    val stKey = st.ta
+      .map(s => s.kind + ":" + s.params.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString(","))
+      .mkString(";")
+    graft.CacheRegistry.memoPlan(
+      df.sparkSession,
+      s"strategy:${st.name}:$stKey:${graft.CacheRegistry.planKey(df)}"
+    )(strategyBuild(df, st))
+  }
+
+  private def strategyBuild(df: DataFrame, st: Strategy): DataFrame = {
     require(
       df.columns.forall(!_.startsWith("__")),
       "strategy input has columns with the reserved '__' prefix (compiler temps): " +

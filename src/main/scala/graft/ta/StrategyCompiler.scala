@@ -1452,19 +1452,44 @@ private[ta] object StrategyCompiler {
   def runAll(df: DataFrame, plans: Seq[ColPlan], recPlans: Seq[RecPlan]): DataFrame = {
     if (plans.isEmpty && recPlans.isEmpty) return df
     val allPlans = plans ++ recPlans.map(rp => ColPlan(rp.staging, rp.temps))
-    var d = if (allPlans.isEmpty) df else df.withColumns(Map("__rn" -> rn))
     val nLevels = if (allPlans.isEmpty) 0 else allPlans.map(_.levels.size).max
-    for (k <- 0 until nLevels) {
-      val cols = allPlans.flatMap(_.levels.lift(k).getOrElse(Nil))
+    // Stack every level as an unresolved Project over the analyzed base and
+    // analyze the whole tree ONCE (GraftBridge.ofRows). The old one-
+    // `withColumns`-per-level loop re-ran full analysis per level, and
+    // tree-rescanning rules (DeduplicateRelations alone: 0.4s / 0 effective
+    // over the 80-spec build) made driver cost quadratic in level count.
+    // Semantics are withColumns': same-name columns replace in place,
+    // new columns append in level order.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.{GraftBridge => B}
+    val e = B.expressionEager _
+    var names = df.columns.toVector
+    var plan = B.analyzed(df)
+    val level0: Level = Seq("__rn" -> rn)
+    for (k <- -1 until nLevels) {
+      val cols =
+        if (k < 0) level0 else allPlans.flatMap(_.levels.lift(k).getOrElse(Nil))
       if (cols.nonEmpty) {
         // duplicate names (e.g. true_range from atr+natr+chop in one batch):
         // keep the LAST occurrence — the same replace-semantics the builder
         // fold has (the colliding expressions are identical by construction
         // for the shared-stage cases)
         val dedup = cols.map(_._1).distinct.map(n0 => n0 -> cols.reverse.find(_._1 == n0).get._2)
-        d = d.withColumns(dedup.toMap)
+        val byName = dedup.toMap
+        val kept: Seq[NamedExpression] = names.map { n0 =>
+          byName.get(n0) match {
+            case Some(c) => Alias(e(c), n0)()
+            case None    => UnresolvedAttribute(Seq(n0))
+          }
+        }
+        val appended = dedup.filterNot(c => names.contains(c._1))
+        plan = Project(kept ++ appended.map { case (n0, c) => Alias(e(c), n0)() }, plan)
+        names = names ++ appended.map(_._1)
       }
     }
+    var d = B.ofRows(df.sparkSession, plan)
     // a column one plan treats as scratch (e.g. adx's true_range) may be
     // another plan's declared OUTPUT (the atr builder keeps true_range):
     // outputs win, only globally-unclaimed temps are dropped
