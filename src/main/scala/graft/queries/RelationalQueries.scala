@@ -87,6 +87,7 @@ object RelationalQueries {
         .withColumn("ddl", P.sln(max("close").over(cum)) - P.sln(col("close")))
         .withColumn("dpct", lit(100.0) * (col("close") - max("close").over(cum)) / max("close").over(cum))
         .withColumn("dneg", least(col("ret"), lit(0.0)))
+        .withColumn("rn", row_number().over(w).cast("double"))
         .groupBy("series_id")
         .agg(
           (avg("ret") / stddev_samp("ret") * ann).as("__sharpe"),
@@ -99,7 +100,8 @@ object RelationalQueries {
           ) - 1.0).as("__cagr"),
           (sqrt(avg(col("dneg") * col("dneg"))) * ann).as("__ddev"),
           sqrt(avg(col("dpct") * col("dpct"))).as("__ui"),
-          (avg("ret") * 252.0).as("__annret")
+          (avg("ret") * 252.0).as("__annret"),
+          corr(col("close"), col("rn")).as("__ppr")
         )
         .select(
           col("series_id"),
@@ -111,7 +113,14 @@ object RelationalQueries {
           P.normd(col("__ddev")).as("downside_deviation"),
           P.normd(P.sdiv(col("__annret"), col("__ddev")) * math.sqrt(252.0) / 252.0 * 252.0).as("sortino"),
           P.normd(P.sdiv(col("__cagr"), col("__mdd"))).as("calmar"),
-          P.normd(P.sdiv(col("__annret"), col("__ui"))).as("ulcer_performance_index")
+          P.normd(P.sdiv(col("__annret"), col("__ui"))).as("ulcer_performance_index"),
+          // optimal_leverage (reference _metrics.py): int(capital ·
+          // (period_mu − benchmark_rate)/period_sigma²), capital=1, rate=0;
+          // Spark double→bigint cast truncates toward zero like Python int()
+          P.sdiv(col("__annret"), col("__vol") * col("__vol")).cast("bigint").as("optimal_leverage"),
+          // pure_profit_score: Pearson r of close vs the 0..n−1 row index
+          // (shift-invariant, so 1-based row_number gives the same r) × cagr
+          P.normd(col("__ppr") * col("__cagr")).as("pure_profit_score")
         )
         .orderBy("series_id")
     },
@@ -120,19 +129,57 @@ object RelationalQueries {
         s"1e0 - close / nullif(max(close) $cum, 0) AS dd, " +
         s"(CASE WHEN max(close) $cum > 0 THEN ln(max(close) $cum) END) - (CASE WHEN close > 0 THEN ln(close) END) AS ddl, " +
         s"100e0 * (close - max(close) $cum) / max(close) $cum AS dpct, " +
-        s"least(close / nullif(lag(close, 1) $ov, 0) - 1e0, 0e0) AS dneg FROM bars), " +
+        s"least(close / nullif(lag(close, 1) $ov, 0) - 1e0, 0e0) AS dneg, " +
+        s"CAST(row_number() $ov AS DOUBLE) AS rn FROM bars), " +
         "g AS (SELECT series_id, avg(ret) / stddev_samp(ret) * sqrt(252e0) AS sh, " +
         "stddev_samp(ret) * sqrt(252e0) AS vol, max(dd) AS mdd, max(ddl) AS mddl, " +
         "pow(arg_max(close, ts) / arg_min(close, ts), 252e0 / (count(*) - 1e0)) - 1e0 AS cagr, " +
         "sqrt(avg(dneg * dneg)) * sqrt(252e0) AS ddev, sqrt(avg(dpct * dpct)) AS ui, " +
-        "avg(ret) * 252e0 AS annret FROM r GROUP BY series_id) " +
+        "avg(ret) * 252e0 AS annret, corr(close, rn) AS ppr FROM r GROUP BY series_id) " +
         "SELECT series_id, round(sh, 6) AS sharpe, round(vol, 6) AS volatility, " +
         "round(mdd, 6) AS max_drawdown, round(mddl, 6) AS log_max_drawdown, round(cagr, 6) AS cagr, " +
         "round(ddev, 6) AS downside_deviation, " +
         "round(annret / nullif(ddev, 0) * sqrt(252e0) / 252e0 * 252e0, 6) AS sortino, " +
         "round(cagr / nullif(mdd, 0), 6) AS calmar, " +
-        "round(annret / nullif(ui, 0), 6) AS ulcer_performance_index " +
+        "round(annret / nullif(ui, 0), 6) AS ulcer_performance_index, " +
+        "CAST(trunc(annret / nullif(vol * vol, 0)) AS BIGINT) AS optimal_leverage, " +
+        "round(ppr * cagr, 6) AS pure_profit_score " +
         "FROM g ORDER BY series_id"
+    )
+  )
+
+  // ------------------------------------------------------ jensens_alpha
+  /** Jensen's alpha per series (reference _metrics.py jensens_alpha =
+    * the OLS intercept of series returns regressed on benchmark returns;
+    * beta = the slope, from the same regression). Benchmark here is the
+    * equal-weight cross-series mean return per day over the 15-user bars —
+    * computed IN-plan (one window over ts), no separate benchmark input.
+    *
+    * Scale: one hash exchange by ts for the benchmark window, one by
+    * series_id for the final aggregate — both map-side-combined
+    * regr_* sums; no joins, no driver collection. */
+  val qJensens = Q(
+    "jensens_alpha",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("series_id").orderBy("ts")
+      Graft
+        .userBars(s, dir)
+        .withColumn("ret", P.sdiv(col("close"), lag("close", 1).over(w)) - 1.0)
+        .withColumn("bench", avg("ret").over(Window.partitionBy("ts")))
+        .groupBy("series_id")
+        .agg(
+          P.normd(expr("regr_intercept(ret, bench)")).as("jensens_alpha"),
+          P.normd(expr("regr_slope(ret, bench)")).as("jensens_beta")
+        )
+        .orderBy("series_id")
+    },
+    Some(
+      s"WITH ub AS ($userBarsCte), " +
+        s"r AS (SELECT series_id, ts, close / nullif(lag(close, 1) $ov, 0) - 1e0 AS ret FROM ub), " +
+        "b AS (SELECT *, avg(ret) OVER (PARTITION BY ts) AS bench FROM r) " +
+        "SELECT series_id, round(regr_intercept(ret, bench), 6) AS jensens_alpha, " +
+        "round(regr_slope(ret, bench), 6) AS jensens_beta " +
+        "FROM b GROUP BY series_id ORDER BY series_id"
     )
   )
 
@@ -232,5 +279,5 @@ object RelationalQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(qVp, qMetrics, qVwapAnchor, qRevenueNation, qSessions)
+  val all: Seq[Q] = Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSessions)
 }
