@@ -243,6 +243,83 @@ object JoinQueries {
     )
   }
 
+  /** Fifth-wave candle patterns over the per-user bars (multi-key).
+    * Oracle mirrors Ta.cdlPatterns5 term-for-term: real-body gap =
+    * disjoint [min,max](o,c), doji = body ≤ 0.1·range, Equal = 0.05·
+    * sma(h−l,10). */
+  val qCdlPatterns5 = {
+    val bars = new Cte("bars", userBarsCte)
+    val outs = Seq(
+      "cdl_tasuki_gap_up", "cdl_tasuki_gap_down", "cdl_rising_3_methods",
+      "cdl_falling_3_methods", "cdl_2_crows", "cdl_upside_gap_2_crows",
+      "cdl_tristar_bull", "cdl_tristar_bear", "cdl_abandoned_baby_bull",
+      "cdl_abandoned_baby_bear", "cdl_counterattack_bull", "cdl_counterattack_bear",
+      "cdl_rickshaw_man", "cdl_high_wave", "cdl_closing_marubozu"
+    )
+    val b = bars
+      .addSel(
+        "c0",
+        s"abs(close - open) AS body, high - low AS rng, " +
+          "high - greatest(open, close) AS ush, least(open, close) - low AS dsh, " +
+          s"${rmean("(high - low)", 10)} AS avgrng, " +
+          s"lag(open, 1) $ov AS po, lag(close, 1) $ov AS pc, lag(high, 1) $ov AS ph, lag(low, 1) $ov AS pl, " +
+          s"lag(open, 2) $ov AS po2, lag(close, 2) $ov AS pc2, lag(high, 2) $ov AS ph2, lag(low, 2) $ov AS pl2, " +
+          s"lag(open, 3) $ov AS po3, lag(close, 3) $ov AS pc3, lag(high, 3) $ov AS ph3, lag(low, 3) $ov AS pl3, " +
+          s"lag(open, 4) $ov AS po4, lag(close, 4) $ov AS pc4, lag(high, 4) $ov AS ph4, lag(low, 4) $ov AS pl4"
+      )
+      .addSel(
+        "c1",
+        "close > open AS bull, close < open AS bear, " +
+          "pc > po AS pbull, pc < po AS pbear, pc2 > po2 AS p2bull, pc2 < po2 AS p2bear, " +
+          "pc4 > po4 AS bull4, pc4 < po4 AS bear4, " +
+          "abs(pc - po) AS pbody, ph - pl AS prng, abs(pc2 - po2) AS p2body, ph2 - pl2 AS p2rng, " +
+          "abs(pc4 - po4) AS body4, " +
+          "least(po, pc) > greatest(po2, pc2) AS gapup12, greatest(po, pc) < least(po2, pc2) AS gapdn12, " +
+          "rng > 0 AND body <= 0.1e0 * rng AS doji0"
+      )
+      .addSel(
+        "c2",
+        "prng > 0 AND pbody <= 0.1e0 * prng AS doji1, p2rng > 0 AND p2body <= 0.1e0 * p2rng AS doji2, " +
+          "abs(pc3 - po3) < body4 AND ph3 <= ph4 AND pl3 >= pl4 AS small3, " +
+          "abs(pc2 - po2) < body4 AND ph2 <= ph4 AND pl2 >= pl4 AS small2, " +
+          "abs(pc - po) < body4 AND ph <= ph4 AND pl >= pl4 AS small1"
+      )
+      .addSel(
+        "c3",
+        "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbull AND gapup12 AND bear AND open > po AND open < pc AND close < po AND close > greatest(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_tasuki_gap_up, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbear AND gapdn12 AND bull AND open < po AND open > pc AND close > po AND close < least(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_tasuki_gap_down, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bull4 AND small3 AND small2 AND small1 AND bull AND open > pc AND close > pc4 THEN 1e0 ELSE 0e0 END AS cdl_rising_3_methods, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bear4 AND small3 AND small2 AND small1 AND bear AND open < pc AND close < pc4 THEN 1e0 ELSE 0e0 END AS cdl_falling_3_methods, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbear AND gapup12 AND bear AND open < po AND open > pc AND close < pc2 AND close > po2 THEN 1e0 ELSE 0e0 END AS cdl_2_crows, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbear AND gapup12 AND bear AND open > po AND close < pc AND close > pc2 THEN 1e0 ELSE 0e0 END AS cdl_upside_gap_2_crows, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN doji2 AND doji1 AND doji0 AND greatest(po, pc) < least(po2, pc2) AND greatest(po, pc) < least(open, close) THEN 1e0 ELSE 0e0 END AS cdl_tristar_bull, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN doji2 AND doji1 AND doji0 AND least(po, pc) > greatest(po2, pc2) AND least(po, pc) > greatest(open, close) THEN 1e0 ELSE 0e0 END AS cdl_tristar_bear, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND doji1 AND ph < pl2 AND bull AND low > ph THEN 1e0 ELSE 0e0 END AS cdl_abandoned_baby_bull, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND doji1 AND pl > ph2 AND bear AND high < pl THEN 1e0 ELSE 0e0 END AS cdl_abandoned_baby_bear, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbear AND bull AND abs(close - pc) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_counterattack_bull, " +
+          "CASE WHEN pc IS NULL OR avgrng IS NULL THEN NULL WHEN pbull AND bear AND abs(close - pc) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_counterattack_bear, " +
+          "CASE WHEN doji0 AND ush >= 0.3e0 * rng AND dsh >= 0.3e0 * rng AND abs((open + close) / 2e0 - (high + low) / 2e0) <= 0.1e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_rickshaw_man, " +
+          "CASE WHEN rng > 0 AND body <= 0.15e0 * rng AND ush >= 0.35e0 * rng AND dsh >= 0.35e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_high_wave, " +
+          "CASE WHEN rng > 0 AND body >= 0.7e0 * rng AND ((bull AND ush <= 0.05e0 * rng) OR (bear AND dsh <= 0.05e0 * rng)) THEN 1e0 ELSE 0e0 END AS cdl_closing_marubozu"
+      )
+    Q(
+      "cdl_patterns5",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .userBars(s, dir)
+          .ta.cdlPatterns5
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
   /** Candle utils + rolling geometric mean over the bars. */
   val qCandleUtils = {
     val bars = new Cte("bars", barsCte)
@@ -273,5 +350,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCandleUtils)
 }

@@ -680,6 +680,117 @@ final class Ta(private val df: DataFrame) {
     defs.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
   }
 
+  /** Fifth wave of native candle patterns: gap-continuation and 5-candle
+    * formations (tasuki gaps, rising/falling three methods, two crows,
+    * upside-gap two crows, tristar, abandoned baby, counterattack,
+    * rickshaw man, high wave, closing marubozu). Declared specs as in
+    * waves 1–4: real-body gap = disjoint [min,max](o,c) intervals, doji =
+    * body ≤ 0.1·range, Equal tolerance = 0.05·sma(h−l,10). Null until the
+    * deepest needed lag (and avg range where used) is defined. */
+  def cdlPatterns5: DataFrame = {
+    val n = 10
+    val avgRng = rmean(high - low, n)
+    def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
+    val body = abs(close - open); val rng = high - low
+    val upShadow = high - greatest(open, close)
+    val dnShadow = least(open, close) - low
+    val po = shift(open, 1); val pc = shift(close, 1)
+    val ph = shift(high, 1); val pl = shift(low, 1)
+    val po2 = shift(open, 2); val pc2 = shift(close, 2)
+    val ph2 = shift(high, 2); val pl2 = shift(low, 2)
+    val po3 = shift(open, 3); val pc3 = shift(close, 3)
+    val ph3 = shift(high, 3); val pl3 = shift(low, 3)
+    val po4 = shift(open, 4); val pc4 = shift(close, 4)
+    val ph4 = shift(high, 4); val pl4 = shift(low, 4)
+    val bull = close > open; val bear = close < open
+    val pBull = pc > po; val pBear = pc < po
+    val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
+    val bull4 = pc4 > po4; val bear4 = pc4 < po4
+    val pBody = abs(pc - po); val pRng = ph - pl
+    val p2Body = abs(pc2 - po2); val p2Rng = ph2 - pl2
+    val body4 = abs(pc4 - po4)
+    // real-body gap between candles t−1 and t−2
+    val gapUp12 = least(po, pc) > greatest(po2, pc2)
+    val gapDn12 = greatest(po, pc) < least(po2, pc2)
+    val doji0 = rng > 0 && body <= lit(0.1) * rng
+    val doji1 = pRng > 0 && pBody <= lit(0.1) * pRng
+    val doji2 = p2Rng > 0 && p2Body <= lit(0.1) * p2Rng
+    // middles of the three-methods formation: small bodies inside the
+    // first candle's high-low range
+    def small(k: Int): Column = {
+      val (ok, ck, hk, lk) = (shift(open, k), shift(close, k), shift(high, k), shift(low, k))
+      abs(ck - ok) < body4 && hk <= ph4 && lk >= pl4
+    }
+    def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
+    def flag2(cond: Column): Column =
+      when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flag3(cond: Column): Column =
+      when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flag5(cond: Column): Column =
+      when(pc4.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    def flagEq2(cond: Column): Column =
+      when(pc.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
+    val defs: Seq[(String, Column)] = Seq(
+      // gap continuation: third candle opens inside the second body and
+      // closes into (but not across) the body gap
+      "cdl_tasuki_gap_up" -> flag3(
+        p2Bull && pBull && gapUp12 && bear && open > po && open < pc &&
+          close < po && close > greatest(po2, pc2)
+      ),
+      "cdl_tasuki_gap_down" -> flag3(
+        p2Bear && pBear && gapDn12 && bull && open < po && open > pc &&
+          close > po && close < least(po2, pc2)
+      ),
+      // long first candle, three small candles inside its range, long
+      // fifth resuming the trend past the first close
+      "cdl_rising_3_methods" -> flag5(
+        bull4 && small(3) && small(2) && small(1) && bull && open > pc && close > pc4
+      ),
+      "cdl_falling_3_methods" -> flag5(
+        bear4 && small(3) && small(2) && small(1) && bear && open < pc && close < pc4
+      ),
+      // two crows: black pair after a white candle, second crow closing
+      // back inside the white body
+      "cdl_2_crows" -> flag3(
+        p2Bull && pBear && gapUp12 && bear && open < po && open > pc &&
+          close < pc2 && close > po2
+      ),
+      "cdl_upside_gap_2_crows" -> flag3(
+        p2Bull && pBear && gapUp12 && bear && open > po && close < pc && close > pc2
+      ),
+      // three dojis, middle body gapping clear of both neighbors
+      "cdl_tristar_bull" -> flag3(
+        doji2 && doji1 && doji0 && greatest(po, pc) < least(po2, pc2) &&
+          greatest(po, pc) < least(open, close)
+      ),
+      "cdl_tristar_bear" -> flag3(
+        doji2 && doji1 && doji0 && least(po, pc) > greatest(po2, pc2) &&
+          least(po, pc) > greatest(open, close)
+      ),
+      // doji island with full shadow gaps on both sides
+      "cdl_abandoned_baby_bull" -> flag3(p2Bear && doji1 && ph < pl2 && bull && low > ph),
+      "cdl_abandoned_baby_bear" -> flag3(p2Bull && doji1 && pl > ph2 && bear && high < pl),
+      // opposite-color candles closing at the same price
+      "cdl_counterattack_bull" -> flagEq2(pBear && bull && nearEq(close, pc)),
+      "cdl_counterattack_bear" -> flagEq2(pBull && bear && nearEq(close, pc)),
+      // doji with long symmetric shadows, body centered in the range
+      "cdl_rickshaw_man" -> flag1(
+        doji0 && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng &&
+          abs((open + close) / 2.0 - (high + low) / 2.0) <= lit(0.1) * rng
+      ),
+      "cdl_high_wave" -> flag1(
+        rng > 0 && body <= lit(0.15) * rng && upShadow >= lit(0.35) * rng &&
+          dnShadow >= lit(0.35) * rng
+      ),
+      // long body with no shadow on the CLOSE side only
+      "cdl_closing_marubozu" -> flag1(
+        rng > 0 && body >= lit(0.7) * rng &&
+          ((bull && upShadow <= lit(0.05) * rng) || (bear && dnShadow <= lit(0.05) * rng))
+      )
+    )
+    defs.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
+  }
+
   /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
   def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
     df.withColumn(
