@@ -185,45 +185,229 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  // ------------------------------------------------- streaming staging
+  /** Streaming twin of a REC kernel's batch STAGING levels: a per-key
+    * state machine producing, tick-by-tick, the same staged column values
+    * the batch window expressions produce row-by-row (same min_periods
+    * gates, same null-skip EWM semantics — parity is spec-asserted for
+    * all 14 kernels in StreamingKernelSpec). */
+  trait StreamStage extends Serializable {
+    def fields: Seq[org.apache.spark.sql.types.StructField]
+    def update(t: BarTick): Array[Any]
+  }
+
+  object NoStage extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Nil
+    def update(t: BarTick): Array[Any] = Array.empty
+  }
+
+  private def dblField(name: String) =
+    org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType)
+
+  /** Ring buffer over the last n non-nullable doubles (streaming prim.f). */
+  private final class Ring(n: Int) extends Serializable {
+    private val buf = new Array[Double](n)
+    private var count = 0L
+    private var pos = 0
+    def push(x: Double): Unit = { buf(pos) = x; pos = (pos + 1) % n; count += 1 }
+    def full: Boolean = count >= n
+    def max: Double = buf.take(math.min(count, n.toLong).toInt).max
+    def min: Double = buf.take(math.min(count, n.toLong).toInt).min
+    def mean: Double = { val k = math.min(count, n.toLong).toInt; buf.take(k).sum / k }
+  }
+
+  /** Ring buffer of nullable values; meanNonNull ≡ un-gated avg() (skips
+    * nulls, None when the frame holds none). */
+  private final class RingOpt(n: Int) extends Serializable {
+    private val buf = new Array[Option[Double]](n)
+    java.util.Arrays.fill(buf.asInstanceOf[Array[AnyRef]], None)
+    private var pos = 0
+    def push(x: Option[Double]): Unit = { buf(pos) = x; pos = (pos + 1) % n }
+    def meanNonNull: Option[Double] = {
+      val xs = buf.flatten
+      if (xs.isEmpty) None else Some(xs.sum / xs.length)
+    }
+  }
+
+  /** Streaming prim.ewm (pandas ewm(adjust=False)): seeds at the first
+    * non-null input, skips nulls, emits the fold-so-far on every row once
+    * seeded. */
+  private final class Ewm(alpha: Double) extends Serializable {
+    private var acc: Option[Double] = None
+    def update(x: Option[Double]): Option[Double] = {
+      x.foreach(v => acc = Some(acc.fold(v)(a => (1.0 - alpha) * a + alpha * v)))
+      acc
+    }
+  }
+
+  /** Streaming lag(x, k) for non-null doubles. */
+  private final class Lag(k: Int) extends Serializable {
+    private val buf = new Array[Double](k)
+    private var count = 0L
+    private var pos = 0
+    def push(x: Double): Option[Double] = {
+      val out = if (count >= k) Some(buf(pos)) else None
+      buf(pos) = x; pos = (pos + 1) % k; count += 1
+      out
+    }
+  }
+
+  /** fisher staging: __pos = 2·(sdiv(m−ll, hh−ll) − 0.5), m=(h+l)/2,
+    * hh/ll = gated rolling max/min(m, n). */
+  final class FisherStage(n: Int) extends StreamStage {
+    private val ring = new Ring(n)
+    val fields = Seq(dblField("__pos"))
+    def update(t: BarTick): Array[Any] = {
+      val m = (t.high + t.low) / 2.0
+      ring.push(m)
+      if (!ring.full) Array(null)
+      else {
+        val denom = ring.max - ring.min
+        if (denom == 0.0) Array(null)
+        else Array(2.0 * ((m - ring.min) / denom - 0.5))
+      }
+    }
+  }
+
+  /** td_seq staging: __c4 = lag(close, 4). */
+  final class TdSeqStage extends StreamStage {
+    private val lag4 = new Lag(4)
+    val fields = Seq(dblField("__c4"))
+    def update(t: BarTick): Array[Any] = Array(lag4.push(t.close).map(Double.box).orNull)
+  }
+
+  /** hilo staging: __mh = gated sma(high, hn), __ml = gated sma(low, ln). */
+  final class HiloStage(hn: Int, ln: Int) extends StreamStage {
+    private val rh = new Ring(hn)
+    private val rl = new Ring(ln)
+    val fields = Seq(dblField("__mh"), dblField("__ml"))
+    def update(t: BarTick): Array[Any] = {
+      rh.push(t.high); rl.push(t.low)
+      Array(
+        if (rh.full) Double.box(rh.mean) else null,
+        if (rl.full) Double.box(rl.mean) else null
+      )
+    }
+  }
+
+  /** qqe staging: the full batch chain — Wilder-rma rsi of close moves →
+    * sma-seeded ema(smooth) of rsi (__rsima) → double Wilder-ewm of
+    * |Δrsima| × factor (__dar). Mirrors compileRec's levels gate-for-gate. */
+  final class QqeStage(n: Int, smooth: Int, factor: Double) extends StreamStage {
+    private val wilders = n * 2 - 1
+    private var prevClose: Option[Double] = None
+    private var nMoves = 0L
+    private val ewmUp = new Ewm(1.0 / n)
+    private val ewmDn = new Ewm(1.0 / n)
+    private var rn = 0L
+    private val qrsiRing = new RingOpt(smooth)
+    private val ewmRsima = new Ewm(2.0 / (smooth + 1))
+    private var prevRsima: Option[Double] = None
+    private val ewmMatr = new Ewm(1.0 / wilders)
+    private val ewmDar = new Ewm(1.0 / wilders)
+    val fields = Seq(dblField("__rsima"), dblField("__dar"))
+    def update(t: BarTick): Array[Any] = {
+      rn += 1
+      val d0 = prevClose.map(t.close - _)
+      prevClose = Some(t.close)
+      val rup = d0.map(d => if (d > 0) d else 0.0)
+      val rdn = d0.map(d => if (d < 0) -d else 0.0)
+      if (rup.isDefined) nMoves += 1
+      val upAcc = ewmUp.update(rup)
+      val dnAcc = ewmDn.update(rdn)
+      val qrsi = if (nMoves >= n) for {
+        u <- upAcc; dn <- dnAcc
+        s = u + dn
+        if s != 0.0
+      } yield 100.0 * u / s
+      else None
+      qrsiRing.push(qrsi)
+      val z =
+        if (rn < smooth) None
+        else if (rn == smooth) qrsiRing.meanNonNull
+        else qrsi
+      val rsima = ewmRsima.update(z)
+      val adr = for { r <- rsima; pr <- prevRsima } yield math.abs(r - pr)
+      prevRsima = rsima
+      val matr = ewmMatr.update(adr)
+      val dar = ewmDar.update(matr).map(_ * factor)
+      Array(rsima.map(Double.box).orNull, dar.map(Double.box).orNull)
+    }
+  }
+
+  /** One streamable REC kernel: output schema, kernel factory, staging
+    * factory (NoStage for kernels that read raw OHLCV only). */
+  case class StreamKernel(
+      outs: Seq[org.apache.spark.sql.types.StructField],
+      make: () => graft.ta.rec.Kernel,
+      stage: () => StreamStage = () => NoStage
+  )
+
+  /** Streamable form of any REC registry kind: schema + kernel from the
+    * batch lowering (registry.recKernel), staging machine per kind. */
+  def recStream(spec: graft.ta.IndicatorSpec): Option[StreamKernel] =
+    graft.ta.registry.recKernel(spec).map { case (_, outs, make) =>
+      def i(k: String, dflt: Int): Int =
+        spec.params.get(k).map(_.toString.toDouble.toInt).getOrElse(dflt)
+      def dd(k: String, dflt: Double): Double =
+        spec.params.get(k).map(_.toString.toDouble).getOrElse(dflt)
+      val stage: () => StreamStage = spec.kind match {
+        case "fisher" => () => new FisherStage(i("length", 9))
+        case "td_seq" => () => new TdSeqStage
+        case "hilo"   => () => new HiloStage(i("high_length", 13), i("low_length", 21))
+        case "qqe"    => () => new QqeStage(i("length", 14), i("smooth", 5), dd("factor", 4.236))
+        case _        => () => NoStage
+      }
+      StreamKernel(outs, make, stage)
+    }
+
   /** Stream SEVERAL REC kernels over one tick stream in a single
     * stateful pass — the streaming counterpart of rec.perSeriesBatch:
-    * one groupByKey/state entry per series carries ALL kernels, and each
-    * tick emits the concatenated outputs. Output ≡ running the batch
-    * perSeriesBatch over the same rows, row-for-row. */
-  def kernelBatchStream(
-      ticks: Dataset[BarTick],
-      makes: Seq[() => graft.ta.rec.Kernel]
-  ): Dataset[KernelOut] = {
+    * one groupByKey/state entry per series carries ALL kernels (plus
+    * their staging machines), and each tick emits one TYPED row
+    * (series_id, ts, outs…) with each column in the kernel's declared
+    * StructField type — exactly the batch perSeriesBatch schema. */
+  def kernelBatchStream(ticks: Dataset[BarTick], specs: Seq[StreamKernel]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val outSchema = StructType(
+      StructField("series_id", StringType) +: StructField("ts", LongType) +: specs.flatMap(_.outs)
+    )
+    // schema each kernel's init() resolves field indexes against: the bar
+    // columns plus that kernel's staged columns
+    val extSchemas = specs.map(sp => StructType(barSchema.fields ++ sp.stage().fields))
     val spark = ticks.sparkSession
     import spark.implicits._
-    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[graft.ta.rec.Kernel]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[graft.ta.rec.Kernel]]
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[Array[(graft.ta.rec.Kernel, StreamStage)]] =
+      Encoders.javaSerialization[Array[(graft.ta.rec.Kernel, StreamStage)]]
 
     def step(
         key: String,
         rows: Iterator[BarTick],
-        gs: GroupState[Array[graft.ta.rec.Kernel]]
-    ): Iterator[KernelOut] = {
-      val kernels = gs.getOption.getOrElse {
-        makes.map { mk =>
-          val k = mk(); k.init(barSchema); k.reset(); k
+        gs: GroupState[Array[(graft.ta.rec.Kernel, StreamStage)]]
+    ): Iterator[Row] = {
+      val state = gs.getOption.getOrElse {
+        specs.zip(extSchemas).map { case (sp, es) =>
+          val k = sp.make(); k.init(es); k.reset()
+          (k, sp.stage())
         }.toArray
       }
       val out = rows.toSeq.sortBy(_.ts).map { t =>
-        val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume),
-          barSchema
-        )
-        val vals = kernels.flatMap(_.update(row)).map {
-          case null => None
-          case d: Double => Some(d)
-          case i: Int => Some(i.toDouble)
-          case l: Long => Some(l.toDouble)
-          case other => Some(other.toString.toDouble)
+        val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+        val vals = state.zip(extSchemas).flatMap { case ((k, st), es) =>
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            base ++ st.update(t),
+            es
+          )
+          k.update(row)
         }
-        KernelOut(key, t.ts, vals.toSeq)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](t.series_id, t.ts) ++ vals,
+          outSchema
+        ): Row
       }
-      gs.update(kernels)
+      gs.update(state)
       out.iterator
     }
 

@@ -253,6 +253,20 @@ object registry {
   def hasLowering(spec: IndicatorSpec): Boolean =
     StrategyCompiler.compile(spec).isDefined || StrategyCompiler.compileRec(spec).isDefined
 
+  /** REC lowering surface for streaming and tests: (batch staging
+    * transform — the same leveled columns runAll stages, temps kept
+    * because the kernel reads them —, output schema, kernel factory). */
+  def recKernel(spec: IndicatorSpec): Option[
+    (DataFrame => DataFrame, Seq[org.apache.spark.sql.types.StructField], () => rec.Kernel)
+  ] =
+    StrategyCompiler.compileRec(spec).map { rp =>
+      val stage = (df: DataFrame) =>
+        rp.staging.foldLeft(df.withColumn("__rn", prim.rn)) { (d, lvl) =>
+          d.withColumns(lvl.toMap)
+        }
+      (stage, rp.outs, rp.make)
+    }
+
   /** Compile and run a whole Strategy — one lazy plan, no process pool.
     *
     * Specs with a StrategyCompiler lowering merge into a handful of

@@ -63,8 +63,9 @@ class StreamingKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("batched kernel stream (psar + ha + mcgd) equals the batch perSeriesBatch pass") {
+  test("batched kernel stream equals batch for ALL 14 REC kernels, typed") {
     import spark.implicits._
+    import graft.ta.{registry, IndicatorSpec}
     val bars = Graft
       .bars(spark, TestSpark.sfDir)
       .select(
@@ -74,7 +75,7 @@ class StreamingKernelSpec extends AnyFunSuite {
       )
     val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
 
-    val srcDir = Files.createTempDirectory("graft_kbstream").toFile
+    val srcDir = Files.createTempDirectory("graft_k14stream").toFile
     ticks.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
       spark.createDataset(chunk.toSeq).coalesce(1).write.parquet(s"$srcDir/c$i")
       val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -88,53 +89,59 @@ class StreamingKernelSpec extends AnyFunSuite {
       .parquet(srcDir.getAbsolutePath)
       .as[StreamingTa.BarTick]
 
-    val makes: Seq[() => graft.ta.rec.Kernel] =
-      Seq(() => new graft.ta.rec.Psar(), () => new graft.ta.rec.HeikinAshi, () => new graft.ta.rec.Mcgd(10, "close"))
+    // the strategy_ohlcv_batch param set — every REC kind, incl. the four
+    // with window-derived staging (fisher, hilo, td_seq, qqe)
+    val specs14 = Seq(
+      IndicatorSpec("psar"),
+      IndicatorSpec("supertrend", Map("length" -> 7)),
+      IndicatorSpec("ha"),
+      IndicatorSpec("mcgd", Map("length" -> 10)),
+      IndicatorSpec("ssf", Map("length" -> 10)),
+      IndicatorSpec("hwma"),
+      IndicatorSpec("fisher", Map("length" -> 9)),
+      IndicatorSpec("hilo"),
+      IndicatorSpec("qqe", Map("length" -> 6, "smooth" -> 3)),
+      IndicatorSpec("rsx", Map("length" -> 10)),
+      IndicatorSpec("td_seq"),
+      IndicatorSpec("ebsw", Map("length" -> 20, "bars" -> 10)),
+      IndicatorSpec("hwc"),
+      IndicatorSpec("jma", Map("length" -> 7))
+    )
+    val sks = specs14.map(s => StreamingTa.recStream(s).getOrElse(fail(s"no recStream for ${s.kind}")))
+
     val q = StreamingTa
-      .kernelBatchStream(stream, makes)
+      .kernelBatchStream(stream, sks)
       .writeStream
       .format("memory")
-      .queryName("kbatch_stream")
+      .queryName("k14_stream")
       .outputMode("append")
       .start()
     q.processAllAvailable()
     q.stop()
 
-    def r6(v: Option[Double]) = v.map(x => math.rint(x * 1e6) / 1e6)
-    val streamed = spark
-      .table("kbatch_stream")
-      .as[StreamingTa.KernelOut]
-      .collect()
-      .map(k => k.ts -> k.values.map(r6))
-      .toMap
+    // typed value compare: doubles at 6 dp, integral types exact
+    def norm(v: Any): Any = v match {
+      case null => null
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case other => other
+    }
+    val streamed = spark.table("k14_stream").collect().map(r => r.getAs[Long]("ts") -> r).toMap
+    assert(streamed.size == ticks.length)
 
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField}
-    val outs = Seq(
-      StructField("psar_long", DoubleType, nullable = true),
-      StructField("psar_short", DoubleType, nullable = true),
-      StructField("psar_af", DoubleType, nullable = true),
-      StructField("psar_reversal", IntegerType, nullable = true),
-      StructField("ha_open", DoubleType, nullable = true),
-      StructField("ha_high", DoubleType, nullable = true),
-      StructField("ha_low", DoubleType, nullable = true),
-      StructField("ha_close", DoubleType, nullable = true),
-      StructField("mcgd_10", DoubleType, nullable = true)
-    )
-    val batch = graft.ta.rec
-      .perSeriesBatch(bars, makes.zipWithIndex.map { case (mk, i) =>
-        (if (i == 0) outs.take(4) else if (i == 1) outs.slice(4, 8) else outs.drop(8)) -> mk
-      }.map(p => (p._1, p._2)))
-      .orderBy("ts")
-      .collect()
-    assert(streamed.size == batch.length)
-    batch.foreach { r =>
-      val exp = outs.map { f =>
-        r6(Option(r.getAs[Any](f.name)).map {
-          case d: Double => d
-          case i: Int => i.toDouble
-        })
+    specs14.foreach { spec =>
+      val (stagefn, outs, make) = registry.recKernel(spec).get
+      val batch = graft.ta.rec.perSeries(stagefn(bars), outs)(make).orderBy("ts").collect()
+      batch.foreach { br =>
+        val sr = streamed(br.getAs[Long]("ts"))
+        outs.foreach { f =>
+          // schema parity too: the streamed column keeps the declared type
+          assert(sr.schema(f.name).dataType == f.dataType, s"${spec.kind}/${f.name} type")
+          assert(
+            norm(sr.getAs[Any](f.name)) == norm(br.getAs[Any](f.name)),
+            s"${spec.kind}/${f.name} mismatch at ts=${br.getAs[Long]("ts")}"
+          )
+        }
       }
-      assert(streamed(r.getAs[Long]("ts")) == exp, s"mismatch at ts=${r.getAs[Long]("ts")}")
     }
   }
 }
