@@ -320,6 +320,90 @@ object JoinQueries {
     )
   }
 
+  /** Sixth-wave candle patterns over the per-user bars (multi-key) —
+    * completes the TA-Lib cdl set. Oracle mirrors Ta.cdlPatterns6
+    * term-for-term. */
+  val qCdlPatterns6 = {
+    val bars = new Cte("bars", userBarsCte)
+    val outs = Seq(
+      "cdl_3_line_strike_bull", "cdl_3_line_strike_bear", "cdl_3_stars_in_south",
+      "cdl_advance_block", "cdl_breakaway_bull", "cdl_breakaway_bear",
+      "cdl_conceal_baby_swall", "cdl_morning_doji_star", "cdl_evening_doji_star",
+      "cdl_gap_side_side_white_up", "cdl_gap_side_side_white_down",
+      "cdl_harami_cross_bull", "cdl_harami_cross_bear", "cdl_hikkake_bull",
+      "cdl_hikkake_bear", "cdl_identical_3_crows", "cdl_ladder_bottom",
+      "cdl_long_line", "cdl_short_line", "cdl_mat_hold", "cdl_stalled_pattern",
+      "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down"
+    )
+    val b = bars
+      .addSel(
+        "c0",
+        s"abs(close - open) AS body, high - low AS rng, " +
+          "high - greatest(open, close) AS ush, least(open, close) - low AS dsh, " +
+          s"${rmean("(high - low)", 10)} AS avgrng, " +
+          s"${rmean("abs(close - open)", 10)} AS avgbody, " +
+          s"lag(open, 1) $ov AS po, lag(close, 1) $ov AS pc, lag(high, 1) $ov AS ph, lag(low, 1) $ov AS pl, " +
+          s"lag(open, 2) $ov AS po2, lag(close, 2) $ov AS pc2, lag(high, 2) $ov AS ph2, lag(low, 2) $ov AS pl2, " +
+          s"lag(open, 3) $ov AS po3, lag(close, 3) $ov AS pc3, lag(high, 3) $ov AS ph3, lag(low, 3) $ov AS pl3, " +
+          s"lag(open, 4) $ov AS po4, lag(close, 4) $ov AS pc4, lag(high, 4) $ov AS ph4, lag(low, 4) $ov AS pl4"
+      )
+      .addSel(
+        "c1",
+        "close > open AS bull, close < open AS bear, " +
+          "pc > po AS pbull, pc < po AS pbear, pc2 > po2 AS p2bull, pc2 < po2 AS p2bear, " +
+          "pc3 > po3 AS p3bull, pc3 < po3 AS p3bear, pc4 > po4 AS bull4, pc4 < po4 AS bear4, " +
+          "abs(pc - po) AS pbody, ph - pl AS prng, abs(pc2 - po2) AS p2body, ph2 - pl2 AS p2rng, " +
+          "abs(pc3 - po3) AS p3body, ph3 - pl3 AS p3rng, abs(pc4 - po4) AS body4, " +
+          "ph - greatest(po, pc) AS push, ph2 - greatest(po2, pc2) AS p2ush, " +
+          "least(po, pc) > greatest(po2, pc2) AS gapup12, greatest(po, pc) < least(po2, pc2) AS gapdn12, " +
+          "rng > 0 AND body <= 0.1e0 * rng AS doji0"
+      )
+      .addSel("c2", "prng > 0 AND pbody <= 0.1e0 * prng AS doji1")
+      .addSel(
+        "c3",
+        "CASE WHEN pc3 IS NULL THEN NULL WHEN p3bull AND p2bull AND pbull AND pc2 > pc3 AND pc > pc2 AND bear AND open > pc AND close < po3 THEN 1e0 ELSE 0e0 END AS cdl_3_line_strike_bull, " +
+          "CASE WHEN pc3 IS NULL THEN NULL WHEN p3bear AND p2bear AND pbear AND pc2 < pc3 AND pc < pc2 AND bull AND open < pc AND close > po3 THEN 1e0 ELSE 0e0 END AS cdl_3_line_strike_bear, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND p2rng > 0 AND (least(po2, pc2) - pl2) >= p2body AND pbear AND ph < ph2 AND pl > pl2 AND bear AND rng > 0 AND body >= 0.9e0 * rng AND high <= ph AND low >= pl THEN 1e0 ELSE 0e0 END AS cdl_3_stars_in_south, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbull AND bull AND pc > pc2 AND close > pc AND open > po AND open < pc AND po > po2 AND po < pc2 AND pbody < p2body AND body < pbody AND ush > p2ush THEN 1e0 ELSE 0e0 END AS cdl_advance_block, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bear4 AND p3bear AND greatest(po3, pc3) < least(po4, pc4) AND pc2 < pc3 AND pc < pc2 AND bull AND close > greatest(po3, pc3) AND close < least(po4, pc4) THEN 1e0 ELSE 0e0 END AS cdl_breakaway_bull, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bull4 AND p3bull AND least(po3, pc3) > greatest(po4, pc4) AND pc2 > pc3 AND pc > pc2 AND bear AND close < least(po3, pc3) AND close > greatest(po4, pc4) THEN 1e0 ELSE 0e0 END AS cdl_breakaway_bear, " +
+          "CASE WHEN pc3 IS NULL THEN NULL WHEN p3bear AND p3rng > 0 AND p3body >= 0.95e0 * p3rng AND p2bear AND p2rng > 0 AND p2body >= 0.95e0 * p2rng AND pbear AND greatest(po, pc) < pc2 AND ph > pc2 AND bear AND open >= ph AND close <= pl THEN 1e0 ELSE 0e0 END AS cdl_conceal_baby_swall, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND doji1 AND bull AND close > (po2 + pc2) / 2e0 THEN 1e0 ELSE 0e0 END AS cdl_morning_doji_star, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND doji1 AND bear AND close < (po2 + pc2) / 2e0 THEN 1e0 ELSE 0e0 END AS cdl_evening_doji_star, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN pbull AND bull AND gapup12 AND least(open, close) > greatest(po2, pc2) AND abs(open - po) <= 0.05e0 * avgrng AND abs(body - pbody) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_gap_side_side_white_up, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN pbull AND bull AND greatest(po, pc) < least(po2, pc2) AND greatest(open, close) < least(po2, pc2) AND abs(open - po) <= 0.05e0 * avgrng AND abs(body - pbody) <= 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_gap_side_side_white_down, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN pbear AND doji0 AND greatest(open, close) <= po AND least(open, close) >= pc THEN 1e0 ELSE 0e0 END AS cdl_harami_cross_bull, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN pbull AND doji0 AND greatest(open, close) <= pc AND least(open, close) >= po THEN 1e0 ELSE 0e0 END AS cdl_harami_cross_bear, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN ph < ph2 AND pl > pl2 AND high < ph AND low < pl THEN 1e0 ELSE 0e0 END AS cdl_hikkake_bull, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN ph < ph2 AND pl > pl2 AND high > ph AND low > pl THEN 1e0 ELSE 0e0 END AS cdl_hikkake_bear, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN p2bear AND pbear AND bear AND abs(po - pc2) <= 0.05e0 * avgrng AND abs(open - pc) <= 0.05e0 * avgrng AND pc < pc2 AND close < pc THEN 1e0 ELSE 0e0 END AS cdl_identical_3_crows, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bear4 AND p3bear AND p2bear AND pbear AND pc3 < pc4 AND pc2 < pc3 AND pc < pc2 AND prng > 0 AND (ph - po) >= 0.1e0 * prng AND bull AND open > po AND close > ph THEN 1e0 ELSE 0e0 END AS cdl_ladder_bottom, " +
+          "CASE WHEN avgrng IS NULL THEN NULL WHEN avgbody IS NOT NULL AND rng > 0 AND body >= 1.3e0 * avgbody AND body >= 0.6e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_long_line, " +
+          "CASE WHEN avgrng IS NULL THEN NULL WHEN avgbody IS NOT NULL AND body <= 0.5e0 * avgbody AND rng <= 0.5e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_short_line, " +
+          "CASE WHEN pc4 IS NULL THEN NULL WHEN bull4 AND p3bear AND least(po3, pc3) > pc4 AND p3body < body4 AND p2body < body4 AND pbody < body4 AND least(pl3, least(pl2, pl)) > pl4 AND bull AND close > greatest(ph3, greatest(ph2, ph)) THEN 1e0 ELSE 0e0 END AS cdl_mat_hold, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN p2bull AND pbull AND bull AND pc > pc2 AND close > pc AND body <= 0.5e0 * pbody AND open > po AND open <= pc + 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_stalled_pattern, " +
+          "CASE WHEN rng > 0 AND body <= 0.1e0 * rng AND ush <= 0.1e0 * rng AND dsh >= 0.7e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_takuri, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbull AND gapup12 AND bear AND open > po AND open < pc AND close <= greatest(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_xside_gap_3_methods_up, " +
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbear AND gapdn12 AND bull AND open < po AND open > pc AND close >= least(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_xside_gap_3_methods_down"
+      )
+    Q(
+      "cdl_patterns6",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        Graft
+          .userBars(s, dir)
+          .ta.cdlPatterns6
+          .select(col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(
+        b.result(
+          s"SELECT series_id, ts, ${outs.map(o => s"${normd(o)} AS $o").mkString(", ")} FROM ${b.top}$orderTail"
+        )
+      )
+    )
+  }
+
   /** Candle utils + rolling geometric mean over the bars. */
   val qCandleUtils = {
     val bars = new Cte("bars", barsCte)
@@ -350,5 +434,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
 }

@@ -195,6 +195,7 @@ object registry {
     "cdl_pattern_3" -> ("candles", (df, _) => df.ta.cdlPatterns3),
     "cdl_pattern_4" -> ("candles", (df, _) => df.ta.cdlPatterns4),
     "cdl_pattern_5" -> ("candles", (df, _) => df.ta.cdlPatterns5),
+    "cdl_pattern_6" -> ("candles", (df, _) => df.ta.cdlPatterns6),
     "candle_utils" -> ("candles", (df, _) => df.ta.candleUtils),
     "geometric_mean" -> ("statistics", (df, p) => df.ta.geometricMean(i(p, "length", 10))),
     "ebsw" -> ("cycles", (df, p) => df.ta.ebsw(i(p, "length", 40), i(p, "bars", 10))),
