@@ -1311,6 +1311,8 @@ private[ta] object StrategyCompiler {
           )),
           Nil
         ))
+      case "cdl_pattern_5" => Some(ColPlan(Seq(candleDefs.wave5), Nil))
+      case "cdl_pattern_6" => Some(ColPlan(Seq(candleDefs.wave6), Nil))
       case _ => None
     }
   }
