@@ -416,6 +416,76 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  /** One LSH band-bucket hit for a streaming document. */
+  case class BandHit(bucket: String, doc_id: Long)
+
+  /** A streamed near-dup candidate pair: b_id arrived after a_id and
+    * collided with it in `bucket`. */
+  case class CandPair(bucket: String, a_id: Long, b_id: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates: each arriving doc is
+    * signature-banded with the SAME TextOps expressions the batch
+    * `Dedup.minhashLshPairs` uses, and per band-bucket state emits a
+    * candidate pair against every earlier member — the batch bucket
+    * self-join unrolled over arrival order, so the streamed pair set is
+    * EXACTLY the batch candidate set (spec-asserted). Exact-similarity
+    * verification stays a downstream batch join (a stream must flag
+    * before seeing the future; candidates are its honest output).
+    *
+    * Scale: state per bucket is member ids capped at `maxBucket` (the
+    * hot-bucket guard batch mode applies via maxDf); shuffle is one hash
+    * exchange on bucket — docs × bands rows, constant per doc. */
+  def neardupCandidatesStream(
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 64
+  ): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.extensions.TextOps.minhashSig(col("text"), k).as("sig")
+      )
+      .where(col("sig").isNotNull)
+    val banded = sig
+      .select(
+        col("doc_id"),
+        explode(
+          array((0 until bands).map { b =>
+            concat(
+              lit(s"$b:"),
+              concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
+            )
+          }: _*)
+        ).as("bucket")
+      )
+      .as[BandHit]
+
+    def step(
+        bucket: String,
+        rows: Iterator[BandHit],
+        gs: GroupState[Array[Long]]
+    ): Iterator[CandPair] = {
+      var members = gs.getOption.getOrElse(Array.empty[Long])
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!members.contains(r.doc_id) && members.length < maxBucket) {
+          members.foreach(m => out += CandPair(bucket, m, r.doc_id))
+          members = members :+ r.doc_id
+        }
+      }
+      gs.update(members)
+      out.iterator
+    }
+
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each text hash.
     * Watermark bounds the state for late data at scale. */
   def dedupStream(docs: DataFrame, eventTimeCol: String, watermark: String = "1 hour"): DataFrame =

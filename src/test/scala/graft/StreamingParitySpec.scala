@@ -117,6 +117,76 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(kept == distinct)
   }
 
+  test("streaming MinHash-LSH candidates equal the batch bucket self-join") {
+    import spark.implicits._
+    import graft.extensions.TextOps
+    val (k, bands, rowsPerBand) = (3, 8, 4)
+    val docs = Graft
+      .table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    // batch candidate set: same banding expressions, bucket self-join with
+    // arrival order = doc_id order
+    val banded = docs
+      .select(col("doc_id"), TextOps.minhashSig(col("text"), k).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(
+        col("doc_id"),
+        explode(
+          array((0 until bands).map { b =>
+            concat(
+              lit(s"$b:"),
+              concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
+            )
+          }: _*)
+        ).as("bucket")
+      )
+    val batchPairs = banded
+      .as("x")
+      .join(banded.as("y"), "bucket")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("bucket"), col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    // replay the docs as 3 in-doc_id-order micro-batches
+    val rows = docs.orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_lsh_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk: _*), docs.schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"l$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = StreamingTa
+      .neardupCandidatesStream(stream, k, bands, rowsPerBand, maxBucket = 100000)
+      .writeStream
+      .format("memory")
+      .queryName("lsh_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark
+      .table("lsh_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batchPairs, s"streamed ${streamed.size} vs batch ${batchPairs.size}")
+    assert(batchPairs.nonEmpty, "vacuous: batch candidate set is empty")
+  }
+
   test("streaming bar construction equals batch bars") {
     val srcDir = Files.createTempDirectory("graft_bars_src").toFile
     Graft
