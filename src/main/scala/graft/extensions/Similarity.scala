@@ -200,6 +200,20 @@ object Similarity {
       .select("q_id", "rk", "nbr_id", "sim")
   }
 
+  /** Persist an IVF index partitioned BY CELL: at 100 TB the index is
+    * built once and reused across sessions, and the cell-partitioned
+    * layout lets a probe read only its nprobe cells' files — the
+    * broadcast probe join on `cell` triggers dynamic partition pruning
+    * on the scan (spec-asserted), so I/O scales with cells probed, not
+    * corpus size. */
+  def saveIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Load a saved IVF index for `topkIvf`/`topkIvfLarge` probing (column
+    * order restored — partitionBy moves `cell` last on disk). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("vec_id"), col("embedding"), col("cell"))
+
   /** Deterministic hyperplane set for sign-LSH over dim-d embeddings:
     * w(p, i) = sin(1 + p·dim + i). No RNG — the planes are a pure
     * function of (nPlanes, dim), so the DuckDB oracle replays them as

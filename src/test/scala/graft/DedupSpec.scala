@@ -65,6 +65,24 @@ class DedupSpec extends AnyFunSuite {
     assert(base.nonEmpty)
   }
 
+  test("saved+loaded IVF index answers identically and prunes partitions") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val idx = Similarity.ivfIndex(e, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mem = rows(Similarity.topkIvf(idx, queries, 5, 16, 4))
+    val disk = rows(Similarity.topkIvf(loaded, queries, 5, 16, 4))
+    assert(mem == disk)
+    // the broadcast probe join on the partition column must dynamic-prune
+    // the cell-partitioned scan: I/O scales with cells probed, not corpus
+    val plan = Similarity.topkIvf(loaded, queries, 5, 16, 4).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), "no dynamic partition pruning on the index scan")
+  }
+
   test("topkIvfLarge (shuffle join + heap) equals topkIvf (broadcast probes)") {
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
