@@ -463,7 +463,80 @@ object ExtensionQueries {
     )
   )
 
+  // ------------------------------------------------- dataset split/sample
+  /** Deterministic train/val/test split by content hash (80/10/10):
+    * assignment is a pure function of the TEXT (not position or RNG), so
+    * re-running on a grown corpus keeps every old doc in its old split —
+    * the property a training pipeline needs for reproducible evals.
+    * Hash-bucket arithmetic replays exactly in the oracle.
+    *
+    * Scale: one map-side hash + a 3-group aggregate; no shuffle beyond
+    * the partial-agg exchange. */
+  val qSplit = Q(
+    "x_split",
+    (s: SparkSession, dir: String) => {
+      Graft.init(s)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          pmod(TextOps.polyHash(col("text")), lit(100L)).as("bucket")
+        )
+        .withColumn(
+          "split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")
+        )
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          P.normd(avg("n_chars")).as("avg_chars")
+        )
+        .orderBy("split")
+    },
+    Some(
+      s"WITH d AS (SELECT doc_id, n_chars, ${ph("text")} % 100 AS bucket FROM documents), " +
+        "s AS (SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "n_chars FROM d) " +
+        "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "round(avg(n_chars), 6) AS avg_chars FROM s GROUP BY split ORDER BY split"
+    )
+  )
+
+  /** Deterministic stratified sampling by source: per-source keep-rates
+    * (content-hash threshold per stratum — sampleByKey without RNG, so
+    * the sample is stable across runs and appends). Rates: even-numbered
+    * sources 50%, odd 20%. */
+  val qStratSample = Q(
+    "x_strat_sample",
+    (s: SparkSession, dir: String) => {
+      Graft.init(s)
+      val rate = when(
+        pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(2L)) === 0,
+        50L
+      ).otherwise(20L)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), pmod(TextOps.polyHash(col("text")), lit(100L)).as("bucket"))
+        .withColumn("kept", (col("bucket") < rate).cast("int"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("kept").as("n_kept")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"WITH d AS (SELECT doc_id, source, ${ph("text")} % 100 AS bucket, " +
+        "CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0 THEN 50 ELSE 20 END AS rate " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM d GROUP BY source ORDER BY source"
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qSplit,
+    qStratSample,
     qTfidf,
     qLangDist,
     qTextStats,
