@@ -542,7 +542,7 @@ final class Ta(private val df: DataFrame) {
       // spinning top: small body (≤ 30% range) with both shadows longer than body
       flag("cdl_spinning_top", rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body, needsPrev = false)
     )
-    defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
+    df.withColumns(defs.toMap)
   }
 
   /** Second wave of native candle patterns (reference candles/
@@ -593,7 +593,7 @@ final class Ta(private val df: DataFrame) {
         rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
       )
     )
-    defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
+    df.withColumns(defs.toMap)
   }
 
   /** Third wave of native candle patterns (reference candles/
@@ -637,7 +637,7 @@ final class Ta(private val df: DataFrame) {
         pBull && pRng > 0 && pBody >= lit(0.95) * pRng && bear && rng > 0 && body >= lit(0.95) * rng && open < pl
       )
     )
-    defs.foldLeft(df) { case (d, (n, c0)) => d.withColumn(n, c0) }
+    df.withColumns(defs.toMap)
   }
 
   /** Fourth wave of native candle patterns: the "price equality" family.
@@ -677,7 +677,7 @@ final class Ta(private val df: DataFrame) {
       // harami with both candles black
       "cdl_homing_pigeon" -> flag2(pBear && bear && open < po && close > pc)
     )
-    defs.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
+    df.withColumns(defs.toMap)
   }
 
   /** Fifth wave of native candle patterns: gap-continuation and 5-candle
@@ -688,7 +688,7 @@ final class Ta(private val df: DataFrame) {
     * body ≤ 0.1·range, Equal tolerance = 0.05·sma(h−l,10). Null until the
     * deepest needed lag (and avg range where used) is defined. */
   def cdlPatterns5: DataFrame =
-    candleDefs.wave5.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
+    df.withColumns(candleDefs.wave5.toMap)
 
   /** Sixth (final) wave of native candle patterns — completes the TA-Lib
     * cdl_pattern set at 59/61 functions (only the KICKINGBYLENGTH /
@@ -699,7 +699,7 @@ final class Ta(private val df: DataFrame) {
     * line, mat hold, stalled pattern, takuri, gap three methods.
     * Same declared-spec conventions as waves 1–5. */
   def cdlPatterns6: DataFrame =
-    candleDefs.wave6.foldLeft(df) { case (d, (nm, c0)) => d.withColumn(nm, c0) }
+    df.withColumns(candleDefs.wave6.toMap)
 
   /** Doji: |c−o| < factor·sma(h−l, n) (reference candles/cdl_doji.py). */
   def cdlDoji(n: Int = 10, factor: Double = 0.1): DataFrame =
