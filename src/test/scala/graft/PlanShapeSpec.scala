@@ -87,6 +87,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size <= 6, s"window nodes not consolidated: ${windows.size}")
   }
 
+  test("each candle wave plans as ONE Window node and one shuffle") {
+    for ((name, build) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("wave5", _.ta.cdlPatterns5),
+        ("wave6", _.ta.cdlPatterns6)
+      )) {
+      val out = build(synthetic.repartition(col("series_id")))
+      out.collect()
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val windows = plan.collect { case w: WindowExec => w }
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(windows.size == 1, s"$name: ${windows.size} Window nodes (all flags share one spec)")
+      assert(exchanges.size <= 1, s"$name: ${exchanges.size} shuffles")
+    }
+  }
+
   test("parquet scan prunes columns (close-only pipeline)") {
     // distinct aliases on purpose: the persisted userSeries fragment would
     // otherwise be substituted by the CacheManager, hiding the file scan
