@@ -76,7 +76,10 @@ object Strategy50Queries {
     IndicatorSpec("percent_return", Map()),
     IndicatorSpec("drawdown", Map()),
     IndicatorSpec("decay", Map("length" -> 5)),
-    IndicatorSpec("geometric_mean", Map("length" -> 10))
+    IndicatorSpec("geometric_mean", Map("length" -> 10)),
+    IndicatorSpec("kst", Map()),
+    IndicatorSpec("stochrsi", Map("length" -> 10)),
+    IndicatorSpec("vhf", Map("length" -> 10))
   )
 
   /** Oracle for the columns with no prior series-fixture query: one Cte
@@ -161,21 +164,22 @@ object Strategy50Queries {
     SeriesQueries.qReturns.sql.get -> Seq("log_return_1", "percent_return_1"),
     SeriesQueries.qDrawdown.sql.get -> Seq("dd", "dd_pct", "dd_log"),
     MomentumQueries.qOscillators.sql.get -> Seq(
-      "cmo_10", "apo_12_26", "ppo_12_26", "bias_10", "er_10", "psl_10", "midpoint_10"
+      "cmo_10", "apo_12_26", "ppo_12_26", "bias_10", "er_10", "psl_10", "midpoint_10", "vhf_10"
     ),
     MomentumQueries.qLinreg.sql.get -> Seq(
       "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r",
       "cfo_10", "cti_10", "cg_10"
     ),
-    MomentumQueries.qCoppockKst.sql.get -> Seq("coppock_10_11_14"),
+    MomentumQueries.qCoppockKst.sql.get -> Seq("coppock_10_11_14", "kst", "kst_signal"),
     MomentumQueries.qTrixTsi.sql.get -> Seq("trix_10", "tsi_13_25"),
     RecQueries.qKama.sql.get -> Seq("kama_10"),
     RecQueries.qVidya.sql.get -> Seq("vidya_10"),
     RecQueries.qDecay.sql.get -> Seq("decay_5"),
+    MomentumQueries.qStochRsi.sql.get -> Seq("stochrsi_k", "stochrsi_d"),
     extrasSql -> extrasOuts
   )
 
-  /** All 57 output columns of the 50-spec batch. */
+  /** All output columns of the batch (53 specs). */
   val outs: Seq[String] = parts.flatMap(_._2)
 
   val q: Q = Q(

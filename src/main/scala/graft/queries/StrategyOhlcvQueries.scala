@@ -19,7 +19,9 @@ import sqlgen._
 object StrategyOhlcvQueries {
 
   val specs: Seq[IndicatorSpec] = Seq(
-    IndicatorSpec("natr", Map("length" -> 10)), // covers true_range + atr_10 + natr_10
+    IndicatorSpec("true_range", Map()),
+    IndicatorSpec("atr", Map("length" -> 10)),
+    IndicatorSpec("natr", Map("length" -> 10)), // shares the true_range/atr_10 stages
     IndicatorSpec("stoch", Map("k" -> 10)),
     IndicatorSpec("willr", Map("length" -> 10)),
     IndicatorSpec("cci", Map("length" -> 10)),
@@ -69,6 +71,8 @@ object StrategyOhlcvQueries {
     IndicatorSpec("pgo", Map("length" -> 14)),
     IndicatorSpec("ttm_trend", Map("length" -> 6)),
     IndicatorSpec("amat", Map()),
+    IndicatorSpec("increasing", Map()),
+    IndicatorSpec("decreasing", Map()),
     IndicatorSpec("kdj", Map("length" -> 9)),
     IndicatorSpec("tos_stdevall", Map()),
     IndicatorSpec("cdl_doji", Map("length" -> 10)),
@@ -87,6 +91,7 @@ object StrategyOhlcvQueries {
     IndicatorSpec("nvi", Map()),
     IndicatorSpec("pvi", Map()),
     // REC kernels — all run in ONE batched pass
+    IndicatorSpec("jma", Map("length" -> 7)),
     IndicatorSpec("ha", Map()),
     IndicatorSpec("mcgd", Map("length" -> 10)),
     IndicatorSpec("ssf", Map("length" -> 10)),
@@ -119,6 +124,8 @@ object StrategyOhlcvQueries {
     BarsQueries.qAroon.sql.get -> Seq("aroon_u_10", "aroon_d_10"),
     BarsQueries.qTrendStats.sql.get -> Seq("chop_10", "vtxp_10", "vtxm_10", "qstick_10"),
     BarsQueries.qCandles.sql.get -> Seq("cdl_inside", "open_z_10", "high_z_10", "low_z_10", "close_z_10"),
+    BarsQueries.qSignals.sql.get -> Seq("increasing_1", "decreasing_1"),
+    Rec2Queries.qJma.sql.get -> Seq("jma_7"),
     CompositeQueries.qDm.sql.get -> Seq("dmp_14", "dmn_14"),
     CompositeQueries.qAdx.sql.get -> Seq("adx_14", "dip_14", "dim_14"),
     CompositeQueries.qKc.sql.get -> Seq("kcb_20", "kcl_20", "kcu_20"),
@@ -169,6 +176,67 @@ object StrategyOhlcvQueries {
   )
 
   val outs: Seq[String] = parts.flatMap(_._2)
+
+  /** Third batch gate: ALL five multi-key candle waves (cdl_pattern_2..6,
+    * 68 flag columns) as ONE compiled Strategy over the 15-user bars —
+    * exercises the compiled single-level candle lowerings multi-key and
+    * closes the last registry kinds not covered by a Strategy gate.
+    * Oracle = join of the five already-green per-wave oracles. */
+  val qCandles: Q = {
+    val candleSpecs = Seq(
+      IndicatorSpec("cdl_pattern_2", Map()),
+      IndicatorSpec("cdl_pattern_3", Map()),
+      IndicatorSpec("cdl_pattern_4", Map()),
+      IndicatorSpec("cdl_pattern_5", Map()),
+      IndicatorSpec("cdl_pattern_6", Map())
+    )
+    val candleParts: Seq[(String, Seq[String])] = Seq(
+      JoinQueries.qCdlPatterns2.sql.get -> Seq(
+        "cdl_piercing", "cdl_dark_cloud", "cdl_morning_star", "cdl_evening_star",
+        "cdl_3_white_soldiers", "cdl_3_black_crows", "cdl_hanging_man",
+        "cdl_inverted_hammer", "cdl_dragonfly_doji", "cdl_gravestone_doji",
+        "cdl_long_legged_doji"
+      ),
+      JoinQueries.qCdlPatterns3.sql.get -> Seq(
+        "cdl_3_inside_up", "cdl_3_inside_down", "cdl_3_outside_up", "cdl_3_outside_down",
+        "cdl_belt_hold_bull", "cdl_belt_hold_bear", "cdl_doji_star_bull", "cdl_doji_star_bear",
+        "cdl_kicking_bull", "cdl_kicking_bear"
+      ),
+      JoinQueries.qCdlPatterns4.sql.get -> Seq(
+        "cdl_on_neck", "cdl_in_neck", "cdl_thrusting", "cdl_separating_lines_bull",
+        "cdl_separating_lines_bear", "cdl_matching_low", "cdl_stick_sandwich", "cdl_homing_pigeon"
+      ),
+      JoinQueries.qCdlPatterns5.sql.get -> Seq(
+        "cdl_tasuki_gap_up", "cdl_tasuki_gap_down", "cdl_rising_3_methods",
+        "cdl_falling_3_methods", "cdl_2_crows", "cdl_upside_gap_2_crows",
+        "cdl_tristar_bull", "cdl_tristar_bear", "cdl_abandoned_baby_bull",
+        "cdl_abandoned_baby_bear", "cdl_counterattack_bull", "cdl_counterattack_bear",
+        "cdl_rickshaw_man", "cdl_high_wave", "cdl_closing_marubozu"
+      ),
+      JoinQueries.qCdlPatterns6.sql.get -> Seq(
+        "cdl_3_line_strike_bull", "cdl_3_line_strike_bear", "cdl_3_stars_in_south",
+        "cdl_advance_block", "cdl_breakaway_bull", "cdl_breakaway_bear",
+        "cdl_conceal_baby_swall", "cdl_morning_doji_star", "cdl_evening_doji_star",
+        "cdl_gap_side_side_white_up", "cdl_gap_side_side_white_down",
+        "cdl_harami_cross_bull", "cdl_harami_cross_bear", "cdl_hikkake_bull",
+        "cdl_hikkake_bear", "cdl_identical_3_crows", "cdl_ladder_bottom",
+        "cdl_long_line", "cdl_short_line", "cdl_mat_hold", "cdl_stalled_pattern",
+        "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down"
+      )
+    )
+    val candleOuts = candleParts.flatMap(_._2)
+    Q(
+      "strategy_candles_batch",
+      (s: SparkSession, dir: String) => {
+        Graft.init(s)
+        registry
+          .strategy(Graft.userBars(s, dir), Strategy("candles_batch", candleSpecs))
+          .select(col("series_id") +: col("ts") +: candleOuts.map(o => P.normd(col(o).cast("double")).as(o)): _*)
+          .orderBy("series_id", "ts")
+      },
+      Some(composeJoin(candleParts))
+    )
+  }
 
   val q: Q = Q(
     "strategy_ohlcv_batch",
