@@ -40,6 +40,31 @@ object JoinQueries {
     )
   )
 
+  /** Range join (binned equi-join, operators/RangeJoin.scala): per event,
+    * count and mean of the same user's events in the strictly-preceding
+    * 5 minutes. A raw inequality join would plan BroadcastNestedLoop;
+    * the bin discretization keeps it a hash join on (key, bin). Inner
+    * semantics: events with no prior-5-minute neighbor are absent on
+    * both sides. */
+  val qRangeJoin = Q(
+    "range_join_5m",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft.userSeries(s, dir)
+      graft.operators.RangeJoin
+        .within(ev, ev, "series_id", "ts", lower = 300000000L, upper = -1L)
+        .groupBy("series_id", "ts")
+        .agg(count(lit(1)).as("n_prev_5m"), P.normd(avg("r_close")).as("avg_prev_5m"))
+        .orderBy("series_id", "ts")
+    },
+    Some(
+      s"WITH s AS ($seriesCte) " +
+        "SELECT l.series_id, l.ts, count(*) AS n_prev_5m, round(avg(r.close), 6) AS avg_prev_5m " +
+        "FROM s l JOIN s r ON l.series_id = r.series_id " +
+        "AND r.ts >= l.ts - 300000000 AND r.ts < l.ts " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+  )
+
   /** Native candle-pattern flags over the daily bars. */
   val qCdlPatterns = {
     val bars = new Cte("bars", barsCte)
@@ -434,5 +459,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qRangeJoin, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
 }
