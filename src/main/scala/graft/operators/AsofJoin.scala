@@ -25,17 +25,32 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsofJoin {
 
-  /** Left rows enriched with the as-of-latest right columns (null when no
-    * right row precedes). `rightCols` are renamed with `prefix`. */
+  /** Left rows enriched with the as-of right columns (null when nothing
+    * matches). `rightCols` are renamed with `prefix`.
+    *
+    * @param direction "backward" (latest right with rts ≤ lts — default),
+    *                  "forward" (earliest right with rts ≥ lts), or
+    *                  "nearest" (closer of the two; ties → backward) —
+    *                  pandas merge_asof's direction parameter.
+    * @param tolerance max |lts − rts| for a match, in ts units; negative =
+    *                  unbounded. tolerance and "nearest" require a numeric
+    *                  ts column.
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       rightCols: Seq[String],
-      prefix: String = "r_"
+      prefix: String = "r_",
+      direction: String = "backward",
+      tolerance: Long = -1L
   ): DataFrame = {
     require(rightCols.nonEmpty, "asof: rightCols must be non-empty")
+    require(
+      Seq("backward", "forward", "nearest").contains(direction),
+      s"asof: unknown direction '$direction'"
+    )
     require(
       rightCols.forall(c => !left.columns.contains(s"$prefix$c")),
       s"asof: output name collision — left already has ${rightCols.map(prefix + _).filter(left.columns.contains).mkString(", ")}"
@@ -45,7 +60,9 @@ object AsofJoin {
     val taken = (left.columns ++ right.columns).toSet
     def fresh(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
-    val sideC = fresh("__side"); val pC = fresh("__p"); val pcC = fresh("__pc")
+    val sideC = fresh("__side"); val pC = fresh("__p")
+    val bC = fresh("__pb"); val fC = fresh("__pf"); val mC = fresh("__pm")
+    val mtsC = fresh("__mts")
     val leftTagged = left.withColumn(sideC, lit(1))
     val rightTagged = right
       .select(col(keyCol) +: col(tsCol) +: rightCols.map(col): _*)
@@ -55,7 +72,11 @@ object AsofJoin {
     // right ROW atomically — per-column carry would back-fill a NULL cell
     // from an older right row, mixing columns across rows (merge_asof
     // semantics are row-level, including genuine NULLs in the latest row).
-    val payloadType = StructType(rightCols.map(c => StructField(c, right.schema(c).dataType)))
+    // The struct also carries the matched right ts (for tolerance/nearest).
+    val payloadType = StructType(
+      rightCols.map(c => StructField(c, right.schema(c).dataType)) :+
+        StructField(mtsC, right.schema(tsCol).dataType)
+    )
     val leftCols = left.columns
     val l2 = leftTagged.select(
       (leftCols.map(col) :+ col(sideC)) :+ lit(null).cast(payloadType).as(pC): _*
@@ -65,22 +86,54 @@ object AsofJoin {
         case c0 if c0 == keyCol => col(keyCol)
         case c0 if c0 == tsCol => col(tsCol)
         case c0 => lit(null).cast(left.schema(c0).dataType).as(c0)
-      }.toSeq :+ col(sideC)) :+ struct(rightCols.map(col): _*).as(pC): _*
+      }.toSeq :+ col(sideC)) :+ struct(rightCols.map(col) :+ col(tsCol).as(mtsC): _*).as(pC): _*
     )
     val unioned = l2.unionByName(r2.select(l2.columns.map(col): _*))
-    // right rows sort BEFORE left rows at equal ts (side 0 < 1): a bar
-    // stamped at ts is visible to an event at the same ts
-    val w = Window
+    // backward: right rows sort BEFORE left rows at equal ts (side 0 < 1) —
+    // a bar stamped at ts is visible to an event at the same ts. forward:
+    // ts desc with the same side order, so rts ≥ lts (inclusive) matches.
+    val wB = Window
       .partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried =
-      unioned.withColumn(pcC, last(col(pC), ignoreNulls = true).over(w))
-    carried
+    val wF = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(sideC).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def gate(p: Column, dist: Column): Column =
+      if (tolerance < 0) p else when(p.isNotNull && dist <= tolerance, p)
+    val lts = col(tsCol)
+    val withMatch = direction match {
+      case "backward" =>
+        unioned
+          .withColumn(bC, last(col(pC), ignoreNulls = true).over(wB))
+          .withColumn(mC, gate(col(bC), lts - col(bC).getField(mtsC)))
+      case "forward" =>
+        unioned
+          .withColumn(fC, last(col(pC), ignoreNulls = true).over(wF))
+          .withColumn(mC, gate(col(fC), col(fC).getField(mtsC) - lts))
+      case "nearest" =>
+        val db = lts - col(bC).getField(mtsC)
+        val df0 = col(fC).getField(mtsC) - lts
+        val back = gate(col(bC), db)
+        val fwd = gate(col(fC), df0)
+        unioned
+          .withColumn(bC, last(col(pC), ignoreNulls = true).over(wB))
+          .withColumn(fC, last(col(pC), ignoreNulls = true).over(wF))
+          // closer side wins; equal distance → backward (pandas tiebreak)
+          .withColumn(
+            mC,
+            when(back.isNull, fwd)
+              .when(fwd.isNull, back)
+              .when(db <= df0, back)
+              .otherwise(fwd)
+          )
+    }
+    withMatch
       .where(col(sideC) === 1)
       .select(
         leftCols.map(col) ++
-          rightCols.map(c => col(pcC).getField(c).as(s"$prefix$c")): _*
+          rightCols.map(c => col(mC).getField(c).as(s"$prefix$c")): _*
       )
   }
 }

@@ -40,6 +40,49 @@ object JoinQueries {
     )
   )
 
+  /** merge_asof directions + tolerance (pandas merge_asof API surface):
+    * backward with a 6-hour tolerance, forward, and nearest (ties →
+    * backward), all against the per-user daily aggregate. Oracle = DuckDB
+    * ASOF joins in both directions + the same CASE arithmetic. */
+  val qAsofVariants = Q(
+    "asof_variants",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft.userSeries(s, dir)
+      val daily = ev
+        .groupBy(col("series_id"), expr("CAST(to_date(timestamp_micros(ts)) AS DATE)").as("day"))
+        .agg(max("ts").as("ts"), avg("close").as("day_avg"))
+        .drop("day")
+      val tol = 21600000000L // 6h in micros
+      val b = AsofJoin.asof(ev, daily, "series_id", "ts", Seq("day_avg"), "tol_", "backward", tol)
+      val f = AsofJoin.asof(b, daily, "series_id", "ts", Seq("day_avg"), "fwd_", "forward")
+      val n = AsofJoin.asof(f, daily, "series_id", "ts", Seq("day_avg"), "near_", "nearest")
+      n.select(
+        col("series_id"),
+        col("ts"),
+        P.normd(col("tol_day_avg")).as("asof_tol"),
+        P.normd(col("fwd_day_avg")).as("asof_fwd"),
+        P.normd(col("near_day_avg")).as("asof_near")
+      ).orderBy("series_id", "ts")
+    },
+    Some(
+      s"WITH s AS ($seriesCte), " +
+        "d AS (SELECT series_id, max(ts) AS ts, avg(close) AS day_avg FROM " +
+        "(SELECT *, CAST(date_trunc('day', to_timestamp(ts // 1000000)) AS DATE) AS day FROM s) " +
+        "GROUP BY series_id, day), " +
+        "b AS (SELECT s.series_id, s.ts, d.ts AS bts, d.day_avg AS bavg " +
+        "FROM s ASOF LEFT JOIN d ON s.series_id = d.series_id AND s.ts >= d.ts), " +
+        "f AS (SELECT s.series_id, s.ts, d.ts AS fts, d.day_avg AS favg " +
+        "FROM s ASOF LEFT JOIN d ON s.series_id = d.series_id AND s.ts <= d.ts), " +
+        "j AS (SELECT b.series_id, b.ts, b.bts, b.bavg, f.fts, f.favg FROM b JOIN f USING (series_id, ts)) " +
+        "SELECT series_id, ts, " +
+        "round(CASE WHEN ts - bts <= 21600000000 THEN bavg END, 6) AS asof_tol, " +
+        "round(favg, 6) AS asof_fwd, " +
+        "round(CASE WHEN bavg IS NULL THEN favg WHEN favg IS NULL THEN bavg " +
+        "WHEN ts - bts <= fts - ts THEN bavg ELSE favg END, 6) AS asof_near " +
+        "FROM j ORDER BY series_id, ts"
+    )
+  )
+
   /** Range join (binned equi-join, operators/RangeJoin.scala): per event,
     * count and mean of the same user's events in the strictly-preceding
     * 5 minutes. A raw inequality join would plan BroadcastNestedLoop;
@@ -459,5 +502,5 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qRangeJoin, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
+  val all: Seq[Q] = Seq(qAsof, qAsofVariants, qRangeJoin, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
 }
