@@ -401,7 +401,9 @@ object JoinQueries {
       "cdl_harami_cross_bull", "cdl_harami_cross_bear", "cdl_hikkake_bull",
       "cdl_hikkake_bear", "cdl_identical_3_crows", "cdl_ladder_bottom",
       "cdl_long_line", "cdl_short_line", "cdl_mat_hold", "cdl_stalled_pattern",
-      "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down"
+      "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down",
+      "cdl_kicking_by_length_bull", "cdl_kicking_by_length_bear",
+      "cdl_hikkake_mod_bull", "cdl_hikkake_mod_bear"
     )
     val b = bars
       .addSel(
@@ -426,7 +428,12 @@ object JoinQueries {
           "least(po, pc) > greatest(po2, pc2) AS gapup12, greatest(po, pc) < least(po2, pc2) AS gapdn12, " +
           "rng > 0 AND body <= 0.1e0 * rng AS doji0"
       )
-      .addSel("c2", "prng > 0 AND pbody <= 0.1e0 * prng AS doji1")
+      .addSel(
+        "c2",
+        "prng > 0 AND pbody <= 0.1e0 * prng AS doji1, " +
+          "pbear AND prng > 0 AND pbody >= 0.95e0 * prng AND bull AND rng > 0 AND body >= 0.95e0 * rng AND open > ph AS kickup, " +
+          "pbull AND prng > 0 AND pbody >= 0.95e0 * prng AND bear AND rng > 0 AND body >= 0.95e0 * rng AND open < pl AS kickdn"
+      )
       .addSel(
         "c3",
         "CASE WHEN pc3 IS NULL THEN NULL WHEN p3bull AND p2bull AND pbull AND pc2 > pc3 AND pc > pc2 AND bear AND open > pc AND close < po3 THEN 1e0 ELSE 0e0 END AS cdl_3_line_strike_bull, " +
@@ -452,7 +459,11 @@ object JoinQueries {
           "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN p2bull AND pbull AND bull AND pc > pc2 AND close > pc AND body <= 0.5e0 * pbody AND open > po AND open <= pc + 0.05e0 * avgrng THEN 1e0 ELSE 0e0 END AS cdl_stalled_pattern, " +
           "CASE WHEN rng > 0 AND body <= 0.1e0 * rng AND ush <= 0.1e0 * rng AND dsh >= 0.7e0 * rng THEN 1e0 ELSE 0e0 END AS cdl_takuri, " +
           "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bull AND pbull AND gapup12 AND bear AND open > po AND open < pc AND close <= greatest(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_xside_gap_3_methods_up, " +
-          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbear AND gapdn12 AND bull AND open < po AND open > pc AND close >= least(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_xside_gap_3_methods_down"
+          "CASE WHEN pc2 IS NULL THEN NULL WHEN p2bear AND pbear AND gapdn12 AND bull AND open < po AND open > pc AND close >= least(po2, pc2) THEN 1e0 ELSE 0e0 END AS cdl_xside_gap_3_methods_down, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN (kickup AND body >= pbody) OR (kickdn AND pbody > body) THEN 1e0 ELSE 0e0 END AS cdl_kicking_by_length_bull, " +
+          "CASE WHEN pc IS NULL THEN NULL WHEN (kickup AND body < pbody) OR (kickdn AND pbody <= body) THEN 1e0 ELSE 0e0 END AS cdl_kicking_by_length_bear, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN ph < ph2 AND pl > pl2 AND (pc - pl) <= 0.2e0 * avgrng AND high < ph AND low < pl THEN 1e0 ELSE 0e0 END AS cdl_hikkake_mod_bull, " +
+          "CASE WHEN pc2 IS NULL OR avgrng IS NULL THEN NULL WHEN ph < ph2 AND pl > pl2 AND (ph - pc) <= 0.2e0 * avgrng AND high > ph AND low > pl THEN 1e0 ELSE 0e0 END AS cdl_hikkake_mod_bear"
       )
     Q(
       "cdl_patterns6",

@@ -178,7 +178,7 @@ object StrategyOhlcvQueries {
   val outs: Seq[String] = parts.flatMap(_._2)
 
   /** Third batch gate: ALL five multi-key candle waves (cdl_pattern_2..6,
-    * 68 flag columns) as ONE compiled Strategy over the 15-user bars —
+    * 72 flag columns) as ONE compiled Strategy over the 15-user bars —
     * exercises the compiled single-level candle lowerings multi-key and
     * closes the last registry kinds not covered by a Strategy gate.
     * Oracle = join of the five already-green per-wave oracles. */
@@ -221,7 +221,9 @@ object StrategyOhlcvQueries {
         "cdl_harami_cross_bull", "cdl_harami_cross_bear", "cdl_hikkake_bull",
         "cdl_hikkake_bear", "cdl_identical_3_crows", "cdl_ladder_bottom",
         "cdl_long_line", "cdl_short_line", "cdl_mat_hold", "cdl_stalled_pattern",
-        "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down"
+        "cdl_takuri", "cdl_xside_gap_3_methods_up", "cdl_xside_gap_3_methods_down",
+        "cdl_kicking_by_length_bull", "cdl_kicking_by_length_bear",
+        "cdl_hikkake_mod_bull", "cdl_hikkake_mod_bear"
       )
     )
     val candleOuts = candleParts.flatMap(_._2)

@@ -248,7 +248,31 @@ private[ta] object candleDefs {
       "cdl_xside_gap_3_methods_down" -> flag3(
         p2Bear && pBear && gapDn12 && bull && open < po && open > pc &&
           close >= least(po2, pc2)
+      ),
+      // kicking by length: the kicking formation in either gap direction,
+      // sign decided by the LONGER marubozu (ties -> the gap direction)
+      "cdl_kicking_by_length_bull" -> flag2(
+        (kickUp && body >= pBody) || (kickDn && pBody > body)
+      ),
+      "cdl_kicking_by_length_bear" -> flag2(
+        (kickUp && body < pBody) || (kickDn && pBody <= body)
+      ),
+      // modified hikkake: the inside bar also closes at the extreme of its
+      // range opposite the false break (near = 0.2 * avg range, house conv.)
+      "cdl_hikkake_mod_bull" -> flagEq3(
+        ph < ph2 && pl > pl2 && (pc - pl) <= lit(0.2) * avgRng && high < ph && low < pl
+      ),
+      "cdl_hikkake_mod_bear" -> flagEq3(
+        ph < ph2 && pl > pl2 && (ph - pc) <= lit(0.2) * avgRng && high > ph && low > pl
       )
     )
   }
+
+  // the two-marubozu kicking formation, up-gap and down-gap variants
+  private def kickUp: Column =
+    pBear && pRng > 0 && pBody >= lit(0.95) * pRng &&
+      bull && rng > 0 && body >= lit(0.95) * rng && open > ph
+  private def kickDn: Column =
+    pBull && pRng > 0 && pBody >= lit(0.95) * pRng &&
+      bear && rng > 0 && body >= lit(0.95) * rng && open < pl
 }

@@ -691,13 +691,12 @@ final class Ta(private val df: DataFrame) {
     df.withColumns(candleDefs.wave5.toMap)
 
   /** Sixth (final) wave of native candle patterns — completes the TA-Lib
-    * cdl_pattern set at 59/61 functions (only the KICKINGBYLENGTH /
-    * HIKKAKEMOD variants are folded into their base patterns): line
-    * strikes, south stars, advance block, breakaway, concealing baby
-    * swallow, doji-star variants, gap side-by-side white lines, harami
-    * cross, hikkake, identical three crows, ladder bottom, long/short
-    * line, mat hold, stalled pattern, takuri, gap three methods.
-    * Same declared-spec conventions as waves 1–5. */
+    * cdl_pattern set at 61/61 functions: line strikes, south stars,
+    * advance block, breakaway, concealing baby swallow, doji-star
+    * variants, gap side-by-side white lines, harami cross, hikkake (+
+    * modified hikkake), identical three crows, ladder bottom, long/short
+    * line, mat hold, stalled pattern, takuri, gap three methods, kicking
+    * by length. Same declared-spec conventions as waves 1–5. */
   def cdlPatterns6: DataFrame =
     df.withColumns(candleDefs.wave6.toMap)
 
