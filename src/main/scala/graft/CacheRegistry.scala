@@ -40,11 +40,16 @@ object CacheRegistry {
     s"${p.semanticHash()}:${p.toString}"
   }
 
-  /** Persist-once per (session, key); later calls reuse the handle. */
+  /** Persist-once per (session, key); later calls reuse the handle.
+    * A build that returns an already-persisted frame (eager-iteration
+    * operators hand over their final loop state) is registered as-is. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     entries.computeIfAbsent(
       (sid(spark), key),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK)
+      _ => {
+        val b = build
+        if (b.storageLevel == StorageLevel.NONE) b.persist(StorageLevel.MEMORY_AND_DISK) else b
+      }
     )
 
   /** Compiled-PLAN cache (no data persisted): same session + same key →
@@ -61,9 +66,12 @@ object CacheRegistry {
   def memoPlan(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     plans.computeIfAbsent((sid(spark), key), _ => build)
 
-  /** Persist + track a one-off stage (no dedup key — unique per call). */
+  /** Persist + track a one-off stage (no dedup key — unique per call).
+    * Already-persisted inputs are registered as-is (callers that drive
+    * eager iteration, e.g. Dedup.nearDupClusters, hand over their final
+    * persisted handle for session-scoped release). */
   def track(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val p = if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     entries.put((sid(df.sparkSession), s"__transient_${seq.incrementAndGet()}"), p)
     p
   }

@@ -534,9 +534,37 @@ object ExtensionQueries {
     )
   )
 
+  /** Q46 near-dup clustering: connected components of the exact-Jaccard
+    * pair graph (min-label propagation), canonical doc = min id. Oracle:
+    * recursive-CTE transitive closure, component label = min reachable id.
+    */
+  val qDedupCluster = Q(
+    "x_dedup_cluster",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup
+        .nearDupClusters(d, Dedup.jaccardPairs(d, threshold = 0.5))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH RECURSIVE $basesCtes, shs AS (SELECT doc_id, s FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM shs a, shs b " +
+        "WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id " +
+        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id), " +
+        "sized AS (SELECT cluster_id, count(*) AS n_cluster FROM lab GROUP BY cluster_id) " +
+        "SELECT l.doc_id, l.cluster_id, s.n_cluster, l.doc_id = l.cluster_id AS keep " +
+        "FROM lab l JOIN sized s USING (cluster_id) ORDER BY doc_id"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSplit,
     qStratSample,
+    qDedupCluster,
     qTfidf,
     qLangDist,
     qTextStats,

@@ -139,4 +139,30 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.count() == docs.select("text").distinct().count())
     assert(kept.select("text").distinct().count() == kept.count())
   }
+
+  test("near-dup clustering equals driver-side union-find over the pair set") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5)
+    val edgeList = pairSet(pairs).toSeq
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup
+      .nearDupClusters(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    // cluster sizes and keep flags are self-consistent
+    val bySz = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (id, cl, n, keep) =>
+      assert(n == bySz(cl)); assert(keep == (id == cl))
+    }
+    assert(expected.values.toSet.size < ids.length, "fixture has no non-trivial clusters; vacuous")
+    val kept = Dedup.dropNearDups(docs, pairs)
+    assert(kept.count() == expected.values.toSet.size)
+  }
 }
