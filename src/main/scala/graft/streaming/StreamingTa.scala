@@ -167,12 +167,20 @@ object StreamingTa {
           Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume),
           barSchema
         )
+        // KernelOut carries Option[Double] — numeric kernel outputs only
+        // (every REC kernel emits Double/Long/Int; booleans map to 0/1).
+        // A kernel with a genuinely non-numeric output column needs the
+        // typed kernelBatchStream path instead — fail loudly, don't parse.
         val vals = kernel.update(row).map {
           case null => None
           case d: Double => Some(d)
           case i: Int => Some(i.toDouble)
           case l: Long => Some(l.toDouble)
-          case other => Some(other.toString.toDouble)
+          case b: Boolean => Some(if (b) 1.0 else 0.0)
+          case other =>
+            throw new IllegalArgumentException(
+              s"kernelStream supports numeric outputs only; got ${other.getClass.getSimpleName} — use kernelBatchStream"
+            )
         }
         KernelOut(key, t.ts, vals.toSeq)
       }

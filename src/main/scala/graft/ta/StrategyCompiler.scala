@@ -1453,6 +1453,14 @@ private[ta] object StrategyCompiler {
     * the kernel shuffle — narrower rows through the exchange). */
   def runAll(df: DataFrame, plans: Seq[ColPlan], recPlans: Seq[RecPlan]): DataFrame = {
     if (plans.isEmpty && recPlans.isEmpty) return df
+    // "__" is the compiler's reserved temp namespace: a user column named
+    // __rn (or colliding with any lowering's temp) would be silently
+    // overwritten here and dropped at the end — fail loudly instead.
+    val reserved = df.columns.filter(_.startsWith("__"))
+    require(
+      reserved.isEmpty,
+      s"column prefix '__' is reserved by the strategy compiler; rename: ${reserved.mkString(", ")}"
+    )
     val allPlans = plans ++ recPlans.map(rp => ColPlan(rp.staging, rp.temps))
     val nLevels = if (allPlans.isEmpty) 0 else allPlans.map(_.levels.size).max
     // Stack every level as an unresolved Project over the analyzed base and
