@@ -256,10 +256,18 @@ object Similarity {
     require(nPlanes % bands == 0 && nPlanes <= 62, "bands must partition the signature")
     val planes = hyperplanes(nPlanes, dim)
     // spread the corpus first: a small parquet arrives as ONE split, and
-    // the broadcast band-join parallelizes by stream-side partition
-    val sigd = corpus
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"), hyperplaneSig(col("embedding"), planes).as("sig"))
+    // the broadcast band-join parallelizes by stream-side partition.
+    // The signature table is this operator's INDEX — persist-once per
+    // (corpus, nPlanes, dim) like the shingle/minhash indexes (both sides
+    // of the band self-join and the verify stage read it).
+    val sigd = graft.CacheRegistry.memo(
+      corpus.sparkSession,
+      s"sim:signlsh:$nPlanes:$dim:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      corpus
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"), hyperplaneSig(col("embedding"), planes).as("sig"))
+    }
     val bb = nPlanes / bands
     // embeddings ride through the band shuffle (bands × row-size extra
     // volume) so collision rows verify INLINE: the alternative — id-only
