@@ -561,10 +561,40 @@ object ExtensionQueries {
     )
   )
 
+  /** Embedding near-dup clustering: the SAME connected-components operator
+    * over exact-cosine pairs — clustering is modality-generic (any pair
+    * source: text Jaccard/LSH, simhash, vector cosine). */
+  val qVecCluster = Q(
+    "x_vec_cluster",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Dedup
+        .nearDupClusters(
+          e.select(col("vec_id").as("doc_id")),
+          Similarity.cosinePairs(e, threshold = 0.45)
+        )
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_cluster"), col("keep"))
+        .orderBy("vec_id")
+    },
+    Some(
+      "WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+        s"AND ${dotSql("a.embedding", "b.embedding")} >= 0.45), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT d.vec_id, least(d.vec_id, coalesce(min(r.v), d.vec_id)) AS cluster_id " +
+        "FROM embeddings d LEFT JOIN reach r ON r.u = d.vec_id GROUP BY d.vec_id), " +
+        "sized AS (SELECT cluster_id, count(*) AS n_cluster FROM lab GROUP BY cluster_id) " +
+        "SELECT l.vec_id, l.cluster_id, s.n_cluster, l.vec_id = l.cluster_id AS keep " +
+        "FROM lab l JOIN sized s USING (cluster_id) ORDER BY vec_id"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qSplit,
     qStratSample,
     qDedupCluster,
+    qVecCluster,
     qTfidf,
     qLangDist,
     qTextStats,
