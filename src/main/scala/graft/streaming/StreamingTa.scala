@@ -501,4 +501,68 @@ object StreamingTa {
       .withColumn("text_hash", sha2(col("text"), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates("text_hash")
+
+  // ------------------------------------------------- streaming sessions
+  case class SessEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, end_us: Long, n_events: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Streaming sessionization (the live twin of Q50): a session closes
+    * when the per-user gap exceeds `gapUs`. Closure is detected two ways —
+    * by the user's own next event (exact, batch-identical split), or by
+    * EVENT-TIME TIMEOUT once the watermark passes session_end + gap (the
+    * session can never be extended after that, so emitting it early is
+    * still batch-identical). State per user is one (start, end, n) triple
+    * — O(keys) bytes, not O(events); the shuffle is the same user_id hash
+    * exchange the batch window pass uses. Same per-key in-order arrival
+    * contract as `indicators` (global event-time-ordered ingestion gives
+    * it for free). Emitted session splits equal the batch
+    * lag/sum-over-window computation row-for-row (spec-asserted). */
+  def sessionsStream(
+      events: Dataset[SessEvent],
+      gapUs: Long = 30L * 60L * 1000000L
+  ): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def step(
+        key: Long,
+        rows: Iterator[SessEvent],
+        gs: GroupState[SessionState]
+    ): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (gs.hasTimedOut) {
+        gs.getOption.foreach(st => out += SessionOut(key, st.start_us, st.end_us, st.n_events))
+        gs.remove()
+      } else {
+        var st = gs.getOption
+        rows.toSeq.sortBy(_.ts_us).foreach { e =>
+          st = st match {
+            case Some(s0) if e.ts_us - s0.end_us > gapUs =>
+              out += SessionOut(key, s0.start_us, s0.end_us, s0.n_events)
+              Some(SessionState(e.ts_us, e.ts_us, 1L))
+            case Some(s0) => Some(s0.copy(end_us = e.ts_us, n_events = s0.n_events + 1L))
+            case None     => Some(SessionState(e.ts_us, e.ts_us, 1L))
+          }
+        }
+        st.foreach { s0 =>
+          gs.update(s0)
+          // fire once the watermark proves no in-gap event can still come;
+          // must stay strictly ahead of the current watermark or Spark
+          // rejects the registration
+          gs.setTimeoutTimestamp(
+            math.max(s0.end_us / 1000L + gapUs / 1000L, gs.getCurrentWatermarkMs + 1L)
+          )
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("etime", timestamp_micros(col("ts_us")))
+      .withWatermark("etime", "0 seconds")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(step)
+  }
 }
