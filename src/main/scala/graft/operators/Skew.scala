@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join (SURVEY §4 scale toolkit).
+  *
+  * A shuffle equi-join hash-partitions both sides on the key, so one hot
+  * key (the classic power-law customer / null-heavy FK) lands an entire
+  * side's worth of rows on ONE task. AQE's skew-join split handles the
+  * common case at runtime; `saltedJoin` is the static belt-and-braces for
+  * plans AQE cannot rewrite (e.g. under stateful stages or when the skew
+  * is known up front): the big side spreads each key over `factor`
+  * deterministic salt buckets, the small side replicates `factor`×, and
+  * the join key becomes (key, salt) — per-task load drops by `factor` at
+  * the cost of small-side duplication, the standard trade. At 100 TB,
+  * salt only the detected hot keys (split the small side into hot and
+  * cold partitions and union a salted hot join with a plain cold join) —
+  * this helper salts uniformly, which is the right shape when the hot
+  * set is unknown or wide.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on bigKeys = smallKeys with the big side
+    * salted into `factor` buckets. Result is row-identical to the plain
+    * join for inner / left_outer / left_semi / left_anti (join types
+    * where replicating the SMALL side cannot duplicate output rows —
+    * right/full would emit unmatched small rows once per salt copy, so
+    * they are rejected).
+    *
+    * The salt is a deterministic hash of the full big-side row, so the
+    * operator stays replayable (no RNG — identical input ⇒ identical
+    * partitioning ⇒ identical plan behavior run-over-run). */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKeys: Seq[String],
+      smallKeys: Seq[String],
+      factor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    require(bigKeys.nonEmpty && bigKeys.size == smallKeys.size, "key lists must align")
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(
+      allowed(joinType.toLowerCase),
+      s"saltedJoin supports $allowed; '$joinType' would duplicate unmatched small-side rows"
+    )
+    def fresh(base: String): String = {
+      val taken = (big.columns ++ small.columns).toSet
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i").find(!taken.contains(_)).get
+    }
+    val sb = fresh("__salt_b")
+    val ss = fresh("__salt_s")
+    val bigS = big.withColumn(
+      sb,
+      pmod(xxhash64(big.columns.map(col): _*), lit(factor.toLong)).cast("int")
+    )
+    val smallS = small.withColumn(ss, explode(array((0 until factor).map(lit): _*)))
+    val cond: Column = bigKeys
+      .zip(smallKeys)
+      .map { case (a, b) => bigS(a) === smallS(b) }
+      .reduce(_ && _) && bigS(sb) === smallS(ss)
+    bigS.join(smallS, cond, joinType).drop(sb, ss)
+  }
+}

@@ -279,5 +279,34 @@ object RelationalQueries {
     )
   )
 
-  val all: Seq[Q] = Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSessions)
+  /** q49 revenue through the SALTED lineitem⋈orders join: same oracle —
+    * salting must be result-invisible. Gates the Skew operator's
+    * correctness on real FK data (the static mitigation when AQE's
+    * runtime skew split cannot apply). */
+  val qSaltedRevenue = Q(
+    "x_salted_revenue",
+    (s: SparkSession, dir: String) => {
+      val li = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders")
+      val c = Graft.table(s, dir, "customer")
+      val n = Graft.table(s, dir, "nation")
+      graft.operators.Skew
+        .saltedJoin(li, o, Seq("l_orderkey"), Seq("o_orderkey"), factor = 8)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)))
+            .cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .select(col("n_name"), P.normd(col("revenue")).as("revenue"), col("n_items"))
+        .orderBy("n_name")
+    },
+    qRevenueNation.sql
+  )
+
+  val all: Seq[Q] =
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSessions)
 }
