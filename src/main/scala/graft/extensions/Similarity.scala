@@ -332,4 +332,122 @@ object Similarity {
       .as[(Long, Long, Double)]
     heapRank(scored, k)
   }
+
+  // ------------------------------------------------------------------ PQ
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * subspaces of dim/m dims; subspace centroids are the subvectors of
+    * the first `kC` corpus vectors in vec_id order — the same
+    * deterministic sample-as-centroids convention as `ivfCentroids`, so
+    * the DuckDB oracle replays the codebooks exactly. code_id is the
+    * DENSE 0-based rank (not the raw vec_id), so codes are invariant
+    * under id offsets. Returns (code_id, sub, cent). */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, kC: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dm = dim / m
+    import org.apache.spark.sql.expressions.Window
+    ivfCentroids(corpus, kC)
+      .withColumn("code_id", row_number().over(Window.orderBy("cent_id")) - 1)
+      .select(
+        col("code_id"),
+        posexplode(
+          array((0 until m).map(s => slice(col("cent_emb"), s * dm + 1, dm)): _*)
+        ).as(Seq("sub", "cent"))
+      )
+  }
+
+  /** PQ assignment: per (vector, subspace) the nearest codebook centroid
+    * by L2 (argmin of |c|² − 2·v·c — same ordering, one dot less; both
+    * dots run strict left-to-right so the oracle is bit-identical).
+    * This is the compressed index: m small ints per vector (m bytes at
+    * kC ≤ 256) instead of dim floats — the memory path that lets a
+    * 100 TB corpus' candidates live in RAM. Memoized per (corpus, m, kC)
+    * like the text/sign-LSH indexes. */
+  def pqIndex(corpus: DataFrame, m: Int, dim: Int, kC: Int): DataFrame =
+    graft.CacheRegistry.memo(
+      corpus.sparkSession,
+      s"sim:pq:$m:$dim:$kC:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val dm = dim / m
+      val books = pqCodebooks(corpus, m, dim, kC)
+      val sub = corpus
+        .repartition(col("vec_id"))
+        .select(
+          col("vec_id"),
+          posexplode(
+            array((0 until m).map(s => slice(col("embedding"), s * dm + 1, dm)): _*)
+          ).as(Seq("sub", "svec"))
+        )
+        .join(broadcast(books), "sub")
+        .select(
+          col("vec_id"),
+          col("sub"),
+          col("code_id"),
+          (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("svec"), col("cent"))).as("dist")
+        )
+      import org.apache.spark.sql.expressions.Window
+      val rk = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("code_id").asc)
+      sub
+        .withColumn("rk", row_number().over(rk))
+        .where(col("rk") === 1)
+        .select("vec_id", "sub", "code_id")
+    }
+
+  /** ANN top-k via PQ asymmetric-distance scoring + exact re-rank: every
+    * corpus vector gets an approximate score from its m codes against the
+    * query's per-subspace lookup table (contributions folded in SUB ORDER
+    * — a fixed-order m-term sum, so the score is bit-identical across
+    * engines and runs), the top `k·oversample` shortlist is re-ranked
+    * with the exact dot, and the top k emit. Approximation error stays in
+    * the shortlist boundary; everything the shortlist contains ranks
+    * exactly. Scale: the scoring join is broadcast-LUT map-side work over
+    * the compressed index (no corpus-width shuffle); only (q, vec, score)
+    * triples move. */
+  def topkPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int,
+      dim: Int,
+      kC: Int,
+      oversample: Int = 4
+  ): DataFrame = {
+    val dm = dim / m
+    val books = pqCodebooks(corpus, m, dim, kC)
+    val codes = pqIndex(corpus, m, dim, kC)
+    val lut = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(
+        col("q_id"),
+        posexplode(
+          array((0 until m).map(s => slice(col("q_emb"), s * dm + 1, dm)): _*)
+        ).as(Seq("sub", "qsub"))
+      )
+      .join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("code_id"), dot(col("qsub"), col("cent")).as("contrib"))
+    val ascore = codes
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sub"), col("contrib")))), x => x("contrib")),
+          lit(0.0),
+          (acc, x) => acc + x
+        ).as("ascore")
+      )
+    import org.apache.spark.sql.expressions.Window
+    val srk = Window.partitionBy("q_id").orderBy(col("ascore").desc, col("vec_id").asc)
+    val short = ascore
+      .withColumn("srk", row_number().over(srk))
+      .where(col("srk") <= k * oversample)
+      .select("q_id", "vec_id")
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    short
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id").as("nbr_id"), dot(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
 }

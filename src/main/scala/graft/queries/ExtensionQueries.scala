@@ -373,6 +373,48 @@ object ExtensionQueries {
     qAnnIvf.sql
   )
 
+  /** PQ ANN: product-quantization codes (m=8 subspaces × 16 codes, dense
+    * 0-based ids), ADC scoring with the per-query LUT folded in SUB ORDER
+    * (fixed-order sum → bit-identical across engines; DuckDB list_reduce
+    * starts at c0, Spark folds from 0.0 — identical because 0+c0 = c0),
+    * 4× oversampled shortlist, exact re-rank. */
+  val qAnnPq = {
+    val (m, dm, kC, k, os) = (16, 4, 32, 5, 8)
+    def sl(v: String) = s"$v[(sub*$dm+1):(sub*$dm+$dm)]"
+    Q(
+      "x_ann_pq_topk",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity
+          .topkPq(e, e.where(col("vec_id") < 10), k = k, m = m, dim = 64, kC = kC, oversample = os)
+          .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+          .orderBy("q_id", "rk")
+      },
+      Some(
+        "WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding " +
+          s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), " +
+          s"subsidx AS (SELECT unnest(range(0, $m)) AS sub), " +
+          s"books AS (SELECT code_id, sub, ${sl("embedding")} AS cent FROM cb, subsidx), " +
+          s"subs AS (SELECT vec_id, sub, ${sl("embedding")} AS svec FROM embeddings, subsidx), " +
+          "assign AS (SELECT vec_id, sub, code_id FROM (SELECT s.vec_id, s.sub, b.code_id, " +
+          s"row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY (${dotSql("cent", "cent")} - 2 * ${dotSql("svec", "cent")}) ASC, b.code_id ASC) AS rk " +
+          "FROM subs s JOIN books b ON s.sub = b.sub) WHERE rk = 1), " +
+          s"lut AS (SELECT q.vec_id AS q_id, b.sub, b.code_id, ${dotSql(sl("q.embedding").replace("sub", "b.sub"), "cent")} AS contrib " +
+          "FROM embeddings q, books b WHERE q.vec_id < 10), " +
+          "ascore AS (SELECT l.q_id, a.vec_id, list_reduce(list(l.contrib ORDER BY a.sub), (x, y) -> x + y) AS ascore " +
+          "FROM assign a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id " +
+          "WHERE l.q_id <> a.vec_id GROUP BY l.q_id, a.vec_id), " +
+          "short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS srk FROM ascore) " +
+          s"WHERE srk <= ${k * os}), " +
+          s"rr AS (SELECT s.q_id, s.vec_id AS nbr_id, ${dotSql("q.embedding", "v.embedding")} AS sim " +
+          "FROM short s JOIN embeddings q ON q.vec_id = s.q_id JOIN embeddings v ON v.vec_id = s.vec_id), " +
+          "ranked AS (SELECT q_id, nbr_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rk FROM rr) " +
+          s"SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM ranked WHERE rk <= $k ORDER BY q_id, rk"
+      )
+    )
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
     * by pigeonhole). Oracle: brute-force Hamming over the same simhash. */
   val qSimhashPairs = Q(
@@ -611,6 +653,7 @@ object ExtensionQueries {
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,
+    qAnnPq,
     qVecNeardup
   )
 }

@@ -140,6 +140,42 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.select("text").distinct().count() == kept.count())
   }
 
+  test("PQ+rerank top-k recall vs brute force is >= 0.9; codes are 1/16 the bytes") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity
+      .topkBrute(e, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity
+      .topkPq(e, queries, k = 5, m = 16, dim = 64, kC = 32, oversample = 8)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ recall $recall")
+    // the index really is the compressed representation: m codes per vector
+    // (16 byte-sized codes vs 64 × 4-byte floats)
+    val idx = Similarity.pqIndex(e, 16, 64, 32)
+    assert(idx.groupBy("vec_id").count().agg(max("count")).head.getLong(0) == 16L)
+  }
+
+  test("PQ results are invariant under a vec_id offset (dense code ids)") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    def run(corpus: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame) =
+      Similarity
+        .topkPq(corpus, qs, k = 5, m = 16, dim = 64, kC = 32, oversample = 8)
+        .select("q_id", "rk", "nbr_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val off = 100000L
+    val base = run(e, queries)
+    val shifted = run(
+      e.withColumn("vec_id", col("vec_id") + off),
+      queries.withColumn("vec_id", col("vec_id") + off)
+    ).map { case (q, rk, n) => (q - off, rk, n - off) }
+    assert(shifted == base)
+  }
+
   test("near-dup clustering equals driver-side union-find over the pair set") {
     val pairs = Dedup.jaccardPairs(docs, 0.5)
     val edgeList = pairSet(pairs).toSeq
