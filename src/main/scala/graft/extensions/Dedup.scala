@@ -182,6 +182,62 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** TF-IDF cosine document pairs: sparse-vector similarity straight off
+    * the token inverted index — the no-embedding text-similarity path.
+    * Same shape and scale story as `jaccardPairs` (shuffle = Σ|terms|,
+    * candidates meet through the term join), but weighted: common terms
+    * contribute little (idf → 0), so the hot-key problem self-damps and
+    * near-dups separate better than raw overlap.
+    *
+    * FP-parity contract: every sum that feeds an output or a comparison
+    * (per-doc norm, per-pair dot) folds in TERM ORDER, so the result is
+    * bit-identical to the DuckDB oracle's ordered list_reduce. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    // weighted postings persist once: norms and BOTH sides of the pair
+    // join read them
+    val wp = CacheRegistry.memo(spark, s"dedup:tfidfw:${CacheRegistry.planKey(docs)}") {
+      val tf = spread(docs)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+      tf.join(df0, "term")
+        .crossJoin(broadcast(nDf))
+        .select(col("doc_id"), col("term"), (col("tf") * log(col("__n") / col("df"))).as("w"))
+    }
+    // fold the per-term contributions `p` in term order (FP determinism)
+    val orderedSum =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("p")))), x => x("p")),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    val norms = wp
+      .select(col("doc_id"), col("term"), (col("w") * col("w")).as("p"))
+      .groupBy("doc_id")
+      .agg(sqrt(orderedSum).as("nrm"))
+    val dots = wp
+      .as("x")
+      .join(wp.as("y"), "term")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"),
+        col("term"),
+        (col("x.w") * col("y.w")).as("p")
+      )
+      .groupBy("a_id", "b_id")
+      .agg(orderedSum.as("dp"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .withColumn("cos", col("dp") / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Near-dup CLUSTERS: connected components of the pair graph, labeled by
     * the component's minimum doc_id — the step a training pipeline runs
     * after pair generation, because near-dup is transitive in practice

@@ -143,6 +143,33 @@ object ExtensionQueries {
     Some(jacPairsSql(0.5))
   )
 
+  /** TF-IDF cosine near-dup pairs: weighted sparse similarity off the
+    * token inverted index (no embeddings). Both engines fold norm and dot
+    * sums in term order — bit-identical doubles. */
+  val qTfidfCosine = Q(
+    "x_tfidf_cosine_pairs",
+    (s, dir) =>
+      Dedup
+        .tfidfCosinePairs(docs(s, dir), threshold = 0.9)
+        .select(col("a_id"), col("b_id"), P.normd(col("cos")).as("cos"))
+        .orderBy("a_id", "b_id"),
+    Some(
+      s"WITH toks AS ($toksCte), t AS (SELECT doc_id, unnest(tk) AS term FROM toks), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "w AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS w FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "nrm AS (SELECT doc_id, sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm " +
+        "FROM w GROUP BY doc_id), " +
+        "dp AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, " +
+        "list_reduce(list(x.w * y.w ORDER BY x.term), (a, b) -> a + b) AS dp " +
+        "FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "c AS (SELECT a_id, b_id, dp / (na.nrm * nb.nrm) AS cos FROM dp " +
+        "JOIN nrm na ON na.doc_id = a_id JOIN nrm nb ON nb.doc_id = b_id) " +
+        "SELECT a_id, b_id, round(cos, 6) AS cos FROM c WHERE cos >= 0.9 ORDER BY a_id, b_id"
+    )
+  )
+
   /** Q46 near-dup via MinHash-LSH (bands=8 × rows=2) + exact verify.
     * Oracle is the same brute-force set: with these parameters recall is 1
     * on this corpus (verified; LSH misses would fail the compare). */
@@ -644,6 +671,7 @@ object ExtensionQueries {
     qDedupExact,
     qNeardupJaccard,
     qNeardupLsh,
+    qTfidfCosine,
     qMinhash,
     qSimhash,
     qSimhashPairs,

@@ -307,6 +307,39 @@ object RelationalQueries {
     qRevenueNation.sql
   )
 
+  /** Time-RANGE window features: per-user trailing-7-day event count /
+    * exact decimal sum / max at every event — the time-based (not
+    * row-count) frame a feature pipeline feeds to training. The sum runs
+    * in DECIMAL so the frame-internal addition order (Spark running
+    * accumulation vs DuckDB segment tree) cannot flip low bits. */
+  val qRolling7d = Q(
+    "x_rolling_7d",
+    (s: SparkSession, dir: String) => {
+      val w7 = Window
+        .partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+      Graft
+        .events(s, dir)
+        .select(
+          col("user_id").as("series_id"),
+          col("ts_us"),
+          count(lit(1)).over(w7).as("n_7d"),
+          P.normd(sum(col("value").cast(DecimalType(30, 6))).over(w7).cast("double")).as("vsum_7d"),
+          P.normd(max("value").over(w7)).as("vmax_7d")
+        )
+        .orderBy("series_id", "ts_us")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events) " +
+        "SELECT user_id AS series_id, ts_us, count(*) OVER w AS n_7d, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE), 6) AS vsum_7d, " +
+        "round(max(value) OVER w, 6) AS vmax_7d FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY series_id, ts_us"
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSessions)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSessions, qRolling7d)
 }
