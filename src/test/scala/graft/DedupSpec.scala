@@ -176,6 +176,28 @@ class DedupSpec extends AnyFunSuite {
     assert(shifted == base)
   }
 
+  test("clustering an edgeless pair graph yields all singletons") {
+    import spark.implicits._
+    val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("a_id", "b_id")
+    val got = Dedup.nearDupClusters(d, noPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
+  }
+
+  test("tfidf cosine pairs are partition-invariant (ordered FP folds)") {
+    def pairs(parts: Int) =
+      Dedup
+        .tfidfCosinePairs(docs.repartition(parts), 0.9)
+        .select(col("a_id"), col("b_id"), graft.ta.prim.normd(col("cos")).as("cos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val p1 = pairs(1)
+    assert(p1 == pairs(32))
+    assert(p1.nonEmpty, "no tfidf near-dup pairs in fixture; vacuous")
+  }
+
   test("near-dup clustering equals driver-side union-find over the pair set") {
     val pairs = Dedup.jaccardPairs(docs, 0.5)
     val edgeList = pairSet(pairs).toSeq

@@ -136,4 +136,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan reads unused columns: $readCols"
     )
   }
+
+  test("pair operators never plan a nested-loop or cartesian join") {
+    // every candidate-pair path must meet through an equi-join (inverted
+    // index / band bucket / term) — a BroadcastNestedLoopJoin or
+    // CartesianProduct would be the O(n²)-scan-per-pair scale killer.
+    // (cosinePairs/topkBrute are EXEMPT: broadcast-cross is their
+    // documented exact-oracle design.)
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val embs = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "jaccardPairs" -> graft.extensions.Dedup.jaccardPairs(docs, 0.5),
+      "minhashLshPairs" -> graft.extensions.Dedup.minhashLshPairs(docs, 0.5),
+      "simhashPairs" -> graft.extensions.Dedup.simhashPairs(docs),
+      "tfidfCosinePairs" -> graft.extensions.Dedup.tfidfCosinePairs(docs, 0.9),
+      "cosineNeardupPairs" -> graft.extensions.Similarity
+        .cosineNeardupPairs(embs, 0.45, dim = 64, nPlanes = 30, bands = 5)
+    )
+    for ((name, df) <- cases) {
+      val plan = df.queryExecution.executedPlan
+      assert(
+        !plan.toString.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan"
+      )
+      // the ONLY tolerated nested-loop join is the 1-row corpus-count
+      // broadcast (a global no-key aggregate) — anything else is a scan
+      // per candidate pair
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      bnl.foreach { j =>
+        val build =
+          if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) j.right else j.left
+        assert(
+          build.toString.contains("keys=[]"),
+          s"$name: nested-loop join whose build side is not a 1-row global aggregate:\n$j"
+        )
+      }
+    }
+  }
 }
