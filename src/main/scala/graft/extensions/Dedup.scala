@@ -191,12 +191,25 @@ object Dedup {
     *
     * FP-parity contract: every sum that feeds an output or a comparison
     * (per-doc norm, per-pair dot) folds in TERM ORDER, so the result is
-    * bit-identical to the DuckDB oracle's ordered list_reduce. */
-  def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * bit-identical to the DuckDB oracle's ordered list_reduce.
+    *
+    * @param maxDfFrac drop terms occurring in more than this fraction of
+    *                  the corpus (from postings, norms AND dots — the
+    *                  measure is well-defined, just stopword-free). The
+    *                  term self-join contributes df² candidate rows per
+    *                  term, so without the cap one stopword makes the
+    *                  join quadratic in corpus size; idf damps such a
+    *                  term's WEIGHT to ~0 anyway, so the cap changes
+    *                  almost nothing above any useful threshold. This is
+    *                  jaccardPairs' maxDf guard, expressed relatively. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double, maxDfFrac: Double = 0.1): DataFrame = {
     val spark = docs.sparkSession
     // weighted postings persist once: norms and BOTH sides of the pair
     // join read them
-    val wp = CacheRegistry.memo(spark, s"dedup:tfidfw:${CacheRegistry.planKey(docs)}") {
+    val wp = CacheRegistry.memo(
+      spark,
+      s"dedup:tfidfw:$maxDfFrac:${CacheRegistry.planKey(docs)}"
+    ) {
       val tf = spread(docs)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term")
@@ -205,6 +218,7 @@ object Dedup {
       val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
       tf.join(df0, "term")
         .crossJoin(broadcast(nDf))
+        .where(col("df") <= col("__n") * maxDfFrac)
         .select(col("doc_id"), col("term"), (col("tf") * log(col("__n") / col("df"))).as("w"))
     }
     // fold the per-term contributions `p` in term order (FP determinism)

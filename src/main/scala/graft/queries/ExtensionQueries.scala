@@ -158,7 +158,9 @@ object ExtensionQueries {
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), " +
         "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
         "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
-        "w AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS w FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        // mirrors tfidfCosinePairs' maxDfFrac=0.1 stopword cap
+        "w AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS w FROM tf JOIN df USING (term) CROSS JOIN n " +
+        "WHERE df.df <= n.n * 0.1), " +
         "nrm AS (SELECT doc_id, sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm " +
         "FROM w GROUP BY doc_id), " +
         "dp AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, " +
