@@ -93,6 +93,55 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Per-doc winnowing fingerprint sets (TextOps.winnowFromHashes over the
+    * positional shingle-hash sequence). Persisted via CacheRegistry.memo —
+    * same index-reuse + pushdown-barrier rationale as `shingled`, at ~2/(w+1)
+    * of its size. */
+  private def winnowed(docs: DataFrame, k: Int, w: Int): DataFrame =
+    CacheRegistry.memo(docs.sparkSession, s"dedup:winnow:$k:$w:${CacheRegistry.planKey(docs)}") {
+      spread(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), TextOps.posShingleHashes(col("__tk"), k).as("__h"))
+        .select(col("doc_id"), TextOps.winnowFromHashes(col("__h"), w).as("fps"))
+    }
+
+  /** Winnowing fingerprint table: (doc_id, fps) — the per-document content
+    * signature a plagiarism/near-dup pipeline stores. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(docs, k, w)
+
+  /** Near-dup pairs by winnowing-fingerprint Jaccard — `jaccardPairs` run
+    * on the winnowed signature instead of the full shingle set. Exact same
+    * inverted-index shape (shuffle = Σ|fps|, candidates meet through the
+    * fingerprint join) but every stage is ~w/2× smaller: winnowing IS the
+    * index-compression knob. Same `maxDf` hot-key guard; 0 = oracle mode
+    * (exact vs a brute-force cross join on the fingerprint sets). */
+  def winnowPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val inv0 = winnowed(docs, k, w)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"), explode(col("fps")).as("f"))
+    val inv =
+      if (maxDf <= 0L) inv0
+      else {
+        val hot = inv0.groupBy("f").count().where(col("count") > maxDf).select("f")
+        inv0.join(hot, Seq("f"), "left_anti")
+      }
+    inv
+      .as("x")
+      .join(inv.as("y"), "f")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"), max(col("x.n_fp")).as("n_a"), max(col("y.n_fp")).as("n_b"))
+      .withColumn("sim", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
   /** MinHash-LSH candidate pairs + exact-Jaccard verification.
     *
     * bands × rowsPerBand must equal TextOps.minhashParams.size. A pair

@@ -183,4 +183,32 @@ object TextOps {
     val bases = transform(shingleSet(text, k), s => polyHash(s))
     when(size(bases) > 0, array_min(bases))
   }
+
+  /** POSITIONAL k-shingle hashes from a staged tokens column — the
+    * winnowing input. Unlike `shingleBasesFromTokens` this keeps document
+    * order and multiplicity: winnowing's window walk is positional. */
+  def posShingleHashes(toks: Column, k: Int = 3): Column =
+    transform(shinglesFromTokens(toks, k), s => polyHash(s))
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) fingerprint SET from
+    * a staged positional-shingle-hash column: slide a window of `w`
+    * consecutive shingle hashes, keep each window's minimum VALUE, distinct
+    * the selections. Keeping values (not positions) makes the paper's
+    * rightmost-tie rule irrelevant — the min value per window is unique
+    * regardless of which position it came from — so the result is a pure
+    * deterministic function of the hash sequence, replayable in SQL.
+    *
+    * Guarantee: any shared substring of ≥ w+k−1 tokens contributes at
+    * least one common fingerprint; fingerprint density is ~2/(w+1) of the
+    * shingle count, so downstream pair joins shuffle ~w/2× less than the
+    * full shingle inverted index. Documents shorter than one window keep
+    * their global min (one fingerprint) — never silently empty. */
+  def winnowFromHashes(h: Column, w: Int): Column =
+    when(size(h) === 0, array().cast("array<long>"))
+      .when(size(h) < w, array(array_min(h)))
+      .otherwise(
+        array_distinct(
+          transform(sequence(lit(1), size(h) - (w - 1)), j => array_min(slice(h, j, lit(w))))
+        )
+      )
 }

@@ -39,6 +39,18 @@ object ExtensionQueries {
     s"toks AS ($toksCte), sh AS (SELECT doc_id, $shExpr AS s FROM toks), " +
       s"bases AS (SELECT doc_id, list_transform(s, x -> ${ph("x")}) AS bh, len(s) AS n_sh FROM sh)"
 
+  /** Positional-shingle → winnowing-fingerprint CTE chain (mirror of
+    * TextOps.posShingleHashes + winnowFromHashes: non-distinct shingles in
+    * document order, window-of-w minima, distinct values). */
+  private def winnowCtes(w: Int): String =
+    s"toks AS ($toksCte), psh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +
+      "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) " +
+      "ELSE [] END AS s FROM toks), " +
+      s"hs AS (SELECT doc_id, list_transform(s, x -> ${ph("x")}) AS h FROM psh), " +
+      s"fps AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN [] WHEN len(h) < $w THEN [list_min(h)] " +
+      s"ELSE list_distinct(list_transform(range(1, len(h) - ${w - 1} + 1), j -> list_min(h[j:j+${w - 1}]))) " +
+      "END AS fps FROM hs)"
+
   /** Exact pairwise shingle-Jaccard ≥ threshold (brute cross join). */
   private def jacPairsSql(threshold: Double): String =
     s"WITH $basesCtes, shs AS (SELECT doc_id, s FROM sh) " +
@@ -141,6 +153,56 @@ object ExtensionQueries {
         .select(col("a_id"), col("b_id"), P.normd(col("jac")).as("jac"))
         .orderBy("a_id", "b_id"),
     Some(jacPairsSql(0.5))
+  )
+
+  /** Q46 winnowing fingerprints: per-doc signature summary. Every output
+    * is an order-insensitive digest of the fingerprint SET (count, min,
+    * sum mod P) — `list_distinct` ordering differences between engines
+    * cannot surface. */
+  val qWinnowFp = Q(
+    "x_fp_winnow",
+    (s, dir) =>
+      Dedup
+        .winnowFingerprints(docs(s, dir))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          when(size(col("fps")) > 0, array_min(col("fps"))).as("fp_min"),
+          when(size(col("fps")) > 0, aggregate(col("fps"), lit(0L), (a, x) => a + x) % P0)
+            .as("fp_sum")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"WITH ${winnowCtes(4)} " +
+        "SELECT doc_id, len(fps) AS n_fp, " +
+        "CASE WHEN len(fps) > 0 THEN list_min(fps) END AS fp_min, " +
+        // CAST: DuckDB integer sums widen to HUGEINT, which the gate's
+        // arrow bridge cannot hash against Spark's BIGINT
+        s"CAST(CASE WHEN len(fps) > 0 THEN list_sum(fps) % $P0 END AS BIGINT) AS fp_sum " +
+        "FROM fps ORDER BY doc_id"
+    )
+  )
+
+  /** Q46 near-dup pairs by winnowing-fingerprint Jaccard: the compressed
+    * (~w/2× smaller) signature join; oracle is the brute-force cross join
+    * over the same fingerprint sets. */
+  val qWinnowPairs = Q(
+    "x_fp_winnow_pairs",
+    (s, dir) =>
+      Dedup
+        .winnowPairs(docs(s, dir), threshold = 0.5)
+        .select(col("a_id"), col("b_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("a_id", "b_id"),
+    Some(
+      s"WITH ${winnowCtes(4)} " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(len(list_intersect(a.fps, b.fps))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.fps, b.fps))), 6) AS sim " +
+        "FROM fps a, fps b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.fps, b.fps))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.fps, b.fps))) >= 0.5 " +
+        "ORDER BY a_id, b_id"
+    )
   )
 
   /** TF-IDF cosine near-dup pairs: weighted sparse similarity off the
@@ -672,6 +734,8 @@ object ExtensionQueries {
     qLangQuality,
     qDedupExact,
     qNeardupJaccard,
+    qWinnowFp,
+    qWinnowPairs,
     qNeardupLsh,
     qTfidfCosine,
     qMinhash,

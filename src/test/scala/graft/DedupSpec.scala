@@ -22,6 +22,34 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
   }
 
+  test("winnowPairs at w=1 degenerates to exact jaccardPairs") {
+    // one-hash windows select every shingle hash: the fingerprint set IS
+    // the distinct shingle-hash set, so similarities match jaccardPairs
+    // value-for-value (collision-free poly hashes on this corpus)
+    val jac = Dedup
+      .jaccardPairs(docs, 0.5)
+      .select(col("a_id"), col("b_id"), graft.ta.prim.normd(col("jac")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val win = Dedup
+      .winnowPairs(docs, 0.5, w = 1)
+      .select(col("a_id"), col("b_id"), graft.ta.prim.normd(col("sim")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(win == jac, s"missing=${jac -- win} spurious=${win -- jac}")
+    assert(jac.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+  }
+
+  test("winnowing keeps recall on strong near-dups and compresses the index") {
+    // fingerprint sets are ~2/(w+1) of the shingle count, yet every
+    // jaccard-0.5 pair of this fixture still meets at w=4 (long shared
+    // runs guarantee shared window-minima)
+    val exact = pairSet(Dedup.jaccardPairs(docs, 0.5))
+    val win = pairSet(Dedup.winnowPairs(docs, 0.3, w = 4))
+    assert(exact.subsetOf(win), s"winnowing lost ${exact -- win}")
+    val nSh = docs.select(explode(graft.extensions.TextOps.shingleSet(col("text")))).count()
+    val nFp = Dedup.winnowFingerprints(docs).select(explode(col("fps"))).count()
+    assert(nFp.toDouble / nSh < 0.7, s"no compression: $nFp fps vs $nSh shingles")
+  }
+
   test("hot-shingle df-cap keeps high-similarity pairs") {
     val uncapped = pairSet(Dedup.jaccardPairs(docs, 0.5))
     val capped = pairSet(Dedup.jaccardPairs(docs, 0.5, maxDf = 50))
