@@ -150,18 +150,12 @@ object Dedup {
     * are eliminated and the only approximation is (deterministic,
     * parameter-controlled) recall on near-threshold pairs.
     */
-  def minhashLshPairs(
-      docs: DataFrame,
-      threshold: Double,
-      k: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2
-  ): DataFrame = {
-    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
-    // staged: tokens → shingle bases → 16 cheap min-folds over the array;
-    // persisted for the same index-reuse + pushdown-barrier reasons as
-    // `shingled` (the isNotNull filter would otherwise be pushed below the
-    // staging projects, re-inlining the whole hash pipeline into it)
+  /** Banded MinHash signature table — the LSH dedup INDEX: one row per
+    * (doc, band) keyed by the band's signature slice. The signature stage
+    * (tokens → shingle bases → 16 cheap min-folds) memo-persists per
+    * (corpus, k) — also a pushdown barrier: an isNotNull filter pushed
+    * below the staging projects would re-inline the whole hash pipeline. */
+  private def bandedSig(docs: DataFrame, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = CacheRegistry
       .memo(docs.sparkSession, s"dedup:minhash:$k:${CacheRegistry.planKey(docs)}") {
         spread(docs)
@@ -171,12 +165,23 @@ object Dedup {
       }
       .where(col("sig").isNotNull)
     // (band_id, band signature slice) bucket key — slice is tiny, use it raw.
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(
         array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
       ).as(Seq("band", "bsig"))
     )
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
+    val banded = bandedSig(docs, k, bands, rowsPerBand)
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bsig"))
@@ -188,6 +193,54 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn(
+        "jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+      )
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** INCREMENTAL near-dup: match a new batch of documents against an
+    * existing corpus through the corpus's LSH index — the production
+    * shape of continuous-ingest dedup, where recomputing (or even
+    * rescanning) corpus pair space per increment is off the table.
+    *
+    * The corpus's banded signature table and shingle index are the same
+    * memo-persisted handles `minhashLshPairs` builds, so a pipeline that
+    * deduped the corpus once pays NOTHING corpus-sized here: batch docs
+    * hash themselves (O(|batch|)), probe the index through the
+    * (band, bsig) join, and exact-verify the collisions. Shuffle is
+    * proportional to |batch| × bands + candidates, never corpus size; at
+    * 100 TB corpus / GB-scale daily increments that asymmetry is the whole
+    * game. The batch side is hinted broadcast-able — Spark drops the hint
+    * by itself if the batch outgrows the threshold.
+    *
+    * Output: (a_id = corpus doc, b_id = batch doc, jac ≥ threshold).
+    * Within-batch pairs are `minhashLshPairs(batch, …)` — separate call,
+    * separate concern. */
+  def minhashLshPairsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
+    val idx = bandedSig(corpus, k, bands, rowsPerBand)
+    val probe = bandedSig(batch, k, bands, rowsPerBand)
+    val cand = idx
+      .as("x")
+      .join(broadcast(probe.as("y")), Seq("band", "bsig"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val shC = shingled(corpus, k)
+    val shB = shingled(batch, k)
+    cand
+      .join(shC.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(broadcast(shB.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))), "b_id")
       .withColumn(
         "jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

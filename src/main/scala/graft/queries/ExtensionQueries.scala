@@ -155,6 +155,33 @@ object ExtensionQueries {
     Some(jacPairsSql(0.5))
   )
 
+  /** Q46 INCREMENTAL near-dup: a ~10% "daily batch" (doc_id ≡ 7 mod 10)
+    * probes the remaining 90% "corpus" through its LSH index — corpus
+    * work is index reuse only, batch work is O(|batch|). Oracle is the
+    * brute-force corpus×batch cross join on the same shingle sets. */
+  val qNeardupIncr = Q(
+    "x_neardup_incr",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup
+        .minhashLshPairsAgainst(
+          d.where(col("doc_id") % 10 =!= 7),
+          d.where(col("doc_id") % 10 === 7),
+          threshold = 0.5
+        )
+        .select(col("a_id"), col("b_id"), P.normd(col("jac")).as("jac"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(
+      s"WITH $basesCtes, shs AS (SELECT doc_id, s FROM sh) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac " +
+        "FROM shs a, shs b WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7 " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5 " +
+        "ORDER BY a_id, b_id"
+    )
+  )
+
   /** Q46 winnowing fingerprints: per-doc signature summary. Every output
     * is an order-insensitive digest of the fingerprint SET (count, min,
     * sum mod P) — `list_distinct` ordering differences between engines
@@ -734,6 +761,7 @@ object ExtensionQueries {
     qLangQuality,
     qDedupExact,
     qNeardupJaccard,
+    qNeardupIncr,
     qWinnowFp,
     qWinnowPairs,
     qNeardupLsh,

@@ -22,6 +22,27 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
   }
 
+  test("incremental LSH against the corpus equals full-pairs restricted to the split") {
+    // ground truth: every exact-jaccard pair with one side in the batch,
+    // oriented (corpus, batch)
+    val batchIds = docs.where(col("doc_id") % 10 === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(Dedup.jaccardPairs(docs, 0.5))
+    val expected = full.collect {
+      case (a, b) if batchIds(b) && !batchIds(a) => (a, b)
+      case (a, b) if batchIds(a) && !batchIds(b) => (b, a)
+    }
+    val incr = pairSet(
+      Dedup.minhashLshPairsAgainst(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7),
+        0.5
+      )
+    )
+    assert(incr == expected, s"missing=${expected -- incr} spurious=${incr -- expected}")
+    assert(expected.nonEmpty, "no cross-split near-dup pairs; test is vacuous")
+  }
+
   test("winnowPairs at w=1 degenerates to exact jaccardPairs") {
     // one-hash windows select every shingle hash: the fingerprint set IS
     // the distinct shingle-hash set, so similarities match jaccardPairs
