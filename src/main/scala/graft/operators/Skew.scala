@@ -63,4 +63,41 @@ object Skew {
       .reduce(_ && _) && bigS(sb) === smallS(ss)
     bigS.join(smallS, cond, joinType).drop(sb, ss)
   }
+
+  /** Hot-key-only salted join — the 100 TB shape the uniform `saltedJoin`
+    * docstring points at. Detect keys whose big-side frequency exceeds
+    * `hotThreshold` (one partial-agg pass, hot set broadcast — tiny by
+    * definition of "hot"), then split: hot big rows take the salted join
+    * against the hot slice of the small side, cold rows take the plain
+    * join. Replication cost shrinks from factor×|small| to
+    * factor×|small∩hot| — zero when nothing is hot — and the cold path
+    * keeps its unsalted shuffle. Row-identical to the plain join for the
+    * same join types `saltedJoin` allows: hot/cold partition the big side
+    * by key, each big row takes exactly one path, and null keys (never
+    * equal to anything) stay cold where plain-join semantics handle them.
+    */
+  def saltedJoinHot(
+      big: DataFrame,
+      small: DataFrame,
+      bigKeys: Seq[String],
+      smallKeys: Seq[String],
+      factor: Int,
+      hotThreshold: Long,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val hot = big
+      .groupBy(bigKeys.map(col): _*)
+      .agg(count(lit(1)).as("__kc"))
+      .where(col("__kc") > hotThreshold)
+      .select(bigKeys.map(col): _*)
+    val bigHot = big.join(broadcast(hot), bigKeys, "left_semi")
+    val bigCold = big.join(broadcast(hot), bigKeys, "left_anti")
+    val hotAsSmall = hot.toDF(smallKeys: _*)
+    val smallHot = small.join(broadcast(hotAsSmall), smallKeys, "left_semi")
+    val coldCond: Column =
+      bigKeys.zip(smallKeys).map { case (a, b) => bigCold(a) === small(b) }.reduce(_ && _)
+    saltedJoin(bigHot, smallHot, bigKeys, smallKeys, factor, joinType)
+      .unionByName(bigCold.join(small, coldCond, joinType))
+  }
 }

@@ -307,6 +307,35 @@ object RelationalQueries {
     qRevenueNation.sql
   )
 
+  /** q49 revenue through the HOT-KEY-ONLY salted join: keys above 12
+    * lineitems take the salted path, the rest join plain — replication
+    * shrinks to the hot slice while the result stays oracle-identical.
+    * Both paths are genuinely exercised at every SF (TPC-H orders peak at
+    * ~17 lines). */
+  val qSaltedHotRevenue = Q(
+    "x_salted_hot",
+    (s: SparkSession, dir: String) => {
+      val li = Graft.table(s, dir, "lineitem")
+      val o = Graft.table(s, dir, "orders")
+      val c = Graft.table(s, dir, "customer")
+      val n = Graft.table(s, dir, "nation")
+      graft.operators.Skew
+        .saltedJoinHot(li, o, Seq("l_orderkey"), Seq("o_orderkey"), factor = 8, hotThreshold = 12)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)))
+            .cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .select(col("n_name"), P.normd(col("revenue")).as("revenue"), col("n_items"))
+        .orderBy("n_name")
+    },
+    qRevenueNation.sql
+  )
+
   /** Time-RANGE window features: per-user trailing-7-day event count /
     * exact decimal sum / max at every event — the time-based (not
     * row-count) frame a feature pipeline feeds to training. The sum runs
@@ -341,5 +370,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSessions, qRolling7d)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d)
 }

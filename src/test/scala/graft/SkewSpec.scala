@@ -39,6 +39,28 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("__salt_b"), s"salt column absent from physical plan:\n$plan")
   }
 
+  for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+    test(s"hot-key-only salted $jt join equals the plain join") {
+      val plain = big.join(small, col("k") === col("sk"), jt)
+      // threshold 100: only the 90% key is hot — both paths carry rows
+      val hot = Skew.saltedJoinHot(big, small, Seq("k"), Seq("sk"), factor = 8, hotThreshold = 100, joinType = jt)
+      assert(rows(hot) == rows(plain))
+    }
+  }
+
+  test("hot-key salting with nothing hot degenerates to the plain join result") {
+    val plain = big.join(small, col("k") === col("sk"), "inner")
+    val none = Skew.saltedJoinHot(big, small, Seq("k"), Seq("sk"), 8, hotThreshold = Long.MaxValue)
+    assert(rows(none) == rows(plain))
+  }
+
+  test("null big-side keys survive hot-key salting on outer joins") {
+    val bigN = big.withColumn("k", when(col("payload") % 7 === 0, lit(null: java.lang.Long)).otherwise(col("k")))
+    val plain = bigN.join(small, col("k") === col("sk"), "left_outer")
+    val hot = Skew.saltedJoinHot(bigN, small, Seq("k"), Seq("sk"), 8, hotThreshold = 100, joinType = "left_outer")
+    assert(rows(hot) == rows(plain))
+  }
+
   test("right/full joins are rejected, salt columns never leak") {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(big, small, Seq("k"), Seq("sk"), 4, joinType = "full")
