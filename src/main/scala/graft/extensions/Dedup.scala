@@ -250,6 +250,42 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** DECONTAMINATION: flag training documents that share k-gram content
+    * with an eval/benchmark corpus — the gate every LLM data pipeline runs
+    * before a training set ships (eval answers leaking into training data
+    * invalidate the eval). Longer grams than near-dup dedup (k=5 vs 3):
+    * contamination cares about verbatim spans, not document similarity.
+    *
+    * Mechanism: the eval side collapses to its distinct k-gram set —
+    * benchmark corpora are small by nature, so it broadcasts — and
+    * training postings probe it map-side; per-doc hit counts then need
+    * only the one aggregate exchange. Training-side work is a single scan
+    * regardless of how many benchmarks stack into `eval` (union them).
+    *
+    * Output per flagged train doc: (doc_id, n_hits = distinct shared
+    * grams, n_grams = the doc's distinct gram count, frac = n_hits /
+    * n_grams). Filter `n_hits >= minHits`; 1 = any verbatim overlap. */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      k: Int = 5,
+      minHits: Long = 1L
+  ): DataFrame = {
+    val tr = shingled(train, k)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"), explode(col("sh")).as("s"))
+    val ev = shingled(eval, k).select(explode(col("sh")).as("s")).distinct()
+    tr.join(broadcast(ev), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("n_grams")).as("n_grams"))
+      .where(col("n_hits") >= minHits)
+      .select(
+        col("doc_id"),
+        col("n_hits"),
+        col("n_grams"),
+        (col("n_hits").cast("double") / col("n_grams")).as("frac")
+      )
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist on the 30-bit
     * simhash. Blocking: 4 bands of ~8 bits — any pair within Hamming ≤ 3
     * agrees exactly on ≥ 1 band (pigeonhole), so recall is 1 for

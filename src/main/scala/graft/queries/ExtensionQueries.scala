@@ -182,6 +182,36 @@ object ExtensionQueries {
     )
   )
 
+  /** Q46 decontamination: a 5% slice (doc_id ≡ 3 mod 20) plays the eval
+    * benchmark; every other doc sharing a verbatim 5-gram with it is
+    * flagged with its hit count. Oracle intersects the same distinct
+    * 5-gram sets per doc. */
+  val qContamination = Q(
+    "x_contamination",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup
+        .contamination(
+          d.where(col("doc_id") % 20 =!= 3),
+          d.where(col("doc_id") % 20 === 3),
+          k = 5
+        )
+        .select(col("doc_id"), col("n_hits"), col("n_grams").cast("long").as("n_grams"), P.normd(col("frac")).as("frac"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sh5 =
+        "CASE WHEN len(tk) >= 5 THEN list_distinct(list_transform(range(1, len(tk) - 3), " +
+          "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) ELSE [] END"
+      s"WITH toks AS ($toksCte), sh5 AS (SELECT doc_id, $sh5 AS s FROM toks), " +
+        "ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh5 WHERE doc_id % 20 = 3) " +
+        "SELECT t.doc_id, len(list_intersect(t.s, ev.es)) AS n_hits, len(t.s) AS n_grams, " +
+        "round(len(list_intersect(t.s, ev.es))::DOUBLE / len(t.s), 6) AS frac " +
+        "FROM sh5 t, ev WHERE t.doc_id % 20 <> 3 AND len(list_intersect(t.s, ev.es)) >= 1 " +
+        "ORDER BY doc_id"
+    }
+  )
+
   /** Q46 winnowing fingerprints: per-doc signature summary. Every output
     * is an order-insensitive digest of the fingerprint SET (count, min,
     * sum mod P) — `list_distinct` ordering differences between engines
@@ -762,6 +792,7 @@ object ExtensionQueries {
     qDedupExact,
     qNeardupJaccard,
     qNeardupIncr,
+    qContamination,
     qWinnowFp,
     qWinnowPairs,
     qNeardupLsh,

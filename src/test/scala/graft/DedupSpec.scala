@@ -43,6 +43,16 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "no cross-split near-dup pairs; test is vacuous")
   }
 
+  test("contamination of a corpus against itself flags every doc at frac 1") {
+    val out = Dedup.contamination(docs, docs, k = 5).collect()
+    val withGrams = docs
+      .select(graft.extensions.TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 5)
+      .count()
+    assert(out.length == withGrams, s"${out.length} flagged vs $withGrams docs with >=1 5-gram")
+    assert(out.forall(r => r.getAs[Double]("frac") == 1.0))
+  }
+
   test("winnowPairs at w=1 degenerates to exact jaccardPairs") {
     // one-hash windows select every shingle hash: the fingerprint set IS
     // the distinct shingle-hash set, so similarities match jaccardPairs
