@@ -162,6 +162,33 @@ object TextOps {
     when(n > 0, lenScore * 0.4 + distinctRatio * 0.3 + stopRatio * 0.3)
   }
 
+  /** Fraction of 2-grams equal to the document's MOST COMMON 2-gram —
+    * the Gopher-style "duplicate n-gram" repetition signal, computed
+    * WITHOUT a shuffle: sort the bigram array, fold a (prev, run, best)
+    * accumulator to find the longest equal run. Max run of a sorted array
+    * = max multiplicity, so this equals the explode→count→max spelling at
+    * zero exchanges — per-doc arrays stay inside the projection. */
+  def topBigramFrac(toks: Column): Column = {
+    val grams = array_sort(shinglesFromTokens(toks, 2))
+    val best = aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")
+    )
+    when(size(grams) > 0, best.cast("double") / size(grams))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(toks: Column): Column =
+    when(
+      size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    )
+
   // ---- Token counting --------------------------------------------------
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(tokens(text))

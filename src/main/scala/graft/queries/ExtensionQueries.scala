@@ -633,6 +633,48 @@ object ExtensionQueries {
     )
   )
 
+  /** Q48 Gopher-style quality FILTER RULES, per-rule breakdown: length
+    * bound, duplicate-bigram repetition cap (TextOps.topBigramFrac — the
+    * shuffle-free sorted-run fold), stopword floor, mean-word-length
+    * band. A pipeline filters on `pass` but ships the per-rule columns —
+    * that's how filter ablations get measured. */
+  val qQualityRules = Q(
+    "x_quality_rules",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(
+          col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tok"),
+          P.normd(TextOps.meanTokenLen(col("__tk"))).as("mwl"),
+          P.normd(TextOps.topBigramFrac(col("__tk"))).as("rep2"),
+          size(filter(col("__tk"), t => TextOps.langMarkers.head._2.map(t === _).reduce(_ || _)))
+            .cast("long").as("stop_hits"),
+          (size(col("__tk")) >= 30).as("r_len"),
+          (TextOps.topBigramFrac(col("__tk")) <= 0.09).as("r_rep"),
+          (size(filter(col("__tk"), t => TextOps.langMarkers.head._2.map(t === _).reduce(_ || _))) >= 2).as("r_stop"),
+          (TextOps.meanTokenLen(col("__tk")).between(3.0, 8.0)).as("r_mwl")
+        )
+        .withColumn("pass", col("r_len") && col("r_rep") && col("r_stop") && col("r_mwl"))
+        .orderBy("doc_id"),
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "bg AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS g2 FROM toks), " +
+        "u AS (SELECT doc_id, unnest(g2) AS g FROM bg), " +
+        "mx AS (SELECT doc_id, max(cnt) AS mx FROM (SELECT doc_id, g, count(*) AS cnt FROM u GROUP BY 1, 2) GROUP BY 1), " +
+        "st AS (SELECT bg.doc_id, len(tk) AS n_tok, " +
+        "list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk) AS mwl, " +
+        "CASE WHEN len(g2) > 0 THEN mx.mx::DOUBLE / len(g2) END AS rep2, " +
+        "len(list_filter(tk, t -> t IN ('the','a','of','and','is'))) AS stop_hits " +
+        "FROM bg LEFT JOIN mx ON bg.doc_id = mx.doc_id) " +
+        "SELECT doc_id, n_tok, round(mwl, 6) AS mwl, round(rep2, 6) AS rep2, stop_hits, " +
+        "n_tok >= 30 AS r_len, rep2 <= 0.09 AS r_rep, stop_hits >= 2 AS r_stop, " +
+        "mwl BETWEEN 3.0 AND 8.0 AS r_mwl, " +
+        "(n_tok >= 30 AND rep2 <= 0.09 AND stop_hits >= 2 AND mwl BETWEEN 3.0 AND 8.0) AS pass " +
+        "FROM st ORDER BY doc_id"
+    )
+  )
+
   /** Q48 corpus language/source distribution with quality means. */
   val qLangDist = Q(
     "x_lang_dist",
@@ -786,6 +828,7 @@ object ExtensionQueries {
     qDedupCluster,
     qVecCluster,
     qTfidf,
+    qQualityRules,
     qLangDist,
     qTextStats,
     qLangQuality,

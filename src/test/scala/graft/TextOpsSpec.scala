@@ -21,6 +21,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("topBigramFrac equals the explode-count-max spelling, hand values") {
+    Graft.init(spark)
+    import spark.implicits._
+    val r = Seq(
+      "a b c a b c b c", // 7 bigrams, "b c" ×3 → 3/7
+      "x",               // no bigrams → null
+      ""
+    ).toDF("text")
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(TextOps.topBigramFrac(col("tk")).as("f"))
+      .collect()
+      .map(row => if (row.isNullAt(0)) None else Some(row.getDouble(0)))
+    assert(r(0).contains(3.0 / 7.0), s"got ${r(0)}")
+    assert(r(1).isEmpty && r(2).isEmpty)
+  }
+
   test("polyhash handles empty and single-char strings") {
     Graft.init(spark)
     import spark.implicits._
