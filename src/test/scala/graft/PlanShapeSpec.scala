@@ -150,6 +150,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "minhashLshPairs" -> graft.extensions.Dedup.minhashLshPairs(docs, 0.5),
       "simhashPairs" -> graft.extensions.Dedup.simhashPairs(docs),
       "tfidfCosinePairs" -> graft.extensions.Dedup.tfidfCosinePairs(docs, 0.9),
+      "winnowPairs" -> graft.extensions.Dedup.winnowPairs(docs, 0.5),
+      "lshAgainst" -> graft.extensions.Dedup.minhashLshPairsAgainst(
+        docs.where(col("doc_id") % 10 =!= 7), docs.where(col("doc_id") % 10 === 7), 0.5),
+      "contamination" -> graft.extensions.Dedup.contamination(
+        docs.where(col("doc_id") % 20 =!= 3), docs.where(col("doc_id") % 20 === 3)),
       "cosineNeardupPairs" -> graft.extensions.Similarity
         .cosineNeardupPairs(embs, 0.45, dim = 64, nPlanes = 30, bands = 5)
     )
@@ -173,6 +178,25 @@ class PlanShapeSpec extends AnyFunSuite {
           s"$name: nested-loop join whose build side is not a 1-row global aggregate:\n$j"
         )
       }
+    }
+  }
+
+  test("incremental probes broadcast the small side (batch / eval set)") {
+    // the 100 TB asymmetry: corpus-sized work must never shuffle for a
+    // batch-sized probe — the probe side has to arrive as a broadcast
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val cases = Seq(
+      "lshAgainst" -> graft.extensions.Dedup.minhashLshPairsAgainst(
+        docs.where(col("doc_id") % 10 =!= 7), docs.where(col("doc_id") % 10 === 7), 0.5),
+      "contamination" -> graft.extensions.Dedup.contamination(
+        docs.where(col("doc_id") % 20 =!= 3), docs.where(col("doc_id") % 20 === 3))
+    )
+    for ((name, df) <- cases) {
+      val plan = df.queryExecution.executedPlan
+      val nBhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.size
+      assert(nBhj >= 1, s"$name: no broadcast hash join in plan:\n$plan")
     }
   }
 }
