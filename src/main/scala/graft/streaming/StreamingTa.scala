@@ -565,4 +565,42 @@ object StreamingTa {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(step)
   }
+
+  // ------------------------------------------- streaming decontamination
+  /** Continuous-ingest decontamination: incoming documents check
+    * themselves against a STATIC eval/benchmark corpus as they arrive.
+    *
+    * The eval side collapses to ONE row holding its distinct k-gram set
+    * (benchmark corpora are small by definition — the same asymmetry
+    * `Dedup.contamination` exploits), broadcast into a stream-static
+    * cross join; each arriving doc then intersects map-side. Fully
+    * STATELESS — no watermark, no state store, append mode, zero stream-
+    * side shuffles — so throughput is the scan rate. Hit counts equal the
+    * batch operator's posting-join numbers row-for-row (spec-asserted):
+    * |sh ∩ evalSet| computed by intersect here ≡ the per-doc count of
+    * matching postings there. */
+  def contaminationStream(
+      docs: DataFrame,
+      eval: DataFrame,
+      k: Int = 5,
+      minHits: Long = 1L
+  ): DataFrame = {
+    val evalGrams = broadcast(
+      eval
+        .select(col("doc_id"), graft.extensions.TextOps.tokens(col("text")).as("__tk"))
+        .select(graft.extensions.TextOps.shingleSetFromTokens(col("__tk"), k).as("sh"))
+        .agg(array_distinct(flatten(collect_list(col("sh")))).as("__es"))
+    )
+    docs
+      .select(col("doc_id"), graft.extensions.TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), graft.extensions.TextOps.shingleSetFromTokens(col("__tk"), k).as("__sh"))
+      .crossJoin(evalGrams)
+      .select(
+        col("doc_id"),
+        size(array_intersect(col("__sh"), col("__es"))).cast("long").as("n_hits"),
+        size(col("__sh")).cast("long").as("n_grams")
+      )
+      .where(col("n_hits") >= minHits)
+      .withColumn("frac", col("n_hits").cast("double") / col("n_grams"))
+  }
 }

@@ -187,6 +187,58 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batchPairs.nonEmpty, "vacuous: batch candidate set is empty")
   }
 
+  test("streaming contamination equals the batch posting-join operator") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val train = docs.where(col("doc_id") % 20 =!= 3)
+    val eval = docs.where(col("doc_id") % 20 === 3)
+    val batch = graft.extensions.Dedup
+      .contamination(train, eval, k = 5)
+      .select(col("doc_id"), col("n_hits"), col("n_grams").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    // replay the TRAIN docs as 3 micro-batches; eval stays static
+    val rows = train.select("doc_id", "text").orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_contam_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(
+          java.util.Arrays.asList(chunk: _*),
+          train.select("doc_id", "text").schema
+        )
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"d$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = StreamingTa
+      .contaminationStream(stream, eval, k = 5)
+      .writeStream
+      .format("memory")
+      .queryName("contam_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark
+      .table("contam_stream")
+      .select("doc_id", "n_hits", "n_grams")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty, "vacuous: no contaminated docs in fixture")
+  }
+
   test("streaming bar construction equals batch bars") {
     val srcDir = Files.createTempDirectory("graft_bars_src").toFile
     Graft
