@@ -766,6 +766,42 @@ object ExtensionQueries {
     )
   )
 
+  /** Q46/Q48 mixture balancing: target mixture ∝ (source index + 1);
+    * the engine reports the per-source keep fractions for the largest
+    * corpus achievable at that mixture without upsampling. */
+  val qMixture = Q(
+    "x_mixture",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), col("text"), TextOps.nTokens(col("text")).as("__nt"))
+      val target =
+        (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") + 1L).cast("double") / 210.0
+      graft.extensions.Mixture
+        .mixtureWeights(d, col("__nt"), target)
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          P.normd(col("target_frac")).as("target_frac"),
+          P.normd(col("take_tokens")).as("take_tokens"),
+          P.normd(col("keep_frac")).as("keep_frac")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "per AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS DOUBLE) AS n_tokens, " +
+        "(CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1)::DOUBLE / 210.0 AS target_frac " +
+        "FROM toks GROUP BY source), " +
+        "sc AS (SELECT min(n_tokens / target_frac) AS s FROM per) " +
+        "SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(target_frac, 6) AS target_frac, " +
+        "round(sc.s * target_frac, 6) AS take_tokens, " +
+        "round(sc.s * target_frac / n_tokens, 6) AS keep_frac " +
+        "FROM per, sc ORDER BY source"
+    )
+  )
+
   /** Q46 near-dup clustering: connected components of the exact-Jaccard
     * pair graph (min-label propagation), canonical doc = min id. Oracle:
     * recursive-CTE transitive closure, component label = min reachable id.
@@ -825,6 +861,7 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(
     qSplit,
     qStratSample,
+    qMixture,
     qDedupCluster,
     qVecCluster,
     qTfidf,

@@ -43,6 +43,24 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "no cross-split near-dup pairs; test is vacuous")
   }
 
+  test("mixture weights: binding source keeps 1.0, mixture matches target") {
+    import graft.extensions.{Mixture, TextOps}
+    val d = docs.select(col("source"), TextOps.nTokens(col("text")).as("nt"))
+    val target =
+      (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") + 1L).cast("double") / 210.0
+    val w = Mixture.mixtureWeights(d, col("nt"), target).collect()
+    val keeps = w.map(_.getAs[Double]("keep_frac"))
+    assert(keeps.forall(k => k > 0 && k <= 1.0 + 1e-12), "keep_frac out of (0,1]")
+    assert(keeps.max > 1.0 - 1e-9, "no binding source at keep_frac 1")
+    // taken tokens realize the target mixture exactly
+    val takes = w.map(r => r.getAs[String]("source") -> r.getAs[Double]("take_tokens")).toMap
+    val total = takes.values.sum
+    w.foreach { r =>
+      val frac = takes(r.getAs[String]("source")) / total
+      assert(math.abs(frac - r.getAs[Double]("target_frac")) < 1e-9, s"mixture off for ${r}")
+    }
+  }
+
   test("contamination of a corpus against itself flags every doc at frac 1") {
     val out = Dedup.contamination(docs, docs, k = 5).collect()
     val withGrams = docs
