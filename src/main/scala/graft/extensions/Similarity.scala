@@ -450,4 +450,82 @@ object Similarity {
       .where(col("rk") <= k)
       .select("q_id", "rk", "nbr_id", "sim")
   }
+
+  // ------------------------------------------------ int8 scalar quantization
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * code_i = floor(x_i / scale + 0.5). Floor-of-shifted is the rounding
+    * rule on purpose — both engines define floor identically, so codes
+    * replay bit-for-bit in the oracle (`round()` half-cases differ between
+    * implementations). 4× smaller than float32 — the compression step a
+    * serving index applies before PQ is worth its training cost. Zero
+    * vectors keep a null scale and null codes.
+    *
+    * Output: (vec_id, scale, codes array<int>). Dequantization is
+    * code_i · scale; `quantError` reports the per-vector mean absolute
+    * reconstruction error. */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val e = col("embedding")
+    val scale = array_max(transform(e, x => abs(x.cast("double")))) / 127.0
+    corpus.select(
+      col("vec_id"),
+      when(scale > 0, scale).as("scale"),
+      when(scale > 0, transform(e, x => floor(x.cast("double") / scale + 0.5).cast("int")))
+        .as("codes")
+    )
+  }
+
+  /** Per-vector mean absolute reconstruction error of the int8 codes,
+    * folded in index order (FP parity with the oracle's ordered
+    * list_reduce). */
+  def quantError(corpus: DataFrame): DataFrame = {
+    val q = quantizeInt8(corpus)
+    corpus
+      .join(q, "vec_id")
+      .select(
+        col("vec_id"),
+        col("scale"),
+        when(
+          col("scale").isNotNull,
+          aggregate(
+            zip_with(col("codes"), col("embedding"), (c, x) => abs(c * col("scale") - x.cast("double"))),
+            lit(0.0),
+            (acc, d) => acc + d
+          ) / size(col("embedding"))
+        ).as("recon_mae")
+      )
+  }
+
+  /** Brute-force top-k over the QUANTIZED index: similarity is the
+    * integer code dot (SIMD-friendly, 4× less memory traffic) rescaled by
+    * scale_q·scale_c. Ranking replays exactly in the oracle because every
+    * step is integer arithmetic plus one deterministic double multiply.
+    * The real-recall contract (quantized ranking ≈ exact ranking) is
+    * spec-asserted, not oracle-asserted — quantization error is the
+    * operator's documented trade. */
+  def topkQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qc = quantizeInt8(corpus).where(col("scale").isNotNull)
+    val qq = quantizeInt8(queries).where(col("scale").isNotNull)
+    val scored = qc
+      .repartition(col("vec_id"))
+      .as("c")
+      .crossJoin(
+        broadcast(qq.select(col("vec_id").as("q_id"), col("codes").as("q_codes"), col("scale").as("q_scale")))
+      )
+      .where(col("q_id") =!= col("c.vec_id"))
+      .select(
+        col("q_id"),
+        col("c.vec_id").as("nbr_id"),
+        (aggregate(
+          zip_with(col("q_codes"), col("c.codes"), (a, b) => (a * b).cast("long")),
+          lit(0L),
+          (acc, x) => acc + x
+        ).cast("double") * col("q_scale") * col("c.scale")).as("sim")
+      )
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
 }

@@ -350,6 +350,59 @@ object ExtensionQueries {
     }
   )
 
+  /** Q47 int8 scalar quantization: per-vector scale + index-ordered mean
+    * absolute reconstruction error. Floor-of-shifted rounding replays
+    * bit-for-bit in DuckDB. */
+  private val quantCtes =
+    "q AS (SELECT vec_id, embedding, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings), " +
+      "qc AS (SELECT vec_id, embedding, scale, " +
+      "CASE WHEN scale > 0 THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS codes " +
+      "FROM q)"
+
+  val qVecQuant = Q(
+    "x_vec_quant",
+    (s, dir) =>
+      Similarity
+        .quantError(embs(s, dir))
+        .select(col("vec_id"), P.normd(col("scale")).as("scale"), P.normd(col("recon_mae")).as("recon_mae"))
+        .orderBy("vec_id"),
+    Some(
+      s"WITH $quantCtes " +
+        "SELECT vec_id, round(scale, 6) AS scale, " +
+        "round(CASE WHEN scale > 0 THEN list_reduce(list_transform(range(1, len(embedding) + 1), " +
+        "i -> abs(codes[i] * scale - CAST(embedding[i] AS DOUBLE))), (a, b) -> a + b) / len(embedding) END, 6) AS recon_mae " +
+        "FROM qc ORDER BY vec_id"
+    )
+  )
+
+  /** Q47 top-k over the int8-quantized index (integer dot × scales) for
+    * query vectors vec_id < 10 — the 4×-compressed serving path. The
+    * oracle replays the quantized arithmetic; closeness to the EXACT
+    * ranking is spec-asserted (SimilaritySpec). */
+  val qVecQuantTopk = Q(
+    "x_vec_quant_topk",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity
+        .topkQuantized(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    Some {
+      val idot = "list_reduce(list_transform(range(1, len(q.codes) + 1), " +
+        "i -> CAST(q.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT)), (a, b) -> a + b)"
+      s"WITH $quantCtes " +
+        "SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS nbr_id, " +
+        s"CAST($idot AS DOUBLE) * q.scale * c.scale AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY CAST($idot AS DOUBLE) * q.scale * c.scale DESC, c.vec_id) AS rk " +
+        "FROM qc q, qc c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id " +
+        "AND q.scale > 0 AND c.scale > 0) " +
+        "WHERE rk <= 5 ORDER BY q_id, rk"
+    }
+  )
+
   /** Q47 brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
   val qCosineTopk = Q(
     "x_cosine_topk",
@@ -887,6 +940,8 @@ object ExtensionQueries {
     qAnnIvf,
     qAnnIvfBig,
     qAnnPq,
+    qVecQuant,
+    qVecQuantTopk,
     qVecNeardup
   )
 }

@@ -122,6 +122,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("int8-quantized top-k recall vs exact brute force is >= 0.9") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity
+      .topkBrute(e, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity
+      .topkQuantized(e, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+    // reconstruction error is small relative to the quantization step
+    val mae = Similarity.quantError(e).agg(max("recon_mae")).collect()(0).getDouble(0)
+    val maxScale = Similarity.quantizeInt8(e).agg(max("scale")).collect()(0).getDouble(0)
+    assert(mae <= maxScale, s"mae $mae exceeds one quantization step $maxScale")
+  }
+
   test("IVF results are invariant under a vec_id offset (non-contiguous ids)") {
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
