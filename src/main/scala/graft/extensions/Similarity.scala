@@ -345,6 +345,9 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dm = dim / m
     import org.apache.spark.sql.expressions.Window
+    // O(kC) rows (≤ 256 by PQ's byte-code design): the unpartitioned rank
+    // window runs one task over a handful of rows — WindowExec's single-
+    // partition warning is expected and size-safe here.
     ivfCentroids(corpus, kC)
       .withColumn("code_id", row_number().over(Window.orderBy("cent_id")) - 1)
       .select(
