@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe (run via `tools/run_main.sh graft.ScaleProbe`):
+  * times representative operators on SYNTHETIC inputs at geometric sizes,
+  * so growth exponents are measured rather than asserted. One JSON line
+  * per (op, n): {"op":…,"n":…,"sec":…}. Results are summarized in
+  * SCALING.md.
+  *
+  * What each family is meant to show:
+  *  - window/EW/REC ops over many series: time ~ rows (embarrassingly
+  *    parallel after the one keyed exchange);
+  *  - single-series halo chunking vs a single-partition window: the
+  *    SURVEY §4.3 parallelism restoration;
+  *  - near-dup pairs: brute-force Jaccard grows ~n², MinHash-LSH and
+  *    winnowing stay near-linear at fixed near-dup density;
+  *  - ANN: brute top-k ~n per query vs IVF ~n/nCells·nprobe.
+  *
+  * Synthetic data is deterministic (no RNG): values from sin/hash
+  * formulas, planted near-dups every 40th doc — identical run-to-run, so
+  * the curves are comparable across sessions.
+  */
+object ScaleProbe {
+
+  private def time(f: => Long): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** K series × L rows of deterministic OHLCV-ish bars. */
+  private def series(spark: SparkSession, k: Int, l: Int): DataFrame =
+    spark
+      .range(k.toLong * l)
+      .select(
+        (col("id") % k).cast("string").as("series_id"),
+        (col("id") / k).as("ts"),
+        (sin(col("id").cast("double") / 7.0) * 10.0 + 100.0).as("close")
+      )
+
+  /** n docs over a 40-word vocabulary; every 40th doc is a near-dup of its
+    * predecessor (same words, one substitution). */
+  private def docs(spark: SparkSession, n: Int): DataFrame = {
+    val words = (0 until 40).map(i => s"w$i")
+    val wordArr = array(words.map(lit): _*)
+    spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        transform(
+          sequence(lit(0), lit(59)),
+          j => {
+            // near-dup plant: doc 40k+1 repeats doc 40k's word stream with
+            // one substitution at position 7
+            val base = when(col("id") % 40 === 1, col("id") - 1).otherwise(col("id"))
+            val h = pmod(base * 31 + j * 17 + pmod(base * j, lit(13)), lit(40))
+            element_at(wordArr, (when(col("id") % 40 === 1 && j === 7, (h + 1) % 40).otherwise(h) + 1).cast("int"))
+          }
+        ).as("tk")
+      )
+      .select(col("doc_id"), concat_ws(" ", col("tk")).as("text"))
+  }
+
+  /** n deterministic 64-dim vectors. */
+  private def vecs(spark: SparkSession, n: Int): DataFrame =
+    spark
+      .range(n)
+      .select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(0), lit(63)),
+          j => sin(col("id").cast("double") * 0.37 + j.cast("double") * 1.13).cast("float")
+        ).as("embedding")
+      )
+
+  /** warm once (untimed), then best-of-2 — JIT/codegen noise lands in the
+    * warm run, not the curve. */
+  private def timed(f: => Long): Double = { f; math.min(time(f), time(f)) }
+
+  /** Evaluate a produced column, not just cardinality: a bare `count()`
+    * lets the optimizer PRUNE an unreferenced Window/Project (the probe's
+    * first draft timed exactly nothing for every window op). Filtering on
+    * the output column forces the computation into the plan. */
+  private def force(df: DataFrame, c: String): Long =
+    df.select(col(c)).where(col(c).isNotNull).count()
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session()
+    Graft.init(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ta.Ta.RichTaDf
+    def emit(op: String, n: Long, sec: Double): Unit =
+      println(s"""{"op":"$op","n":$n,"sec":$sec}""")
+
+    // ---- window / EW / REC over many series (256 series: enough keys to
+    // balance the 32 shuffle partitions — 32 keys into 32 buckets loads
+    // some partitions 3-4×, which reads as fake superlinearity)
+    for (l <- Seq(12500, 50000, 200000)) {
+      val df = graft.CacheRegistry.track(series(spark, 256, l))
+      df.count()
+      emit("sma20_256series", 256L * l, timed(force(df.ta.sma(20), "sma_20")))
+      emit("ewm_256series", 256L * l, timed(force(df.ta.ema(20), "ema_20")))
+      val bars = df.select(
+        col("series_id"), col("ts"),
+        col("close").as("open"), (col("close") + 1).as("high"),
+        (col("close") - 1).as("low"), col("close"), lit(1.0).as("volume"))
+      emit("psar_256series", 256L * l, timed(force(bars.ta.psar(), "psar_af")))
+      graft.CacheRegistry.releaseTransients(spark)
+    }
+
+    // ---- single-series: halo chunking vs one-partition window. The halo
+    // pays ~2s of fixed exchange/assembly overhead; the global window pays
+    // one task sorting+scanning L rows — crossover where L/32 of work
+    // outweighs the overhead.
+    for (l <- Seq(4000000, 16000000)) {
+      val one = graft.CacheRegistry.track(series(spark, 1, l))
+      one.count()
+      emit("sma20_single_global", l, timed(force(one.ta.sma(20), "sma_20")))
+      emit(
+        "sma20_single_halo",
+        l,
+        timed(force(graft.plans.Halo.chunked(one, 20, 32)(_.ta.sma(20)), "sma_20"))
+      )
+      graft.CacheRegistry.releaseTransients(spark)
+    }
+
+    // ---- near-dup pairs: exact inverted-index Jaccard (candidates ~
+    // Σ_shingle df², quadratic in n once the shingle space saturates) vs
+    // MinHash-LSH and winnowing (signature work ~n, candidates ~planted
+    // pairs). memo'd per-corpus indexes released between sizes.
+    for (n <- Seq(4000, 8000, 16000)) {
+      val d = graft.CacheRegistry.track(docs(spark, n))
+      d.count()
+      emit("pairs_invidx_jaccard", n, timed(graft.extensions.Dedup.jaccardPairs(d, 0.5).count()))
+      emit("pairs_minhash_lsh", n, timed(graft.extensions.Dedup.minhashLshPairs(d, 0.5).count()))
+      emit("pairs_winnow", n, timed(graft.extensions.Dedup.winnowPairs(d, 0.5, maxDf = 64).count()))
+      graft.CacheRegistry.release(spark)
+    }
+
+    // ---- ANN: brute (64 queries × n dots) vs IVF probing (~n·nprobe/nCells
+    // per query) over the memo-persisted index; build cost reported apart.
+    for (n <- Seq(20000, 80000, 320000)) {
+      val v = graft.CacheRegistry.track(vecs(spark, n))
+      v.count()
+      val q = v.where(col("vec_id") < 64)
+      emit("ann_brute_topk", n, timed(graft.extensions.Similarity.topkBrute(v, q, 5).count()))
+      emit("ann_ivf_build", n, time(graft.extensions.Similarity.ivfIndex(v, 64).count()))
+      val idx = graft.extensions.Similarity.ivfIndex(v, 64)
+      emit("ann_ivf_topk", n, timed(graft.extensions.Similarity.topkIvf(idx, q, 5, 64, 4).count()))
+      graft.CacheRegistry.release(spark)
+    }
+    spark.stop()
+  }
+}

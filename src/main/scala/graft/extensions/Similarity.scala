@@ -154,23 +154,32 @@ object Similarity {
       .limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
-  def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells)
-    val scored = corpus
-      .crossJoin(broadcast(cents))
-      .select(
-        col("vec_id"),
-        col("embedding"),
-        col("cent_id"),
-        dot(col("embedding"), col("cent_emb")).as("csim")
-      )
-    import org.apache.spark.sql.expressions.Window
-    val rk = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-    scored
-      .withColumn("rk", row_number().over(rk))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-  }
+  def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame =
+    // memo-persisted per (corpus, nCells) like pqIndex — an IVF index is
+    // BUILT once and probed many times; without the barrier every action
+    // on a probe replays the corpus×centroid quantization (measured: IVF
+    // "probing" slower than brute force at 320k vectors because each run
+    // repaid the 20M-dot assignment)
+    graft.CacheRegistry.memo(
+      corpus.sparkSession,
+      s"sim:ivf:$nCells:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val cents = ivfCentroids(corpus, nCells)
+      val scored = corpus
+        .crossJoin(broadcast(cents))
+        .select(
+          col("vec_id"),
+          col("embedding"),
+          col("cent_id"),
+          dot(col("embedding"), col("cent_emb")).as("csim")
+        )
+      import org.apache.spark.sql.expressions.Window
+      val rk = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+      scored
+        .withColumn("rk", row_number().over(rk))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
 
   /** ANN top-k via IVF probing: each query scores only the vectors in its
     * nprobe nearest cells. Approximate — recall measured vs topkBrute in

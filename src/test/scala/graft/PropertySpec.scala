@@ -87,6 +87,62 @@ class PropertySpec extends AnyFunSuite {
     assert(checked > 5, "equivariance check exercised too few rows")
   }
 
+  test("int8 quantization: every element reconstructs within half a step") {
+    // round-to-nearest guarantee: |x − code·scale| ≤ scale/2, and codes
+    // stay inside [−127, 127] because scale = max|x|/127
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val q = graft.extensions.Similarity.quantizeInt8(e)
+    val bad = e
+      .join(q, "vec_id")
+      .where(col("scale").isNotNull)
+      .select(
+        exists(
+          zip_with(
+            col("codes"),
+            col("embedding"),
+            (c, x) => abs(c * col("scale") - x.cast("double")) > col("scale") * 0.5 + lit(1e-12)
+          ),
+          x => x
+        ).as("err"),
+        exists(col("codes"), c => abs(c) > 127).as("oob")
+      )
+      .where(col("err") || col("oob"))
+      .count()
+    assert(bad == 0, s"$bad vectors violate the quantization bound")
+  }
+
+  test("winnowing fingerprints are a subset of the shingle hashes") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    import graft.extensions.TextOps
+    val bad = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        TextOps.winnowFromHashes(TextOps.posShingleHashes(col("tk")), 4).as("fps"),
+        TextOps.shingleBasesFromTokens(col("tk")).as("all_h")
+      )
+      .where(size(array_except(col("fps"), col("all_h"))) > 0)
+      .count()
+    assert(bad == 0, "winnow selected a hash outside the document's shingle set")
+  }
+
+  test("contamination hit counts are monotone in the eval set") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val train = docs.where(col("doc_id") % 20 =!= 3)
+    val evalSmall = docs.where(col("doc_id") % 20 === 3 && col("doc_id") < 250)
+    val evalBig = docs.where(col("doc_id") % 20 === 3)
+    def hits(ev: org.apache.spark.sql.DataFrame) =
+      graft.extensions.Dedup
+        .contamination(train, ev, k = 5)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    val hs = hits(evalSmall); val hb = hits(evalBig)
+    hs.foreach { case (id, n) =>
+      assert(hb.getOrElse(id, 0L) >= n, s"doc $id lost hits when the eval set grew")
+    }
+  }
+
   test("linearity: sma and wma commute with affine transforms") {
     val df = randomBars(13L)
     val a = 2.5; val b = -7.0
