@@ -1,0 +1,61 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text retrieval scoring (SURVEY §2.F): BM25 — the default lexical
+  * ranking function of every search stack, and the retrieval half of a
+  * RAG data pipeline.
+  *
+  * score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * with the Lucene idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+  *
+  * Determinism contract: per-doc term contributions fold in TERM ORDER
+  * (same collect→sort→fold pattern as tfidfCosinePairs), and avgdl is
+  * exact because document lengths are integers — integer-valued doubles
+  * sum exactly (≪ 2^53), so partial-aggregation order cannot flip bits.
+  *
+  * Scale: postings filter to the query's terms at the scan (predicate
+  * pushdown-friendly), corpus stats travel as a 1-row broadcast, and the
+  * final top-k is orderBy+limit — planned as TakeOrderedAndProject
+  * (per-partition heaps + driver merge), never a global sort.
+  */
+object Retrieval {
+
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).cast("double").as("dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl"))
+    val df0 = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val score: Column =
+      log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    val orderedSum =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("s")))), x => x("s")),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    tf.join(broadcast(df0), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", score)
+      .groupBy("doc_id")
+      .agg(orderedSum.as("score"), count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

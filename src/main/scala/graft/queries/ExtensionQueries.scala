@@ -640,6 +640,33 @@ object ExtensionQueries {
     }
   )
 
+  /** Q48 BM25 retrieval: top-10 docs for a fixed 4-term query. Constants
+    * emit through sqlgen.d so both engines parse identical doubles; the
+    * per-doc sum folds in term order (Retrieval.bm25's contract). */
+  val qBm25 = Q(
+    "x_bm25_topk",
+    (s, dir) =>
+      graft.extensions.Retrieval
+        .bm25(docs(s, dir), Seq("table", "scan", "fast", "window"))
+        .select(col("doc_id"), P.normd(col("score")).as("score"), col("n_terms")),
+    Some {
+      import graft.queries.{sqlgen => G}
+      val k1 = 1.2; val b = 0.75
+      s"WITH toks AS ($toksCte), d AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM toks), " +
+        "t AS (SELECT doc_id, dl, unnest(tk) AS term FROM d), " +
+        "tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM t " +
+        "WHERE term IN ('table','scan','fast','window') GROUP BY 1, 2, 3), " +
+        "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d), " +
+        s"sc AS (SELECT tf.doc_id, tf.term, ln((st.n - df.df + ${G.d(0.5)}) / (df.df + ${G.d(0.5)}) + ${G.d(1.0)}) " +
+        s"* (tf.tf * (${G.d(k1 + 1.0)})) / (tf.tf + ${G.d(k1)} * (${G.d(1.0)} - ${G.d(b)} + ${G.d(b)} * tf.dl / st.avgdl)) AS s " +
+        "FROM tf JOIN df USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, round(score, 6) AS score, n_terms FROM (" +
+        "SELECT doc_id, list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score, count(*) AS n_terms " +
+        "FROM sc GROUP BY doc_id) ORDER BY score DESC, doc_id LIMIT 10"
+    }
+  )
+
   /** Q48 tf-idf top-3 terms per document (ties → lexicographic term):
     * tf = in-doc count, idf = ln(N/df), df over distinct doc terms. */
   val qTfidf = Q(
@@ -918,6 +945,7 @@ object ExtensionQueries {
     qDedupCluster,
     qVecCluster,
     qTfidf,
+    qBm25,
     qQualityRules,
     qLangDist,
     qTextStats,

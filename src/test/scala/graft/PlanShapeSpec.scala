@@ -181,6 +181,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 top-k plans as TakeOrderedAndProject, never a global sort") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val plan = graft.extensions.Retrieval
+      .bm25(docs, Seq("table", "scan", "fast", "window"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+  }
+
   test("incremental probes broadcast the small side (batch / eval set)") {
     // the 100 TB asymmetry: corpus-sized work must never shuffle for a
     // batch-sized probe — the probe side has to arrive as a broadcast
