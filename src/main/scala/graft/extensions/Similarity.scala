@@ -463,6 +463,81 @@ object Similarity {
       .select("q_id", "rk", "nbr_id", "sim")
   }
 
+  /** IVF-PQ composite — the standard large-scale ANN index shape (coarse
+    * quantizer routes, product codes score): each query probes its nprobe
+    * nearest IVF cells, ADC-scores ONLY those cells' members through the
+    * PQ lookup table, then exact-re-ranks the shortlist. Scoring work per
+    * query drops from corpus-sized (topkPq) to ~corpus·nprobe/nCells, and
+    * the scored representation is the m-byte code, not the embedding —
+    * the combination that keeps a 100 TB corpus' candidate scan in RAM.
+    * Both building blocks are memo-persisted; both approximations
+    * (cell routing, code scoring) stay inside the shortlist boundary and
+    * the emitted top-k ranks exactly. */
+  def topkIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nprobe: Int,
+      m: Int,
+      dim: Int,
+      kC: Int,
+      oversample: Int = 4
+  ): DataFrame = {
+    val dm = dim / m
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfIndex(corpus, nCells)
+    val cents = ivfCentroids(idx, nCells)
+    val crk = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cent_id"), dot(col("q_emb"), col("cent_emb")).as("csim"))
+      .withColumn("crk", row_number().over(crk))
+      .where(col("crk") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val cand = idx
+      .select("vec_id", "cell")
+      .join(broadcast(probes), "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+    val books = pqCodebooks(corpus, m, dim, kC)
+    val lut = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(
+        col("q_id"),
+        posexplode(
+          array((0 until m).map(s => slice(col("q_emb"), s * dm + 1, dm)): _*)
+        ).as(Seq("sub", "qsub"))
+      )
+      .join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("code_id"), dot(col("qsub"), col("cent")).as("contrib"))
+    val ascore = pqIndex(corpus, m, dim, kC)
+      .join(cand, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("sub"), col("contrib")))), x => x("contrib")),
+          lit(0.0),
+          (acc, x) => acc + x
+        ).as("ascore")
+      )
+    val srk = Window.partitionBy("q_id").orderBy(col("ascore").desc, col("vec_id").asc)
+    val short = ascore
+      .withColumn("srk", row_number().over(srk))
+      .where(col("srk") <= k * oversample)
+      .select("q_id", "vec_id")
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    short
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id").as("nbr_id"), dot(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
+
   // ------------------------------------------------ int8 scalar quantization
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
     * code_i = floor(x_i / scale + 0.5). Floor-of-shifted is the rounding

@@ -616,6 +616,58 @@ object ExtensionQueries {
     )
   }
 
+  /** Q47 IVF-PQ composite: coarse cells route (nCells=16, nprobe=4), PQ
+    * codes score (m=16 × kC=32 LUT, sub-ordered fold), exact re-rank —
+    * the FAISS-shape index. Oracle composes the IVF and PQ oracle CTEs
+    * with the candidate set restricted to probed cells. */
+  val qAnnIvfPq: Q = {
+    val (m, dm, kC, k, os, nprobe) = (16, 4, 32, 5, 8, 4)
+    def sl(v: String) = s"$v[(sub*$dm+1):(sub*$dm+$dm)]"
+    Q(
+      "x_ann_ivfpq_topk",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity
+          .topkIvfPq(e, e.where(col("vec_id") < 10), k = k, nCells = 16, nprobe = nprobe, m = m, dim = 64, kC = kC, oversample = os)
+          .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+          .orderBy("q_id", "rk")
+      },
+      Some(
+        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16), " +
+          "cassign AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
+          s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
+          "idx AS (SELECT vec_id, cent_id AS cell FROM cassign WHERE rk = 1), " +
+          "probes AS (SELECT q_id, cell FROM (" +
+          "SELECT q.vec_id AS q_id, c.cent_id AS cell, " +
+          s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS crk " +
+          s"FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE crk <= $nprobe), " +
+          "cand AS (SELECT p.q_id, i.vec_id FROM idx i JOIN probes p ON i.cell = p.cell " +
+          "WHERE p.q_id <> i.vec_id), " +
+          "cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding " +
+          s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), " +
+          s"subsidx AS (SELECT unnest(range(0, $m)) AS sub), " +
+          s"books AS (SELECT code_id, sub, ${sl("embedding")} AS cent FROM cb, subsidx), " +
+          s"subs AS (SELECT vec_id, sub, ${sl("embedding")} AS svec FROM embeddings, subsidx), " +
+          "passign AS (SELECT vec_id, sub, code_id FROM (SELECT s.vec_id, s.sub, b.code_id, " +
+          s"row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY (${dotSql("cent", "cent")} - 2 * ${dotSql("svec", "cent")}) ASC, b.code_id ASC) AS rk " +
+          "FROM subs s JOIN books b ON s.sub = b.sub) WHERE rk = 1), " +
+          s"lut AS (SELECT q.vec_id AS q_id, b.sub, b.code_id, ${dotSql(sl("q.embedding").replace("sub", "b.sub"), "cent")} AS contrib " +
+          "FROM embeddings q, books b WHERE q.vec_id < 10), " +
+          "ascore AS (SELECT l.q_id, a.vec_id, list_reduce(list(l.contrib ORDER BY a.sub), (x, y) -> x + y) AS ascore " +
+          "FROM passign a JOIN cand cd ON cd.vec_id = a.vec_id " +
+          "JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id AND l.q_id = cd.q_id " +
+          "GROUP BY l.q_id, a.vec_id), " +
+          "short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS srk FROM ascore) " +
+          s"WHERE srk <= ${k * os}), " +
+          s"rr AS (SELECT s.q_id, s.vec_id AS nbr_id, ${dotSql("q.embedding", "v.embedding")} AS sim " +
+          "FROM short s JOIN embeddings q ON q.vec_id = s.q_id JOIN embeddings v ON v.vec_id = s.vec_id), " +
+          "ranked AS (SELECT q_id, nbr_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rk FROM rr) " +
+          s"SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM ranked WHERE rk <= $k ORDER BY q_id, rk"
+      )
+    )
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
     * by pigeonhole). Oracle: brute-force Hamming over the same simhash. */
   val qSimhashPairs = Q(
@@ -968,6 +1020,7 @@ object ExtensionQueries {
     qAnnIvf,
     qAnnIvfBig,
     qAnnPq,
+    qAnnIvfPq,
     qVecQuant,
     qVecQuantTopk,
     qVecNeardup

@@ -122,6 +122,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("IVF-PQ top-k recall vs exact brute force is >= 0.8") {
+    // two stacked approximations (cell routing + code scoring): the
+    // composite trades a little recall for corpus-independent probe cost
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity
+      .topkBrute(e, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity
+      .topkIvfPq(e, queries, k = 5, nCells = 16, nprobe = 4, m = 16, dim = 64, kC = 32, oversample = 8)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+  }
+
   test("int8-quantized top-k recall vs exact brute force is >= 0.9") {
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
