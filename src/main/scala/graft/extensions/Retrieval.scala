@@ -58,4 +58,36 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** CCNet-style LM-proxy quality score: per-doc mean token surprisal
+    * −ln p(t) under the corpus's own unigram distribution. Wikipedia-like
+    * text scores low (common tokens), gibberish and boilerplate-with-rare-
+    * symbols score high — the classic cheap stand-in for a real LM
+    * perplexity filter.
+    *
+    * Determinism: token surprisals fold per doc in TOKEN-STRING order
+    * (collect→sort→fold); p(t) = count(t)/total where both sides are
+    * exact integer-valued doubles.
+    *
+    * Scale: one unigram aggregate (map-side combine) joined back to the
+    * postings — both shuffles are key-sized, the corpus scans twice. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("__total"))
+    val orderedMean =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("nll")))), x => x("nll")),
+        lit(0.0),
+        (acc, x) => acc + x
+      ) / count(lit(1))
+    toks
+      .join(broadcast(uni), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("cnt") / col("__total")))
+      .groupBy("doc_id")
+      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_tok"))
+  }
 }

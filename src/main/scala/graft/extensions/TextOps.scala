@@ -217,6 +217,30 @@ object TextOps {
   def posShingleHashes(toks: Column, k: Int = 3): Column =
     transform(shinglesFromTokens(toks, k), s => polyHash(s))
 
+  /** Overlapping token-window chunks from a staged tokens column — the
+    * RAG ingestion split. Chunk i covers tokens [i·stride, i·stride+size);
+    * the last chunk may be shorter but never empty; docs shorter than one
+    * chunk yield themselves. Returns array<struct<chunk_id int, chunk
+    * string>> for a single explode downstream. */
+  def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of chunks: ceil(max(n - size, 0) / stride) + 1 for n > 0
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(ceil((n - size).cast("double") / stride).cast("int") + 1)
+    when(
+      n > 0,
+      transform(
+        sequence(lit(0), nChunks - 1),
+        i =>
+          struct(
+            i.cast("int").as("chunk_id"),
+            concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk")
+          )
+      )
+    ).otherwise(array().cast("array<struct<chunk_id:int,chunk:string>>"))
+  }
+
   /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) fingerprint SET from
     * a staged positional-shingle-hash column: slide a window of `w`
     * consecutive shingle hashes, keep each window's minimum VALUE, distinct

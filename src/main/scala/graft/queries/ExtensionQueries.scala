@@ -807,6 +807,51 @@ object ExtensionQueries {
     )
   )
 
+  /** Q48 RAG chunking: overlapping 32-token windows, stride 24; one row
+    * per chunk with its token count and content hash. */
+  val qChunks = Q(
+    "x_chunks",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), explode(TextOps.chunkTokens(col("__tk"), 32, 24)).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.chunk_id").cast("long").as("chunk_id"),
+          size(TextOps.tokens(col("c.chunk"))).cast("long").as("n_tok"),
+          TextOps.polyHash(col("c.chunk")).as("chunk_hash")
+        )
+        .orderBy("doc_id", "chunk_id"),
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "nc AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 32 THEN 1 " +
+        "ELSE CAST(ceil((len(tk) - 32)::DOUBLE / 24) AS INT) + 1 END AS n_chunks FROM toks WHERE len(tk) > 0), " +
+        "ch AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, tk FROM nc), " +
+        "cs AS (SELECT doc_id, chunk_id, array_to_string(tk[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS chunk FROM ch) " +
+        "SELECT doc_id, chunk_id, len(list_filter(string_split(chunk, ' '), t -> t <> '')) AS n_tok, " +
+        s"${ph("chunk")} AS chunk_hash FROM cs ORDER BY doc_id, chunk_id"
+    )
+  )
+
+  /** Q48 LM-proxy quality: mean unigram surprisal per doc under the
+    * corpus's own token distribution (CCNet-style cheap perplexity). */
+  val qSurprisal = Q(
+    "x_surprisal",
+    (s, dir) =>
+      graft.extensions.Retrieval
+        .unigramSurprisal(docs(s, dir))
+        .select(col("doc_id"), P.normd(col("mean_nll")).as("mean_nll"), col("n_tok"))
+        .orderBy("doc_id"),
+    Some(
+      s"WITH toks AS ($toksCte), t AS (SELECT doc_id, unnest(tk) AS term FROM toks), " +
+        "uni AS (SELECT term, count(*)::DOUBLE AS cnt FROM t GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt) AS total FROM uni), " +
+        "j AS (SELECT doc_id, t.term, -ln(cnt / total) AS nll FROM t JOIN uni USING (term) CROSS JOIN tot) " +
+        "SELECT doc_id, round(list_reduce(list(nll ORDER BY term), (a, x) -> a + x) / count(*), 6) AS mean_nll, " +
+        "count(*) AS n_tok FROM j GROUP BY doc_id ORDER BY doc_id"
+    )
+  )
+
   /** Q48 corpus language/source distribution with quality means. */
   val qLangDist = Q(
     "x_lang_dist",
@@ -998,6 +1043,8 @@ object ExtensionQueries {
     qVecCluster,
     qTfidf,
     qBm25,
+    qChunks,
+    qSurprisal,
     qQualityRules,
     qLangDist,
     qTextStats,

@@ -126,6 +126,25 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0, "winnow selected a hash outside the document's shingle set")
   }
 
+  test("non-overlapping chunks reconstruct the tokenized document") {
+    import graft.extensions.TextOps
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val bad = docs
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("tk")).as("norm_text"),
+        concat_ws(
+          " ",
+          transform(TextOps.chunkTokens(col("tk"), 32, 32), c => c.getField("chunk"))
+        ).as("rebuilt")
+      )
+      .where(col("norm_text") =!= col("rebuilt"))
+      .count()
+    assert(bad == 0, s"$bad docs fail chunk reconstruction")
+  }
+
   test("contamination hit counts are monotone in the eval set") {
     val docs = Graft.table(spark, TestSpark.sfDir, "documents")
     val train = docs.where(col("doc_id") % 20 =!= 3)
