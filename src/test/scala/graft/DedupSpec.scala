@@ -285,6 +285,23 @@ class DedupSpec extends AnyFunSuite {
     assert(shifted == base)
   }
 
+  test("new operators survive degenerate inputs (empty and single-token docs)") {
+    import spark.implicits._
+    val weird = Seq((1L, ""), (2L, "one"), (3L, "a b"), (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    // winnowing: no shingles → no fingerprints → no pairs, no rows lost
+    assert(Dedup.winnowFingerprints(weird).count() == 4)
+    assert(Dedup.winnowPairs(weird, 0.1).count() == 0)
+    // contamination of junk against junk: only docs with >= 1 5-gram flag
+    assert(Dedup.contamination(weird, weird, k = 5).count() == 1)
+    // bm25 with terms absent from the corpus: empty result, no crash
+    assert(graft.extensions.Retrieval.bm25(weird, Seq("zz_missing")).count() == 0)
+    // surprisal: every doc with >= 1 token scores
+    assert(graft.extensions.Retrieval.unigramSurprisal(weird).count() == 3)
+    // incremental LSH with an empty batch: no pairs
+    val none = weird.where(col("doc_id") < 0)
+    assert(Dedup.minhashLshPairsAgainst(weird, none, 0.5).count() == 0)
+  }
+
   test("clustering an edgeless pair graph yields all singletons") {
     import spark.implicits._
     val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
