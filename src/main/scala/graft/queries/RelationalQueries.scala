@@ -336,6 +336,31 @@ object RelationalQueries {
     qRevenueNation.sql
   )
 
+  /** Retention cohort matrix over the events stream: cohort = a user's
+    * first active day, cell (cohort_day, day_offset) = distinct users from
+    * that cohort active offset days later. Two hash aggregates + one
+    * broadcast-able join on user_id — no window, no row explosion; the
+    * matrix is |days|² rows regardless of event volume. */
+  val qRetention = Q(
+    "x_retention",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft
+        .events(s, dir)
+        .select(col("user_id"), (col("ts_us") / lit(86400000000L)).cast("long").as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(
+      "WITH ev AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), " +
+        "fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1) " +
+        "SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT ev.user_id) AS n_users " +
+        "FROM ev JOIN fd ON ev.user_id = fd.user_id GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+  )
+
   /** Time-RANGE window features: per-user trailing-7-day event count /
     * exact decimal sum / max at every event — the time-based (not
     * row-count) frame a feature pipeline feeds to training. The sum runs
@@ -370,5 +395,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention)
 }
