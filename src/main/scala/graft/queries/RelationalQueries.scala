@@ -361,6 +361,56 @@ object RelationalQueries {
     )
   )
 
+  /** Ordered funnel (signup → view → purchase) over the events stream:
+    * per user, the first signup, the first view strictly after it, the
+    * first purchase strictly after that; output = users reaching each
+    * step. Three conditional hash aggregates chained by user_id joins —
+    * no per-user window sort, no event explosion, so the plan is three
+    * map-side-combined exchanges regardless of events-per-user. */
+  val qFunnel = Q(
+    "x_funnel",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = ev
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s1"))
+        .where(col("s1").isNotNull)
+      val v1 = ev
+        .join(s1, "user_id")
+        .groupBy(col("user_id"), col("s1"))
+        .agg(min(when(col("event_type") === "view" && col("ts_us") > col("s1"), col("ts_us"))).as("v1"))
+        .where(col("v1").isNotNull)
+      val p1 = ev
+        .join(v1, "user_id")
+        .groupBy(col("user_id"), col("v1"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts_us") > col("v1"), col("ts_us"))).as("p1"))
+        .where(col("p1").isNotNull)
+      val steps = Seq(
+        ("1_signup", s1), ("2_view", v1), ("3_purchase", p1)
+      ).map { case (name, df) => df.select(lit(name).as("step"), col("user_id")) }
+      steps
+        .reduce(_ unionByName _)
+        .groupBy("step")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("step")
+    },
+    Some(
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s1 " +
+        "FROM ev GROUP BY 1 HAVING s1 IS NOT NULL), " +
+        "v1 AS (SELECT ev.user_id, min(CASE WHEN event_type = 'view' AND ts_us > s1.s1 THEN ts_us END) AS v1 " +
+        "FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY 1 HAVING v1 IS NOT NULL), " +
+        "p1 AS (SELECT ev.user_id, min(CASE WHEN event_type = 'purchase' AND ts_us > v1.v1 THEN ts_us END) AS p1 " +
+        "FROM ev JOIN v1 ON ev.user_id = v1.user_id GROUP BY 1 HAVING p1 IS NOT NULL) " +
+        "SELECT step, n_users FROM (" +
+        "SELECT '1_signup' AS step, count(DISTINCT user_id) AS n_users FROM s1 " +
+        "UNION ALL SELECT '2_view', count(DISTINCT user_id) FROM v1 " +
+        "UNION ALL SELECT '3_purchase', count(DISTINCT user_id) FROM p1) ORDER BY step"
+    )
+  )
+
   /** Time-RANGE window features: per-user trailing-7-day event count /
     * exact decimal sum / max at every event — the time-based (not
     * row-count) frame a feature pipeline feeds to training. The sum runs
@@ -395,5 +445,5 @@ object RelationalQueries {
   )
 
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel)
 }
