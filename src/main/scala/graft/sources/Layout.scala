@@ -38,6 +38,42 @@ object Layout {
       .partitionBy("ts_month")
       .parquet(path)
 
+  /** Morton code interleaving the low `bits` bits of two non-negative
+    * long columns — bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. The shift/mask pairs are plan-time constants, so the whole
+    * code unrolls into one codegen'd expression. Callers rank/bucket
+    * their domains into [0, 2^bits) first. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits)
+      .map { i =>
+        (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)).cast("long")
+      }
+      .reduce(_ + _)
+
+  /** Write parquet clustered on the Z-curve of two columns: range-
+    * partition by z-value into `files` files, sort within each. Parquet
+    * footer min/max on BOTH columns then stay tight per file, so a
+    * predicate on EITHER column prunes most files at the scan — the
+    * multi-dimensional data-skipping layout a single-column sort cannot
+    * give (sorting by time leaves every file covering every user; the
+    * Z-curve keeps both ranges narrow). LayoutSpec measures the skip. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      a: String,
+      b: String,
+      files: Int = 16,
+      bits: Int = 16
+  ): Unit =
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** CSV ingestion onto the canonical schema (header, case-insensitive
     * OHLCV resolution like the reference's _get_column). */
   def readCsv(spark: SparkSession, path: String): DataFrame =

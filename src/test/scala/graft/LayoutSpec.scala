@@ -66,6 +66,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(j.collect().head.getDouble(6) == 0.0) // defaulted volume
   }
 
+  test("z-ordered layout keeps per-file key ranges narrow (multi-dim skipping)") {
+    import graft.sources.Layout
+    val ev = Graft
+      .events(spark, TestSpark.sfDir)
+      .select(col("user_id"), (col("ts_us") / 86400000000L).cast("long").as("day"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toFile.getAbsolutePath
+    // baseline: the natural time-sorted layout
+    ev.orderBy("day").coalesce(1).repartitionByRange(16, col("day"))
+      .sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(s"$dir/bytime")
+    Layout.writeZOrdered(ev, s"$dir/zorder", "user_id", "day", files = 16, bits = 16)
+
+    // per-FILE user_id span: how many files would a user_id predicate touch?
+    def filesCovering(path: String, target: Long): Int = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.count { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("user_id"), max("user_id")).collect()(0)
+        mm.getLong(0) <= target && target <= mm.getLong(1)
+      }
+    }
+    val probe = 77L
+    val t = filesCovering(s"$dir/bytime", probe)
+    val z = filesCovering(s"$dir/zorder", probe)
+    // time-sorted files each span nearly all users; the z-curve confines
+    // the probe user to a small file subset
+    assert(z * 2 <= t, s"z-order files=$z not better than time layout files=$t")
+    // z-order result is still the same data
+    assert(spark.read.parquet(s"$dir/zorder").count() == ev.count())
+  }
+
   test("time-partitioned write prunes partitions on ts filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tp").toFile.getAbsolutePath
     Layout.writeTimePartitioned(Graft.bars(spark, TestSpark.sfDir), s"$dir/bars")
