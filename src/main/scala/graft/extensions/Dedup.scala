@@ -129,7 +129,16 @@ object Dedup {
       if (maxDf <= 0L) inv0
       else {
         val hot = inv0.groupBy("f").count().where(col("count") > maxDf).select("f")
-        inv0.join(hot, Seq("f"), "left_anti")
+        // recompute n_fp over the SURVIVING fingerprints: with the original
+        // denominators, capped-out hot fingerprints would deflate sim near
+        // the threshold (pairs silently dropped) — this keeps sim a true
+        // Jaccard of the filtered sets. One extra hash-agg + broadcast-back,
+        // only on the capped (non-oracle) path.
+        val filtered = inv0.join(hot, Seq("f"), "left_anti")
+        val nf = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_fp2"))
+        filtered
+          .join(nf, "doc_id")
+          .select(col("doc_id"), col("n_fp2").as("n_fp"), col("f"))
       }
     inv
       .as("x")
@@ -432,7 +441,11 @@ object Dedup {
         .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
         .persist()
       var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
-      var prevSum = labels.agg(sum("label")).head.getLong(0)
+      // coalesce: sum over ZERO rows is null — an empty corpus must yield
+      // an empty result, not an NPE
+      def labelSum(d: DataFrame): Long =
+        d.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
       var it = 0
       var converged = edges.isEmpty // no edges → all singletons, done
       while (!converged && it < maxIter) {
@@ -444,7 +457,7 @@ object Dedup {
           .join(fromNbr, Seq("doc_id"), "left")
           .select(col("doc_id"), least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
           .persist()
-        val nextSum = next.agg(sum("label")).head.getLong(0)
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum
@@ -452,6 +465,14 @@ object Dedup {
         it += 1
       }
       edges.unpersist()
+      // fail loudly rather than memo-cache SPLIT cluster labels: a
+      // component whose propagation distance exceeds maxIter would
+      // otherwise silently report two (or more) clusters as distinct
+      require(
+        converged,
+        s"nearDupClusters: min-label propagation did not converge in $maxIter iterations " +
+          "(a component's diameter exceeds the cap) — raise maxIter"
+      )
       labels
     }
     val sized = finalLabels

@@ -35,7 +35,16 @@ object Mixture {
     val per = docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(tokenCount).cast("double").as("n_tokens"))
-      .withColumn("target_frac", targetFrac)
+      // enforce the documented positivity contract in-plan: a zero/negative
+      // target would otherwise flow through as a silent null/negative
+      // keep_frac for EVERY source (the global min picks it up)
+      .withColumn(
+        "target_frac",
+        when(
+          targetFrac > 0.0,
+          targetFrac
+        ).otherwise(raise_error(concat(lit("mixtureWeights: target_frac must be > 0 for source "), col("source"))))
+      )
     val scale = per.agg(min(col("n_tokens") / col("target_frac")).as("__scale"))
     per
       .crossJoin(broadcast(scale))

@@ -51,14 +51,25 @@ object ExtensionQueries {
       s"ELSE list_distinct(list_transform(range(1, len(h) - ${w - 1} + 1), j -> list_min(h[j:j+${w - 1}]))) " +
       "END AS fps FROM hs)"
 
-  /** Exact pairwise shingle-Jaccard ≥ threshold (brute cross join). */
+  /** Pair CTEs for exact shingle-Jaccard via the INVERTED-INDEX join —
+    * the same shape the engine uses, and (unlike the earlier brute cross
+    * join with per-pair list_intersect) non-quadratic in docs, so the
+    * oracle finishes at sf0.1 where the cross join DNF'd. Value-identical
+    * to brute force: s is distinct, so co = |A∩B| and |A∪B| = nA+nB−co;
+    * any pair with jac ≥ threshold > 0 shares a shingle and is generated.
+    * `cond` filters the ordered (a, b) pair space. */
+  private def jacIdxCtes(cond: String): String =
+    s"$basesCtes, post AS (SELECT doc_id, unnest(s) AS sng FROM sh), " +
+      "sz AS (SELECT doc_id, len(s) AS n FROM sh), " +
+      "co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS co " +
+      s"FROM post a JOIN post b ON a.sng = b.sng WHERE $cond GROUP BY 1, 2), " +
+      "jc AS (SELECT a_id, b_id, co::DOUBLE / (sa.n + sb.n - co) AS jac FROM co " +
+      "JOIN sz sa ON sa.doc_id = co.a_id JOIN sz sb ON sb.doc_id = co.b_id)"
+
+  /** Exact pairwise shingle-Jaccard ≥ threshold (inverted-index join). */
   private def jacPairsSql(threshold: Double): String =
-    s"WITH $basesCtes, shs AS (SELECT doc_id, s FROM sh) " +
-      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-      "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac " +
-      "FROM shs a, shs b WHERE a.doc_id < b.doc_id " +
-      s"AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= $threshold " +
-      "ORDER BY a_id, b_id"
+    s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")} " +
+      s"SELECT a_id, b_id, round(jac, 6) AS jac FROM jc WHERE jac >= $threshold ORDER BY a_id, b_id"
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
@@ -173,12 +184,8 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     },
     Some(
-      s"WITH $basesCtes, shs AS (SELECT doc_id, s FROM sh) " +
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac " +
-        "FROM shs a, shs b WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7 " +
-        "AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5 " +
-        "ORDER BY a_id, b_id"
+      s"WITH ${jacIdxCtes("a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7")} " +
+        "SELECT a_id, b_id, round(jac, 6) AS jac FROM jc WHERE jac >= 0.5 ORDER BY a_id, b_id"
     )
   )
 
@@ -251,14 +258,14 @@ object ExtensionQueries {
         .select(col("a_id"), col("b_id"), P.normd(col("sim")).as("sim"))
         .orderBy("a_id", "b_id"),
     Some(
-      s"WITH ${winnowCtes(4)} " +
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "round(len(list_intersect(a.fps, b.fps))::DOUBLE / " +
-        "len(list_distinct(list_concat(a.fps, b.fps))), 6) AS sim " +
-        "FROM fps a, fps b WHERE a.doc_id < b.doc_id " +
-        "AND len(list_intersect(a.fps, b.fps))::DOUBLE / " +
-        "len(list_distinct(list_concat(a.fps, b.fps))) >= 0.5 " +
-        "ORDER BY a_id, b_id"
+      // same inverted-index shape as jacIdxCtes, over the fingerprint sets
+      s"WITH ${winnowCtes(4)}, post AS (SELECT doc_id, unnest(fps) AS fp FROM fps), " +
+        "sz AS (SELECT doc_id, len(fps) AS n FROM fps), " +
+        "co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS co " +
+        "FROM post a JOIN post b ON a.fp = b.fp WHERE a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "jc AS (SELECT a_id, b_id, co::DOUBLE / (sa.n + sb.n - co) AS sim FROM co " +
+        "JOIN sz sa ON sa.doc_id = co.a_id JOIN sz sb ON sb.doc_id = co.b_id) " +
+        "SELECT a_id, b_id, round(sim, 6) AS sim FROM jc WHERE sim >= 0.5 ORDER BY a_id, b_id"
     )
   )
 
@@ -992,10 +999,8 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
     Some(
-      s"WITH RECURSIVE $basesCtes, shs AS (SELECT doc_id, s FROM sh), " +
-        "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM shs a, shs b " +
-        "WHERE a.doc_id < b.doc_id " +
-        "AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5), " +
+      s"WITH RECURSIVE ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        "pairs AS (SELECT a_id, b_id FROM jc WHERE jac >= 0.5), " +
         "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
         "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
         "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id " +

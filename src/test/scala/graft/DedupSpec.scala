@@ -311,6 +311,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
   }
 
+  test("clustering an empty corpus returns empty (no NPE on the null sum)") {
+    import spark.implicits._
+    val d = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val p = Seq((1L, 2L)).toDF("a_id", "b_id")
+    assert(Dedup.nearDupClusters(d, p).count() == 0)
+  }
+
+  test("winnowPairs hot-fingerprint cap with no hot fps equals oracle mode") {
+    // exercises the capped path's recomputed denominators: a cap high
+    // enough to drop nothing must reproduce the exact (maxDf=0) result
+    val exact = pairSet(Dedup.winnowPairs(docs, 0.3, w = 4))
+    val capped = pairSet(Dedup.winnowPairs(docs, 0.3, w = 4, maxDf = 1000000L))
+    assert(capped == exact)
+    assert(exact.nonEmpty, "no winnow pairs in fixture; vacuous")
+  }
+
   test("tfidf cosine pairs are partition-invariant (ordered FP folds)") {
     def pairs(parts: Int) =
       Dedup

@@ -61,6 +61,21 @@ class SkewSpec extends AnyFunSuite {
     assert(rows(hot) == rows(plain))
   }
 
+  test("caller-passed salt expression spreads fully-duplicated hot rows") {
+    // every hot row IDENTICAL: the default full-row xxhash64 salt puts them
+    // all in one bucket (documented caveat) — a key+unique-column salt
+    // restores the spread and must stay row-identical to the plain join
+    val dup = spark
+      .range(0, 5000)
+      .select(lit(7L).as("k"), lit("same").as("payload"), col("id").as("uid"))
+    val plain = dup.join(small, col("k") === col("sk"), "inner")
+    val salted = Skew.saltedJoin(
+      dup, small, Seq("k"), Seq("sk"), factor = 8, joinType = "inner",
+      salt = Some(xxhash64(col("k"), col("uid")))
+    )
+    assert(rows(salted) == rows(plain))
+  }
+
   test("right/full joins are rejected, salt columns never leak") {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(big, small, Seq("k"), Seq("sk"), 4, joinType = "full")

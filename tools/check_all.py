@@ -5,11 +5,11 @@ documented to DNF beyond sf0.01) cannot wedge the whole sweep.
 
 usage: python3 tools/check_all.py /root/testdata/sf0.1 /tmp/vout [timeout_s]
 
-Round-4 result at sf0.1: 152/157 PASS; the 5 non-passes are oracle-side
+Round-5 result at sf0.1: 158/158 PASS — the round-4 oracle-side
 TIMEOUTs (x_neardup_jaccard, x_neardup_lsh, x_neardup_incr,
-x_fp_winnow_pairs, x_dedup_cluster — all brute-force cross joins or a
-recursive transitive closure over them), each engine-cross-validated in
-the ScalaTest suite instead.
+x_fp_winnow_pairs, x_dedup_cluster) were closed by rewriting those
+oracles from brute-force cross joins to inverted-index joins
+(value-identical; see ExtensionQueries.jacIdxCtes).
 """
 import json, os, subprocess, sys, time
 
