@@ -66,6 +66,16 @@ object CacheRegistry {
   def memoPlan(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     plans.computeIfAbsent((sid(spark), key), _ => build)
 
+  /** Scalar-stat memo (no persistence): caches small eager probe results
+    * (e.g. Halo's (series count, row count) cardinality probe) per
+    * (session, key) so plan-time dispatch runs its action once per input,
+    * not once per operator call. Cleared by `release`. */
+  private val stats =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
+
+  def memoStat[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
+    stats.computeIfAbsent((sid(spark), key), _ => build).asInstanceOf[T]
+
   /** Persist + track a one-off stage (no dedup key — unique per call).
     * Already-persisted inputs are registered as-is (callers that drive
     * eager iteration, e.g. Dedup.nearDupClusters, hand over their final
@@ -106,5 +116,7 @@ object CacheRegistry {
     }
     val pit = plans.entrySet().iterator()
     while (pit.hasNext) if (pit.next().getKey._1 == uuid) pit.remove()
+    val sit = stats.entrySet().iterator()
+    while (sit.hasNext) if (sit.next().getKey._1 == uuid) sit.remove()
   }
 }

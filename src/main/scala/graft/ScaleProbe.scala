@@ -91,11 +91,14 @@ object ScaleProbe {
     import graft.ta.Ta.RichTaDf
     def emit(op: String, n: Long, sec: Double): Unit =
       println(s"""{"op":"$op","n":$n,"sec":$sec}""")
+    // optional section filter for quick re-probes: multi|single|pairs|ann
+    val only = sys.env.get("SCALE_PROBE_ONLY")
+    def want(s0: String): Boolean = only.forall(_ == s0)
 
     // ---- window / EW / REC over many series (256 series: enough keys to
     // balance the 32 shuffle partitions — 32 keys into 32 buckets loads
     // some partitions 3-4×, which reads as fake superlinearity)
-    for (l <- Seq(12500, 50000, 200000)) {
+    if (want("multi")) for (l <- Seq(12500, 50000, 200000)) {
       val df = graft.CacheRegistry.track(series(spark, 256, l))
       df.count()
       emit("sma20_256series", 256L * l, timed(force(df.ta.sma(20), "sma_20")))
@@ -111,11 +114,16 @@ object ScaleProbe {
     // ---- single-series: halo chunking vs one-partition window. The halo
     // pays ~2s of fixed exchange/assembly overhead; the global window pays
     // one task sorting+scanning L rows — crossover where L/32 of work
-    // outweighs the overhead.
-    for (l <- Seq(4000000, 16000000)) {
+    // outweighs the overhead. Since round 5 df.ta.sma AUTO-routes this
+    // shape, so the global row pins spark.graft.halo.auto=false and a
+    // third row measures the dispatch deciding by itself.
+    if (want("single")) for (l <- Seq(4000000, 16000000)) {
       val one = graft.CacheRegistry.track(series(spark, 1, l))
       one.count()
+      spark.conf.set(graft.plans.Halo.AutoKey, "false")
       emit("sma20_single_global", l, timed(force(one.ta.sma(20), "sma_20")))
+      spark.conf.set(graft.plans.Halo.AutoKey, "true")
+      emit("sma20_single_auto", l, timed(force(one.ta.sma(20), "sma_20")))
       emit(
         "sma20_single_halo",
         l,
@@ -128,7 +136,7 @@ object ScaleProbe {
     // Σ_shingle df², quadratic in n once the shingle space saturates) vs
     // MinHash-LSH and winnowing (signature work ~n, candidates ~planted
     // pairs). memo'd per-corpus indexes released between sizes.
-    for (n <- Seq(4000, 8000, 16000)) {
+    if (want("pairs")) for (n <- Seq(4000, 8000, 16000)) {
       val d = graft.CacheRegistry.track(docs(spark, n))
       d.count()
       emit("pairs_invidx_jaccard", n, timed(graft.extensions.Dedup.jaccardPairs(d, 0.5).count()))
@@ -139,7 +147,7 @@ object ScaleProbe {
 
     // ---- ANN: brute (64 queries × n dots) vs IVF probing (~n·nprobe/nCells
     // per query) over the memo-persisted index; build cost reported apart.
-    for (n <- Seq(20000, 80000, 320000)) {
+    if (want("ann")) for (n <- Seq(20000, 80000, 320000)) {
       val v = graft.CacheRegistry.track(vecs(spark, n))
       v.count()
       val q = v.where(col("vec_id") < 64)

@@ -28,6 +28,80 @@ import org.apache.spark.TaskContext
   */
 object Halo {
 
+  /** Session conf keys for the automatic dispatch (see [[auto]]). */
+  val AutoKey = "spark.graft.halo.auto" // default true
+  val AutoThresholdKey = "spark.graft.halo.autoThreshold" // default cores
+  val AutoMinRowsKey = "spark.graft.halo.autoMinRows" // default 100000
+
+  /** Memo'd cardinality probe: (approx distinct series, total rows). One
+    * eager pass per (session, input plan); every later auto-dispatch on
+    * the same input reuses the answer. */
+  private def seriesStats(df: DataFrame): (Long, Long) = {
+    val boxed = graft.CacheRegistry.memoStat(
+      df.sparkSession,
+      s"halo:stats:${graft.CacheRegistry.planKey(df)}"
+    ) {
+      val r = df.agg(approx_count_distinct(col("series_id")), count(lit(1))).head()
+      (Long.box(r.getLong(0)), Long.box(r.getLong(1)))
+    }
+    (boxed._1.longValue(), boxed._2.longValue())
+  }
+
+  /** AUTO-dispatch for W-class (≤ n-row frame) window builds — closes the
+    * round-4 usability gap where §4.3 parallelism was opt-in and a 100 TB
+    * single-series user silently got the 1-task global window.
+    *
+    * Routes `build` through [[chunked]] exactly when chunking can win:
+    *  - fewer distinct series than `autoThreshold` (default: cores) — at
+    *    or above it the ordinary hash partitioning already fills the
+    *    cluster;
+    *  - at least `autoMinRows` rows per series (default 100k) — below
+    *    that the per-series work is smaller than the halo machinery, the
+    *    regime every test fixture lives in;
+    *  - ≥ 2 viable chunks of at least max(4n, 64) rows (the halo dup is
+    *    n−1 of them).
+    * Otherwise — including on streaming frames, where the probe cannot
+    * run — it returns `build(df)` untouched. Results are bitwise equal
+    * either way: every ≤ n frame sees exactly the global-window rows.
+    * Set `spark.graft.halo.auto=false` to pin the plain path. */
+  def auto(df: DataFrame, n: Int)(build: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (df.isStreaming || !spark.conf.get(AutoKey, "true").toBoolean) return build(df)
+    // inside an explicit chunked build already — never nest
+    if (!df.columns.contains("series_id") || df.columns.contains("__halo")) return build(df)
+    val cores = spark.sparkContext.defaultParallelism
+    val threshold = spark.conf.get(AutoThresholdKey, cores.toString).toInt
+    val minRows = spark.conf.get(AutoMinRowsKey, "100000").toLong
+    val (nSeries, nRows) = seriesStats(df)
+    if (nSeries == 0L || nSeries >= threshold) return build(df)
+    val perSeries = nRows / nSeries
+    if (perSeries < minRows) return build(df)
+    val chunks = math.min(cores.toLong, perSeries / math.max(4L * n, 64L)).toInt
+    if (chunks < 2) build(df) else chunked(df, n, chunks)(build)
+  }
+
+  /** AUTO-dispatch for the EW class: plain `ewm(alpha, adjust=False)` of
+    * `src` appended as `out`. Same gates as [[auto]]; the routed path is
+    * [[chunkedEwm]] (segmented scan — results match the sequential fold
+    * at the oracle's 6 dp; the (a,b) composition reorders float ops, so
+    * bit-exactness is NOT guaranteed, same contract as the halo_ewm
+    * gate). */
+  def autoEwm(df: DataFrame, src: String, out: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    def plain = df.withColumn(out, graft.ta.prim.ewm(col(src), alpha))
+    if (df.isStreaming || !spark.conf.get(AutoKey, "true").toBoolean) return plain
+    if (!df.columns.contains("series_id") || df.columns.contains("__halo")) return plain
+    val cores = spark.sparkContext.defaultParallelism
+    val threshold = spark.conf.get(AutoThresholdKey, cores.toString).toInt
+    val minRows = spark.conf.get(AutoMinRowsKey, "100000").toLong
+    val (nSeries, nRows) = seriesStats(df)
+    if (nSeries == 0L || nSeries >= threshold) return plain
+    val perSeries = nRows / nSeries
+    if (perSeries < minRows) return plain
+    val chunks = math.min(cores.toLong, perSeries / 64L).toInt
+    if (chunks < 2) plain else chunkedEwm(df, src, out, alpha, chunks)
+  }
+
   /** Range-partition the series into `chunks` contiguous pieces, tag each
     * row with its chunk id, and append duplicated halo rows (the last
     * `haloRows` rows of each chunk, re-tagged for the NEXT chunk). */

@@ -25,14 +25,18 @@ final class Ta(private val df: DataFrame) {
   private val volume = col("volume")
 
   // ======================================================== overlap =====
+  // sma/wma/stdev go through Halo.auto: on a low-cardinality/long-series
+  // frame (the 100 TB single-instrument shape) the ≤n-row window lowers
+  // to halo chunks instead of a 1-task global window; on every other
+  // input (all test fixtures) the gates leave the plain path untouched.
   def sma(n: Int = 10, src: String = "close"): DataFrame =
-    df.withColumn(s"sma_$n", rmean(c(src), n))
+    graft.plans.Halo.auto(df, n)(_.withColumn(s"sma_$n", rmean(c(src), n)))
 
   def ema(n: Int = 10, src: String = "close"): DataFrame =
     stage.ema(df, src, s"ema_$n", n)
 
   def wma(n: Int = 10, src: String = "close"): DataFrame =
-    df.withColumn(s"wma_$n", prim.wma(c(src), n))
+    graft.plans.Halo.auto(df, n)(_.withColumn(s"wma_$n", prim.wma(c(src), n)))
 
   def rma(n: Int = 10, src: String = "close"): DataFrame =
     df.withColumn(s"rma_$n", rmaOf(c(src), n))
@@ -1170,7 +1174,7 @@ final class Ta(private val df: DataFrame) {
 
   // rolling statistics (reference statistics/*.py)
   def stdev(n: Int = 30, src: String = "close"): DataFrame =
-    df.withColumn(s"stdev_$n", rstd(c(src), n))
+    graft.plans.Halo.auto(df, n)(_.withColumn(s"stdev_$n", rstd(c(src), n)))
   def variance(n: Int = 30, src: String = "close"): DataFrame =
     df.withColumn(s"variance_$n", rvar(c(src), n))
   def median(n: Int = 30, src: String = "close"): DataFrame =

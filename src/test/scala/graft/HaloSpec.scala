@@ -60,4 +60,58 @@ class HaloSpec extends AnyFunSuite {
     val scanned = collect6(Halo.chunkedEwm(one, "close", "e", alpha, 16), Seq("e"))
     assert(scanned == global)
   }
+
+  test("auto-dispatch routes a long 1-series frame through halo chunks") {
+    // round-5 usability fix: df.ta.sma on a low-cardinality/long-series
+    // frame must lower through Halo.chunked WITHOUT the caller knowing
+    // the §4.3 API. Floor lowered so the test stays small.
+    val one = Graft
+      .userSeries(spark, TestSpark.sfDir)
+      .withColumn("series_id", lit("ONE"))
+      .where(col("ts").isNotNull)
+    try {
+      spark.conf.set(Halo.AutoMinRowsKey, "200")
+      val routed = one.ta.sma(10)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("MapPartitions"), s"sma did not route through halo chunks:\n$plan")
+      spark.conf.set(Halo.AutoKey, "false")
+      val plain = one.ta.sma(10)
+      assert(
+        !plain.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "auto=false must pin the plain window path"
+      )
+      spark.conf.set(Halo.AutoKey, "true")
+      // bitwise equality: every ≤n frame sees exactly the global rows
+      assert(collect6(routed, Seq("sma_10")) == collect6(plain, Seq("sma_10")))
+    } finally {
+      spark.conf.unset(Halo.AutoMinRowsKey)
+      spark.conf.unset(Halo.AutoKey)
+    }
+  }
+
+  test("auto-dispatch leaves the multi-series fixture on the plain path") {
+    // 15 series × ~667 rows: below the per-series minRows floor — the
+    // dispatch must not add halo machinery where it cannot win
+    val ser = Graft.userSeries(spark, TestSpark.sfDir)
+    val plan = ser.ta.sma(10).queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), s"fixture unexpectedly routed:\n$plan")
+  }
+
+  test("autoEwm routes the 1-series frame and matches the sequential fold at 6 dp") {
+    val one = Graft
+      .userSeries(spark, TestSpark.sfDir)
+      .withColumn("series_id", lit("ONE"))
+      .where(col("ts").isNotNull)
+    val alpha = 2.0 / 11
+    try {
+      spark.conf.set(Halo.AutoMinRowsKey, "200")
+      val routed = Halo.autoEwm(one, "close", "e", alpha)
+      assert(
+        routed.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "autoEwm did not route through the segmented scan"
+      )
+      val global = collect6(one.withColumn("e", graft.ta.prim.ewm(col("close"), alpha)), Seq("e"))
+      assert(collect6(routed, Seq("e")) == global)
+    } finally spark.conf.unset(Halo.AutoMinRowsKey)
+  }
 }
