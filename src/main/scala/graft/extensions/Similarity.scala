@@ -134,25 +134,104 @@ object Similarity {
     heapRank(scored, k)
   }
 
-  /** IVF (inverted-file) index: deterministic coarse quantizer using the
-    * first nCells corpus vectors (by vec_id) as centroids; every vector is
-    * assigned to its nearest centroid.
-    *
-    * Returns (vec_id, embedding, cell). At scale, write partitioned by
-    * `cell` so probes prune storage. Centroid seeding by lowest ids keeps
-    * the whole pipeline deterministic (no RNG in the engine contract);
-    * swap in k-means iterations offline for better balance.
+  /** IVF (inverted-file) index: deterministic coarse quantizer — since
+    * round 5 TRAINED via [[kmeansCentroids]] (bounded spherical Lloyd,
+    * fixed seed, no RNG); every vector is assigned to its max-dot
+    * centroid. Returns (vec_id, embedding, cell). At scale, write
+    * partitioned by `cell` so probes prune storage.
     */
-  /** Deterministic centroid set: the nCells lowest-id vectors. ONE shared
-    * derivation for the build side (ivfIndex) and the probe side (topkIvf)
-    * — a probe-side quantizer that differs from the build-side one
-    * silently degrades recall (e.g. `vec_id < nCells` on a corpus whose
-    * ids are non-contiguous selects the wrong — or an empty — set). */
+  /** UNTRAINED centroid INIT: the nCells lowest-id vectors — the fixed
+    * "seed" kmeansCentroids starts from. Build side and probe side must
+    * derive centroids the SAME way (same trainer, same params) — a
+    * probe-side quantizer that differs from the build-side one silently
+    * degrades recall (e.g. `vec_id < nCells` on a corpus whose ids are
+    * non-contiguous selects the wrong — or an empty — set). */
   def ivfCentroids(vectors: DataFrame, nCells: Int): DataFrame =
     vectors
       .orderBy("vec_id")
       .limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** Scala-side strict left-fold dot — the SAME summation order as the
+    * ArrayDot expression and DuckDB's `list_reduce` dot, so driver-held
+    * centroid norms are bit-identical to oracle-computed ones. */
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Ordered per-dim sum for centroid means: members folded in vec_id
+    * order from 0.0 — mirrors DuckDB `list_reduce(list(x ORDER BY
+    * vec_id), +)` (0 + x₀ = x₀). */
+  private def orderedSum(idC: Column, xC: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(idC.as("i"), xC.as("x")))), s => s("x")),
+      lit(0.0),
+      (a, v) => a + v
+    )
+
+  /** Deterministic bounded-Lloyd SPHERICAL k-means — round-5 upgrade
+    * from sample-as-centroid index quality. Init = the nCells lowest-id
+    * vectors (the fixed "seed"); each of `iters` rounds assigns every
+    * vector to its max-dot centroid (ties → lowest cell, the same
+    * ordering the IVF probe uses), recomputes each cell's per-dim mean
+    * with members folded in vec_id order, then L2-NORMALIZES the mean
+    * (the corpus is unit-norm, so max-dot assignment is cosine
+    * assignment and the spherical update is the consistent Lloyd step —
+    * un-normalized means let long centroids swallow cells and recall
+    * DROPS below the untrained baseline, measured 0.86 vs 0.9). Empty
+    * cells keep their previous centroid; a zero mean stays un-normalized.
+    * Every FP step is fixed-order, so the DuckDB oracle replays the
+    * trained centroids BIT-FOR-BIT (ExtensionQueries.kmeansCtes is the
+    * term-for-term mirror). The driver holds only nCells×dim doubles;
+    * each round is one map-side partial-agg pass over the corpus — at
+    * 100 TB you train on a sample (pass a `.limit`ed corpus), exactly
+    * as FAISS does. Memo'd per (session, corpus, nCells, iters). */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 1): DataFrame =
+    graft.CacheRegistry.memo(
+      corpus.sparkSession,
+      s"sim:kmeans:$nCells:$iters:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val spark = corpus.sparkSession
+      val vecD = transform(col("embedding"), v => v.cast("double"))
+      var cents: Array[Array[Double]] = corpus
+        .orderBy("vec_id")
+        .limit(nCells)
+        .select(vecD.as("e"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val entries = cents.zipWithIndex.map { case (ct, c0) =>
+          struct((lit(-1.0) * dot(col("embedding"), typedLit(ct.toSeq))).as("nd"), lit(c0).as("c"))
+        }
+        val assign = array_min(array(entries.toIndexedSeq: _*)).getField("c")
+        val rows = corpus
+          .select(col("vec_id"), assign.as("c"), posexplode(vecD).as(Seq("d", "x")))
+          .groupBy("c", "d")
+          .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = cents.map(_.clone())
+        val touched = Array.fill(cents.length)(false)
+        rows.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+          touched(r.getInt(0)) = true
+        }
+        // spherical step: normalize only cells whose mean was recomputed
+        for (c0 <- next.indices if touched(c0)) {
+          val nrm = math.sqrt(dotLocal(next(c0), next(c0)))
+          if (nrm != 0.0) {
+            var i = 0
+            while (i < next(c0).length) { next(c0)(i) = next(c0)(i) / nrm; i += 1 }
+          }
+        }
+        cents = next
+      }
+      import spark.implicits._
+      cents.zipWithIndex.toSeq
+        .map { case (e, c0) => (c0.toLong, e.toSeq) }
+        .toDF("cent_id", "cent_emb")
+    }
 
   def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame =
     // memo-persisted per (corpus, nCells) like pqIndex — an IVF index is
@@ -164,7 +243,7 @@ object Similarity {
       corpus.sparkSession,
       s"sim:ivf:$nCells:${graft.CacheRegistry.planKey(corpus)}"
     ) {
-      val cents = ivfCentroids(corpus, nCells)
+      val cents = kmeansCentroids(corpus, nCells)
       val scored = corpus
         .crossJoin(broadcast(cents))
         .select(
@@ -185,9 +264,10 @@ object Similarity {
     * nprobe nearest cells. Approximate — recall measured vs topkBrute in
     * the test suite. */
   def topkIvf(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    // index rows = corpus rows (+cell), so this reproduces EXACTLY the
-    // centroid set ivfIndex quantized against, for any id distribution
-    val cents = ivfCentroids(index, nCells)
+    // index rows = corpus rows (+cell), so retraining over them
+    // reproduces EXACTLY the centroid set ivfIndex quantized against,
+    // for any id distribution (deterministic trainer, memo'd per plan)
+    val cents = kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
     val qcells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
@@ -322,7 +402,7 @@ object Similarity {
   def topkIvfLarge(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(index, nCells)
+    val cents = kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
     val qcells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
@@ -343,28 +423,69 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------ PQ
-  /** Product-quantization codebooks: the embedding splits into `m`
-    * subspaces of dim/m dims; subspace centroids are the subvectors of
-    * the first `kC` corpus vectors in vec_id order — the same
-    * deterministic sample-as-centroids convention as `ivfCentroids`, so
-    * the DuckDB oracle replays the codebooks exactly. code_id is the
-    * DENSE 0-based rank (not the raw vec_id), so codes are invariant
-    * under id offsets. Returns (code_id, sub, cent). */
-  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, kC: Int): DataFrame = {
+  /** Product-quantization codebooks, TRAINED per subspace (round-5
+    * upgrade from sample-as-centroid): the embedding splits into `m`
+    * subspaces of dim/m dims; each subspace runs the same deterministic
+    * bounded-Lloyd loop as [[kmeansCentroids]] — init = subvectors of
+    * the kC lowest-id vectors, assignment by L2 argmin (|c|² − 2·v·c,
+    * ties → lowest code, exactly the `pqIndex` assignment rule), means
+    * folded in vec_id order, empty codes keep their previous centroid.
+    * code_id is the DENSE 0-based rank, so codes are invariant under id
+    * offsets, and every FP step is fixed-order so the DuckDB oracle
+    * replays the trained books bit-for-bit
+    * (ExtensionQueries.pqBooksCtes). Returns (code_id, sub, cent);
+    * memo'd per (session, corpus, m, kC, iters). */
+  def pqCodebooks(corpus: DataFrame, m: Int, dim: Int, kC: Int, iters: Int = 1): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dm = dim / m
-    import org.apache.spark.sql.expressions.Window
-    // O(kC) rows (≤ 256 by PQ's byte-code design): the unpartitioned rank
-    // window runs one task over a handful of rows — WindowExec's single-
-    // partition warning is expected and size-safe here.
-    ivfCentroids(corpus, kC)
-      .withColumn("code_id", row_number().over(Window.orderBy("cent_id")) - 1)
-      .select(
-        col("code_id"),
+    graft.CacheRegistry.memo(
+      corpus.sparkSession,
+      s"sim:pqbooks:$m:$dim:$kC:$iters:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val spark = corpus.sparkSession
+      val dm = dim / m
+      val initRows = corpus
+        .orderBy("vec_id")
+        .limit(kC)
+        .select(transform(col("embedding"), v => v.cast("double")).as("e"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      // books(sub)(code) = centroid subvector
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(s => initRows.map(full => full.slice(s * dm, s * dm + dm)))
+      val subsvec = corpus.select(
+        col("vec_id"),
         posexplode(
-          array((0 until m).map(s => slice(col("cent_emb"), s * dm + 1, dm)): _*)
-        ).as(Seq("sub", "cent"))
+          array((0 until m).map(s0 => slice(col("embedding"), s0 * dm + 1, dm)): _*)
+        ).as(Seq("sub", "svec"))
       )
+      for (_ <- 1 to iters) {
+        val assign = coalesce((0 until m).map { s0 =>
+          val entries = books(s0).zipWithIndex.map { case (ct, c0) =>
+            struct(
+              (lit(dotLocal(ct, ct)) - lit(2.0) * dot(col("svec"), typedLit(ct.toSeq))).as("dist"),
+              lit(c0).as("c")
+            )
+          }
+          when(col("sub") === s0, array_min(array(entries.toIndexedSeq: _*)).getField("c"))
+        }: _*)
+        val rows = subsvec
+          .withColumn("c", assign)
+          .select(
+            col("vec_id"),
+            col("sub"),
+            col("c"),
+            posexplode(transform(col("svec"), v => v.cast("double"))).as(Seq("d", "x"))
+          )
+          .groupBy("sub", "c", "d")
+          .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        rows.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+        books = next
+      }
+      import spark.implicits._
+      (for (s0 <- 0 until m; c0 <- 0 until kC) yield (c0, s0, books(s0)(c0).toSeq)).toDF("code_id", "sub", "cent")
+    }
   }
 
   /** PQ assignment: per (vector, subspace) the nearest codebook centroid
@@ -374,13 +495,13 @@ object Similarity {
     * kC ≤ 256) instead of dim floats — the memory path that lets a
     * 100 TB corpus' candidates live in RAM. Memoized per (corpus, m, kC)
     * like the text/sign-LSH indexes. */
-  def pqIndex(corpus: DataFrame, m: Int, dim: Int, kC: Int): DataFrame =
+  def pqIndex(corpus: DataFrame, m: Int, dim: Int, kC: Int, iters: Int = 1): DataFrame =
     graft.CacheRegistry.memo(
       corpus.sparkSession,
-      s"sim:pq:$m:$dim:$kC:${graft.CacheRegistry.planKey(corpus)}"
+      s"sim:pq:$m:$dim:$kC:$iters:${graft.CacheRegistry.planKey(corpus)}"
     ) {
       val dm = dim / m
-      val books = pqCodebooks(corpus, m, dim, kC)
+      val books = pqCodebooks(corpus, m, dim, kC, iters)
       val sub = corpus
         .repartition(col("vec_id"))
         .select(
@@ -421,11 +542,12 @@ object Similarity {
       m: Int,
       dim: Int,
       kC: Int,
-      oversample: Int = 4
+      oversample: Int = 4,
+      iters: Int = 1
   ): DataFrame = {
     val dm = dim / m
-    val books = pqCodebooks(corpus, m, dim, kC)
-    val codes = pqIndex(corpus, m, dim, kC)
+    val books = pqCodebooks(corpus, m, dim, kC, iters)
+    val codes = pqIndex(corpus, m, dim, kC, iters)
     val lut = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .select(
@@ -482,12 +604,15 @@ object Similarity {
       m: Int,
       dim: Int,
       kC: Int,
-      oversample: Int = 4
+      oversample: Int = 4,
+      iters: Int = 1
   ): DataFrame = {
     val dm = dim / m
     import org.apache.spark.sql.expressions.Window
     val idx = ivfIndex(corpus, nCells)
-    val cents = ivfCentroids(idx, nCells)
+    // probe-side quantizer MUST be the build-side one: same trainer, same
+    // rows, same params (see ivfCentroids doc for the failure mode)
+    val cents = kmeansCentroids(idx.select(col("vec_id"), col("embedding")), nCells)
     val crk = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -501,7 +626,7 @@ object Similarity {
       .join(broadcast(probes), "cell")
       .where(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
-    val books = pqCodebooks(corpus, m, dim, kC)
+    val books = pqCodebooks(corpus, m, dim, kC, iters)
     val lut = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .select(
@@ -512,7 +637,7 @@ object Similarity {
       )
       .join(broadcast(books), "sub")
       .select(col("q_id"), col("sub"), col("code_id"), dot(col("qsub"), col("cent")).as("contrib"))
-    val ascore = pqIndex(corpus, m, dim, kC)
+    val ascore = pqIndex(corpus, m, dim, kC, iters)
       .join(cand, "vec_id")
       .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
       .groupBy("q_id", "vec_id")

@@ -75,6 +75,58 @@ object ExtensionQueries {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Unrolled bounded-Lloyd SPHERICAL k-means CTE chain — term-for-term
+    * mirror of Similarity.kmeansCentroids (init = kC lowest-id vectors,
+    * assign by max dot with ties → lowest cell, per-dim means folded in
+    * vec_id order, L2-normalized, empty cells keep previous). Defines
+    * `cents(cent_id, cent_emb)`. */
+  private def kmeansCtes(kC: Int, dim: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      s"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb " +
+      s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), "
+    for (t <- 1 to iters) {
+      sb ++= s"kasg$t AS (SELECT vec_id, embedding, c FROM (SELECT e.vec_id, e.embedding, ct.c, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dotSql("e.embedding", "ct.emb")} DESC, ct.c ASC) AS rk " +
+        s"FROM embeddings e, cents${t - 1} ct) WHERE rk = 1), "
+      sb ++= s"kmu$t AS (SELECT c, d, " +
+        "list_reduce(list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y) / count(*) AS mu " +
+        s"FROM kasg$t, (SELECT unnest(range(1, ${dim + 1})) AS d) dd GROUP BY c, d), "
+      sb ++= s"knc$t AS (SELECT c, list(mu ORDER BY d) AS mu0 FROM kmu$t GROUP BY c), "
+      sb ++= s"knn$t AS (SELECT c, CASE WHEN list_reduce(list_transform(mu0, w -> w * w), (x, y) -> x + y) = 0 " +
+        "THEN mu0 ELSE list_transform(mu0, v -> v / sqrt(list_reduce(list_transform(mu0, w -> w * w), (x, y) -> x + y))) END AS emb " +
+        s"FROM knc$t), "
+      sb ++= s"cents$t AS (SELECT p.c, coalesce(n.emb, p.emb) AS emb FROM cents${t - 1} p LEFT JOIN knn$t n ON n.c = p.c), "
+    }
+    sb ++= s"cents AS (SELECT c AS cent_id, emb AS cent_emb FROM cents$iters)"
+    sb.toString
+  }
+
+  /** Unrolled per-subspace bounded-Lloyd CTE chain — mirror of
+    * Similarity.pqCodebooks (L2-argmin assignment, vec_id-ordered means,
+    * no normalization). Requires `subs(vec_id, sub, svec)` already
+    * defined; defines `books(code_id, sub, cent)`. */
+  private def pqBooksCtes(m: Int, dm: Int, kC: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"bk0 AS (SELECT c, sub, list_transform(embedding[(sub*$dm+1):(sub*$dm+$dm)], v -> CAST(v AS DOUBLE)) AS cent " +
+      s"FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding " +
+      s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), (SELECT unnest(range(0, $m)) AS sub) si), "
+    for (t <- 1 to iters) {
+      sb ++= s"pasg$t AS (SELECT vec_id, sub, svec, c FROM (SELECT s.vec_id, s.sub, s.svec, b.c, " +
+        s"row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY " +
+        s"(${dotSql("b.cent", "b.cent")} - 2 * ${dotSql("s.svec", "b.cent")}) ASC, b.c ASC) AS rk " +
+        s"FROM subs s JOIN bk${t - 1} b ON s.sub = b.sub) WHERE rk = 1), "
+      sb ++= s"pmu$t AS (SELECT sub, c, d, " +
+        "list_reduce(list(CAST(svec[d] AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y) / count(*) AS mu " +
+        s"FROM pasg$t, (SELECT unnest(range(1, ${dm + 1})) AS d) dd GROUP BY sub, c, d), "
+      sb ++= s"pnc$t AS (SELECT sub, c, list(mu ORDER BY d) AS cent FROM pmu$t GROUP BY sub, c), "
+      sb ++= s"bk$t AS (SELECT p.sub, p.c, coalesce(n.cent, p.cent) AS cent FROM bk${t - 1} p " +
+        s"LEFT JOIN pnc$t n ON n.sub = p.sub AND n.c = p.c), "
+    }
+    sb ++= s"books AS (SELECT c AS code_id, sub, cent FROM bk$iters)"
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- queries
   private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
@@ -549,7 +601,7 @@ object ExtensionQueries {
         .orderBy("q_id", "rk")
     },
     Some(
-      "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16), " +
+      s"WITH ${kmeansCtes(16, 64, 1)}, " +
         "assign AS (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id " +
         s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
         "idx AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rk = 1), " +
@@ -599,11 +651,9 @@ object ExtensionQueries {
           .orderBy("q_id", "rk")
       },
       Some(
-        "WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding " +
-          s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), " +
-          s"subsidx AS (SELECT unnest(range(0, $m)) AS sub), " +
-          s"books AS (SELECT code_id, sub, ${sl("embedding")} AS cent FROM cb, subsidx), " +
+        s"WITH subsidx AS (SELECT unnest(range(0, $m)) AS sub), " +
           s"subs AS (SELECT vec_id, sub, ${sl("embedding")} AS svec FROM embeddings, subsidx), " +
+          s"${pqBooksCtes(m, dm, kC, 1)}, " +
           "assign AS (SELECT vec_id, sub, code_id FROM (SELECT s.vec_id, s.sub, b.code_id, " +
           s"row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY (${dotSql("cent", "cent")} - 2 * ${dotSql("svec", "cent")}) ASC, b.code_id ASC) AS rk " +
           "FROM subs s JOIN books b ON s.sub = b.sub) WHERE rk = 1), " +
@@ -640,7 +690,7 @@ object ExtensionQueries {
           .orderBy("q_id", "rk")
       },
       Some(
-        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16), " +
+        s"WITH ${kmeansCtes(16, 64, 1)}, " +
           "cassign AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id " +
           s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
           "idx AS (SELECT vec_id, cent_id AS cell FROM cassign WHERE rk = 1), " +
@@ -650,11 +700,9 @@ object ExtensionQueries {
           s"FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE crk <= $nprobe), " +
           "cand AS (SELECT p.q_id, i.vec_id FROM idx i JOIN probes p ON i.cell = p.cell " +
           "WHERE p.q_id <> i.vec_id), " +
-          "cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding " +
-          s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), " +
           s"subsidx AS (SELECT unnest(range(0, $m)) AS sub), " +
-          s"books AS (SELECT code_id, sub, ${sl("embedding")} AS cent FROM cb, subsidx), " +
           s"subs AS (SELECT vec_id, sub, ${sl("embedding")} AS svec FROM embeddings, subsidx), " +
+          s"${pqBooksCtes(m, dm, kC, 1)}, " +
           "passign AS (SELECT vec_id, sub, code_id FROM (SELECT s.vec_id, s.sub, b.code_id, " +
           s"row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY (${dotSql("cent", "cent")} - 2 * ${dotSql("svec", "cent")}) ASC, b.code_id ASC) AS rk " +
           "FROM subs s JOIN books b ON s.sub = b.sub) WHERE rk = 1), " +

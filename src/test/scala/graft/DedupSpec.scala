@@ -122,9 +122,10 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
-  test("IVF-PQ top-k recall vs exact brute force is >= 0.8") {
+  test("IVF-PQ top-k recall vs exact brute force is >= 0.9 (trained books)") {
     // two stacked approximations (cell routing + code scoring): the
-    // composite trades a little recall for corpus-independent probe cost
+    // composite trades a little recall for corpus-independent probe cost;
+    // round-5 trained codebooks lifted the floor 0.8 -> 0.9
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
     val brute = Similarity
@@ -134,7 +135,7 @@ class DedupSpec extends AnyFunSuite {
       .topkIvfPq(e, queries, k = 5, nCells = 16, nprobe = 4, m = 16, dim = 64, kC = 32, oversample = 8)
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivfpq).size.toDouble / brute.size
-    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+    assert(recall >= 0.9, s"IVF-PQ recall $recall")
   }
 
   test("int8-quantized top-k recall vs exact brute force is >= 0.9") {
@@ -249,7 +250,9 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.select("text").distinct().count() == kept.count())
   }
 
-  test("PQ+rerank top-k recall vs brute force is >= 0.9; codes are 1/16 the bytes") {
+  test("PQ+rerank top-k recall vs brute force is >= 0.95; codes are 1/16 the bytes") {
+    // round-5: per-subspace bounded-Lloyd books (iters=1) measured 0.98
+    // vs 0.94 untrained at the same oversample — floor tightened
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
     val brute = Similarity
@@ -259,7 +262,7 @@ class DedupSpec extends AnyFunSuite {
       .topkPq(e, queries, k = 5, m = 16, dim = 64, kC = 32, oversample = 8)
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & pq).size.toDouble / brute.size
-    assert(recall >= 0.9, s"PQ recall $recall")
+    assert(recall >= 0.95, s"PQ recall $recall")
     // the index really is the compressed representation: m codes per vector
     // (16 byte-sized codes vs 64 × 4-byte floats)
     val idx = Similarity.pqIndex(e, 16, 64, 32)
