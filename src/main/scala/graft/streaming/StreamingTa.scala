@@ -343,6 +343,166 @@ object StreamingTa {
     }
   }
 
+  // ------------------------------------------------- W-class streaming
+  /** Ordered ring over the last n doubles: fold oldest→newest (the exact
+    * order WindowExec re-evaluates a sliding ROWS frame) or index from
+    * the newest (prim.wdot's lag order) — the fold orders batch window
+    * aggregates use, so streamed values match batch bit-for-bit. */
+  private final class ORing(n: Int) extends Serializable {
+    private val buf = new Array[Double](n)
+    private var count = 0L
+    private var pos = 0
+    def push(x: Double): Unit = { buf(pos) = x; pos = (pos + 1) % n; count += 1 }
+    def full: Boolean = count >= n
+    /** left fold oldest→newest over the full frame (call when `full`). */
+    def foldOld(z: Double)(f: (Double, Double) => Double): Double = {
+      var acc = z; var i = 0
+      while (i < n) { acc = f(acc, buf((pos + i) % n)); i += 1 }
+      acc
+    }
+    /** i-th newest value, i = 0 newest (lag order). */
+    def newest(i: Int): Double = buf(((pos - 1 - i) % n + n) % n)
+    def sum: Double = foldOld(0.0)(_ + _)
+    def maxv: Double = foldOld(Double.NegativeInfinity)(math.max)
+    def minv: Double = foldOld(Double.PositiveInfinity)(math.min)
+    /** stddev_samp via Spark's CentralMomentAgg recurrence, updated in
+      * frame order — the same arithmetic WindowExec runs per frame. */
+    def stddevSamp: Double = {
+      var nn = 0.0; var avg = 0.0; var m2 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = buf((pos + i) % n)
+        nn += 1.0
+        val delta = x - avg
+        val deltaN = delta / nn
+        avg += deltaN
+        m2 += delta * (delta - deltaN)
+        i += 1
+      }
+      math.sqrt(m2 / (nn - 1.0))
+    }
+  }
+
+  /** Streaming twins of the top W-class (count-frame) rolling indicators
+    * (round-5: closes the "streaming covers only REC kernels" gap):
+    * ring-buffer state producing, tick-by-tick, the same values the
+    * batch window expressions produce row-by-row — same min_periods
+    * gates, same safe-division nulls, same fold orders. Output column
+    * names match the batch `df.ta.*` methods, so parity is asserted
+    * name-for-name (StreamingKernelSpec). */
+  final class WStage(kind: String, n: Int) extends StreamStage {
+    private val rc = new ORing(n)
+    private val rh = new ORing(n)
+    private val rl = new ORing(n)
+    private val lagN = new Lag(n)
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "linreg" =>
+        Seq("slope", "intercept", "tsf", "r").map(s => dblField(s"linreg_${n}_$s"))
+      case k => Seq(dblField(s"${k}_$n"))
+    }
+    private def sdivL(a: Double, b: Double): Any =
+      if (b == 0.0) null else Double.box(a / b)
+    def update(t: BarTick): Array[Any] = {
+      rc.push(t.close); rh.push(t.high); rl.push(t.low)
+      kind match {
+        case "sma" =>
+          Array(if (rc.full) Double.box(rc.sum / n) else null)
+        case "wma" =>
+          // prim.wma: weights 1..n (newest = n), normalized; wdot folds
+          // newest-first (lag order)
+          if (!rc.full) Array(null)
+          else {
+            val denom = (1 to n).map(_.toDouble).sum
+            var acc = 0.0; var i = 0
+            while (i < n) { acc += rc.newest(i) * ((n - i) / denom); i += 1 }
+            Array(Double.box(acc))
+          }
+        case "stdev" =>
+          Array(if (rc.full) Double.box(rc.stddevSamp) else null)
+        case "zscore" =>
+          if (!rc.full) Array(null)
+          else Array(sdivL(t.close - rc.sum / n, rc.stddevSamp))
+        case "mom" =>
+          Array(lagN.push(t.close).map(p => Double.box(t.close - p)).orNull)
+        case "roc" =>
+          // lit(100) * (sdiv(x, lag) - 1)
+          Array(lagN.push(t.close).map { p =>
+            if (p == 0.0) null else Double.box(100.0 * (t.close / p - 1.0))
+          }.orNull)
+        case "midpoint" =>
+          Array(if (rc.full) Double.box((rc.maxv + rc.minv) / 2.0) else null)
+        case "midprice" =>
+          Array(if (rh.full) Double.box((rh.maxv + rl.minv) / 2.0) else null)
+        case "willr" =>
+          // lit(100) * sdiv(close - hh, hh - ll): divide first, then scale
+          if (!rh.full) Array(null)
+          else {
+            val hh = rh.maxv; val ll = rl.minv
+            if (hh - ll == 0.0) Array(null)
+            else Array(Double.box(100.0 * ((t.close - hh) / (hh - ll))))
+          }
+        case "linreg" =>
+          // mirror of StrategyCompiler.linregLv / Ta.linreg term-for-term
+          if (!rc.full) Array(null, null, null, null)
+          else {
+            val nn = n.toDouble
+            val sx = (0 until n).map(_.toDouble).sum
+            val sxx = (0 until n).map(i => i.toDouble * i).sum
+            val dx = nn * sxx - sx * sx
+            var sxy = 0.0
+            var i = 0
+            // wdot(src, j -> n-1-j): newest-first lag order
+            while (i < n) { sxy += rc.newest(i) * (n - 1 - i).toDouble; i += 1 }
+            val sy = rc.sum
+            val syy = rc.foldOld(0.0)((a, x) => a + x * x)
+            val slope = (nn * sxy - sx * sy) / dx
+            val den2 = (nn * syy - sy * sy) * dx
+            val r = if (den2 > 0.0) {
+              val d = math.sqrt(den2)
+              if (d == 0.0) null else Double.box((nn * sxy - sx * sy) / d)
+            } else null
+            val intercept = (sy - slope * sx) / nn
+            val tsf = intercept + slope * (nn - 1.0)
+            Array(Double.box(slope), Double.box(intercept), Double.box(tsf), r)
+          }
+        case other =>
+          throw new IllegalArgumentException(s"WStage: unsupported kind '$other'")
+      }
+    }
+  }
+
+  /** Pass-through kernel: re-emits its staged columns as outputs, so a
+    * pure ring-buffer WStage rides kernelBatchStream exactly like a REC
+    * kernel. */
+  private final class StagePass(names: Seq[String]) extends graft.ta.rec.Kernel {
+    private var idx: Array[Int] = _
+    def init(schema: org.apache.spark.sql.types.StructType): Unit =
+      idx = names.map(schema.fieldIndex).toArray
+    def reset(): Unit = ()
+    def update(row: org.apache.spark.sql.Row): Array[Any] = idx.map(row.get)
+  }
+
+  /** Streamable kinds covered by [[WStage]]. */
+  val windowStreamKinds: Set[String] =
+    Set("sma", "wma", "stdev", "zscore", "mom", "roc", "midpoint", "midprice", "willr", "linreg")
+
+  /** Streamable form of the top W-class rolling kinds (sma, wma, stdev,
+    * zscore, mom, roc, midpoint, midprice, willr, linreg) — batch parity
+    * spec-asserted; compose with [[recStream]] specs in one
+    * [[kernelBatchStream]] pass. Defaults mirror the registry builders. */
+  def windowStream(spec: graft.ta.IndicatorSpec): Option[StreamKernel] = {
+    if (!windowStreamKinds(spec.kind)) None
+    else {
+      val dflt = spec.kind match {
+        case "stdev" | "zscore" => 30
+        case _ => 10
+      }
+      val n = spec.params.get("length").map(_.toString.toDouble.toInt).getOrElse(dflt)
+      val names = new WStage(spec.kind, n).fields
+      Some(StreamKernel(names, () => new StagePass(names.map(_.name)), () => new WStage(spec.kind, n)))
+    }
+  }
+
   /** One streamable REC kernel: output schema, kernel factory, staging
     * factory (NoStage for kernels that read raw OHLCV only). */
   case class StreamKernel(

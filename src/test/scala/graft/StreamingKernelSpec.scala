@@ -144,4 +144,87 @@ class StreamingKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("W-class window stream equals batch for the top-10 rolling kinds") {
+    // round-5 coverage: sma/wma/stdev/zscore/mom/roc/midpoint/midprice/
+    // willr/linreg through the SAME kernelBatchStream pass (ring-buffer
+    // WStage + pass-through kernel), alongside a REC kernel to prove the
+    // two families compose in one stateful pass
+    import spark.implicits._
+    import graft.ta.{registry, IndicatorSpec}
+    val bars = Graft
+      .bars(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        unix_date(col("ts")).cast("long").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+    val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
+
+    val srcDir = Files.createTempDirectory("graft_wstream").toFile
+    ticks.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk.toSeq).coalesce(1).write.parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"w$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("series_id STRING, ts BIGINT, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, volume DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .as[StreamingTa.BarTick]
+
+    val wSpecs = Seq(
+      IndicatorSpec("sma", Map("length" -> 10)),
+      IndicatorSpec("wma", Map("length" -> 10)),
+      IndicatorSpec("stdev", Map("length" -> 10)),
+      IndicatorSpec("zscore", Map("length" -> 10)),
+      IndicatorSpec("mom", Map("length" -> 10)),
+      IndicatorSpec("roc", Map("length" -> 10)),
+      IndicatorSpec("midpoint", Map("length" -> 10)),
+      IndicatorSpec("midprice", Map("length" -> 10)),
+      IndicatorSpec("willr", Map("length" -> 10)),
+      IndicatorSpec("linreg", Map("length" -> 10))
+    )
+    val sks = wSpecs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}"))) :+
+      StreamingTa.recStream(IndicatorSpec("ssf", Map("length" -> 10))).get
+
+    val q = StreamingTa
+      .kernelBatchStream(stream, sks)
+      .writeStream
+      .format("memory")
+      .queryName("w10_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    def norm(v: Any): Any = v match {
+      case null => null
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case other => other
+    }
+    val streamed = spark.table("w10_stream").collect().map(r => r.getAs[Long]("ts") -> r).toMap
+    assert(streamed.size == ticks.length)
+
+    // batch reference: the df.ta.* builder per kind (+ the ssf kernel)
+    val batch = wSpecs
+      .foldLeft(bars)((d, s) => registry(d, s))
+      .orderBy("ts")
+      .collect()
+    val outCols = Seq(
+      "sma_10", "wma_10", "stdev_10", "zscore_10", "mom_10", "roc_10",
+      "midpoint_10", "midprice_10", "willr_10",
+      "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r"
+    )
+    batch.foreach { br =>
+      val sr = streamed(br.getAs[Long]("ts"))
+      outCols.foreach { c0 =>
+        assert(
+          norm(sr.getAs[Any](c0)) == norm(br.getAs[Any](c0)),
+          s"$c0 mismatch at ts=${br.getAs[Long]("ts")}"
+        )
+      }
+    }
+  }
 }
