@@ -723,6 +723,46 @@ object ExtensionQueries {
     )
   }
 
+  /** §4.2 Z-order scan gate (round 5): events clustered on the
+    * THREE-column Z-curve (user_id, ts_us, value) via writeZOrderedN,
+    * read back through a conjunctive box filter on all three dims. The
+    * layout must not change answers — the oracle runs the same filter
+    * on the RAW events table — and LayoutSpec measures the file-skip
+    * (< 50% of the time-sorted layout's files touch the box) that makes
+    * the clustering worth it. The clustered write happens once per
+    * (session, sf) via memoStat; timed reps measure the SCAN. */
+  val qZorderScan = Q(
+    "x_zorder_scan",
+    (s, dir) => {
+      val path = s"/tmp/graft_zorder_${math.abs(dir.hashCode)}"
+      graft.CacheRegistry.memoStat(s, s"zorder:$dir") {
+        graft.sources.Layout.writeZOrderedN(
+          Graft
+            .events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+          path,
+          Seq("value", "ts_us", "user_id"),
+          files = 16,
+          bits = 8
+        )
+        java.lang.Boolean.TRUE
+      }
+      s.read
+        .parquet(path)
+        .where(
+          col("user_id").between(1, 3) &&
+            col("ts_us") < 1705276800000000L && col("value") < 20.0
+        )
+        .select(col("event_id"), col("user_id"), col("ts_us"), P.normd(col("value")).as("value"))
+        .orderBy("event_id")
+    },
+    Some(
+      "SELECT event_id, user_id, epoch_us(ts) AS ts_us, round(value, 6) AS value FROM events " +
+        "WHERE user_id BETWEEN 1 AND 3 " +
+        "AND epoch_us(ts) < 1705276800000000 AND value < 20 ORDER BY event_id"
+    )
+  )
+
   /** SimHash near-dup pairs (Hamming ≤ 1, banded blocking — exact recall
     * by pigeonhole). Oracle: brute-force Hamming over the same simhash. */
   val qSimhashPairs = Q(
@@ -1123,6 +1163,7 @@ object ExtensionQueries {
     qAnnIvfPq,
     qVecQuant,
     qVecQuantTopk,
-    qVecNeardup
+    qVecNeardup,
+    qZorderScan
   )
 }

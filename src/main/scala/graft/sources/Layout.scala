@@ -74,6 +74,57 @@ object Layout {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** n-column Morton code: bit i of column j lands at position n·i + j
+    * (the 2-column [[zValue]] layout generalized). Inputs must already be
+    * non-negative codes in [0, 2^bits); n·bits must fit a long. */
+  def zValueN(codes: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    val n = codes.size
+    require(n >= 2 && n * bits <= 62, s"zValueN: need 2+ columns and n*bits <= 62, got $n*$bits")
+    codes.zipWithIndex
+      .flatMap { case (c, j) =>
+        (0 until bits).map(i => shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j).cast("long"))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Write parquet clustered on the Z-curve of ANY number of numeric
+    * columns (round-5 generalization of [[writeZOrdered]]). Each column
+    * is bucketed into [0, 2^bits) by ORDER-PRESERVING min/max linear
+    * scaling (one aggregate pass — no global sort, no driver data), so
+    * range predicates on any clustered column still map to narrow
+    * z-ranges; the interleaved code then range-partitions into `files`
+    * files. Per-file parquet footer min/max stays tight on EVERY
+    * clustered column — a conjunctive filter prunes to the files whose
+    * hyper-rectangle intersects the query box. Constant columns code
+    * to 0. */
+  def writeZOrderedN(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      files: Int = 16,
+      bits: Int = 8
+  ): Unit = {
+    val maxCode = (1L << bits) - 1
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i); val mx = stats.getDouble(2 * i + 1)
+      if (mx == mn) lit(0L)
+      else
+        least(
+          lit(maxCode),
+          floor((col(c).cast("double") - lit(mn)) * lit((maxCode + 1).toDouble / (mx - mn))).cast("long")
+        )
+    }
+    df.withColumn("__z", zValueN(codes, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** CSV ingestion onto the canonical schema (header, case-insensitive
     * OHLCV resolution like the reference's _get_column). */
   def readCsv(spark: SparkSession, path: String): DataFrame =

@@ -97,6 +97,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/zorder").count() == ev.count())
   }
 
+  test("3-column z-order confines the gate box to under half the time-layout files") {
+    // the x_zorder_scan gate's layout: writeZOrderedN on (user_id, ts_us,
+    // value); the gate's conjunctive box (narrow in every clustered dim)
+    // must touch < 50% of the files a time-sorted layout makes a
+    // footer-pruning reader touch
+    val ev = Graft
+      .events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zn").toFile.getAbsolutePath
+    ev.repartitionByRange(16, col("ts_us"))
+      .sortWithinPartitions("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/bytime")
+    // j-order: later columns own the higher bit per interleave level —
+    // most-selective predicate column (user_id) last
+    Layout.writeZOrderedN(ev, s"$dir/zorder", Seq("value", "ts_us", "user_id"), files = 16, bits = 8)
+
+    val (loU, hiU) = (1L, 3L)
+    val hiT = 1705276800000000L
+    val hiV = 20.0
+    def filesIntersecting(path: String): Int = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+      files.count { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("user_id"), max("user_id"), min("ts_us"), min("value")).collect()(0)
+        mm.getLong(0) <= hiU && loU <= mm.getLong(1) &&
+        mm.getLong(2) < hiT && mm.getDouble(3) < hiV
+      }
+    }
+    val t = filesIntersecting(s"$dir/bytime")
+    val z = filesIntersecting(s"$dir/zorder")
+    assert(z * 2 <= t, s"z-order files=$z not < 50% of time layout files=$t")
+
+    // layout must not change answers: both reads return identical rows
+    def rows(path: String) = spark.read.parquet(path)
+      .where(col("user_id").between(loU, hiU) && col("ts_us") < hiT && col("value") < hiV)
+      .orderBy("event_id").collect().toSeq
+    assert(rows(s"$dir/zorder") == rows(s"$dir/bytime"))
+    assert(rows(s"$dir/zorder").nonEmpty, "empty box; test is vacuous")
+  }
+
   test("time-partitioned write prunes partitions on ts filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tp").toFile.getAbsolutePath
     Layout.writeTimePartitioned(Graft.bars(spark, TestSpark.sfDir), s"$dir/bars")
