@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column library for the LLM-data-pipeline extensions
@@ -198,6 +198,43 @@ object TextOps {
     */
   def nTokensBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  // ---- Sequence packing ------------------------------------------------
+  /** Megatron-style concat-and-chunk sequence packing (round 5): assign
+    * every document a contiguous token interval in its SHARD's packed
+    * token stream and derive which fixed-length training chunks it
+    * spans. Shards (deterministic `doc_id mod shards` buckets) pack
+    * independently — ONE window per shard, so a 100 TB corpus packs with
+    * shard-parallelism and no global sort; within a shard the order is
+    * doc_id (content-stable, append-reproducible). Returns (doc_id,
+    * shard, n_tok, tok_start, tok_end, chunk_start, chunk_end,
+    * n_chunks) with chunk bounds inclusive; zero-token docs carry null
+    * chunk bounds (they occupy no chunk). */
+  def packSequences(docs: DataFrame, contextLen: Int, shards: Int = 8): DataFrame = {
+    require(contextLen > 0 && shards > 0, "contextLen and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        nTokens(col("text")).cast("long").as("n_tok")
+      )
+      .withColumn("tok_end", sum("n_tok").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .withColumn(
+        "chunk_start",
+        when(col("n_tok") > 0, floor(col("tok_start") / contextLen.toDouble))
+      )
+      .withColumn(
+        "chunk_end",
+        when(col("n_tok") > 0, floor((col("tok_end") - 1) / contextLen.toDouble))
+      )
+      .withColumn(
+        "n_chunks",
+        when(col("n_tok") > 0, col("chunk_end") - col("chunk_start") + 1)
+      )
+  }
 
   // ---- Fingerprinting --------------------------------------------------
   /** Whole-document rolling hash (order-sensitive). */

@@ -723,6 +723,29 @@ object ExtensionQueries {
     )
   }
 
+  /** Sequence packing (round 5): the concat-and-chunk layout a training
+    * loader consumes — per-shard packed token intervals and the 256-token
+    * chunks each doc spans. All-integer output; the oracle mirrors the
+    * shard windows and the double-division floor exactly. */
+  val qPack = Q(
+    "x_pack",
+    (s, dir) =>
+      TextOps
+        .packSequences(docs(s, dir), contextLen = 256, shards = 8)
+        .orderBy("doc_id"),
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "base AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(tk) AS BIGINT) AS n_tok FROM toks), " +
+        "packed AS (SELECT doc_id, shard, n_tok, " +
+        "sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end FROM base) " +
+        "SELECT doc_id, shard, n_tok, tok_end - n_tok AS tok_start, tok_end, " +
+        "CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - n_tok) / 256e0) AS BIGINT) END AS chunk_start, " +
+        "CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - 1) / 256e0) AS BIGINT) END AS chunk_end, " +
+        "CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - 1) / 256e0) - floor((tok_end - n_tok) / 256e0) + 1 AS BIGINT) END AS n_chunks " +
+        "FROM packed ORDER BY doc_id"
+    )
+  )
+
   /** §4.2 Z-order scan gate (round 5): events clustered on the
     * THREE-column Z-curve (user_id, ts_us, value) via writeZOrderedN,
     * read back through a conjunctive box filter on all three dims. The
@@ -1164,6 +1187,7 @@ object ExtensionQueries {
     qVecQuant,
     qVecQuantTopk,
     qVecNeardup,
-    qZorderScan
+    qZorderScan,
+    qPack
   )
 }

@@ -48,4 +48,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(1) == 'a'.toLong)
     assert(r(2) == ('z'.toLong * 31 + 'z'.toLong) % 1000000007L)
   }
+
+  test("sequence packing tiles each shard's token stream without gaps") {
+    Graft.init(spark)
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val L = 256
+    val packed = TextOps.packSequences(docs, contextLen = L, shards = 8).collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // intervals tile: doc k+1 starts exactly where doc k ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") == a.getAs[Long]("tok_end"), s"gap in shard $shard")
+        case _ =>
+      }
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      // chunk spans are consistent with the interval and the context length
+      sorted.filter(_.getAs[Long]("n_tok") > 0).foreach { r =>
+        val cs = r.getAs[Long]("chunk_start"); val ce = r.getAs[Long]("chunk_end")
+        assert(cs == r.getAs[Long]("tok_start") / L)
+        assert(ce == (r.getAs[Long]("tok_end") - 1) / L)
+        assert(r.getAs[Long]("n_chunks") == ce - cs + 1)
+      }
+    }
+  }
 }
