@@ -90,4 +90,52 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_tok"))
   }
+
+  /** Per-doc mean BIGRAM surprisal under an add-one-smoothed corpus
+    * bigram LM (round 5 — the CCNet-style quality proxy one order up
+    * from [[unigramSurprisal]]): p(b|a) = (c(a,b)+1)/(c(a)+V) with c(·)
+    * corpus counts and V the vocabulary size; a doc's score is the mean
+    * −ln p over its bigrams, folded in bigram order (FP-parity with the
+    * DuckDB oracle). Docs with < 2 tokens emit nothing. The bigram-count
+    * table is broadcast — right for natural-language vocabularies; swap
+    * the join to a shuffle join for adversarial corpora where distinct
+    * bigrams rival corpus size. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+    val bgt = toks
+      .where(size(col("__tk")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("__tk")) - 1),
+            i =>
+              struct(
+                concat(element_at(col("__tk"), i), lit(" "), element_at(col("__tk"), i + 1)).as("b"),
+                element_at(col("__tk"), i).as("a")
+              )
+          )
+        ).as("s")
+      )
+      .select(col("doc_id"), col("s.b").as("b"), col("s.a").as("a"))
+    val uni = docs
+      .select(explode(TextOps.tokens(col("text"))).as("a"))
+      .groupBy("a")
+      .agg(count(lit(1)).cast("double").as("ca"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val cb = bgt.groupBy("b").agg(count(lit(1)).cast("double").as("cb"))
+    val orderedMean =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("b"), col("nll")))), x => x("nll")),
+        lit(0.0),
+        (acc, x) => acc + x
+      ) / count(lit(1))
+    bgt
+      .join(broadcast(cb), "b")
+      .join(broadcast(uni), "a")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("cb") + lit(1.0)) / (col("ca") + col("__v"))))
+      .groupBy("doc_id")
+      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_bigram"))
+  }
 }

@@ -970,6 +970,31 @@ object ExtensionQueries {
     )
   )
 
+  /** Bigram-LM surprisal (round 5): add-one-smoothed conditional
+    * p(b|a) = (c(a,b)+1)/(c(a)+V); per-doc mean −ln p folded in bigram
+    * order on both engines. */
+  val qSurprisal2 = Q(
+    "x_surprisal2",
+    (s, dir) =>
+      graft.extensions.Retrieval
+        .bigramSurprisal(docs(s, dir))
+        .select(col("doc_id"), P.normd(col("mean_nll")).as("mean_nll"), col("n_bigram"))
+        .orderBy("doc_id"),
+    Some(
+      s"WITH toks AS ($toksCte), t AS (SELECT doc_id, unnest(tk) AS a FROM toks), " +
+        "uni AS (SELECT a, count(*)::DOUBLE AS ca FROM t GROUP BY 1), " +
+        "vocab AS (SELECT count(*)::DOUBLE AS v FROM uni), " +
+        "bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+        "i -> struct_pack(b := tk[i] || ' ' || tk[i+1], a := tk[i]))) AS s FROM toks WHERE len(tk) >= 2), " +
+        "bgt AS (SELECT doc_id, s.b AS b, s.a AS a FROM bgl), " +
+        "cb AS (SELECT b, count(*)::DOUBLE AS cb FROM bgt GROUP BY 1), " +
+        "j AS (SELECT doc_id, b, -ln((cb + 1e0) / (ca + v)) AS nll " +
+        "FROM bgt JOIN cb USING (b) JOIN uni USING (a) CROSS JOIN vocab) " +
+        "SELECT doc_id, round(list_reduce(list(nll ORDER BY b), (x, y) -> x + y) / count(*), 6) AS mean_nll, " +
+        "count(*) AS n_bigram FROM j GROUP BY doc_id ORDER BY doc_id"
+    )
+  )
+
   /** Q48 corpus language/source distribution with quality means. */
   val qLangDist = Q(
     "x_lang_dist",
@@ -1188,6 +1213,7 @@ object ExtensionQueries {
     qVecQuantTopk,
     qVecNeardup,
     qZorderScan,
-    qPack
+    qPack,
+    qSurprisal2
   )
 }
