@@ -970,6 +970,57 @@ object ExtensionQueries {
     )
   )
 
+  /** End-to-end curation pipeline (round 5): the Nemotron-CC-shaped
+    * chain — exact dedup (keep lowest id per text) → near-dup clustering
+    * over exact-Jaccard pairs (keep canonical per cluster) → quality
+    * filter (composite score ≥ 0.5) → per-source kept docs/tokens (the
+    * numbers a mixture recipe consumes) — composed as ONE lazy plan.
+    * Proves the §2.F stages COMPOSE: each stage's output is the next
+    * stage's input, no materialization between. Oracle chains the
+    * already-proven per-stage SQL (inverted-index pairs restricted to
+    * the exact-dedup survivors ≡ pairs of the deduped corpus, since
+    * Jaccard of a pair is independent of other docs). */
+  val qPipeline = Q(
+    "x_pipeline",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val dEx = Dedup.dropExactDups(d)
+      val keepNear = Dedup
+        .nearDupClusters(dEx, Dedup.jaccardPairs(dEx, 0.5))
+        .where(col("keep"))
+        .select("doc_id")
+      d.join(keepNear, "doc_id")
+        .where(TextOps.qualityScore(col("text")) >= 0.5)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.nTokens(col("text")).cast("long")).as("n_tokens")
+        )
+        .orderBy("source")
+    },
+    Some {
+      val enMarkers = TextOps.langMarkers.head._2
+      val sEn = s"len(list_filter(tk, t -> ${enMarkers.map(m => s"t = '$m'").mkString(" OR ")}))"
+      val quality =
+        s"0.4 * least(len(tk)::DOUBLE / 100, 1.0) + " +
+          s"0.3 * (len(list_distinct(tk))::DOUBLE / len(tk)) + " +
+          s"0.3 * ($sEn::DOUBLE / len(tk))"
+      s"WITH RECURSIVE ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        "ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "pairs AS (SELECT a_id, b_id FROM jc WHERE jac >= 0.5 " +
+        "AND a_id IN (SELECT doc_id FROM ek) AND b_id IN (SELECT doc_id FROM ek)), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT e.doc_id, least(e.doc_id, coalesce(min(r.v), e.doc_id)) AS cl " +
+        "FROM ek e LEFT JOIN reach r ON r.u = e.doc_id GROUP BY e.doc_id), " +
+        "keepn AS (SELECT doc_id FROM lab WHERE doc_id = cl), " +
+        "kept AS (SELECT toks.doc_id, source, tk FROM toks JOIN keepn ON toks.doc_id = keepn.doc_id), " +
+        s"filt AS (SELECT doc_id, source, tk FROM kept WHERE len(tk) > 0 AND ($quality) >= 0.5) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS n_tokens " +
+        "FROM filt GROUP BY source ORDER BY source"
+    }
+  )
+
   /** Bigram-LM surprisal (round 5): add-one-smoothed conditional
     * p(b|a) = (c(a,b)+1)/(c(a)+V); per-doc mean −ln p folded in bigram
     * order on both engines. */
@@ -1214,6 +1265,7 @@ object ExtensionQueries {
     qVecNeardup,
     qZorderScan,
     qPack,
-    qSurprisal2
+    qSurprisal2,
+    qPipeline
   )
 }
