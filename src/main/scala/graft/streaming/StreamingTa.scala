@@ -584,6 +584,49 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  /** Stream-static AS-OF enrichment (round 5, §2.E streaming): each
+    * streamed tick picks up the most recent STATIC right row with
+    * rts ≤ tick.ts for its key — the trades⋈quotes alignment with the
+    * dimension side broadcast (sorted per key once, binary-searched per
+    * tick, O(log n) per event and zero stream-side shuffle). The right
+    * side is a dimension by assumption — it fits in a broadcast like
+    * every star-schema dim; for fact-fact temporal joins use the batch
+    * AsofJoin after landing. Row-for-row parity with
+    * `AsofJoin.asof(direction = "backward")` is spec-asserted. */
+  def asofEnrichStream(
+      ticks: Dataset[Tick],
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      outCol: String
+  ): DataFrame = {
+    val spark = right.sparkSession
+    val dim: Map[String, (Array[Long], Array[Double])] = right
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"), col(valueCol).cast("double"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+        k -> ((sorted.map(_._1), sorted.map(_._2)))
+      }
+    val b = spark.sparkContext.broadcast(dim)
+    import ticks.sparkSession.implicits._
+    ticks
+      .map { t =>
+        val v: Option[Double] = b.value.get(t.series_id).flatMap { case (tss, vs) =>
+          var lo = 0; var hi = tss.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= t.ts) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          if (ans >= 0) Some(vs(ans)) else None
+        }
+        (t.series_id, t.ts, t.close, v)
+      }
+      .toDF("series_id", "ts", "close", outCol)
+  }
+
   /** One LSH band-bucket hit for a streaming document. */
   case class BandHit(bucket: String, doc_id: Long)
 

@@ -83,4 +83,35 @@ class StreamingSessionSpec extends AnyFunSuite {
     )
     assert(expected.size > events.map(_.user_id).distinct.length, "every user in one session; gap split vacuous")
   }
+
+  test("stream-static as-of enrichment equals batch AsofJoin backward") {
+    import spark.implicits._
+    val ser = Graft
+      .userSeries(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        col("ts").cast("long").as("ts"),
+        col("close").cast("double").as("close")
+      )
+    // dimension side: every 10th row per series plays the quote table
+    val dim = ser.where(pmod(col("ts"), lit(10L)) === 0 || col("ts") % 7 === 0)
+      .select(col("series_id"), col("ts"), col("close").as("quote"))
+    val batch = graft.operators.AsofJoin
+      .asof(ser, dim, "series_id", "ts", Seq("quote"), prefix = "r_")
+      .select("series_id", "ts", "r_quote")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+
+    // the streaming twin maps tick-by-tick over the broadcast dim
+    val ticks = ser.as[StreamingTa.Tick]
+    val streamed = StreamingTa
+      .asofEnrichStream(ticks, dim, "series_id", "ts", "quote", "r_quote")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+    assert(batch.values.exists(_.isEmpty) || dim.count() > 0, "vacuous")
+  }
 }
