@@ -263,11 +263,30 @@ object Similarity {
   /** ANN top-k via IVF probing: each query scores only the vectors in its
     * nprobe nearest cells. Approximate — recall measured vs topkBrute in
     * the test suite. */
-  def topkIvf(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+  def topkIvf(index: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame =
     // index rows = corpus rows (+cell), so retraining over them
     // reproduces EXACTLY the centroid set ivfIndex quantized against,
-    // for any id distribution (deterministic trainer, memo'd per plan)
-    val cents = kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
+    // for any id distribution (deterministic trainer, memo'd per plan);
+    // for a DISK-loaded index pass loadIvfCentroids to skip the retrain
+    topkIvfWithCents(
+      index,
+      kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells),
+      queries,
+      k,
+      nprobe
+    )
+
+  /** IVF probe against EXPLICIT coarse centroids — the no-retrain path a
+    * persisted index uses ([[saveIvfIndex]] stores its trained centroids
+    * alongside; [[loadIvfCentroids]] brings them back, and probing then
+    * touches only the nprobe cells' files with ZERO corpus passes). */
+  def topkIvfWithCents(
+      index: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
     val qcells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
@@ -294,14 +313,28 @@ object Similarity {
     * layout lets a probe read only its nprobe cells' files — the
     * broadcast probe join on `cell` triggers dynamic partition pruning
     * on the scan (spec-asserted), so I/O scales with cells probed, not
-    * corpus size. */
-  def saveIvfIndex(index: DataFrame, path: String): Unit =
+    * corpus size. Pass `nCells` to ALSO persist the trained coarse
+    * centroids (tiny) beside the rows, so later sessions probe via
+    * [[loadIvfCentroids]] + [[topkIvfWithCents]] with no corpus retrain
+    * pass. */
+  def saveIvfIndex(index: DataFrame, path: String, nCells: Int = 0): Unit = {
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if (nCells > 0)
+      kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$path/_centroids")
+  }
 
   /** Load a saved IVF index for `topkIvf`/`topkIvfLarge` probing (column
     * order restored — partitionBy moves `cell` last on disk). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** Load the centroids [[saveIvfIndex]] persisted beside the index. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_centroids").select(col("cent_id"), col("cent_emb"))
 
   /** Deterministic hyperplane set for sign-LSH over dim-d embeddings:
     * w(p, i) = sin(1 + p·dim + i). No RNG — the planes are a pure

@@ -180,16 +180,22 @@ class DedupSpec extends AnyFunSuite {
     val queries = e.where(col("vec_id") < 10)
     val idx = Similarity.ivfIndex(e, 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toFile.getAbsolutePath
-    Similarity.saveIvfIndex(idx, dir)
+    Similarity.saveIvfIndex(idx, dir, nCells = 16)
     val loaded = Similarity.loadIvfIndex(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val mem = rows(Similarity.topkIvf(idx, queries, 5, 16, 4))
     val disk = rows(Similarity.topkIvf(loaded, queries, 5, 16, 4))
     assert(mem == disk)
+    // the persisted-centroid path answers identically WITHOUT retraining
+    // (no corpus pass: the quantizer comes off disk)
+    val cents = Similarity.loadIvfCentroids(spark, dir)
+    val noRetrain = rows(Similarity.topkIvfWithCents(loaded, cents, queries, 5, 4))
+    assert(noRetrain == mem)
     // the broadcast probe join on the partition column must dynamic-prune
     // the cell-partitioned scan: I/O scales with cells probed, not corpus
-    val plan = Similarity.topkIvf(loaded, queries, 5, 16, 4).queryExecution.executedPlan.toString
+    val plan = Similarity.topkIvfWithCents(loaded, cents, queries, 5, 4)
+      .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"), "no dynamic partition pruning on the index scan")
   }
 
