@@ -33,7 +33,8 @@ object SparkEntry {
   ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++
     ExtensionQueries.all ++ RelationalQueries.all ++ RecQueries.all ++
     CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all ++ Rec2Queries.all ++
-    HaloQueries.all ++ Seq(Strategy50Queries.q, StrategyOhlcvQueries.q, StrategyOhlcvQueries.qCandles, StrategyDupQueries.q)
+    HaloQueries.all ++ SketchQueries.all ++
+    Seq(Strategy50Queries.q, StrategyOhlcvQueries.q, StrategyOhlcvQueries.qCandles, StrategyDupQueries.q)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the Strategy
     * batch compiler running a multi-indicator set over the daily bars —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Subtract, Multiply, Cast => CCast}
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{ArrayDot, ArrayNormSq, LinRecur, PolyHash}
+import graft.functions.{ArrayDot, ArrayNormSq, KmvSketch, LinRecur, PolyHash}
 
 /** Catalyst injection point: enables the graft function surface on ANY
   * session via configuration —
@@ -58,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_polyhash"),
         new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
         (exprs: Seq[Expression]) => PolyHash(exprs(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kmv"),
+        new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+        (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs)
       )
     )
   }

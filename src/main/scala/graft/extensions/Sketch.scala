@@ -1,0 +1,128 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic summaries for 100 TB-scale profiling — the three
+  * workhorses every large pipeline reaches for once exact answers stop
+  * fitting: KMV (distinct counts, see graft.functions.KmvSketch),
+  * count-min (frequency estimates), Bloom (membership pre-filtering).
+  *
+  * Every sketch here is DETERMINISTIC — hash seeds are fixed constants
+  * and all arithmetic is explicit modular integer math (base polyHash
+  * mod P = 1e9+7) — so the DuckDB oracle replays each one bit-for-bit.
+  * That is a deliberate departure from Spark's own `approx_count_distinct`
+  * / `df.stat.bloomFilter`, whose internal hashing is not replayable
+  * across engines; the structure (bounded mergeable state, broadcastable
+  * filters) is the same.
+  *
+  * Reference surface: pandas `nunique` / `value_counts` / `isin` — these
+  * are the sketch-sized variants of those exact kernels.
+  */
+object Sketch {
+
+  val P: Long = TextOps.P // 1e9+7, shared with polyHash
+
+  /** Fixed odd multipliers/offsets < P for the hash families. With inputs
+    * already reduced mod P, (x%P)·a + b < 1e18 — no 64-bit overflow on
+    * either engine (DuckDB BIGINT traps on overflow; Spark wraps — staying
+    * bounded keeps them identical). */
+  val seeds: Seq[(Long, Long)] = Seq(
+    (973478391L, 12582917L),
+    (714025467L, 37583921L),
+    (550510237L, 93851103L),
+    (433494437L, 54018521L)
+  )
+
+  /** h_i(x) = ((x mod P)·a_i + b_i) mod P — the i-th member of the
+    * multiply-shift family over an integral column. */
+  def rehash(x: Column, i: Int): Column = {
+    val (a, b) = seeds(i)
+    (x % P * a + b) % P
+  }
+
+  /** 2^b lookup table (b = 0..63) as a literal column — bit masks without
+    * variable-shift expressions, identical on both engines (index 63 is
+    * Long.MinValue; `&` is sign-agnostic). */
+  val pow2: Array[Long] = (0 until 64).map(b => 1L << b).toArray
+
+  // ------------------------------------------------------------------ Bloom
+
+  /** Build a Bloom filter over `keys` (integral column) as a dense
+    * Array[Long] of `bits/64` words, via pure relational ops: k hashes per
+    * key → distinct (word, bit) → per-word Σ of distinct bit masks (≡ OR).
+    *
+    * The driver-side collect is O(bits/64) — constant in the data (1024
+    * longs for bits=65536), the same shape Spark's own runtime bloom
+    * filters ship to the scan. Build side is one pass + one key-sized
+    * shuffle. */
+  def bloomBuild(keys: DataFrame, keyCol: String, bits: Int, kHash: Int): Array[Long] = {
+    require(bits % 64 == 0, "bits must be a multiple of 64")
+    require(kHash >= 1 && kHash <= seeds.length, s"kHash must be 1..${seeds.length}")
+    val k = col(keyCol)
+    val hs = (0 until kHash).map(i => rehash(k, i) % bits)
+    val words = keys
+      .select(explode(array(hs: _*)).as("h"))
+      .select((col("h") / 64).cast("long").as("w"), (col("h") % 64).cast("int").as("b"))
+      .distinct()
+      .groupBy("w")
+      .agg(sum(element_at(lit(pow2), col("b") + 1)).as("mask"))
+      .collect()
+    val dense = new Array[Long](bits / 64)
+    words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    dense
+  }
+
+  /** Membership test against a built filter — a pure codegen'd expression
+    * on the probe scan (no join, no shuffle): all k bits set. */
+  def bloomContains(key: Column, words: Array[Long], bits: Int, kHash: Int): Column =
+    (0 until kHash)
+      .map { i =>
+        val h = rehash(key, i) % bits
+        (element_at(lit(words), ((h / 64).cast("int") + 1).cast("int"))
+          .bitwiseAND(element_at(lit(pow2), ((h % 64).cast("int") + 1).cast("int"))) =!= 0L)
+      }
+      .reduce(_ && _)
+
+  // ------------------------------------------------------------ Count-min
+
+  /** Count-min counter table over an exploded term column: d rows × w
+    * buckets, counter(i, j) = #occurrences hashing to bucket j under h_i.
+    * One groupBy with map-side partial aggregation; output is d·w rows —
+    * broadcastable at any corpus size. Input terms are polyHashed first so
+    * the row hashes are integral. */
+  def cmsCounters(terms: DataFrame, termCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= seeds.length, s"d must be 1..${seeds.length}")
+    val h = TextOps.polyHash(col(termCol))
+    val rows = (0 until d).map(i => struct(lit(i).as("i"), (rehash(h, i) % w).as("bkt")))
+    terms
+      .select(explode(array(rows: _*)).as("r"))
+      .groupBy(col("r.i").as("i"), col("r.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate a term's frequency from the counter table: min over
+    * the d row counters the term hashes into. `counters` is broadcast —
+    * estimates never touch the corpus again (the CMS property). */
+  def cmsEstimate(candidates: DataFrame, termCol: String, counters: DataFrame, d: Int, w: Int): DataFrame = {
+    val h = TextOps.polyHash(col(termCol))
+    val rows = (0 until d).map(i => struct(lit(i).as("i"), (rehash(h, i) % w).as("bkt")))
+    candidates
+      .withColumn("r", explode(array(rows: _*)))
+      .join(broadcast(counters), col("r.i") === col("i") && col("r.bkt") === col("bkt"))
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(col("cnt")).as("n_est"))
+  }
+
+  // ------------------------------------------------------------------ KMV
+
+  /** The `graft_kmv(hash, k)` aggregate as a Column (requires Graft.init
+    * or the GraftExtensions config on the session). */
+  def kmv(hash: Column, k: Int): Column = call_function("graft_kmv", hash, lit(k))
+
+  /** Distinct-count estimate from a KMV sketch array: exact size below k,
+    * (k−1)·P / h_(k) at capacity. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(P.toDouble) / element_at(sketch, k).cast("double"))
+}

@@ -93,6 +93,11 @@ object Registry {
           "built-in"
         )
         reg.createOrReplaceTempFunction(
+          "graft_kmv",
+          exprs => KmvSketch.fromExprs(exprs),
+          "built-in"
+        )
+        reg.createOrReplaceTempFunction(
           "graft_ewm_adjust",
           // pandas ewm(adjust=True): Spark's internal EWM implements it
           // exactly (verified numerically, SURVEY §0 environment table).

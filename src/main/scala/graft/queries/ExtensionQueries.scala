@@ -21,11 +21,11 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------- SQL helpers
   /** tokens CTE fragment: tk = non-empty whitespace tokens. */
-  private val toksCte =
+  private[queries] val toksCte =
     "SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents"
 
   /** polyHash of a string expression (DuckDB side). */
-  private def ph(s: String): String =
+  private[queries] def ph(s: String): String =
     s"list_reduce(list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT)), " +
       s"(acc, x) -> (acc * 31 + x) % $P0)"
 
@@ -71,7 +71,7 @@ object ExtensionQueries {
     s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")} " +
       s"SELECT a_id, b_id, round(jac, 6) AS jac FROM jc WHERE jac >= $threshold ORDER BY a_id, b_id"
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 

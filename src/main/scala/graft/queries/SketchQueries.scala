@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.ta.{prim => P}
+import graft.extensions.{Retrieval, Similarity, Sketch, TextOps}
+
+/** Sketch / profiling / ETL-surface queries (round 5): the probabilistic
+  * summaries a 100 TB pipeline uses where exact answers stop fitting —
+  * KMV distinct counts, count-min frequencies, Bloom join pre-filtering —
+  * plus deterministic hash-sampled quantiles, JSON property extraction,
+  * and two-stage lexical→vector retrieval. All hashes are fixed-seed
+  * modular arithmetic, so every DuckDB oracle replays the sketch
+  * bit-for-bit (see graft.extensions.Sketch).
+  */
+object SketchQueries {
+
+  private val PP: Long = Sketch.P
+  private def seeds(n: Int): Seq[(Int, Long, Long)] =
+    Sketch.seeds.take(n).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+
+  /** DuckDB VALUES table of the first n hash seeds: s(j, a, b). */
+  private def seedsSql(n: Int): String =
+    "(VALUES " + seeds(n).map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ") + ") s(j, a, b)"
+
+  /** DuckDB h_j(x) for seed columns (a, b) in scope. */
+  private def rehashSql(x: String): String = s"(($x % $PP) * a + b) % $PP"
+
+  /** DuckDB 2^b lookup table CTE fragment: p2t(p2) — index 64 is
+    * Long.MinValue, same two's-complement table as Sketch.pow2. */
+  private val p2Sql: String =
+    "(SELECT [" + Sketch.pow2.mkString(", ") + "]::BIGINT[] AS p2) p2t"
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
+
+  // ---------------------------------------------------------------- x_kmv_distinct
+
+  /** KMV distinct-shingle counts per source + global ('__ALL__'), exact vs
+    * estimate. The sketch column is the scale path (bounded merge state, ≤k
+    * longs per group over the shuffle); `count(DISTINCT)` rides along as
+    * the in-query verification column. */
+  val qKmvDistinct: Q = {
+    val k = 128
+    Q(
+      "x_kmv_distinct",
+      (s, dir) => {
+        val sh = docs(s, dir)
+          .select(col("source"), explode(TextOps.shingles(col("text"))).as("sng"))
+          .select(col("source"), TextOps.polyHash(col("sng")).as("h"))
+        def agg1(g: DataFrame) =
+          g.groupBy("source")
+            .agg(Sketch.kmv(col("h"), k).as("kmv"), countDistinct(col("h")).as("n_exact"))
+        agg1(sh)
+          .unionByName(agg1(sh.withColumn("source", lit("__ALL__"))))
+          .select(
+            col("source"),
+            col("n_exact"),
+            P.normd(Sketch.kmvEstimate(col("kmv"), k)).as("n_est"),
+            size(col("kmv")).cast("long").as("n_kmv")
+          )
+          .orderBy("source")
+      },
+      Some(
+        s"WITH toks AS (${ExtensionQueries.toksCte}), " +
+          "psh AS (SELECT source, CASE WHEN len(tk) >= 3 THEN " +
+          "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) " +
+          "ELSE [] END AS sg FROM toks), " +
+          s"hh AS (SELECT source, unnest(list_transform(sg, x -> ${ExtensionQueries.ph("x")})) AS h FROM psh), " +
+          "g AS (SELECT source, h FROM hh UNION ALL SELECT '__ALL__' AS source, h FROM hh), " +
+          "a AS (SELECT source, count(DISTINCT h) AS n_exact, list_sort(list_distinct(list(h))) AS hs FROM g GROUP BY 1) " +
+          s"SELECT source, CAST(n_exact AS BIGINT) AS n_exact, " +
+          s"round(CASE WHEN len(hs) < $k THEN len(hs)::DOUBLE " +
+          s"ELSE (${sqlgen.d((k - 1).toDouble)} * ${sqlgen.d(PP.toDouble)}) / CAST(hs[$k] AS DOUBLE) END, 6) AS n_est, " +
+          s"CAST(least(len(hs), $k) AS BIGINT) AS n_kmv FROM a ORDER BY source"
+      )
+    )
+  }
+
+  // ---------------------------------------------------------------- x_cms_heavy
+
+  /** Count-min heavy hitters: estimate the top-10 exact tokens' counts
+    * from a 4×16 counter table. w=16 forces real collisions on this
+    * vocabulary (≈60 terms / 16 buckets), so `n_over = est − exact ≥ 0`
+    * is exercised with genuinely positive overestimates, not vacuous.
+    * The counter table is d·w rows — broadcastable at any corpus size. */
+  val qCmsHeavy: Q = {
+    val (d, w) = (4, 16)
+    Q(
+      "x_cms_heavy",
+      (s, dir) => {
+        val t = docs(s, dir).select(explode(TextOps.tokens(col("text"))).as("term"))
+        val counters = Sketch.cmsCounters(t, "term", d, w)
+        val top = t
+          .groupBy("term")
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term"))
+          .limit(10)
+        Sketch
+          .cmsEstimate(top, "term", counters, d, w)
+          .select(col("term"), col("n_exact"), col("n_est"), (col("n_est") - col("n_exact")).as("n_over"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      Some(
+        s"WITH toks AS (${ExtensionQueries.toksCte}), t AS (SELECT unnest(tk) AS term FROM toks), " +
+          s"hh AS (SELECT term, ${ExtensionQueries.ph("term")} AS h FROM t), " +
+          s"cnt AS (SELECT j, ${rehashSql("h")} % $w AS bkt, count(*) AS cnt FROM hh, ${seedsSql(d)} GROUP BY 1, 2), " +
+          "ex AS (SELECT term, count(*) AS n_exact FROM t GROUP BY 1), " +
+          "top AS (SELECT term, n_exact FROM ex ORDER BY n_exact DESC, term LIMIT 10), " +
+          s"est AS (SELECT top.term, top.n_exact, min(cnt.cnt) AS n_est FROM top, ${seedsSql(d)} " +
+          s"JOIN cnt ON cnt.j = s.j AND cnt.bkt = ((${ExtensionQueries.ph("top.term")} % $PP) * a + b) % $PP % $w " +
+          "GROUP BY 1, 2) " +
+          "SELECT term, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_est AS BIGINT) AS n_est, " +
+          "CAST(n_est - n_exact AS BIGINT) AS n_over FROM est ORDER BY n_exact DESC, term"
+      )
+    )
+  }
+
+  // ---------------------------------------------------------------- x_bloom_join
+
+  /** Bloom-filter semi-join pre-filter: a 65536-bit / 3-hash filter over
+    * the BUILDING-segment customer keys ships to the orders scan as a
+    * literal word array — membership is a pure codegen'd expression, no
+    * join, no shuffle on the probe side. Exact semi-join truth rides along
+    * to count false positives and PROVE zero false negatives (n_missed=0
+    * is a Bloom guarantee, and the oracle checks it). The same shape as
+    * Spark's runtime row-level filtering, but deterministic/replayable. */
+  val qBloomJoin: Q = {
+    val (bits, kH) = (65536, 3)
+    Q(
+      "x_bloom_join",
+      (s, dir) => {
+        val cust = Graft
+          .table(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val words = Sketch.bloomBuild(cust, "c_custkey", bits, kH)
+        Graft
+          .table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .withColumn("pass", Sketch.bloomContains(col("o_custkey"), words, bits, kH))
+          .join(
+            broadcast(cust.distinct().withColumn("__t", lit(true))),
+            col("o_custkey") === col("c_custkey"),
+            "left"
+          )
+          .withColumn("truth", coalesce(col("__t"), lit(false)))
+          .agg(
+            count(lit(1)).as("n_probe"),
+            count(when(col("pass"), 1)).as("n_pass"),
+            count(when(col("truth"), 1)).as("n_true"),
+            count(when(col("pass") && !col("truth"), 1)).as("n_fp"),
+            count(when(col("truth") && !col("pass"), 1)).as("n_missed")
+          )
+      },
+      Some(
+        s"WITH bc AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+          s"hs AS (SELECT ${rehashSql("k")} % $bits AS h FROM bc, ${seedsSql(kH)}), " +
+          "wb AS (SELECT DISTINCT h // 64 AS w, h % 64 AS bit FROM hs), " +
+          s"words AS (SELECT w, CAST(sum(p2[bit + 1]) AS BIGINT) AS mask FROM wb, $p2Sql GROUP BY 1), " +
+          s"phh AS (SELECT o_orderkey, o_custkey, ${rehashSql("o_custkey")} % $bits AS h FROM orders, ${seedsSql(kH)}), " +
+          s"pt AS (SELECT o_orderkey, any_value(o_custkey) AS ck, " +
+          "count(*) FILTER (WHERE (coalesce(w.mask, 0) & p2[(h % 64) + 1]) <> 0) AS ok, count(*) AS tot " +
+          s"FROM phh CROSS JOIN $p2Sql LEFT JOIN words w ON w.w = h // 64 GROUP BY o_orderkey), " +
+          "fl AS (SELECT o_orderkey, ok = tot AS pass, ck IN (SELECT k FROM bc) AS truth FROM pt) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_probe, " +
+          "CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS n_pass, " +
+          "CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_true, " +
+          "CAST(count(*) FILTER (WHERE pass AND NOT truth) AS BIGINT) AS n_fp, " +
+          "CAST(count(*) FILTER (WHERE truth AND NOT pass) AS BIGINT) AS n_missed FROM fl"
+      )
+    )
+  }
+
+  // ---------------------------------------------------------------- x_hash_quantiles
+
+  /** Deterministic hash-sampled quantiles: nearest-rank p50/p90/p99 of
+    * n_chars per source, on the full data and on a ~10% content-hash
+    * sample side by side. Ranks are pure integer arithmetic (ceil(q·n) =
+    * (q·100·n + q·100 − 1-free form via (a·n + a) div b), so there is no
+    * FP boundary to disagree on. The sample predicate is the same
+    * fixed-seed rehash as every other sketch — reproducible at any scale,
+    * no RNG. */
+  val qHashQuantiles: Q = {
+    val thr = 100000000L // P/10 → ~10% sample
+    Q(
+      "x_hash_quantiles",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        def ranked(dfX: DataFrame, tag: String): DataFrame = {
+          val wS = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+          val wC = Window.partitionBy("source")
+          dfX
+            .withColumn("rn", row_number().over(wS).cast("long"))
+            .withColumn("n", count(lit(1)).over(wC))
+            .groupBy("source")
+            .agg(
+              max(col("n")).as(s"n_$tag"),
+              min(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as(s"p50_$tag"),
+              min(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))).as(s"p90_$tag"),
+              min(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_chars"))).as(s"p99_$tag")
+            )
+        }
+        val full = ranked(d, "full")
+        val samp = ranked(d.where(Sketch.rehash(col("doc_id"), 0) < thr), "samp")
+        full
+          .join(samp, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("n_full"),
+            col("p50_full"),
+            col("p90_full"),
+            col("p99_full"),
+            coalesce(col("n_samp"), lit(0L)).as("n_samp"),
+            col("p50_samp"),
+            col("p90_samp"),
+            col("p99_samp")
+          )
+          .orderBy("source")
+      },
+      Some {
+        val (a0, b0) = Sketch.seeds.head
+        def rankedSql(src: String, tag: String): String =
+          s"(SELECT source, max(n) AS n_$tag, " +
+            s"min(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_$tag, " +
+            s"min(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_$tag, " +
+            s"min(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99_$tag FROM " +
+            "(SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+            s"count(*) OVER (PARTITION BY source) AS n FROM $src) GROUP BY source)"
+        "WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +
+          s"sm AS (SELECT * FROM d WHERE ((doc_id % $PP) * $a0 + $b0) % $PP < $thr), " +
+          s"fa AS ${rankedSql("d", "full")}, sa AS ${rankedSql("sm", "samp")} " +
+          "SELECT fa.source, n_full, p50_full, p90_full, p99_full, " +
+          "coalesce(n_samp, 0) AS n_samp, p50_samp, p90_samp, p99_samp " +
+          "FROM fa LEFT JOIN sa ON fa.source = sa.source ORDER BY fa.source"
+      }
+    )
+  }
+
+  // ---------------------------------------------------------------- x_json_extract
+
+  /** JSON property extraction over the events stream — the ubiquitous
+    * semi-structured ETL step. `get_json_object` stays inside whole-stage
+    * codegen; at 100 TB the parse cost is per-row CPU on the scan with no
+    * shuffle beyond the final key-sized aggregate. */
+  val qJsonExtract: Q = Q(
+    "x_json_extract",
+    (s, dir) =>
+      Graft
+        .table(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          P.normd(sum(col("k")).cast("double") / count(lit(1))).as("avg_k")
+        )
+        .orderBy("event_type"),
+    Some(
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k FROM " +
+        "(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "GROUP BY 1 ORDER BY 1"
+    )
+  )
+
+  // ---------------------------------------------------------------- x_retrieve_rerank
+
+  /** Two-stage retrieval: BM25 recalls a 20-candidate pool (lexical,
+    * TakeOrdered — never a global sort), then the pool re-ranks by
+    * embedding cosine against the top lexical hit's vector (the hybrid
+    * search shape: cheap recall over the whole corpus, expensive scoring
+    * over k' candidates only). At 100 TB stage 2 touches 20 rows. */
+  val qRetrieveRerank: Q = {
+    val terms = Seq("spark", "window", "agg")
+    val pool = 20
+    Q(
+      "x_retrieve_rerank",
+      (s, dir) => {
+        val cand = Retrieval
+          .bm25(docs(s, dir), terms, topK = pool)
+          .select(col("doc_id"), col("score"))
+        val e = Graft
+          .table(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val ce = cand.join(e, "doc_id")
+        val q1 = ce
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(1)
+          .select(col("embedding").as("q_emb"))
+        ce.crossJoin(broadcast(q1))
+          .withColumn("cos", Similarity.dot(col("embedding"), col("q_emb")))
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(5)
+          .select(col("doc_id"), P.normd(col("score")).as("bm25"), P.normd(col("cos")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+      },
+      Some {
+        import graft.queries.{sqlgen => G}
+        val (k1, b) = (1.2, 0.75)
+        val termList = terms.map(t => s"'$t'").mkString(", ")
+        val dot = ExtensionQueries.dotSql("ce.embedding", "q1.q_emb")
+        s"WITH toks AS (${ExtensionQueries.toksCte}), " +
+          "dd AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM toks), " +
+          "t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dd), " +
+          s"tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM t WHERE term IN ($termList) GROUP BY 1, 2, 3), " +
+          "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), " +
+          "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd), " +
+          s"sc AS (SELECT tf.doc_id, tf.term, ln((st.n - df.df + ${G.d(0.5)}) / (df.df + ${G.d(0.5)}) + ${G.d(1.0)}) " +
+          s"* (tf.tf * (${G.d(k1 + 1.0)})) / (tf.tf + ${G.d(k1)} * (${G.d(1.0)} - ${G.d(b)} + ${G.d(b)} * tf.dl / st.avgdl)) AS s " +
+          "FROM tf JOIN df USING (term) CROSS JOIN st), " +
+          "bm AS (SELECT doc_id, list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score FROM sc GROUP BY doc_id " +
+          s"ORDER BY score DESC, doc_id LIMIT $pool), " +
+          "ce AS (SELECT bm.doc_id, bm.score, e.embedding FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id), " +
+          "q1 AS (SELECT embedding AS q_emb FROM ce ORDER BY score DESC, doc_id LIMIT 1) " +
+          s"SELECT ce.doc_id, round(ce.score, 6) AS bm25, round($dot, 6) AS cos " +
+          s"FROM ce, q1 ORDER BY $dot DESC, ce.doc_id LIMIT 5"
+      }
+    )
+  }
+
+  val all: Seq[Q] = Seq(qKmvDistinct, qCmsHeavy, qBloomJoin, qHashQuantiles, qJsonExtract, qRetrieveRerank)
+}

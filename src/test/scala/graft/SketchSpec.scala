@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extensions.Sketch
+
+/** Sketch-layer guarantees that the oracle gate cannot express:
+  * KMV exactness below capacity + merge associativity + error bound at
+  * capacity, CMS's one-sided error, Bloom's zero-false-negative contract
+  * on adversarial (dense sequential) key sets.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("KMV is exact below capacity (sketch == the distinct hash set)") {
+    val df = spark.range(0, 50).select((col("id") % 17 * 1234567L % Sketch.P).as("h"))
+    val out = df.agg(Sketch.kmv(col("h"), 128).as("kmv")).head()
+    val got = out.getSeq[Long](0)
+    val want = df.select("h").distinct().as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("KMV estimate at capacity is within 3/sqrt(k) of the true cardinality") {
+    val n = 20000
+    val k = 256
+    // spread hashes pseudo-uniformly over [0, P) with the sketch's own family
+    val df = spark.range(0, n).select(Sketch.rehash(col("id"), 1).as("h"))
+    val trueN = df.distinct().count().toDouble
+    val est = df
+      .agg(Sketch.kmv(col("h"), k).as("kmv"))
+      .select(Sketch.kmvEstimate(col("kmv"), k).as("est"))
+      .as[Double]
+      .head()
+    val relErr = math.abs(est - trueN) / trueN
+    assert(relErr < 3.0 / math.sqrt(k.toDouble), s"rel err $relErr (est $est vs $trueN)")
+  }
+
+  test("KMV group sketches merged == global sketch (merge associativity)") {
+    val k = 64
+    val df = spark
+      .range(0, 5000)
+      .select((col("id") % 7).as("g"), Sketch.rehash(col("id"), 2).as("h"))
+    // global sketch in one aggregate
+    val global = df.agg(Sketch.kmv(col("h"), k)).head().getSeq[Long](0)
+    // per-group sketches, re-aggregated by exploding the arrays (k smallest
+    // of the union of per-group k-smallest == k smallest of the union —
+    // the KMV merge identity)
+    val merged = df
+      .groupBy("g")
+      .agg(Sketch.kmv(col("h"), k).as("kmv"))
+      .select(explode(col("kmv")).as("h"))
+      .agg(Sketch.kmv(col("h"), k))
+      .head()
+      .getSeq[Long](0)
+    assert(merged == global)
+  }
+
+  test("CMS estimates are a one-sided overestimate for every term") {
+    val terms = spark
+      .range(0, 3000)
+      .select(concat(lit("t"), (col("id") % 37)).as("term"))
+    val counters = Sketch.cmsCounters(terms, "term", d = 4, w = 8)
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val both = Sketch
+      .cmsEstimate(exact, "term", counters, d = 4, w = 8)
+      .select(col("term"), col("n_exact"), col("n_est"))
+      .collect()
+    assert(both.length == 37)
+    both.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS underestimated ${r.getString(0)}")
+    }
+  }
+
+  test("Bloom filter has zero false negatives on a dense sequential key set") {
+    val keys = spark.range(100, 600).select(col("id").as("k"))
+    val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
+    val missed = keys
+      .where(!Sketch.bloomContains(col("k"), words, bits = 4096, kHash = 3))
+      .count()
+    assert(missed == 0L)
+    // and it actually rejects most non-members (sanity, not a guarantee)
+    val fp = spark
+      .range(10000, 30000)
+      .where(Sketch.bloomContains(col("id"), words, bits = 4096, kHash = 3))
+      .count()
+    assert(fp < 2000L, s"implausible FP count $fp / 20000")
+  }
+
+  test("bloomContains compiles to a scan-side expression — no join, no shuffle") {
+    val keys = spark.range(0, 100).select(col("id").as("k"))
+    val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
+    val probe = spark
+      .range(0, 1000)
+      .where(Sketch.bloomContains(col("id"), words, bits = 4096, kHash = 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"probe plan joins:\n$plan")
+  }
+}
