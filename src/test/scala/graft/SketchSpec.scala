@@ -87,6 +87,48 @@ class SketchSpec extends AnyFunSuite {
     assert(fp < 2000L, s"implausible FP count $fp / 20000")
   }
 
+  test("KMV in a streaming aggregation == batch sketch (micro-batch state merges)") {
+    val k = 64
+    val rows = (0L until 3000L).map(i => (s"g${i % 3}", (i * 733L + 17L) % Sketch.P))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toFile
+    rows.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataset(chunk)
+        .toDF("g", "h")
+        .coalesce(1)
+        .write
+        .parquet(f"$dir/c$i%03d")
+    }
+    val stream = spark.readStream
+      .schema("g STRING, h BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val q = stream
+      .groupBy("g")
+      .agg(Sketch.kmv(col("h"), k).as("kmv"))
+      .writeStream
+      .format("memory")
+      .queryName("kmv_stream")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("kmv_stream")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    val batch = spark
+      .createDataset(rows)
+      .toDF("g", "h")
+      .groupBy("g")
+      .agg(Sketch.kmv(col("h"), k).as("kmv"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("bloomContains compiles to a scan-side expression — no join, no shuffle") {
     val keys = spark.range(0, 100).select(col("id").as("k"))
     val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
