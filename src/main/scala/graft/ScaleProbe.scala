@@ -145,6 +145,85 @@ object ScaleProbe {
       graft.CacheRegistry.release(spark)
     }
 
+    // ---- sketches: (a) KMV vs exact count(DISTINCT) — the exact path
+    // shuffles every distinct key (grows with cardinality); the sketch
+    // ships ≤k longs per group regardless. (b) Bloom pre-filter vs a
+    // sort-merge left-semi join (broadcast pinned off, the too-big-to-
+    // broadcast regime): the bloom test is scan-side CPU with zero
+    // shuffle, and bloom→semi only shuffles survivors.
+    if (want("sketch")) {
+      import graft.extensions.Sketch
+      for (n <- Seq(4000000L, 16000000L, 64000000L)) {
+        val keyed = graft.CacheRegistry.track(
+          spark
+            .range(n)
+            .select((col("id") % 64).as("g"), Sketch.rehash(col("id") % (n / 2), 1).as("h"))
+        )
+        keyed.count()
+        emit(
+          "sketch_exact_distinct",
+          n,
+          timed(keyed.groupBy("g").agg(countDistinct(col("h")).as("d")).where(col("d") >= 0).count())
+        )
+        emit(
+          "sketch_kmv128",
+          n,
+          timed(
+            keyed
+              .groupBy("g")
+              .agg(Sketch.kmv(col("h"), 128).as("kmv"))
+              .select(Sketch.kmvEstimate(col("kmv"), 128).as("e"))
+              .where(col("e") >= 0)
+              .count()
+          )
+        )
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+      val bits = 1 << 21 // 2M bits / 100k keys / 3 hashes → FP ≈ 0.3%
+      val build = spark.range(0, 100000).select(col("id").as("k"))
+      val words = Sketch.bloomBuild(build, "k", bits, 3)
+      val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // shuffle-WRITE bytes are the cluster-relevant metric here: local[32]
+      // shuffles at memory speed, so wall-clock alone understates what a
+      // network-bound cluster saves from the pre-filter.
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted
+        ): Unit =
+          shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def shuffled(f: => Long): Double = {
+        f; Thread.sleep(500); shufBytes.set(0); f; Thread.sleep(500)
+        shufBytes.get().toDouble / 1e6
+      }
+      for (n <- Seq(16000000L, 64000000L)) {
+        val probe = graft.CacheRegistry.track(
+          spark.range(n).select((col("id") % 1000000).as("k"), col("id").as("payload"))
+        )
+        probe.count()
+        def plain = probe.join(build, Seq("k")).count()
+        def prefiltered = probe
+          .where(Sketch.bloomContains(col("k"), words, bits, 3))
+          .join(build, Seq("k"))
+          .count()
+        emit("bloom_inner_plain", n, timed(plain))
+        emit(
+          "bloom_filter_scan",
+          n,
+          timed(probe.where(Sketch.bloomContains(col("k"), words, bits, 3)).count())
+        )
+        emit("bloom_inner_prefiltered", n, timed(prefiltered))
+        emit("bloom_shuffle_mb_plain", n, shuffled(plain))
+        emit("bloom_shuffle_mb_prefiltered", n, shuffled(prefiltered))
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    }
+
     // ---- ANN: brute (64 queries × n dots) vs IVF probing (~n·nprobe/nCells
     // per query) over the memo-persisted index; build cost reported apart.
     if (want("ann")) for (n <- Seq(20000, 80000, 320000)) {
