@@ -46,9 +46,14 @@ object SketchQueries {
     Q(
       "x_kmv_distinct",
       (s, dir) => {
-        val sh = docs(s, dir)
-          .select(col("source"), explode(TextOps.shingles(col("text"))).as("sng"))
-          .select(col("source"), TextOps.polyHash(col("sng")).as("h"))
+        // memo the tokenize→shingle→hash pipeline: the per-source and
+        // global branches (× the countDistinct expand) would otherwise
+        // re-run the HOF chain four times (measured 4.6s → 0.6s at sf0.1)
+        val sh = graft.CacheRegistry.memo(s, s"kmv:sh:$dir") {
+          docs(s, dir)
+            .select(col("source"), explode(TextOps.shingles(col("text"))).as("sng"))
+            .select(col("source"), TextOps.polyHash(col("sng")).as("h"))
+        }
         def agg1(g: DataFrame) =
           g.groupBy("source")
             .agg(Sketch.kmv(col("h"), k).as("kmv"), countDistinct(col("h")).as("n_exact"))
