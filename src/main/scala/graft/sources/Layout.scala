@@ -29,6 +29,20 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write any table bucketed (and sorted) by an arbitrary join key —
+    * the co-located-join layout: two tables bucketed on the same key with
+    * the same bucket count sort-merge-join with ZERO exchanges (scan
+    * output distribution already satisfies the join requirement), the
+    * standard way a 100 TB star join avoids re-shuffling its fact table
+    * per query. LayoutSpec asserts the exchange-free plan. */
+  def writeBucketedBy(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write time-partitioned parquet (partition pruning for ts ranges);
     * directory layout <path>/ts_month=YYYY-MM/... */
   def writeTimePartitioned(df: DataFrame, path: String): Unit =

@@ -49,6 +49,64 @@ class LayoutSpec extends AnyFunSuite {
     assert(bucketed == plain)
   }
 
+  test("co-bucketed tables join with zero exchanges (co-located star join)") {
+    val dropAnd = Seq("graft_orders_b", "graft_lineitem_b")
+    dropAnd.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        t
+      )
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val orders = Graft.table(spark, TestSpark.sfDir, "orders")
+    val lineitem = Graft.table(spark, TestSpark.sfDir, "lineitem")
+    Layout.writeBucketedBy(orders, "graft_orders_b", "o_orderkey", buckets = 8)
+    Layout.writeBucketedBy(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "graft_lineitem_b",
+      "o_orderkey",
+      buckets = 8
+    )
+    // broadcast pinned off so the plan must choose SMJ/shuffled-hash — the
+    // co-location claim is about avoiding the EXCHANGE, not the join algo
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark
+        .table("graft_lineitem_b")
+        .join(spark.table("graft_orders_b"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("qty"))
+      j.collect()
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // ONE exchange is allowed: the final small groupBy on priority.
+      // The join itself must not shuffle either 32-bucket scan.
+      assert(
+        exchanges.size <= 1,
+        s"co-bucketed join still shuffles its inputs:\n${j.queryExecution.executedPlan}"
+      )
+      // and the values equal the plain-layout join
+      val bucketed =
+        j.orderBy("o_orderpriority").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val plain = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("qty"))
+        .orderBy("o_orderpriority")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .toSeq
+      assert(bucketed == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+  }
+
   test("csv/json ingestion resolves case-insensitive OHLCV like the reference") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
