@@ -325,5 +325,51 @@ object SketchQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qKmvDistinct, qCmsHeavy, qBloomJoin, qHashQuantiles, qJsonExtract, qRetrieveRerank)
+  // ---------------------------------------------------------------- x_shard_manifest
+
+  /** Shard manifest over the packed-sequence layout: per shard, the doc
+    * and token counts, the packed chunk count, and an order-insensitive
+    * content digest (bit_xor of per-doc polyHashes). This is the export
+    * reproducibility contract a training pipeline ships next to its
+    * shards: a re-run must produce identical manifests, and any flipped
+    * byte in any document flips its shard's digest. All-integer output;
+    * xor is associative/commutative, so partial aggregation order cannot
+    * change it at any scale. */
+  val qShardManifest: Q = Q(
+    "x_shard_manifest",
+    (s, dir) => {
+      val d = docs(s, dir)
+      TextOps
+        .packSequences(d, contextLen = 256, shards = 8)
+        .join(d.select(col("doc_id"), TextOps.polyHash(col("text")).as("ph")), "doc_id")
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (max(col("chunk_end")) + 1).as("n_chunks"),
+          expr("bit_xor(ph)").as("digest")
+        )
+        .orderBy("shard")
+    },
+    Some(
+      s"WITH toks AS (${ExtensionQueries.toksCte}), " +
+        "base AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(tk) AS BIGINT) AS n_tok, " +
+        s"${ExtensionQueries.ph("text")} AS ph FROM toks), " +
+        "packed AS (SELECT doc_id, shard, n_tok, ph, " +
+        "sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end FROM base) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(max(CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - 1) / 256e0) AS BIGINT) END) + 1 AS BIGINT) AS n_chunks, " +
+        "bit_xor(ph) AS digest FROM packed GROUP BY shard ORDER BY shard"
+    )
+  )
+
+  val all: Seq[Q] = Seq(
+    qKmvDistinct,
+    qCmsHeavy,
+    qBloomJoin,
+    qHashQuantiles,
+    qJsonExtract,
+    qRetrieveRerank,
+    qShardManifest
+  )
 }
