@@ -33,6 +33,12 @@ object Graft {
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     )
     functions.Registry.register(spark)
+    // programmatic-path registration of the opt-in count(DISTINCT) rewrite
+    // (config-path sessions get it from GraftExtensions); no-op while
+    // spark.graft.approxDistinct stays false
+    if (!spark.experimental.extraOptimizations.contains(plans.ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.ApproxDistinctRewrite
   }
 
   /** Standalone session for mains (Verify/Bench build their own). */

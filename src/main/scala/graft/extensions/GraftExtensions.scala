@@ -67,5 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs)
       )
     )
+    // opt-in count(DISTINCT) → KMV estimate (spark.graft.approxDistinct)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
