@@ -129,6 +129,32 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("degenerate inputs: empty build sets and empty corpora do not crash") {
+    // empty bloom build → all-zero words → contains is false everywhere
+    val empty = spark.range(0).select(col("id").as("k"))
+    val words = Sketch.bloomBuild(empty, "k", bits = 4096, kHash = 3)
+    assert(words.forall(_ == 0L))
+    val pass = spark
+      .range(0, 100)
+      .where(Sketch.bloomContains(col("id"), words, bits = 4096, kHash = 3))
+      .count()
+    assert(pass == 0L)
+    // KMV over zero rows → empty sketch, estimate 0
+    val est = spark
+      .range(0)
+      .select(col("id").as("h"))
+      .agg(Sketch.kmv(col("h"), 64).as("kmv"))
+      .select(Sketch.kmvEstimate(col("kmv"), 64))
+      .head()
+      .getDouble(0)
+    assert(est == 0.0)
+    // CMS counters over zero terms → empty counter table, estimates empty
+    val noTerms = spark.range(0).select(col("id").cast("string").as("term"))
+    val counters = Sketch.cmsCounters(noTerms, "term", d = 2, w = 8)
+    assert(counters.count() == 0L)
+    assert(Sketch.cmsEstimate(noTerms, "term", counters, d = 2, w = 8).count() == 0L)
+  }
+
   test("bloomContains compiles to a scan-side expression — no join, no shuffle") {
     val keys = spark.range(0, 100).select(col("id").as("k"))
     val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
