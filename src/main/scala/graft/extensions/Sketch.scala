@@ -35,10 +35,15 @@ object Sketch {
   )
 
   /** h_i(x) = ((x mod P)·a_i + b_i) mod P — the i-th member of the
-    * multiply-shift family over an integral column. */
+    * multiply-shift family over an integral column. pmod, not % — Spark's
+    * % is sign-preserving, and a negative key would otherwise produce a
+    * negative bit index that silently reads the Bloom word array from the
+    * END (false negatives, the one error class Bloom must never make).
+    * For non-negative inputs pmod ≡ %, so the DuckDB oracles are
+    * unaffected. */
   def rehash(x: Column, i: Int): Column = {
     val (a, b) = seeds(i)
-    (x % P * a + b) % P
+    pmod(pmod(x, lit(P)) * a + b, lit(P))
   }
 
   /** 2^b lookup table (b = 0..63) as a literal column — bit masks without
@@ -96,9 +101,9 @@ object Sketch {
     val h = TextOps.polyHash(col(termCol))
     val rows = (0 until d).map(i => struct(lit(i).as("i"), (rehash(h, i) % w).as("bkt")))
     terms
-      .select(explode(array(rows: _*)).as("r"))
-      .groupBy(col("r.i").as("i"), col("r.bkt").as("bkt"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(explode(array(rows: _*)).as("__cms_r"))
+      .groupBy(col("__cms_r.i").as("__cms_i"), col("__cms_r.bkt").as("__cms_bkt"))
+      .agg(count(lit(1)).as("__cms_cnt"))
   }
 
   /** Point-estimate a term's frequency from the counter table: min over
@@ -107,11 +112,15 @@ object Sketch {
   def cmsEstimate(candidates: DataFrame, termCol: String, counters: DataFrame, d: Int, w: Int): DataFrame = {
     val h = TextOps.polyHash(col(termCol))
     val rows = (0 until d).map(i => struct(lit(i).as("i"), (rehash(h, i) % w).as("bkt")))
+    // internal names are __cms-prefixed so caller columns can't collide
     candidates
-      .withColumn("r", explode(array(rows: _*)))
-      .join(broadcast(counters), col("r.i") === col("i") && col("r.bkt") === col("bkt"))
+      .withColumn("__cms_r", explode(array(rows: _*)))
+      .join(
+        broadcast(counters),
+        col("__cms_r.i") === col("__cms_i") && col("__cms_r.bkt") === col("__cms_bkt")
+      )
       .groupBy(candidates.columns.map(col): _*)
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(col("__cms_cnt")).as("n_est"))
   }
 
   // ------------------------------------------------------------------ KMV

@@ -189,6 +189,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
   }
 
+  test("two-stage rerank plans TakeOrdered at both stages, never a global sort") {
+    val q = graft.queries.SketchQueries.qRetrieveRerank
+    val plan = q.spark(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // BM25 recall pool AND the cosine re-rank both end in limit+order —
+    // per-partition heaps + driver merge; a global Sort would mean the
+    // 100 TB corpus sorts for a 5-row answer
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("GlobalSort"), s"global sort leaked into rerank:\n$plan")
+  }
+
   test("incremental probes broadcast the small side (batch / eval set)") {
     // the 100 TB asymmetry: corpus-sized work must never shuffle for a
     // batch-sized probe — the probe side has to arrive as a broadcast

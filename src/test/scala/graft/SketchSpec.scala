@@ -129,6 +129,15 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Bloom keeps the no-false-negative contract for NEGATIVE keys (pmod hashing)") {
+    val keys = spark.range(0, 400).select((col("id") - 200).as("k")) // −200..199
+    val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
+    val missed = keys
+      .where(!Sketch.bloomContains(col("k"), words, bits = 4096, kHash = 3))
+      .count()
+    assert(missed == 0L)
+  }
+
   test("degenerate inputs: empty build sets and empty corpora do not crash") {
     // empty bloom build → all-zero words → contains is false everywhere
     val empty = spark.range(0).select(col("id").as("k"))
