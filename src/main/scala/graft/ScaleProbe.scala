@@ -195,11 +195,13 @@ object ScaleProbe {
           shufBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       }
       spark.sparkContext.addSparkListener(listener)
+      // the sleeps drain the async listener bus; a deterministic rerun
+      // (SCALING_raw.jsonl carries two) exposes any straggler inflation
       def shuffled(f: => Long): Double = {
         f; Thread.sleep(500); shufBytes.set(0); f; Thread.sleep(500)
         shufBytes.get().toDouble / 1e6
       }
-      for (n <- Seq(16000000L, 64000000L)) {
+      try for (n <- Seq(16000000L, 64000000L)) {
         val probe = graft.CacheRegistry.track(
           spark.range(n).select((col("id") % 1000000).as("k"), col("id").as("payload"))
         )
@@ -219,9 +221,12 @@ object ScaleProbe {
         emit("bloom_shuffle_mb_plain", n, shuffled(plain))
         emit("bloom_shuffle_mb_prefiltered", n, shuffled(prefiltered))
         graft.CacheRegistry.releaseTransients(spark)
+      } finally {
+        // a failed probe must not leave the broadcast threshold pinned or
+        // the byte-counting listener attached for the ANN section
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
       }
-      spark.sparkContext.removeSparkListener(listener)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
     }
 
     // ---- ANN: brute (64 queries × n dots) vs IVF probing (~n·nprobe/nCells

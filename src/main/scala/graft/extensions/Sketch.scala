@@ -79,15 +79,21 @@ object Sketch {
   }
 
   /** Membership test against a built filter — a pure codegen'd expression
-    * on the probe scan (no join, no shuffle): all k bits set. */
-  def bloomContains(key: Column, words: Array[Long], bits: Int, kHash: Int): Column =
+    * on the probe scan (no join, no shuffle): all k bits set. The word
+    * and pow2 literals are hoisted so the plan carries ONE copy of each
+    * array, not kHash copies (words is bits/8 bytes — 256 KB at 2^21
+    * bits). */
+  def bloomContains(key: Column, words: Array[Long], bits: Int, kHash: Int): Column = {
+    val w = lit(words)
+    val p2 = lit(pow2)
     (0 until kHash)
       .map { i =>
         val h = rehash(key, i) % bits
-        (element_at(lit(words), ((h / 64).cast("int") + 1).cast("int"))
-          .bitwiseAND(element_at(lit(pow2), ((h % 64).cast("int") + 1).cast("int"))) =!= 0L)
+        (element_at(w, ((h / 64).cast("int") + 1).cast("int"))
+          .bitwiseAND(element_at(p2, ((h % 64).cast("int") + 1).cast("int"))) =!= 0L)
       }
       .reduce(_ && _)
+  }
 
   // ------------------------------------------------------------ Count-min
 
@@ -108,7 +114,10 @@ object Sketch {
 
   /** Point-estimate a term's frequency from the counter table: min over
     * the d row counters the term hashes into. `counters` is broadcast —
-    * estimates never touch the corpus again (the CMS property). */
+    * estimates never touch the corpus again (the CMS property). LEFT join
+    * + coalesce(0): a candidate hashing into a bucket no corpus term
+    * touched must estimate 0, not vanish (and not take its min over only
+    * the surviving buckets' collision counts). */
   def cmsEstimate(candidates: DataFrame, termCol: String, counters: DataFrame, d: Int, w: Int): DataFrame = {
     val h = TextOps.polyHash(col(termCol))
     val rows = (0 until d).map(i => struct(lit(i).as("i"), (rehash(h, i) % w).as("bkt")))
@@ -117,10 +126,11 @@ object Sketch {
       .withColumn("__cms_r", explode(array(rows: _*)))
       .join(
         broadcast(counters),
-        col("__cms_r.i") === col("__cms_i") && col("__cms_r.bkt") === col("__cms_bkt")
+        col("__cms_r.i") === col("__cms_i") && col("__cms_r.bkt") === col("__cms_bkt"),
+        "left"
       )
       .groupBy(candidates.columns.map(col): _*)
-      .agg(min(col("__cms_cnt")).as("n_est"))
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("n_est"))
   }
 
   // ------------------------------------------------------------------ KMV

@@ -31,10 +31,18 @@ import graft.functions.KmvSketch
   * spark.experimental.extraOptimizations in Graft.init (programmatic
   * route). The rule is a no-op unless the conf flag is "true", so its
   * presence never changes default semantics.
+  *
+  * Route coverage caveat: extraOptimizations run in the TERMINAL
+  * optimizer batch, after Spark's RewriteDistinctAggregates has already
+  * expanded MULTI-distinct aggregates (count(DISTINCT a), count(DISTINCT
+  * b) in one Aggregate) into Expand + non-distinct Counts — those fall
+  * back to the exact path on the programmatic route (correct, just not
+  * estimated). Single-distinct aggregates — the overwhelmingly common
+  * shape — rewrite on both routes; the config route rewrites everything.
   */
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
-  private val P: Long = 1000000007L
+  private val P: Long = graft.extensions.TextOps.P // 1e9+7, the shared sketch modulus
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled =
@@ -60,18 +68,25 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             val sketch =
               AggregateExpression(KmvSketch(hash, k), mode, isDistinct = false, filter, NamedExpression.newExprId)
             val sz = Size(sketch)
-            If(
-              LessThan(sz, Literal(k)),
-              Cast(sz, LongType),
-              Cast(
-                Round(
-                  Divide(
-                    Literal((k - 1).toDouble * P.toDouble),
-                    Cast(ElementAt(sketch, Literal(k)), DoubleType)
+            // KnownNotNull: Count is non-nullable and no branch here can
+            // yield null (the sketch array is non-null; element_at(s, k)
+            // only evaluates when size ≥ k; h_(k) > 0 for k ≥ 2 distinct
+            // non-negative hashes) — without it the rewrite would widen
+            // the visible output schema to nullable.
+            KnownNotNull(
+              If(
+                LessThan(sz, Literal(k)),
+                Cast(sz, LongType),
+                Cast(
+                  Round(
+                    Divide(
+                      Literal((k - 1).toDouble * P.toDouble),
+                      Cast(ElementAt(sketch, Literal(k)), DoubleType)
+                    ),
+                    Literal(0)
                   ),
-                  Literal(0)
-                ),
-                LongType
+                  LongType
+                )
               )
             )
         }

@@ -294,12 +294,13 @@ object SketchQueries {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(1)
           .select(col("embedding").as("q_emb"))
+        // no trailing orderBy: the gate sorts rows itself, and a global
+        // Sort node — even over 5 rows — would fail the plan-shape test
         ce.crossJoin(broadcast(q1))
           .withColumn("cos", Similarity.dot(col("embedding"), col("q_emb")))
           .orderBy(col("cos").desc, col("doc_id"))
           .limit(5)
           .select(col("doc_id"), P.normd(col("score")).as("bm25"), P.normd(col("cos")).as("cos"))
-          .orderBy(col("cos").desc, col("doc_id"))
       },
       Some {
         import graft.queries.{sqlgen => G}

@@ -191,12 +191,15 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("two-stage rerank plans TakeOrdered at both stages, never a global sort") {
     val q = graft.queries.SketchQueries.qRetrieveRerank
-    val plan = q.spark(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    val exec = q.spark(spark, TestSpark.sfDir).queryExecution.executedPlan
     // BM25 recall pool AND the cosine re-rank both end in limit+order —
     // per-partition heaps + driver merge; a global Sort would mean the
     // 100 TB corpus sorts for a 5-row answer
-    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$plan")
-    assert(!plan.contains("GlobalSort"), s"global sort leaked into rerank:\n$plan")
+    assert(exec.toString.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$exec")
+    val globalSorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"global sort leaked into rerank:\n$exec")
   }
 
   test("incremental probes broadcast the small side (batch / eval set)") {

@@ -72,6 +72,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS estimates unseen candidates instead of dropping them") {
+    import spark.implicits._
+    // corpus touches few buckets (w large vs 3 distinct terms), so an
+    // unseen candidate almost surely hits an empty bucket in some row —
+    // the estimate must be a 0-coalesced min, never a vanished row
+    val terms = spark
+      .range(0, 300)
+      .select(concat(lit("seen"), (col("id") % 3)).as("term"))
+    val counters = Sketch.cmsCounters(terms, "term", d = 4, w = 512)
+    val candidates = Seq("seen0", "never_in_corpus_a", "never_in_corpus_b").toDF("term")
+    val est = Sketch
+      .cmsEstimate(candidates, "term", counters, d = 4, w = 512)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(est.keySet == Set("seen0", "never_in_corpus_a", "never_in_corpus_b"))
+    assert(est("seen0") == 100L)
+    assert(est("never_in_corpus_a") == 0L, s"got $est")
+    assert(est("never_in_corpus_b") == 0L, s"got $est")
+  }
+
   test("Bloom filter has zero false negatives on a dense sequential key set") {
     val keys = spark.range(100, 600).select(col("id").as("k"))
     val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
