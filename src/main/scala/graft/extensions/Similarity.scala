@@ -201,7 +201,9 @@ object Similarity {
         .select(vecD.as("e"))
         .collect()
         .map(_.getSeq[Double](0).toArray)
-      for (_ <- 1 to iters) {
+      // an empty corpus trains nothing — and the Lloyd pass below would
+      // build array() of ZERO assign entries, an analysis-time error
+      for (_ <- 1 to iters if cents.nonEmpty) {
         val entries = cents.zipWithIndex.map { case (ct, c0) =>
           struct((lit(-1.0) * dot(col("embedding"), typedLit(ct.toSeq))).as("nd"), lit(c0).as("c"))
         }
@@ -491,7 +493,9 @@ object Similarity {
           array((0 until m).map(s0 => slice(col("embedding"), s0 * dm + 1, dm)): _*)
         ).as(Seq("sub", "svec"))
       )
-      for (_ <- 1 to iters) {
+      // empty-corpus guard mirrors kmeansCentroids: zero init rows would
+      // make array() of zero assign entries — an analysis-time error
+      for (_ <- 1 to iters if initRows.nonEmpty) {
         val assign = coalesce((0 until m).map { s0 =>
           val entries = books(s0).zipWithIndex.map { case (ct, c0) =>
             struct(
@@ -517,7 +521,10 @@ object Similarity {
         books = next
       }
       import spark.implicits._
-      (for (s0 <- 0 until m; c0 <- 0 until kC) yield (c0, s0, books(s0)(c0).toSeq)).toDF("code_id", "sub", "cent")
+      // a corpus shorter than kC trains fewer codes — emit what exists
+      // (0 until kC would index past books(s0) and throw)
+      (for (s0 <- 0 until m; c0 <- books(s0).indices) yield (c0, s0, books(s0)(c0).toSeq))
+        .toDF("code_id", "sub", "cent")
     }
   }
 

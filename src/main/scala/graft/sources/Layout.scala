@@ -121,6 +121,12 @@ object Layout {
     val maxCode = (1L << bits) - 1
     val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input: min/max are NULL — nothing to cluster, write as-is
+    // instead of NPEing on getDouble
+    if (stats.isNullAt(0)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val codes = cols.zipWithIndex.map { case (c, i) =>
       val mn = stats.getDouble(2 * i); val mx = stats.getDouble(2 * i + 1)
       if (mx == mn) lit(0L)

@@ -311,6 +311,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.minhashLshPairsAgainst(weird, none, 0.5).count() == 0)
   }
 
+  test("trained quantizers survive empty and shorter-than-k corpora") {
+    import spark.implicits._
+    val spark0 = spark
+    import org.apache.spark.sql.functions.{col, transform => htransform, sequence, lit}
+    def vecs(n: Int) = spark0
+      .range(n)
+      .select(
+        col("id").as("vec_id"),
+        htransform(sequence(lit(0), lit(7)), j => (col("id") * 1 + j).cast("double").cast("float"))
+          .as("embedding")
+      )
+    // empty corpus: no centroids, no codebooks — and no analysis-time
+    // crash from a zero-entry assignment array in the Lloyd pass
+    assert(graft.extensions.Similarity.kmeansCentroids(vecs(0), nCells = 4, iters = 2).count() == 0)
+    assert(graft.extensions.Similarity.pqCodebooks(vecs(0), m = 2, dim = 8, kC = 4, iters = 2).count() == 0)
+    // corpus shorter than k: train what exists (3 centroids / 3 codes per
+    // subspace), never index past the init rows
+    assert(graft.extensions.Similarity.kmeansCentroids(vecs(3), nCells = 8, iters = 1).count() == 3)
+    assert(graft.extensions.Similarity.pqCodebooks(vecs(3), m = 2, dim = 8, kC = 8, iters = 1).count() == 6)
+    // empty z-ordered write: plain empty parquet, no NPE on null stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_zn_empty").toFile.getAbsolutePath
+    graft.sources.Layout.writeZOrderedN(vecs(0).select(col("vec_id"), col("vec_id").as("v2")), dir, Seq("vec_id", "v2"))
+    assert(spark0.read.parquet(dir).count() == 0)
+  }
+
   test("clustering an edgeless pair graph yields all singletons") {
     import spark.implicits._
     val d = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
