@@ -150,6 +150,34 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("bloomContains filters a STREAM statelessly (the streaming decontamination shape)") {
+    val keys = spark.range(0, 200).select(col("id").as("k"))
+    val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toFile
+    spark.range(0, 1000).select(col("id")).coalesce(1).write.parquet(s"$dir/c0")
+    val stream = spark.readStream
+      .schema("id BIGINT")
+      .parquet(s"$dir/c*")
+      .where(Sketch.bloomContains(col("id"), words, bits = 4096, kHash = 3))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("bloom_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_stream").collect().map(_.getLong(0)).toSet
+    val batch = spark
+      .range(0, 1000)
+      .toDF("id")
+      .where(Sketch.bloomContains(col("id"), words, bits = 4096, kHash = 3))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(streamed == batch)
+    assert((0L until 200L).toSet.subsetOf(streamed)) // no false negatives on the stream
+  }
+
   test("Bloom keeps the no-false-negative contract for NEGATIVE keys (pmod hashing)") {
     val keys = spark.range(0, 400).select((col("id") - 200).as("k")) // −200..199
     val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
