@@ -144,4 +144,27 @@ object Sketch {
   def kmvEstimate(sketch: Column, k: Int): Column =
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(P.toDouble) / element_at(sketch, k).cast("double"))
+
+  /** Merge two KMV sketches: the k smallest of the union. Valid because
+    * any union element ≤ the union's k-th smallest is, on whichever side
+    * it came from, ≤ that side's k-th smallest — so it survives in that
+    * side's sketch. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** |A∪B| estimate from two sketches (estimate of the merged sketch). */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int): Column =
+    kmvEstimate(kmvMerge(a, b, k), k)
+
+  /** |A∩B| estimate (Beyer et al., PODS'07): below merged capacity the
+    * sketches are the exact hash sets, so intersect exactly; at capacity,
+    * the fraction of the merged k-set present in BOTH sketches is an
+    * unbiased Jaccard-style estimator scaled by the union estimate —
+    * corpus-overlap measurement with no join between the corpora. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val merged = kmvMerge(a, b, k)
+    val common = size(array_intersect(array_intersect(merged, a), b))
+    when(size(merged) < k, size(array_intersect(a, b)).cast("double"))
+      .otherwise(common.cast("double") / k * kmvEstimate(merged, k))
+  }
 }

@@ -364,6 +364,74 @@ object SketchQueries {
     )
   )
 
+  // ---------------------------------------------------------------- x_kmv_overlap
+
+  /** Corpus-overlap estimation from MERGED KMV sketches: per source pair,
+    * the estimated distinct-shingle intersection (Beyer et al. k-set
+    * estimator) against the exact inverted-index answer riding along.
+    * The sketch path never joins the corpora — per-source sketches merge
+    * in O(k), which is how train/eval overlap gets measured at 100 TB
+    * (the exact column is a full co-occurrence join, the thing the
+    * sketch exists to avoid). Estimator granularity is unionEst/k (each
+    * merged-set element "weighs" ~22 shingles at k=128 on this corpus),
+    * so k=512 here: absolute error on the ~100-350-element intersections
+    * drops to a few elements' weight while the sketch stays 4 KB. */
+  val qKmvOverlap: Q = {
+    val k = 512
+    Q(
+      "x_kmv_overlap",
+      (s, dir) => {
+        val sh = graft.CacheRegistry.memo(s, s"kmv:sh:$dir") {
+          docs(s, dir)
+            .select(col("source"), explode(TextOps.shingles(col("text"))).as("sng"))
+            .select(col("source"), TextOps.polyHash(col("sng")).as("h"))
+        }
+        val sk = sh.groupBy("source").agg(Sketch.kmv(col("h"), k).as("kmv"))
+        val dh = sh.distinct()
+        val exact = dh
+          .as("x")
+          .join(dh.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("n_exact"))
+        sk.as("a")
+          .join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(
+            col("a.source").as("src_a"),
+            col("b.source").as("src_b"),
+            P.normd(Sketch.kmvIntersectEstimate(col("a.kmv"), col("b.kmv"), k)).as("n_est"),
+            P.normd(Sketch.kmvUnionEstimate(col("a.kmv"), col("b.kmv"), k)).as("n_union_est")
+          )
+          .join(exact, Seq("src_a", "src_b"), "left")
+          .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        s"WITH toks AS (${ExtensionQueries.toksCte}), " +
+          "psh AS (SELECT source, CASE WHEN len(tk) >= 3 THEN " +
+          "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) " +
+          "ELSE [] END AS sg FROM toks), " +
+          s"hh AS (SELECT DISTINCT source, unnest(list_transform(sg, x -> ${ExtensionQueries.ph("x")})) AS h FROM psh), " +
+          s"sk AS (SELECT source, list_sort(list_distinct(list(h)))[1:$k] AS kmv FROM hh GROUP BY 1), " +
+          "ex AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_exact " +
+          "FROM hh x JOIN hh y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2), " +
+          "pr AS (SELECT a.source AS src_a, b.source AS src_b, " +
+          s"list_sort(list_distinct(a.kmv || b.kmv))[1:$k] AS merged, a.kmv AS ak, b.kmv AS bk " +
+          "FROM sk a JOIN sk b ON a.source < b.source), " +
+          "es AS (SELECT src_a, src_b, " +
+          s"CASE WHEN len(merged) < $k THEN len(list_filter(ak, x -> list_contains(bk, x)))::DOUBLE " +
+          s"ELSE len(list_filter(merged, x -> list_contains(ak, x) AND list_contains(bk, x)))::DOUBLE / $k * " +
+          s"((${sqlgen.d((k - 1).toDouble)} * ${sqlgen.d(PP.toDouble)}) / CAST(merged[$k] AS DOUBLE)) END AS n_est, " +
+          s"CASE WHEN len(merged) < $k THEN len(merged)::DOUBLE " +
+          s"ELSE (${sqlgen.d((k - 1).toDouble)} * ${sqlgen.d(PP.toDouble)}) / CAST(merged[$k] AS DOUBLE) END AS n_union_est " +
+          "FROM pr) " +
+          "SELECT es.src_a, es.src_b, round(n_est, 6) AS n_est, round(n_union_est, 6) AS n_union_est, " +
+          "CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact " +
+          "FROM es LEFT JOIN ex ON es.src_a = ex.src_a AND es.src_b = ex.src_b " +
+          "ORDER BY es.src_a, es.src_b"
+      )
+    )
+  }
+
   val all: Seq[Q] = Seq(
     qKmvDistinct,
     qCmsHeavy,
@@ -371,6 +439,7 @@ object SketchQueries {
     qHashQuantiles,
     qJsonExtract,
     qRetrieveRerank,
-    qShardManifest
+    qShardManifest,
+    qKmvOverlap
   )
 }

@@ -56,6 +56,34 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == global)
   }
 
+  test("KMV set-operation estimates: exact below merged capacity, bounded above it") {
+    val k = 256
+    // A = hashes of 0..2999, B = hashes of 2000..4999 → |A∩B| = 1000
+    def sk(lo: Long, hi: Long) = spark
+      .range(lo, hi)
+      .select(Sketch.rehash(col("id"), 3).as("h"))
+      .agg(Sketch.kmv(col("h"), k).as("kmv"))
+      .head()
+      .getSeq[Long](0)
+    import spark.implicits._
+    def est(a: Seq[Long], b: Seq[Long]) = Seq((a, b))
+      .toDF("a", "b")
+      .select(
+        Sketch.kmvIntersectEstimate(col("a"), col("b"), k).as("i"),
+        Sketch.kmvUnionEstimate(col("a"), col("b"), k).as("u")
+      )
+      .head()
+    // below capacity: tiny sets → exact intersection and union
+    val small = est(sk(0, 100), sk(50, 150))
+    assert(small.getDouble(0) == 50.0, s"got $small")
+    assert(small.getDouble(1) == 150.0, s"got $small")
+    // at capacity: union 5000, intersection 1000 (Jaccard 0.2) — the
+    // estimator's absolute error is O(unionEst/√k·…); accept ±40%
+    val big = est(sk(0, 3000), sk(2000, 5000))
+    assert(math.abs(big.getDouble(1) - 5000.0) / 5000.0 < 0.2, s"union est ${big.getDouble(1)}")
+    assert(math.abs(big.getDouble(0) - 1000.0) / 1000.0 < 0.4, s"intersect est ${big.getDouble(0)}")
+  }
+
   test("CMS estimates are a one-sided overestimate for every term") {
     val terms = spark
       .range(0, 3000)
