@@ -93,6 +93,62 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Directed shingle-CONTAINMENT pairs: C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥
+    * threshold, a ≠ b. Containment is the asymmetric cousin of Jaccard —
+    * it detects quotes, excerpts, and supersets (a short doc fully
+    * embedded in a long one scores C(short→long) ≈ 1 while its Jaccard is
+    * tiny), which is what inclusion-dedup of a scraped corpus needs.
+    * Same inverted-index join as [[jaccardPairs]] (any pair with
+    * C ≥ threshold > 0 shares a shingle, so the index generates it); both
+    * directions emit because C is directional.
+    *
+    * @param maxDf hot-shingle cap, same semantics/bias note as
+    *              [[jaccardPairs]]; 0 = exact oracle mode. */
+  def containmentPairs(docs: DataFrame, threshold: Double, k: Int = 3, maxDf: Long = 0L): DataFrame = {
+    val inv0 = shingled(docs, k)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val inv =
+      if (maxDf <= 0L) inv0
+      else {
+        val hot = inv0.groupBy("s").count().where(col("count") > maxDf).select("s")
+        inv0.join(hot, Seq("s"), "left_anti")
+      }
+    inv
+      .as("x")
+      .join(inv.as("y"), "s")
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"), max(col("x.n_sh")).as("n_a"))
+      .withColumn("cont", col("n_inter").cast("double") / col("n_a"))
+      .where(col("cont") >= threshold)
+      .select("a_id", "b_id", "cont")
+  }
+
+  /** C4-style boilerplate scoring: a doc's fraction of distinct k-shingles
+    * that are "hot" (document frequency ≥ minDf — navboxes, footers,
+    * licence blurbs repeat verbatim across a crawl). Returns
+    * (doc_id, n_sh, n_hot, frac); a curation pipeline thresholds `frac`
+    * to drop template-dominated pages, the way C4 drops repeated lines.
+    *
+    * Scale: df is ONE key-sized aggregate over the shared shingle index
+    * (no pair join anywhere), and the df table joins back shingle-keyed —
+    * work is O(Σ shingles), same as the index build. When minDf keeps the
+    * hot set small (the common case), materialize it and broadcast-anti-
+    * join instead; here the general join covers any minDf. */
+  def boilerplateStats(docs: DataFrame, minDf: Long, k: Int = 3): DataFrame = {
+    val inv = shingled(docs, k)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val df0 = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    inv
+      .join(df0, "s")
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_sh")).cast("long").as("n_sh"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_hot")
+      )
+      .withColumn("frac", col("n_hot").cast("double") / col("n_sh"))
+  }
+
   /** Per-doc winnowing fingerprint sets (TextOps.winnowFromHashes over the
     * positional shingle-hash sequence). Persisted via CacheRegistry.memo —
     * same index-reuse + pushdown-barrier rationale as `shingled`, at ~2/(w+1)

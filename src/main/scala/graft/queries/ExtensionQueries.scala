@@ -218,6 +218,47 @@ object ExtensionQueries {
     Some(jacPairsSql(0.5))
   )
 
+  /** Q46 directed shingle-containment pairs (C(a→b) = |A∩B|/|A| ≥ 0.5):
+    * inclusion/quote detection — the asymmetric complement of
+    * x_neardup_jaccard, off the same inverted index (both directions of
+    * each qualifying pair emit). */
+  val qContainmentPairs = Q(
+    "x_containment_pairs",
+    (s, dir) =>
+      Dedup
+        .containmentPairs(docs(s, dir), threshold = 0.5)
+        .select(col("a_id"), col("b_id"), P.normd(col("cont")).as("cont"))
+        .orderBy("a_id", "b_id"),
+    Some(
+      s"WITH $basesCtes, post AS (SELECT doc_id, unnest(s) AS sng FROM sh), " +
+        "sz AS (SELECT doc_id, len(s) AS n FROM sh), " +
+        "co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS co " +
+        "FROM post a JOIN post b ON a.sng = b.sng WHERE a.doc_id <> b.doc_id GROUP BY 1, 2), " +
+        "cc AS (SELECT a_id, b_id, co::DOUBLE / sa.n AS cont FROM co JOIN sz sa ON sa.doc_id = co.a_id) " +
+        "SELECT a_id, b_id, round(cont, 6) AS cont FROM cc WHERE cont >= 0.5 ORDER BY a_id, b_id"
+    )
+  )
+
+  /** Q46 C4-style boilerplate fraction: share of each doc's distinct
+    * 3-shingles with corpus document-frequency ≥ 3 (the cross-document
+    * repeated-template signal a curation filter thresholds). */
+  val qBoilerplate = Q(
+    "x_boilerplate",
+    (s, dir) =>
+      Dedup
+        .boilerplateStats(docs(s, dir), minDf = 3L)
+        .select(col("doc_id"), col("n_sh"), col("n_hot"), P.normd(col("frac")).as("frac"))
+        .orderBy("doc_id"),
+    Some(
+      s"WITH $basesCtes, post AS (SELECT doc_id, unnest(s) AS sng FROM sh), " +
+        "dfq AS (SELECT sng, count(*) AS df FROM post GROUP BY 1) " +
+        "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_sh, " +
+        "CAST(count(*) FILTER (d.df >= 3) AS BIGINT) AS n_hot, " +
+        "round(count(*) FILTER (d.df >= 3)::DOUBLE / count(*), 6) AS frac " +
+        "FROM post p JOIN dfq d USING (sng) GROUP BY p.doc_id ORDER BY p.doc_id"
+    )
+  )
+
   /** Q46 INCREMENTAL near-dup: a ~10% "daily batch" (doc_id ≡ 7 mod 10)
     * probes the remaining 90% "corpus" through its LSH index — corpus
     * work is index reuse only, batch work is O(|batch|). Oracle is the
@@ -1243,6 +1284,8 @@ object ExtensionQueries {
     qLangQuality,
     qDedupExact,
     qNeardupJaccard,
+    qContainmentPairs,
+    qBoilerplate,
     qNeardupIncr,
     qContamination,
     qWinnowFp,

@@ -99,6 +99,47 @@ class DedupSpec extends AnyFunSuite {
     assert(nFp.toDouble / nSh < 0.7, s"no compression: $nFp fps vs $nSh shingles")
   }
 
+  test("containment is asymmetric: an excerpt scores ~1 toward its superset") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // superset
+      (2L, "c d e f g"), // strict excerpt of 1: all 3 of its shingles in 1
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val cont = Dedup
+      .containmentPairs(d, threshold = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(cont.keySet == Set((2L, 1L)), s"got ${cont.keySet}")
+    assert(cont((2L, 1L)) == 1.0)
+    // the same pair's Jaccard is well below threshold — containment sees
+    // what jaccard can't
+    assert(pairSet(Dedup.jaccardPairs(d, 0.9)).isEmpty)
+    graft.CacheRegistry.release(spark)
+  }
+
+  test("boilerplate frac flags the repeated template, not the unique doc") {
+    import spark.implicits._
+    val tpl = "all rights reserved contact us here"
+    val d = Seq(
+      (1L, s"alpha beta gamma $tpl"),
+      (2L, s"delta epsilon zeta $tpl"),
+      (3L, s"eta theta iota $tpl"),
+      (4L, "unique words only nothing shared at all")
+    ).toDF("doc_id", "text")
+    val st = Dedup
+      .boilerplateStats(d, minDf = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the 4 shingles fully inside the shared template have df=3
+    assert(st(1L)._2 == 4 && st(2L)._2 == 4 && st(3L)._2 == 4)
+    assert(st(4L)._2 == 0 && st(4L)._3 == 0.0)
+    assert(st(1L)._3 > 0.4 && st(1L)._3 < 0.6) // 4 of 7 shingles hot
+    graft.CacheRegistry.release(spark)
+  }
+
   test("hot-shingle df-cap keeps high-similarity pairs") {
     val uncapped = pairSet(Dedup.jaccardPairs(docs, 0.5))
     val capped = pairSet(Dedup.jaccardPairs(docs, 0.5, maxDf = 50))
