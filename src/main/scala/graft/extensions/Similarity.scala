@@ -134,6 +134,76 @@ object Similarity {
     heapRank(scored, k)
   }
 
+  /** FILTERED exact top-k: for every query vector, the k most-similar
+    * corpus vectors whose `filterKey` column EQUALS the query's (the
+    * "filtered ANN" shape every vector store exposes — search within a
+    * tenant / language / shard). Exact brute path: the predicate applies
+    * BEFORE scoring, so each query scores only its slice of the corpus —
+    * with a selectivity of 1/L (L label values) the scan does n/L dots
+    * per query, not n. Queries broadcast as usual. */
+  def topkBruteFiltered(corpus: DataFrame, queries: DataFrame, k: Int, filterKey: String = "label"): DataFrame = {
+    val scored = corpus
+      .repartition(col("vec_id"))
+      .as("c")
+      .crossJoin(
+        broadcast(
+          queries.select(
+            col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"),
+            col(filterKey).as("q_key")
+          )
+        )
+      )
+      .where(col("q_id") =!= col("c.vec_id") && col(s"c.$filterKey") === col("q_key"))
+      .select(
+        col("q_id"),
+        col("c.vec_id").as("nbr_id"),
+        dot(col("q_emb"), col("c.embedding")).as("sim")
+      )
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
+
+  /** FILTERED IVF probe: [[topkIvfWithCents]] with the equality predicate
+    * pushed into the cell join — candidates are (query's nprobe cells) ∩
+    * (matching filterKey), so the filter prunes BEFORE any dot product,
+    * and on a cell-partitioned layout the scan reads only matching row
+    * groups (parquet predicate pushdown on filterKey). Approximate like
+    * the unfiltered probe; recall vs [[topkBruteFiltered]] is spec-
+    * gated. The index must carry `filterKey` as a column. */
+  def topkIvfFilteredWithCents(
+      index: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      filterKey: String = "label"
+  ): DataFrame = {
+    val qcells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col(filterKey).as("q_key"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("q_key"), col("cent_id"), dot(col("q_emb"), col("cent_emb")).as("csim"))
+    import org.apache.spark.sql.expressions.Window
+    val crk = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qcells
+      .withColumn("crk", row_number().over(crk))
+      .where(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_key"), col("cent_id").as("cell"))
+    val scored = index
+      .join(broadcast(probes), index("cell") === probes("cell") && index(filterKey) === probes("q_key"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"), dot(col("q_emb"), col("embedding")).as("sim"))
+    val rk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "nbr_id", "sim")
+  }
+
   /** IVF (inverted-file) index: deterministic coarse quantizer — since
     * round 5 TRAINED via [[kmeansCentroids]] (bounded spherical Lloyd,
     * fixed seed, no RNG); every vector is assigned to its max-dot

@@ -522,6 +522,28 @@ object ExtensionQueries {
     )
   )
 
+  /** Q47 FILTERED top-k: exact same-label top-5 neighbors for query
+    * vectors vec_id < 10 — the tenant/language-scoped search every
+    * vector store exposes. The equality predicate applies BEFORE any
+    * dot product (each query scores only its label's slice). */
+  val qAnnFiltered = Q(
+    "x_ann_filtered",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity
+        .topkBruteFiltered(e, e.where(col("vec_id") < 10), k = 5, filterKey = "label")
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    Some(
+      "SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS nbr_id, ${dotSql("q.embedding", "c.embedding")} AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = q.label) " +
+        "WHERE rk <= 5 ORDER BY q_id, rk"
+    )
+  )
+
   /** Q47 embedding-cosine near-dup pairs (sim ≥ 0.45). */
   val qCosinePairs = Q(
     "x_cosine_pairs",
@@ -1296,6 +1318,7 @@ object ExtensionQueries {
     qSimhash,
     qSimhashPairs,
     qCosineTopk,
+    qAnnFiltered,
     qCosinePairs,
     qMediaFeatures,
     qMediaFrames,

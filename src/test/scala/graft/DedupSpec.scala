@@ -163,6 +163,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("filtered search returns only same-label neighbors; IVF-filtered recall >= 0.8") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val queries = e.where(col("vec_id") < 10)
+    val brute = Similarity.topkBruteFiltered(e, queries, 5, "label")
+    // every neighbor shares its query's label (exactness of the filter)
+    val labels = e.select(col("vec_id"), col("label")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = brute.select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (q, n) => labels(q) == labels(n) })
+    // the approximate path: IVF cells + label predicate pushed into the
+    // probe join; filtered recall is HARDER than unfiltered (a label's
+    // matches spread over more cells than nprobe covers for tight k), so
+    // the floor is 0.8 at nprobe=8/16
+    val idx = Similarity
+      .ivfIndex(e.select(col("vec_id"), col("embedding")), 16)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val cents = Similarity.kmeansCentroids(e.select(col("vec_id"), col("embedding")), 16)
+    val ann = Similarity
+      .topkIvfFilteredWithCents(idx, cents, queries, 5, 8, "label")
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = pairs.toSet
+    val recall = (bruteSet & ann).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"filtered IVF recall $recall")
+  }
+
   test("IVF-PQ top-k recall vs exact brute force is >= 0.9 (trained books)") {
     // two stacked approximations (cell routing + code scoring): the
     // composite trades a little recall for corpus-independent probe cost;
