@@ -59,6 +59,32 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    * candidate lists — THE standard way hybrid search merges a lexical
+    * (BM25) list with a vector (cosine) list without score calibration:
+    * rrf(d) = Σ_lists 1/(kk + rank_list(d)), absent-from-list ⇒ 0.
+    *
+    * Inputs are (doc_id, rank) frames (rank 1-based). Both lists are
+    * top-N pools (tiny), so the fuse is a broadcast-sized full outer
+    * join; the final cut is orderBy+limit → TakeOrderedAndProject.
+    * Determinism: 1/(kk+r) is a single double division; the sum has two
+    * fixed-order terms — the DuckDB oracle reproduces it exactly. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kk: Int = 60, topK: Int = 10): DataFrame = {
+    val l = lex.select(col("doc_id"), col("rank").cast("long").as("r_lex"))
+    val v = vec.select(col("doc_id"), col("rank").cast("long").as("r_vec"))
+    val fused = l
+      .join(v, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(kk.toDouble) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kk.toDouble) + col("r_vec")), lit(0.0))
+      )
+    fused
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+  }
+
   /** CCNet-style LM-proxy quality score: per-doc mean token surprisal
     * −ln p(t) under the corpus's own unigram distribution. Wikipedia-like
     * text scores low (common tokens), gibberish and boilerplate-with-rare-

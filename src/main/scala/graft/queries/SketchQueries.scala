@@ -326,6 +326,60 @@ object SketchQueries {
     )
   }
 
+  // ---------------------------------------------------------------- x_rrf_fusion
+
+  /** Reciprocal-rank fusion of the BM25 lexical top-20 and the vector
+    * cosine top-20 (query = embedding 0) — the calibration-free hybrid-
+    * search merge (1/(60+rank) per list, absent ⇒ 0). Both pools are
+    * TakeOrdered-sized; the fuse is a 20×20 full outer join. */
+  val qRrfFusion: Q = {
+    val terms = Seq("table", "scan", "fast", "window")
+    val pool = 20
+    Q(
+      "x_rrf_fusion",
+      (s, dir) => {
+        val lex = Retrieval
+          .bm25(docs(s, dir), terms, topK = pool)
+          .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("doc_id", "rank")
+        val e = Graft.table(s, dir, "embeddings")
+        val vec = Similarity
+          .topkBrute(e, e.where(col("vec_id") === 0), pool)
+          .select(col("nbr_id").as("doc_id"), col("rk").as("rank"))
+        Retrieval
+          .rrfFuse(lex, vec, kk = 60, topK = 10)
+          .select(col("doc_id"), col("r_lex"), col("r_vec"), P.normd(col("rrf")).as("rrf"))
+      },
+      Some {
+        import graft.queries.{sqlgen => G}
+        val (k1, b) = (1.2, 0.75)
+        val termList = terms.map(t => s"'$t'").mkString(", ")
+        val dot = ExtensionQueries.dotSql("c.embedding", "q1.q_emb")
+        val rrf = "coalesce(1e0/(60 + l.r_lex), 0e0) + coalesce(1e0/(60 + v.r_vec), 0e0)"
+        s"WITH toks AS (${ExtensionQueries.toksCte}), " +
+          "dd AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM toks), " +
+          "t AS (SELECT doc_id, dl, unnest(tk) AS term FROM dd), " +
+          s"tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM t WHERE term IN ($termList) GROUP BY 1, 2, 3), " +
+          "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), " +
+          "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd), " +
+          s"sc AS (SELECT tf.doc_id, tf.term, ln((st.n - df.df + ${G.d(0.5)}) / (df.df + ${G.d(0.5)}) + ${G.d(1.0)}) " +
+          s"* (tf.tf * (${G.d(k1 + 1.0)})) / (tf.tf + ${G.d(k1)} * (${G.d(1.0)} - ${G.d(b)} + ${G.d(b)} * tf.dl / st.avgdl)) AS s " +
+          "FROM tf JOIN df USING (term) CROSS JOIN st), " +
+          "bm AS (SELECT doc_id, list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score FROM sc GROUP BY doc_id " +
+          s"ORDER BY score DESC, doc_id LIMIT $pool), " +
+          "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm), " +
+          "q1 AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), " +
+          "vr AS (SELECT doc_id, r_vec FROM (SELECT c.vec_id AS doc_id, " +
+          s"row_number() OVER (ORDER BY $dot DESC, c.vec_id) AS r_vec " +
+          s"FROM embeddings c, q1 WHERE c.vec_id <> 0) WHERE r_vec <= $pool) " +
+          "SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec, " +
+          s"round($rrf, 6) AS rrf " +
+          "FROM lexr l FULL JOIN vr v ON l.doc_id = v.doc_id " +
+          s"ORDER BY $rrf DESC, doc_id LIMIT 10"
+      }
+    )
+  }
+
   // ---------------------------------------------------------------- x_shard_manifest
 
   /** Shard manifest over the packed-sequence layout: per shard, the doc
@@ -361,6 +415,41 @@ object SketchQueries {
         "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
         "CAST(max(CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - 1) / 256e0) AS BIGINT) END) + 1 AS BIGINT) AS n_chunks, " +
         "bit_xor(ph) AS digest FROM packed GROUP BY shard ORDER BY shard"
+    )
+  )
+
+  // ---------------------------------------------------------------- x_shard_stats
+
+  /** Per-shard ZONE-MAP stats beside the export manifest: min/max of the
+    * sort/range columns (what file skipping prunes on) plus per-column
+    * NDV (what dictionary encoding and join planning read). A pipeline
+    * ships this next to its shards so a reader can prove a predicate
+    * prunes N of M shards WITHOUT opening them — the same contract
+    * parquet row-group statistics provide, lifted to shard granularity.
+    * All-integer output; exact at any scale (one hash-aggregate). */
+  val qShardStats: Q = Q(
+    "x_shard_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("shard", col("doc_id") % 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          countDistinct("lang").as("ndv_lang"),
+          countDistinct("source").as("ndv_source")
+        )
+        .orderBy("shard"),
+    Some(
+      "SELECT doc_id % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS ndv_source " +
+        "FROM documents GROUP BY 1 ORDER BY 1"
     )
   )
 
@@ -439,7 +528,9 @@ object SketchQueries {
     qHashQuantiles,
     qJsonExtract,
     qRetrieveRerank,
+    qRrfFusion,
     qShardManifest,
+    qShardStats,
     qKmvOverlap
   )
 }

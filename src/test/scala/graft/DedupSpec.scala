@@ -315,6 +315,23 @@ class DedupSpec extends AnyFunSuite {
     assert(candVolume < n * (n - 1) / 4, s"candidate volume $candVolume not sub-quadratic for n=$n")
   }
 
+  test("rrf fusion: doc on both lists outranks single-list docs; absent side is 0") {
+    import spark.implicits._
+    import graft.extensions.Retrieval
+    // doc 1 is rank 3 lexically AND rank 3 vectorially; docs 2/3 top one
+    // list each but miss the other — consensus wins under rrf
+    val lex = Seq((2L, 1), (4L, 2), (1L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (5L, 2), (1L, 3)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, vec, kk = 60, topK = 5).collect()
+    assert(out.head.getLong(0) == 1L, s"consensus doc should rank first: ${out.toSeq}")
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(byDoc(1L) - 2.0 / 63.0) < 1e-12)
+    assert(math.abs(byDoc(2L) - 1.0 / 61.0) < 1e-12) // r_vec null → 0
+    // single-list docs tie across lists at equal rank; doc_id breaks it
+    val order = out.map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 2L, 3L, 4L, 5L), s"got $order")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
