@@ -178,6 +178,46 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("count-min counters from a STREAM == batch counters (streaming heavy hitters)") {
+    // the streaming frequency-sketch shape: counters are a running groupBy
+    // aggregate (outputMode complete), so each micro-batch's counts merge
+    // into the d×w table exactly as partial aggregation does in batch
+    val (d, w) = (4, 16)
+    val terms = (0L until 2400L).map(i => s"t${i % 37}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toFile
+    terms.grouped(800).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk).toDF("term").coalesce(1).write.parquet(f"$dir/c$i%03d")
+    }
+    val stream = spark.readStream
+      .schema("term STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val q = Sketch
+      .cmsCounters(stream, "term", d, w)
+      .writeStream
+      .format("memory")
+      .queryName("cms_stream")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = toMap(spark.table("cms_stream"))
+    val batch = toMap(Sketch.cmsCounters(spark.createDataset(terms).toDF("term"), "term", d, w))
+    assert(streamed == batch)
+    // and the merged counters estimate through the same point-read path
+    val cand = spark.createDataset(Seq("t0", "t36", "absent")).toDF("term")
+    val est = Sketch
+      .cmsEstimate(cand, "term", spark.table("cms_stream")
+        .toDF("__cms_i", "__cms_bkt", "__cms_cnt"), d, w)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // CMS never underestimates: true counts are 65 for t0, 64 for t36
+    assert(est("t0") >= 65L && est("t36") >= 64L)
+  }
+
   test("bloomContains filters a STREAM statelessly (the streaming decontamination shape)") {
     val keys = spark.range(0, 200).select(col("id").as("k"))
     val words = Sketch.bloomBuild(keys, "k", bits = 4096, kHash = 3)
