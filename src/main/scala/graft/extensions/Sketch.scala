@@ -133,6 +133,28 @@ object Sketch {
       .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("n_est"))
   }
 
+  /** Equi-width histogram counters per key: the quantile summary that is
+    * MERGEABLE by pure counter addition (shards/micro-batches histogram
+    * independently against the same global (mn, mx) and the tables sum) —
+    * unlike rank-based summaries, no merge logic at all. `stats` must
+    * carry (keyCol, mn, mx) — global, so every shard buckets identically.
+    * Values land in `least(floor((v-mn)/(mx-mn)·b), b-1)`; a degenerate
+    * key (mx = mn) collapses to bucket 0. Output (keyCol, __bkt, __cnt),
+    * b rows per key max — broadcastable at any corpus size. */
+  def histCounters(d: DataFrame, keyCol: String, valCol: String, stats: DataFrame, b: Int): DataFrame = {
+    val bkt = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(
+        least(
+          floor((col(valCol) - col("mn")) / (col("mx") - col("mn")) * lit(b.toDouble)).cast("long"),
+          lit((b - 1).toLong)
+        )
+      )
+    d.join(broadcast(stats), keyCol)
+      .withColumn("__bkt", bkt)
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
   // ------------------------------------------------------------------ KMV
 
   /** The `graft_kmv(hash, k)` aggregate as a Column (requires Graft.init

@@ -326,6 +326,104 @@ object SketchQueries {
     )
   }
 
+  // ---------------------------------------------------------------- x_hist_quantiles
+
+  /** MERGEABLE histogram quantiles (per event_type over events.value):
+    * a 128-bucket equi-width histogram is the quantile summary that
+    * merges by pure counter addition — the distributed/streaming shape
+    * ([[x_hash_quantiles]] samples instead; this bounds error by bucket
+    * width, not sampling variance). Estimate = left edge of the first
+    * bucket whose cumulative count reaches the nearest-rank target;
+    * exact nearest-rank quantiles ride along as the error witness.
+    * Mergeability (half-histograms sum to the whole) is spec-asserted;
+    * every FP step (bucket assignment, edge reconstruction) is fixed-
+    * order so the oracle replays it bit-for-bit. */
+  val qHistQuantiles: Q = {
+    val B = 128
+    Q(
+      "x_hist_quantiles",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+        val stats = d
+          .groupBy("event_type")
+          .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+        val hist = Sketch
+          .histCounters(d, "event_type", "value", stats, B)
+          .withColumnRenamed("__bkt", "bkt")
+          .withColumnRenamed("__cnt", "cnt")
+        val wCum = Window
+          .partitionBy("event_type")
+          .orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum("cnt").over(wCum))
+          .join(broadcast(stats), "event_type")
+        val edge = col("mn") + col("bkt").cast("double") * ((col("mx") - col("mn")) / lit(B.toDouble))
+        def est(rank: String, out: String) =
+          min(when(col("cum") >= expr(rank), edge)).as(out)
+        val ests = cum
+          .groupBy("event_type")
+          .agg(
+            max(col("n")).as("n"),
+            est("(n + 1) div 2", "p50_est"),
+            est("(9 * n + 9) div 10", "p90_est"),
+            est("(99 * n + 99) div 100", "p99_est")
+          )
+        val wS = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val exact = d
+          .withColumn("rn", row_number().over(wS).cast("long"))
+          .join(broadcast(stats.select(col("event_type"), col("n"))), "event_type")
+          .groupBy("event_type")
+          .agg(
+            min(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50_exact"),
+            min(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90_exact"),
+            min(when(col("rn") === expr("(99 * n + 99) div 100"), col("value"))).as("p99_exact")
+          )
+        ests
+          .join(exact, "event_type")
+          .select(
+            col("event_type"),
+            col("n"),
+            P.normd(col("p50_exact")).as("p50_exact"),
+            P.normd(col("p50_est")).as("p50_est"),
+            P.normd(col("p90_exact")).as("p90_exact"),
+            P.normd(col("p90_est")).as("p90_est"),
+            P.normd(col("p99_exact")).as("p99_exact"),
+            P.normd(col("p99_est")).as("p99_est")
+          )
+          .orderBy("event_type")
+      },
+      Some {
+        def edgeSql = s"st.mn + bkt * ((st.mx - st.mn) / ${B}e0)"
+        def estSql(rank: String, out: String) =
+          s"min(CASE WHEN cum >= $rank THEN $edgeSql END) AS $out"
+        "WITH d AS (SELECT event_id, event_type, value FROM events), " +
+          "st AS (SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n FROM d GROUP BY 1), " +
+          "h AS (SELECT d.event_type, CASE WHEN st.mx = st.mn THEN 0 " +
+          s"ELSE least(CAST(floor((value - st.mn) / (st.mx - st.mn) * ${B}e0) AS BIGINT), ${B - 1}) END AS bkt, " +
+          "count(*) AS cnt FROM d JOIN st USING (event_type) GROUP BY 1, 2), " +
+          "c AS (SELECT event_type, bkt, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt " +
+          "ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+          "est AS (SELECT c.event_type, max(st.n) AS n, " +
+          estSql("(st.n + 1) // 2", "p50_est") + ", " +
+          estSql("(9 * st.n + 9) // 10", "p90_est") + ", " +
+          estSql("(99 * st.n + 99) // 100", "p99_est") +
+          " FROM c JOIN st USING (event_type) GROUP BY 1), " +
+          "r AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn FROM d), " +
+          "ex AS (SELECT r.event_type, " +
+          "min(CASE WHEN rn = (st.n + 1) // 2 THEN value END) AS p50_exact, " +
+          "min(CASE WHEN rn = (9 * st.n + 9) // 10 THEN value END) AS p90_exact, " +
+          "min(CASE WHEN rn = (99 * st.n + 99) // 100 THEN value END) AS p99_exact " +
+          "FROM r JOIN st USING (event_type) GROUP BY 1) " +
+          "SELECT est.event_type, CAST(est.n AS BIGINT) AS n, " +
+          "round(p50_exact, 6) AS p50_exact, round(p50_est, 6) AS p50_est, " +
+          "round(p90_exact, 6) AS p90_exact, round(p90_est, 6) AS p90_est, " +
+          "round(p99_exact, 6) AS p99_exact, round(p99_est, 6) AS p99_est " +
+          "FROM est JOIN ex USING (event_type) ORDER BY event_type"
+      }
+    )
+  }
+
   // ---------------------------------------------------------------- x_rrf_fusion
 
   /** Reciprocal-rank fusion of the BM25 lexical top-20 and the vector
@@ -526,6 +624,7 @@ object SketchQueries {
     qCmsHeavy,
     qBloomJoin,
     qHashQuantiles,
+    qHistQuantiles,
     qJsonExtract,
     qRetrieveRerank,
     qRrfFusion,

@@ -178,6 +178,40 @@ class SketchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("histogram counters merge by addition: shard halves sum to the whole") {
+    val d = Graft
+      .table(spark, TestSpark.sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = d.groupBy("event_type").agg(min("value").as("mn"), max("value").as("mx"))
+    def toMap(h: org.apache.spark.sql.DataFrame) =
+      h.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = toMap(Sketch.histCounters(d, "event_type", "value", stats, 128))
+    // shards bucket against the SAME global stats — the merge contract
+    val h1 = toMap(Sketch.histCounters(d.where(col("event_id") % 2 === 0), "event_type", "value", stats, 128))
+    val h2 = toMap(Sketch.histCounters(d.where(col("event_id") % 2 === 1), "event_type", "value", stats, 128))
+    val merged = (h1.keySet ++ h2.keySet).map(k => k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
+  test("histogram quantile estimate is within one bucket width of exact") {
+    val out = graft.SparkEntry.queries("x_hist_quantiles")(spark, TestSpark.sfDir).collect()
+    val d = Graft.table(spark, TestSpark.sfDir, "events")
+    val widths = d
+      .groupBy("event_type")
+      .agg(((max("value") - min("value")) / 128.0).as("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    out.foreach { r =>
+      val w = widths(r.getString(0))
+      for ((ex, es) <- Seq((2, 3), (4, 5), (6, 7))) {
+        val err = math.abs(r.getDouble(ex) - r.getDouble(es))
+        // left-edge estimate: at most one bucket below the true value
+        assert(err <= w + 1e-9, s"${r.getString(0)}: err $err > bucket width $w")
+      }
+    }
+  }
+
   test("count-min counters from a STREAM == batch counters (streaming heavy hitters)") {
     // the streaming frequency-sketch shape: counters are a running groupBy
     // aggregate (outputMode complete), so each micro-batch's counts merge
