@@ -85,6 +85,55 @@ object Retrieval {
       .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    * of a retrieval pool: greedily pick k docs maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — relevance traded
+    * against redundancy, the standard diversification pass after any
+    * top-k retrieval. Ties break to the lowest doc_id; the empty-set
+    * redundancy term is 0 (first pick = pure relevance).
+    *
+    * `pool` must carry (doc_id, simq, embedding) — the query similarity
+    * comes from the retrieval stage that built the pool. MMR is
+    * inherently sequential-greedy, so it runs DRIVER-SIDE on the
+    * COLLECTED pool: bounded by the pool size (k' ≪ corpus, ≤ maxPool
+    * guard), exactly like every production reranker — the distributed
+    * work is building the pool, not re-ranking it. All dot products are
+    * strict left-to-right double folds (same order as graft_dot and the
+    * DuckDB oracle), so scores replay bit-for-bit. */
+  def mmrRerank(pool: DataFrame, k: Int, lambda: Double, maxPool: Int = 1000): DataFrame = {
+    val spark = pool.sparkSession
+    val rows = pool.select(col("doc_id"), col("simq"), col("embedding")).collect()
+    require(rows.length <= maxPool, s"MMR pool ${rows.length} exceeds maxPool $maxPool — shrink the retrieval pool")
+    val ids = rows.map(_.getLong(0))
+    val simq = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).map(_.toDouble).toArray)
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val mu = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)] // (doc_id, rk, mmr)
+    val picked = scala.collection.mutable.Set.empty[Int]
+    for (rk <- 1 to math.min(k, rows.length)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      for (i <- rows.indices if !picked(i)) {
+        val red = if (picked.isEmpty) 0.0 else picked.iterator.map(j => dotL(vecs(i), vecs(j))).max
+        val score = lambda * simq(i) - mu * red
+        // ties → lowest doc_id: strict > keeps the earliest, so scan in
+        // doc_id order
+        if (score > bestScore || (score == bestScore && bestIdx >= 0 && ids(i) < ids(bestIdx))) {
+          bestIdx = i; bestScore = score
+        }
+      }
+      picked += bestIdx
+      selected += ((ids(bestIdx), rk.toLong, bestScore))
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("doc_id", "rk", "mmr")
+  }
+
   /** CCNet-style LM-proxy quality score: per-doc mean token surprisal
     * −ln p(t) under the corpus's own unigram distribution. Wikipedia-like
     * text scores low (common tokens), gibberish and boilerplate-with-rare-

@@ -478,6 +478,57 @@ object SketchQueries {
     )
   }
 
+  // ---------------------------------------------------------------- x_mmr_rerank
+
+  /** MMR-diversified re-rank of the cosine top-20 pool for query vector
+    * 0: greedy λ·relevance − (1−λ)·redundancy selection of 5 (SIGIR'98).
+    * The oracle UNROLLS the greedy iterations as chained CTEs (pool and
+    * pairwise-sim tables once, one argmax CTE per pick), replaying the
+    * driver-side fold bit-for-bit. */
+  val qMmrRerank: Q = {
+    val (pool, k, lambda) = (20, 5, 0.7)
+    val mu = 1.0 - lambda
+    Q(
+      "x_mmr_rerank",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        val p = Similarity
+          .topkBrute(e, e.where(col("vec_id") === 0), pool)
+          .select(col("nbr_id").as("doc_id"), col("sim").as("simq"))
+          .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        Retrieval
+          .mmrRerank(p, k, lambda)
+          .select(col("doc_id"), col("rk"), P.normd(col("mmr")).as("mmr"))
+          .orderBy("rk")
+      },
+      Some {
+        import graft.queries.{sqlgen => G}
+        val dq = ExtensionQueries.dotSql("c.embedding", "q1.q_emb")
+        val (l, m) = (G.d(lambda), G.d(mu))
+        val base =
+          "WITH q1 AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), " +
+            s"pool AS (SELECT c.vec_id AS doc_id, c.embedding, $dq AS simq " +
+            s"FROM embeddings c, q1 WHERE c.vec_id <> 0 ORDER BY $dq DESC, c.vec_id LIMIT $pool), " +
+            s"ps AS (SELECT a.doc_id AS ai, b.doc_id AS bi, ${ExtensionQueries.dotSql("a.embedding", "b.embedding")} AS s " +
+            "FROM pool a, pool b), " +
+            s"s1 AS (SELECT doc_id, $l * simq AS mmr FROM pool ORDER BY $l * simq DESC, doc_id LIMIT 1)"
+        val iters = (2 to k)
+          .map { i =>
+            val selU = (1 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ")
+            s"c$i AS (SELECT p.doc_id, $l * p.simq - $m * max(ps.s) AS mmr FROM pool p " +
+              s"JOIN ps ON ps.ai = p.doc_id JOIN ($selU) sel ON ps.bi = sel.doc_id " +
+              s"WHERE p.doc_id NOT IN ($selU) GROUP BY p.doc_id, p.simq), " +
+              s"s$i AS (SELECT doc_id, mmr FROM c$i ORDER BY mmr DESC, doc_id LIMIT 1)"
+          }
+          .mkString(", ")
+        val sel = (1 to k)
+          .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS rk, round(mmr, 6) AS mmr FROM s$i")
+          .mkString(" UNION ALL ")
+        s"$base, $iters SELECT * FROM ($sel) ORDER BY rk"
+      }
+    )
+  }
+
   // ---------------------------------------------------------------- x_shard_manifest
 
   /** Shard manifest over the packed-sequence layout: per shard, the doc
@@ -628,6 +679,7 @@ object SketchQueries {
     qJsonExtract,
     qRetrieveRerank,
     qRrfFusion,
+    qMmrRerank,
     qShardManifest,
     qShardStats,
     qKmvOverlap

@@ -332,6 +332,26 @@ class DedupSpec extends AnyFunSuite {
     assert(order == Seq(1L, 2L, 3L, 4L, 5L), s"got $order")
   }
 
+  test("mmr re-rank skips the near-duplicate of an already-picked doc") {
+    import spark.implicits._
+    import graft.extensions.Retrieval
+    // docs 1/2 are the same direction (redundant twins), doc 3 orthogonal
+    // with lower relevance; plain top-2 keeps both twins, MMR swaps the
+    // second twin for the diverse doc
+    val p = Seq(
+      (1L, 1.00, Seq(1.0f, 0.0f)),
+      (2L, 0.99, Seq(1.0f, 0.0f)),
+      (3L, 0.60, Seq(0.0f, 1.0f))
+    ).toDF("doc_id", "simq", "embedding")
+    val out = Retrieval.mmrRerank(p, k = 2, lambda = 0.7).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), s"got ${out.toSeq}")
+    // first pick is pure relevance at full lambda weight
+    assert(math.abs(out.head.getDouble(2) - 0.7) < 1e-12)
+    // rank-2 score traded redundancy: 0.7*0.6 - 0.3*0 = 0.42 for doc 3
+    // vs 0.7*0.99 - 0.3*1.0 = 0.393 for the twin
+    assert(math.abs(out(1).getDouble(2) - 0.42) < 1e-12)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val kept = Dedup.dropExactDups(docs)
     assert(kept.count() == docs.select("text").distinct().count())
