@@ -680,6 +680,53 @@ object ExtensionQueries {
     )
   )
 
+  /** Q47 corpus CLUSTER PROFILE: per trained-k-means cell, the member
+    * count, corpus share, and mean cosine-to-centroid (cohesion) — the
+    * "topic distribution" summary a curation pipeline publishes to show
+    * what a corpus contains and how tight each cluster is (and the
+    * balance check before IVF cells become storage partitions). Mean
+    * folds member sims in vec_id order (FP-parity with the oracle's
+    * ordered list_reduce). */
+  val qClusterProfile = Q(
+    "x_cluster_profile",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val idx = Similarity.ivfIndex(e, nCells = 16)
+      val cents = Similarity.kmeansCentroids(e.select(col("vec_id"), col("embedding")), 16)
+      val total = e.agg(count(lit(1)).cast("double").as("__total"))
+      val orderedMeanSim =
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("sim")))), x => x("sim")),
+          lit(0.0),
+          (a, v) => a + v
+        ) / count(lit(1))
+      idx
+        .join(broadcast(cents), col("cell") === col("cent_id"))
+        .withColumn("sim", Similarity.dot(col("embedding"), col("cent_emb")))
+        .crossJoin(broadcast(total))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          P.normd(count(lit(1)).cast("double") / max(col("__total"))).as("share"),
+          P.normd(orderedMeanSim).as("mean_sim")
+        )
+        .orderBy("cell")
+    },
+    Some(
+      s"WITH ${kmeansCtes(16, 64, 1)}, " +
+        "assign AS (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
+        "idx AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rk = 1), " +
+        "tot AS (SELECT count(*)::DOUBLE AS total FROM embeddings), " +
+        s"ms AS (SELECT i.cell, i.vec_id, ${dotSql("i.embedding", "c.cent_emb")} AS sim " +
+        "FROM idx i JOIN cents c ON c.cent_id = i.cell) " +
+        "SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(count(*)::DOUBLE / max(tot.total), 6) AS share, " +
+        "round(list_reduce(list(sim ORDER BY vec_id), (x, y) -> x + y) / count(*), 6) AS mean_sim " +
+        "FROM ms CROSS JOIN tot GROUP BY cell ORDER BY cell"
+    )
+  )
+
   /** Large-query-set IVF path: shuffle join on cell + bounded-heap top-k
     * (no broadcast of the probe table). Same semantics as x_ann_ivf_topk,
     * so it shares the oracle SQL verbatim. */
@@ -1324,6 +1371,7 @@ object ExtensionQueries {
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,
+    qClusterProfile,
     qAnnPq,
     qAnnIvfPq,
     qVecQuant,
