@@ -550,4 +550,52 @@ object Dedup {
     val keep = nearDupClusters(docs, pairs).where(col("keep")).select("doc_id")
     docs.join(keep, "doc_id")
   }
+
+  /** Exact duplicated-SPAN detection (the substring-dedup shape of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * at k-gram granularity): every position whose k-token gram occurs ≥
+    * `minDf` times corpus-wide is "duplicated"; runs of overlapping or
+    * adjacent duplicated positions merge into maximal spans, one row per
+    * (doc, span) with its token extent. Unlike winnowing (which SAMPLES
+    * fingerprints to find candidate doc pairs) this reports the exact
+    * duplicated regions inside each doc — the input to span-level removal,
+    * which Lee et al. show beats whole-doc dropping.
+    *
+    * Scale: the corpus-wide gram df is one hash-aggregate over positional
+    * gram hashes (shuffle = Σ|doc| rows of (hash) — no text moves); the
+    * duplicated-position filter is a semi-join on the gram hash (bloom /
+    * DPP prune applies); span merging is a per-doc window — doc-local,
+    * never cross-partition. No pair join anywhere: cost is linear in
+    * corpus size, not in duplicate count squared. */
+  def dupSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2L): DataFrame = {
+    // tokens staged as their own projection (same rationale as `shingled`:
+    // an inlined tokenize re-runs inside every shingle lambda invocation —
+    // O(|doc|²) per doc); the exploded gram frame is memo'd because BOTH
+    // the df aggregate and the position semi-join consume it.
+    val grams = CacheRegistry.memo(docs.sparkSession, s"dedup:dupspans:$k:${CacheRegistry.planKey(docs)}") {
+      spread(docs)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), TextOps.posShingleHashes(col("__tk"), k).as("__gh"))
+        .select(col("doc_id"), posexplode(col("__gh")).as(Seq("pos", "gh")))
+    }
+    val dupGrams = grams.groupBy("gh").count().where(col("count") >= minDf).select("gh")
+    val dupPos = grams.join(dupGrams, "gh").select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dupPos
+      // island rule: a gap > k tokens between consecutive duplicated
+      // positions starts a new span (spans [p, p+k-1] overlap or touch
+      // exactly when the position delta is ≤ k); first row's NULL lag
+      // falls to the ELSE branch = new island, same as the SQL CASE
+      .withColumn("__ni", when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__ni")).over(wCum))
+      .groupBy("doc_id", "__isl")
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams")
+      )
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+  }
 }

@@ -863,4 +863,35 @@ object Similarity {
       .where(col("rk") <= k)
       .select("q_id", "rk", "nbr_id", "sim")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup — the
+    * near-duplicate notion text shingles can't see (paraphrases, template
+    * re-renders, translations sharing an embedding). The paper's trick is
+    * the scale story: k-means the corpus first, then compare pairs only
+    * WITHIN a cluster, turning the O(n²) cosine matrix into Σ_cell n_c² —
+    * with balanced cells (profile them via [[ivfIndex]] +
+    * `x_cluster_profile`) that is n²/nCells, and nCells grows with the
+    * corpus. Removal rule here is deterministic keep-first-by-id: a vector
+    * is removed iff some SMALLER-id vector in its cell has cosine ≥
+    * `threshold` (the paper keeps the lowest-centroid-distance member per
+    * dup group; any fixed tie-break works — this one needs no extra pass).
+    *
+    * Returns one row per corpus vector: (vec_id, cell, dup_of = smallest
+    * such neighbor or NULL, keep). The within-cell pair join shuffles on
+    * `cell` only; embeddings never replicate beyond their own cell. */
+  def semDedup(corpus: DataFrame, nCells: Int, threshold: Double): DataFrame = {
+    val idx = ivfIndex(corpus, nCells)
+    val a = idx.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = idx.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dupOf = a
+      .join(b, "cell")
+      .where(col("a_id") < col("b_id") && dot(col("a_emb"), col("b_emb")) >= threshold)
+      .groupBy("b_id")
+      .agg(min(col("a_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "vec_id")
+    idx
+      .select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
 }

@@ -189,6 +189,25 @@ object TextOps {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
     )
 
+  // ---- Blocklist redaction ---------------------------------------------
+  /** Token-level blocklist redaction: every token in `blocklist` becomes
+    * `repl`, everything else passes through — the C4-style scrub
+    * (Raffel et al. 2020 dropped pages on a blocklist hit; modern
+    * pipelines redact-and-count so the filter threshold can be tuned
+    * downstream). Pure map-side HOF: no shuffle, codegen-friendly. For a
+    * blocklist too big for an in-expression literal (millions of terms),
+    * explode tokens and broadcast-anti-join instead — the semantics here
+    * are the small-list fast path. */
+  def redactTokens(tk: Column, blocklist: Seq[String], repl: String = "[X]"): Column = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    transform(tk, t => when(blocklist.map(t === _).reduce(_ || _), lit(repl)).otherwise(t))
+  }
+
+  /** Count of blocklist hits in a token array (the redaction's paired
+    * metric: hit fraction drives the drop/keep decision). */
+  def blocklistHits(tk: Column, blocklist: Seq[String]): Column =
+    size(filter(tk, t => blocklist.map(t === _).reduce(_ || _)))
+
   // ---- Token counting --------------------------------------------------
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(tokens(text))

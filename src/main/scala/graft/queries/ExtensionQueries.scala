@@ -1337,6 +1337,95 @@ object ExtensionQueries {
     )
   )
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via within-k-means-cell
+    * cosine pairs — the paper's sub-quadratic answer to paraphrase/
+    * template duplicates that text shingles can't see. The oracle replays
+    * the trained coarse quantizer bit-for-bit (same kmeansCtes as IVF)
+    * and the keep-first-by-id removal rule. */
+  val qSemDedup = Q(
+    "x_semdedup",
+    (s, dir) =>
+      Similarity
+        .semDedup(embs(s, dir), nCells = 16, threshold = 0.4)
+        .select(col("vec_id"), col("cell"), col("dup_of"), col("keep"))
+        .orderBy("vec_id"),
+    Some(
+      s"WITH ${kmeansCtes(16, 64, 1)}, " +
+        "assign AS (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY ${dotSql("embedding", "cent_emb")} DESC, cent_id ASC) AS rk FROM embeddings, cents), " +
+        "idx AS (SELECT vec_id, embedding, cent_id AS cell FROM assign WHERE rk = 1), " +
+        "dups AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of " +
+        "FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        s"WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.4e0 GROUP BY 1) " +
+        "SELECT i.vec_id, i.cell, d.dup_of, d.dup_of IS NULL AS keep " +
+        "FROM idx i LEFT JOIN dups d ON d.vec_id = i.vec_id ORDER BY i.vec_id"
+    )
+  )
+
+  /** Exact duplicated-span detection (Lee et al. 2021 substring dedup at
+    * 8-gram granularity): positions whose gram repeats corpus-wide, merged
+    * into maximal spans per doc. All-integer output — no FP contract
+    * needed. */
+  val qDupSpans = Q(
+    "x_dup_spans",
+    (s, dir) =>
+      Dedup
+        .dupSpans(docs(s, dir), k = 8, minDf = 2L)
+        .orderBy("doc_id", "span_start"),
+    Some {
+      val k = 8
+      s"WITH toks AS ($toksCte), " +
+        s"g AS (SELECT doc_id, unnest(range(1, len(tk) - $k + 2)) AS p1, tk FROM toks WHERE len(tk) >= $k), " +
+        s"gg AS (SELECT doc_id, p1 - 1 AS pos, ${ph(s"array_to_string(tk[p1:p1+${k - 1}], ' ')")} AS gh FROM g), " +
+        "hot AS (SELECT gh FROM gg GROUP BY gh HAVING count(*) >= 2), " +
+        "d AS (SELECT doc_id, pos FROM gg JOIN hot USING (gh)), " +
+        s"w AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k " +
+        "THEN 0 ELSE 1 END AS ni FROM d), " +
+        "i AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w) " +
+        s"SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end, " +
+        s"max(pos) + $k - min(pos) AS span_tokens, count(*) AS n_grams " +
+        "FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+    }
+  )
+
+  /** C4-style blocklist scrub: redact blocklist tokens, count hits, and
+    * carry the drop decision (hit fraction over threshold) plus the
+    * redacted text's hash — filter ablation data, not just a boolean. */
+  val qRedact = Q(
+    "x_redact",
+    (s, dir) => {
+      Graft.init(s)
+      val bl = Seq("customer", "value", "spark")
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(
+          col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tok"),
+          TextOps.blocklistHits(col("__tk"), bl).cast("long").as("n_hits"),
+          TextOps.polyHash(concat_ws(" ", TextOps.redactTokens(col("__tk"), bl))).as("red_hash")
+        )
+        .withColumn(
+          "hit_frac",
+          P.normd(when(col("n_tok") > 0, col("n_hits").cast("double") / col("n_tok")))
+        )
+        .withColumn("drop_doc", coalesce(col("hit_frac") > 0.15, lit(false)))
+        .select("doc_id", "n_tok", "n_hits", "hit_frac", "drop_doc", "red_hash")
+        .orderBy("doc_id")
+    },
+    Some {
+      val inList = "('customer', 'value', 'spark')"
+      s"WITH toks AS ($toksCte), " +
+        "r AS (SELECT doc_id, len(tk) AS n_tok, " +
+        s"len(list_filter(tk, t -> t IN $inList)) AS n_hits, " +
+        s"${ph(s"array_to_string(list_transform(tk, t -> CASE WHEN t IN $inList THEN '[X]' ELSE t END), ' ')")} AS red_hash " +
+        "FROM toks) " +
+        "SELECT doc_id, n_tok, n_hits, " +
+        "round(CASE WHEN n_tok > 0 THEN n_hits::DOUBLE / n_tok END, 6) AS hit_frac, " +
+        "coalesce(round(CASE WHEN n_tok > 0 THEN n_hits::DOUBLE / n_tok END, 6) > 0.15e0, FALSE) AS drop_doc, " +
+        "red_hash FROM r ORDER BY doc_id"
+    }
+  )
+
   val all: Seq[Q] = Seq(
     qSplit,
     qStratSample,
@@ -1380,6 +1469,9 @@ object ExtensionQueries {
     qZorderScan,
     qPack,
     qSurprisal2,
-    qPipeline
+    qPipeline,
+    qSemDedup,
+    qDupSpans,
+    qRedact
   )
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extensions.{Dedup, Similarity, TextOps}
+
+/** Round-5 curation operators: SemDeDup, duplicated-span detection,
+  * blocklist redaction. Each is cross-validated against an independent
+  * in-memory recomputation (the DuckDB oracle covers sf0.01; these pin
+  * the semantics on crafted fixtures and the sf0.001 corpus).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Graft.table(spark, TestSpark.sfDir, "documents")
+  private def embs = Graft.table(spark, TestSpark.sfDir, "embeddings")
+
+  // ------------------------------------------------------------ semDedup
+  test("semDedup equals the brute-force keep-first rule within cells") {
+    val res = Similarity
+      .semDedup(embs, nCells = 16, threshold = 0.4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      .toMap
+
+    // independent ground truth: cells straight from the index, sims by
+    // local double arithmetic in the same dimension order
+    val idx = Similarity
+      .ivfIndex(embs, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getLong(2)))
+    val byCell = idx.groupBy(_._3)
+    val expected = idx.map { case (id, emb, cell) =>
+      val dupOf = byCell(cell)
+        .filter { case (a, aEmb, _) =>
+          a < id && aEmb.zip(emb).map { case (x, y) => x * y }.sum >= 0.4
+        }
+        .map(_._1)
+        .sorted
+        .headOption
+      id -> (cell, dupOf, dupOf.isEmpty)
+    }.toMap
+
+    assert(res.size == expected.size)
+    assert(res == expected)
+    assert(res.values.count(!_._3) >= 5, "fixture produced almost no removals; test is weak")
+  }
+
+  test("semDedup on an empty corpus returns no rows") {
+    assert(Similarity.semDedup(embs.where(col("vec_id") < 0), 16, 0.4).count() == 0L)
+  }
+
+  // ------------------------------------------------------------ dupSpans
+  private def mkDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dupSpans finds a shared 12-token run as one exact span in each doc") {
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = mkDocs(
+      1L -> s"a1 a2 a3 a4 $run a5 a6 a7 a8",
+      2L -> s"b1 b2 b3 $run b4 b5 b6"
+    )
+    val spans = Dedup
+      .dupSpans(d, k = 8, minDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: run occupies token positions 4..15 → gram starts 4..8
+    // doc 2: run occupies token positions 3..14 → gram starts 3..7
+    assert(spans.toSeq == Seq((1L, 4L, 15L, 12L, 5L), (2L, 3L, 14L, 12L, 5L)))
+  }
+
+  test("dupSpans merges only runs within k and splits distant ones") {
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    val t = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = mkDocs(
+      1L -> s"$s g1 g2 g3 g4 g5 g6 g7 g8 g9 g10 $t",
+      2L -> s"$s h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 $t"
+    )
+    val spans = Dedup
+      .dupSpans(d, k = 8, minDf = 2L)
+      .where(col("doc_id") === 1L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // s-run grams start 0..4, t-run grams start 22..26 (gap 18 > k) → two spans
+    assert(spans.toSeq == Seq((0L, 11L), (22L, 33L)))
+  }
+
+  test("dupSpans yields nothing for a corpus without repeated grams") {
+    val d = mkDocs(1L -> (1 to 20).map(i => s"u$i").mkString(" "))
+    assert(Dedup.dupSpans(d, k = 8).count() == 0L)
+  }
+
+  test("dupSpans on the corpus: spans are disjoint, ordered, internally consistent") {
+    val rows = Dedup
+      .dupSpans(docs, k = 8, minDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "sf0.001 corpus has no duplicated 8-gram spans; test is vacuous")
+    rows.foreach { case (_, s0, e0, tk, ng) =>
+      assert(e0 - s0 + 1 == tk)
+      assert(ng >= 1 && ng <= tk - 8 + 1)
+    }
+    rows.groupBy(_._1).values.foreach { sp =>
+      sp.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1, "overlapping spans")
+        case _                                         =>
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- redact
+  test("redactTokens replaces exactly the blocklist tokens") {
+    import spark.implicits._
+    val out = Seq("the customer paid full value to the customer")
+      .toDF("text")
+      .select(
+        concat_ws(" ", TextOps.redactTokens(TextOps.tokens(col("text")), Seq("customer", "value")))
+          .as("red"),
+        TextOps.blocklistHits(TextOps.tokens(col("text")), Seq("customer", "value")).as("n")
+      )
+      .head()
+    assert(out.getString(0) == "the [X] paid full [X] to the [X]")
+    assert(out.getInt(1) == 3)
+  }
+
+  test("redaction hash equals the plain token-join hash iff zero hits") {
+    val bl = Seq("customer", "value", "spark")
+    val r = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(
+        TextOps.blocklistHits(col("tk"), bl).as("n_hits"),
+        TextOps.polyHash(concat_ws(" ", TextOps.redactTokens(col("tk"), bl))).as("red_hash"),
+        TextOps.polyHash(concat_ws(" ", col("tk"))).as("plain_hash")
+      )
+      .collect()
+    assert(r.exists(_.getInt(0) == 0) && r.exists(_.getInt(0) > 0), "fixture one-sided; vacuous")
+    r.foreach { row =>
+      assert((row.getLong(1) == row.getLong(2)) == (row.getInt(0) == 0))
+    }
+  }
+}
