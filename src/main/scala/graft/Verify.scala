@@ -20,11 +20,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      // one retry: a transient executor hiccup (codegen-cache eviction
+      // race, broadcast timeout) must not surface as "no engine output"
+      // in the driver's gate when the query itself is healthy
+      def attempt(remaining: Int): Unit =
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed (retries left $remaining): ${e.getMessage}")
+          if (remaining > 0) attempt(remaining - 1)
+        }
+      attempt(1)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

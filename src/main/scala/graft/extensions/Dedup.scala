@@ -598,4 +598,47 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
   }
+
+  /** Span-level removal — the actual rewrite step of Lee et al. 2021:
+    * drop every token inside a duplicated span ([[dupSpans]]), keep the
+    * rest, and emit the cleaned text's hash plus the removal accounting
+    * (the ablation columns a curation run reports). Docs with no
+    * duplicated spans pass through whole; a doc that is ALL duplicated
+    * spans keeps zero tokens and carries a NULL clean hash.
+    *
+    * Scale: spans aggregate to one small array per affected doc (spans
+    * per doc ≪ tokens per doc), the join back to the corpus is on doc_id
+    * (same partitioning as any per-doc stage), and the rewrite itself is
+    * a positional HOF filter — token arrays never explode corpus-wide,
+    * and untouched docs take the left-join fast path. */
+  def removeDupSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2L): DataFrame = {
+    val spans = dupSpans(docs, k, minDf)
+      .groupBy("doc_id")
+      // order inside the array is irrelevant: membership (any-span) is
+      // what the positional filter consumes
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn(
+        "__kept",
+        when(col("__spans").isNull, col("__tk")).otherwise(
+          filter(
+            col("__tk"),
+            (t, i) =>
+              !exists(
+                col("__spans"),
+                sp => i.cast("long") >= sp.getField("span_start") && i.cast("long") <= sp.getField("span_end")
+              )
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tok"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_removed"),
+        when(size(col("__kept")) > 0, TextOps.polyHash(concat_ws(" ", col("__kept")))).as("clean_hash")
+      )
+  }
 }

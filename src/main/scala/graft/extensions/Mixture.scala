@@ -2,6 +2,7 @@ package graft.extensions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.CacheRegistry
 
 /** Data-mixture balancing (SURVEY §2.F): given a target per-source token
   * distribution, compute the per-source keep fractions a sampler needs —
@@ -55,6 +56,92 @@ object Mixture {
         col("target_frac"),
         (col("__scale") * col("target_frac")).as("take_tokens"),
         (col("__scale") * col("target_frac") / col("n_tokens")).as("keep_frac")
+      )
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw document by how much more likely its hashed n-gram features are
+    * under a TARGET domain (e.g. "docs that look like wikipedia") than
+    * under the raw pool — the log importance weight
+    * `Σ_feat (ln p_target[bucket] − ln p_raw[bucket])` over unigram +
+    * bigram features hashed into `nBuckets`, with add-`alpha` smoothing on
+    * both bucket distributions. Selection then keeps the top-weight docs
+    * (threshold or resample) — the paper's replacement for heuristic
+    * quality rules.
+    *
+    * Scale: feature extraction is map-side (tokens ++ bigrams, hashed mod
+    * nBuckets); BOTH bucket histograms come out of ONE hash-aggregate over
+    * the exploded features (target counts via conditional sum — no second
+    * corpus pass); the bucket→log-ratio table is ≤ nBuckets rows, tiny, so
+    * the per-doc scoring join is a broadcast — shuffle is the feature
+    * explode plus one doc_id aggregate, linear in corpus size. The
+    * exploded feature frame feeds the histogram AND the scoring join, so
+    * it is memo-persisted (same rationale as the dedup indexes).
+    *
+    * Per-doc sums fold in feature-position order (FP-parity contract with
+    * the DuckDB oracle). Docs with zero tokens surface with n_feat = 0 and
+    * a NULL weight.
+    *
+    * @param isTarget row-level predicate over `docs` columns marking the
+    *                 target-domain exemplars (they stay in the raw pool —
+    *                 DSIR contrasts target vs ALL, not target vs rest)
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      nBuckets: Int = 1024,
+      alpha: Double = 1.0
+  ): DataFrame = {
+    require(nBuckets > 0 && alpha > 0.0, "need nBuckets > 0 and alpha > 0")
+    val base = docs.select(col("doc_id"), isTarget.as("is_target"), col("text"))
+    val feats = CacheRegistry.memo(
+      docs.sparkSession,
+      s"mixture:dsir:$nBuckets:${CacheRegistry.planKey(base)}"
+    ) {
+      base
+        .select(col("doc_id"), col("is_target"), TextOps.tokens(col("text")).as("__tk"))
+        .select(
+          col("doc_id"),
+          col("is_target"),
+          concat(col("__tk"), TextOps.shinglesFromTokens(col("__tk"), 2)).as("__fs")
+        )
+        .select(col("doc_id"), col("is_target"), posexplode(col("__fs")).as(Seq("pos", "f")))
+        .select(col("doc_id"), col("is_target"), col("pos"), pmod(TextOps.polyHash(col("f")), lit(nBuckets.toLong)).as("b"))
+    }
+    val counts = feats
+      .groupBy("b")
+      .agg(
+        count(lit(1)).as("raw_n"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_n")
+      )
+    val tot = counts.agg(sum(col("raw_n")).as("raw_t"), sum(col("tgt_n")).as("tgt_t"))
+    val lr = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b"),
+        (log((col("tgt_n") + alpha) / (col("tgt_t") + alpha * nBuckets)) -
+          log((col("raw_n") + alpha) / (col("raw_t") + alpha * nBuckets))).as("lr")
+      )
+    val perDoc = feats
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feat"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("lr")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("lr")
+        ).as("logw")
+      )
+    base
+      .select(col("doc_id"), col("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("is_target"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        col("logw")
       )
   }
 }

@@ -71,6 +71,22 @@ object ExtensionQueries {
     s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")} " +
       s"SELECT a_id, b_id, round(jac, 6) AS jac FROM jc WHERE jac >= $threshold ORDER BY a_id, b_id"
 
+  /** Duplicated-span CTE chain (mirror of Dedup.dupSpans): positional
+    * k-gram hashes → corpus-wide df filter → per-doc island merge.
+    * Defines `toks` and `spans(doc_id, span_start, span_end, span_tokens,
+    * n_grams)`. */
+  private def dupSpansCtes(k: Int, minDf: Int): String =
+    s"toks AS ($toksCte), " +
+      s"dsg AS (SELECT doc_id, unnest(range(1, len(tk) - $k + 2)) AS p1, tk FROM toks WHERE len(tk) >= $k), " +
+      s"dsgg AS (SELECT doc_id, p1 - 1 AS pos, ${ph(s"array_to_string(tk[p1:p1+${k - 1}], ' ')")} AS gh FROM dsg), " +
+      s"dshot AS (SELECT gh FROM dsgg GROUP BY gh HAVING count(*) >= $minDf), " +
+      "dsd AS (SELECT doc_id, pos FROM dsgg JOIN dshot USING (gh)), " +
+      s"dsw AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k " +
+      "THEN 0 ELSE 1 END AS ni FROM dsd), " +
+      "dsi AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM dsw), " +
+      s"spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end, " +
+      s"max(pos) + $k - min(pos) AS span_tokens, count(*) AS n_grams FROM dsi GROUP BY doc_id, isl)"
+
   private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -1372,20 +1388,113 @@ object ExtensionQueries {
       Dedup
         .dupSpans(docs(s, dir), k = 8, minDf = 2L)
         .orderBy("doc_id", "span_start"),
+    Some(
+      s"WITH ${dupSpansCtes(8, 2)} " +
+        "SELECT doc_id, span_start, span_end, span_tokens, n_grams " +
+        "FROM spans ORDER BY doc_id, span_start"
+    )
+  )
+
+  /** Span-level removal (Lee et al. 2021's actual rewrite): drop the
+    * duplicated-span tokens found by x_dup_spans, keep the rest; per-doc
+    * removal accounting + cleaned-text hash. Oracle rewrites via an
+    * explode/anti-join/re-aggregate of the same span set. */
+  val qDupRemove = Q(
+    "x_dup_remove",
+    (s, dir) =>
+      Dedup
+        .removeDupSpans(docs(s, dir), k = 8, minDf = 2L)
+        .orderBy("doc_id"),
+    Some(
+      s"WITH ${dupSpansCtes(8, 2)}, " +
+        "tp AS (SELECT doc_id, unnest(tk) AS t, unnest(range(0, len(tk))) AS pos FROM toks), " +
+        "cov AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tp JOIN spans s " +
+        "ON s.doc_id = tp.doc_id AND tp.pos BETWEEN s.span_start AND s.span_end), " +
+        "kept AS (SELECT tp.doc_id, tp.pos, tp.t FROM tp LEFT JOIN cov " +
+        "ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos WHERE cov.pos IS NULL), " +
+        "ka AS (SELECT doc_id, count(*) AS n_kept, array_to_string(list(t ORDER BY pos), ' ') AS clean FROM kept GROUP BY 1) " +
+        "SELECT toks.doc_id AS doc_id, len(tk) AS n_tok, coalesce(ka.n_kept, 0) AS n_kept, " +
+        "len(tk) - coalesce(ka.n_kept, 0) AS n_removed, " +
+        s"CASE WHEN coalesce(ka.n_kept, 0) > 0 THEN ${ph("clean")} END AS clean_hash " +
+        "FROM toks LEFT JOIN ka ON ka.doc_id = toks.doc_id ORDER BY doc_id"
+    )
+  )
+
+  /** DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    * bucket log-likelihood ratio of a target domain (here sources
+    * src0–src3) vs the raw pool — the importance-resampling score that
+    * replaces heuristic quality rules. Bucket table broadcast; per-doc
+    * sums fold in feature-position order. */
+  val qDsirWeights = Q(
+    "x_dsir_weights",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Mixture
+        .dsirWeights(
+          docs(s, dir),
+          col("source").isin("src0", "src1", "src2", "src3"),
+          nBuckets = 1024,
+          alpha = 1.0
+        )
+        .select(col("doc_id"), col("is_target"), col("n_feat"), P.normd(col("logw")).as("logw"))
+        .orderBy("doc_id")
+    },
     Some {
-      val k = 8
+      val b = 1024
+      val bigrams =
+        "CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END"
       s"WITH toks AS ($toksCte), " +
-        s"g AS (SELECT doc_id, unnest(range(1, len(tk) - $k + 2)) AS p1, tk FROM toks WHERE len(tk) >= $k), " +
-        s"gg AS (SELECT doc_id, p1 - 1 AS pos, ${ph(s"array_to_string(tk[p1:p1+${k - 1}], ' ')")} AS gh FROM g), " +
-        "hot AS (SELECT gh FROM gg GROUP BY gh HAVING count(*) >= 2), " +
-        "d AS (SELECT doc_id, pos FROM gg JOIN hot USING (gh)), " +
-        s"w AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k " +
-        "THEN 0 ELSE 1 END AS ni FROM d), " +
-        "i AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM w) " +
-        s"SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end, " +
-        s"max(pos) + $k - min(pos) AS span_tokens, count(*) AS n_grams " +
-        "FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+        "fz AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_target, " +
+        s"list_concat(tk, $bigrams) AS fs FROM toks), " +
+        "e AS (SELECT doc_id, is_target, unnest(range(0, len(fs))) AS pos, unnest(fs) AS f FROM fz), " +
+        s"hb AS (SELECT doc_id, is_target, pos, ${ph("f")} % $b AS bk FROM e), " +
+        "bc AS (SELECT bk, CAST(count(*) AS BIGINT) AS raw_n, " +
+        "CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS tgt_n FROM hb GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(raw_n) AS BIGINT) AS raw_t, CAST(sum(tgt_n) AS BIGINT) AS tgt_t FROM bc), " +
+        s"lr AS (SELECT bk, ln((tgt_n + 1.0) / (tgt_t + 1.0 * $b)) - ln((raw_n + 1.0) / (raw_t + 1.0 * $b)) AS lr " +
+        "FROM bc CROSS JOIN tot), " +
+        "pd AS (SELECT doc_id, count(*) AS n_feat, " +
+        "list_reduce(list(lr ORDER BY pos), (a, x) -> a + x) AS logw FROM hb JOIN lr USING (bk) GROUP BY 1) " +
+        "SELECT f.doc_id AS doc_id, f.is_target AS is_target, coalesce(pd.n_feat, 0) AS n_feat, " +
+        "round(pd.logw, 6) AS logw FROM fz f LEFT JOIN pd ON pd.doc_id = f.doc_id ORDER BY f.doc_id"
     }
+  )
+
+  /** Per-language quality-percentile gate (the CCNet/Gopher composition:
+    * score, rank WITHIN language, keep the top quartile — a language-fair
+    * cut where a global threshold would drown low-resource languages).
+    * Exact percent_rank here (one shuffle on lang); at 100 TB the
+    * mergeable-histogram quantiles (`x_hist_quantiles`) give the same
+    * threshold without a per-language sort — broadcast the per-lang p75
+    * and filter map-side. */
+  val qQualityGate = Q(
+    "x_quality_gate",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("__q").asc_nulls_first)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), TextOps.qualityScore(col("text")).as("__q"))
+        .withColumn("pr", percent_rank().over(w))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          P.normd(col("__q")).as("quality"),
+          P.normd(col("pr")).as("pr"),
+          (col("pr") >= 0.75).as("keep")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "sc AS (SELECT doc_id, lang, CASE WHEN len(tk) > 0 THEN " +
+        "0.4 * least(len(tk)::DOUBLE / 100, 1.0) + " +
+        "0.3 * (len(list_distinct(tk))::DOUBLE / len(tk)) + " +
+        "0.3 * (len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE / len(tk)) END AS q FROM toks), " +
+        "pr AS (SELECT doc_id, lang, q, percent_rank() OVER (PARTITION BY lang ORDER BY q ASC NULLS FIRST) AS pr FROM sc) " +
+        "SELECT doc_id, lang, round(q, 6) AS quality, round(pr, 6) AS pr, pr >= 0.75 AS keep " +
+        "FROM pr ORDER BY doc_id"
+    )
   )
 
   /** C4-style blocklist scrub: redact blocklist tokens, count hits, and
@@ -1472,6 +1581,9 @@ object ExtensionQueries {
     qPipeline,
     qSemDedup,
     qDupSpans,
-    qRedact
+    qRedact,
+    qDupRemove,
+    qDsirWeights,
+    qQualityGate
   )
 }

@@ -112,6 +112,101 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- removeDupSpans
+  test("removeDupSpans drops exactly the span tokens and keeps the rest") {
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = mkDocs(
+      1L -> s"a1 a2 a3 a4 $run a5 a6 a7 a8",
+      2L -> s"b1 b2 b3 $run b4 b5 b6",
+      3L -> (1 to 20).map(i => s"u$i").mkString(" ") // untouched
+    )
+    val out = Dedup
+      .removeDupSpans(d, k = 8, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))
+      .toMap
+    // doc 1: 20 tokens, span covers positions 4..15 → 12 removed, 8 kept
+    assert(out(1L)._1 == 20L && out(1L)._2 == 8L && out(1L)._3 == 12L)
+    // doc 2: 18 tokens, span covers 3..14 → 12 removed, 6 kept
+    assert(out(2L)._1 == 18L && out(2L)._2 == 6L && out(2L)._3 == 12L)
+    // doc 3 untouched: clean hash equals the plain text hash
+    val plain3 = d
+      .where(col("doc_id") === 3L)
+      .select(TextOps.polyHash(concat_ws(" ", TextOps.tokens(col("text")))))
+      .head()
+      .getLong(0)
+    assert(out(3L)._3 == 0L && out(3L)._4.contains(plain3))
+    // doc 1's cleaned text is the tokens around the span
+    val clean1 = spark
+      .createDataFrame(spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("a1 a2 a3 a4 a5 a6 a7 a8"))),
+        org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType))))
+      .select(TextOps.polyHash(col("t")))
+      .head()
+      .getLong(0)
+    assert(out(1L)._4.contains(clean1))
+  }
+
+  test("removeDupSpans accounting ties out against dupSpans on the corpus") {
+    val spans = Dedup
+      .dupSpans(docs, k = 8, minDf = 2L)
+      .groupBy("doc_id")
+      .agg(sum("span_tokens").as("st"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val rem = Dedup
+      .removeDupSpans(docs, k = 8, minDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rem.nonEmpty)
+    rem.foreach { case (id, nTok, nKept, nRem) =>
+      assert(nTok == nKept + nRem)
+      // spans are disjoint (asserted in the dupSpans test), so the removal
+      // count equals the summed span extents
+      assert(nRem == spans.getOrElse(id, 0L))
+    }
+  }
+
+  // ---------------------------------------------------------- dsirWeights
+  test("dsirWeights equals a local brute-force of the bucket LLR score") {
+    val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+    val res = graft.extensions.Mixture
+      .dsirWeights(docs, isTgt, nBuckets = 256, alpha = 1.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+
+    // local ground truth, same hash, same smoothing, same fold order
+    val P0 = TextOps.P
+    def phLocal(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P0)
+    val raw = docs.select("doc_id", "source", "text").collect().map { r =>
+      val toks = r.getString(2).split(" ").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (r.getLong(0), Set("src0", "src1", "src2", "src3")(r.getString(1)), feats.map(f => phLocal(f) % 256))
+    }
+    val rawCnt = raw.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtCnt = raw.filter(_._2).flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rawT = rawCnt.values.sum.toDouble
+    val tgtT = tgtCnt.values.sum.toDouble
+    def lr(b: Long): Double =
+      math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (tgtT + 256.0)) -
+        math.log((rawCnt.getOrElse(b, 0L) + 1.0) / (rawT + 256.0))
+    raw.foreach { case (id, isT, feats) =>
+      val (gotT, gotN, gotW) = res(id)
+      assert(gotT == isT && gotN == feats.size.toLong)
+      if (feats.isEmpty) assert(gotW.isEmpty)
+      else {
+        val want = feats.foldLeft(0.0)((a, b) => a + lr(b))
+        assert(math.abs(gotW.get - want) < 1e-9, s"doc $id: $gotW vs $want")
+      }
+    }
+    // the signal actually separates: target docs score higher on average
+    val (t, nt) = res.values.partition(_._1)
+    val mt = t.flatMap(_._3).sum / t.size
+    val mnt = nt.flatMap(_._3).sum / nt.size
+    assert(mt > mnt, s"target mean $mt not above non-target mean $mnt — weak fixture")
+  }
+
   // -------------------------------------------------------------- redact
   test("redactTokens replaces exactly the blocklist tokens") {
     import spark.implicits._
