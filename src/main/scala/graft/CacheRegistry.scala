@@ -42,15 +42,26 @@ object CacheRegistry {
 
   /** Persist-once per (session, key); later calls reuse the handle.
     * A build that returns an already-persisted frame (eager-iteration
-    * operators hand over their final loop state) is registered as-is. */
-  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent(
-      (sid(spark), key),
-      _ => {
-        val b = build
-        if (b.storageLevel == StorageLevel.NONE) b.persist(StorageLevel.MEMORY_AND_DISK) else b
-      }
-    )
+    * operators hand over their final loop state) is registered as-is.
+    *
+    * NOT computeIfAbsent: a memo'd build may itself call memo with a
+    * different key (ivfIndex's body memoizes kmeansCentroids), and a
+    * reentrant computeIfAbsent on one ConcurrentHashMap throws
+    * "Recursive update" whenever the two keys hash into the same bin.
+    * get → build outside the map → putIfAbsent tolerates reentrancy;
+    * the rare concurrent duplicate build loses the race and is
+    * unpersisted (the winner's handle is the tracked, returned one). */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (sid(spark), key)
+    val existing = entries.get(k)
+    if (existing != null) existing
+    else {
+      val b = build
+      val p = if (b.storageLevel == StorageLevel.NONE) b.persist(StorageLevel.MEMORY_AND_DISK) else b
+      val prev = entries.putIfAbsent(k, p)
+      if (prev != null) { p.unpersist(blocking = false); prev } else p
+    }
+  }
 
   /** Compiled-PLAN cache (no data persisted): same session + same key →
     * the same already-analyzed DataFrame. Prepared-statement semantics for
@@ -63,8 +74,16 @@ object CacheRegistry {
   private val plans =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
 
-  def memoPlan(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    plans.computeIfAbsent((sid(spark), key), _ => build)
+  def memoPlan(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (sid(spark), key) // reentrancy-safe, see memo
+    val existing = plans.get(k)
+    if (existing != null) existing
+    else {
+      val b = build
+      val prev = plans.putIfAbsent(k, b)
+      if (prev != null) prev else b
+    }
+  }
 
   /** Scalar-stat memo (no persistence): caches small eager probe results
     * (e.g. Halo's (series count, row count) cardinality probe) per
@@ -73,8 +92,16 @@ object CacheRegistry {
   private val stats =
     new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
 
-  def memoStat[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    stats.computeIfAbsent((sid(spark), key), _ => build).asInstanceOf[T]
+  def memoStat[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val k = (sid(spark), key) // reentrancy-safe, see memo
+    val existing = stats.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val b = build
+      val prev = stats.putIfAbsent(k, b)
+      (if (prev != null) prev else b).asInstanceOf[T]
+    }
+  }
 
   /** Persist + track a one-off stage (no dedup key — unique per call).
     * Already-persisted inputs are registered as-is (callers that drive

@@ -68,16 +68,29 @@ object Graft {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Canonical events: ts kept as exact epoch-micros long (`ts`) plus a
-    * proper timestamp (`tstamp`). Integer `DIV` avoids the double-precision
-    * loss a float division of epoch-nanos would introduce (2^53 < 1.7e18).
-    * The DuckDB oracle reads the same file natively at microsecond
-    * precision (its TIMESTAMP type), so epoch-micros is the shared key.
+  /** Canonical events: ts normalized to exact epoch-micros long (`ts_us`)
+    * plus a proper timestamp (`tstamp`), ADAPTIVE to how the driver
+    * generated the file — epoch-micros is the shared key with the DuckDB
+    * oracle (`epoch_us(ts)`) either way:
+    *   - INT64 TIMESTAMP(NANOS) read as plain long via nanosAsLong
+    *     (rounds ≤5 data): integer `DIV 1000` — never float division,
+    *     2^53 < 1.7e18 would lose micros.
+    *   - TIMESTAMP / TIMESTAMP_NTZ (round-6 regenerated data,
+    *     timestamp[us]): `unix_micros` on the (UTC-session) timestamp.
+    * Schema inspection happens at plan time on the driver — no data pass.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000") // epoch nanos → micros
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) // NTZ wall-clock == UTC instant
+      case other            => throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+    raw
+      .withColumn("ts_us", tsUs)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
   }
 
   // Derived-fixture cache: bars (30 rows) and userSeries (events-sized)

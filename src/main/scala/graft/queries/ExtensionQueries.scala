@@ -862,8 +862,12 @@ object ExtensionQueries {
     Some(
       s"WITH toks AS ($toksCte), " +
         "base AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(tk) AS BIGINT) AS n_tok FROM toks), " +
+        // CAST the running sum: DuckDB window sum(BIGINT) yields HUGEINT,
+        // which its pandas bridge materializes as float64 — the driver's
+        // dtype-sensitive hash then sees 0.0 vs Spark's int64 0 (the one
+        // r5 hash mismatch). BIGINT restores int64 on both sides.
         "packed AS (SELECT doc_id, shard, n_tok, " +
-        "sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end FROM base) " +
+        "CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end FROM base) " +
         "SELECT doc_id, shard, n_tok, tok_end - n_tok AS tok_start, tok_end, " +
         "CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - n_tok) / 256e0) AS BIGINT) END AS chunk_start, " +
         "CASE WHEN n_tok > 0 THEN CAST(floor((tok_end - 1) / 256e0) AS BIGINT) END AS chunk_end, " +
