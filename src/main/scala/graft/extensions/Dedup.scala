@@ -93,6 +93,40 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Edit-distance-VERIFIED near-dup pairs (round 6): generate candidates
+    * with the shingle-Jaccard inverted index (cheap, set-based, order-
+    * blind), then verify each candidate with true Levenshtein on the raw
+    * texts — the two-stage CDC/fuzzy-dedup shape, because Jaccard cannot
+    * distinguish a reshuffled bag of words from a genuine small edit.
+    * `edit_sim = 1 − lev / max(len_a, len_b)` in characters. Both engines
+    * run codegen'd classic Levenshtein (Spark `levenshtein`, DuckDB
+    * `levenshtein`) — integer-exact, no FP contract needed beyond the
+    * final ratio. Scale: Levenshtein is O(len²) per pair, so it runs ONLY
+    * on the banded candidate set (corpus-linear under the df-capped
+    * index), never all pairs; the text join back is two hash joins on
+    * doc_id. */
+  def editDistPairs(
+      docs: DataFrame,
+      candJac: Double = 0.3,
+      simThreshold: Double = 0.6,
+      k: Int = 3,
+      maxDf: Long = 0L
+  ): DataFrame = {
+    val cands = jaccardPairs(docs, candJac, k, maxDf)
+    val txt = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("__ta")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("__tb")), "b_id")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn(
+        "edit_sim",
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double")
+      )
+      .where(col("edit_sim") >= simThreshold)
+      .select(col("a_id"), col("b_id"), col("jac"), col("lev"), col("edit_sim"))
+  }
+
   /** Directed shingle-CONTAINMENT pairs: C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥
     * threshold, a ≠ b. Containment is the asymmetric cousin of Jaccard —
     * it detects quotes, excerpts, and supersets (a short doc fully

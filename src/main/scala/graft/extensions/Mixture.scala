@@ -144,4 +144,45 @@ object Mixture {
         col("logw")
       )
   }
+
+  /** Per-source token-share cap (round 6): no single source may exceed
+    * `capFrac` of the corpus's total tokens — the "one crawl dump must not
+    * dominate the mixture" guard that runs BEFORE recipe weighting. Docs
+    * are admitted per source in a deterministic content-stable order
+    * (polyHash(text), doc_id) until the source's RUNNING token total would
+    * exceed the cap; every doc gets a keep/cut verdict plus its position
+    * in the source's admission order, so the cut is auditable and
+    * reproducible — re-running on the same corpus, or on a repartitioned
+    * copy, selects the identical set (no RNG anywhere).
+    *
+    * Scale: the total-token scalar is a broadcast 1-row aggregate; the
+    * only shuffle is ONE hash partition by `source` for the running-sum
+    * window — sources pack independently, so a 100 TB corpus caps with
+    * source-parallelism. A pathologically hot single source is the
+    * window-skew case: split it by hashing docs into k sub-windows, cap
+    * each at capTokens/k (the admission order stays deterministic). */
+  def sourceCap(docs: DataFrame, tokenCount: Column, capFrac: Double): DataFrame = {
+    require(capFrac > 0.0 && capFrac <= 1.0, "capFrac must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col("doc_id"),
+      col("source"),
+      tokenCount.cast("long").as("n_tok"),
+      TextOps.polyHash(col("text")).as("__h")
+    )
+    val tot = broadcast(base.agg(sum(col("n_tok")).cast("double").as("__total")))
+    val w = Window.partitionBy("source").orderBy(col("__h").asc, col("doc_id").asc)
+    base
+      .crossJoin(tot)
+      .withColumn("admit_rank", row_number().over(w).cast("long"))
+      .withColumn(
+        "cum_tok",
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      // explicit floor: Spark's double→long CAST truncates while DuckDB's
+      // rounds-to-nearest — floor() is the one spelling both agree on
+      .withColumn("cap_tok", floor(col("__total") * capFrac).cast("long"))
+      .withColumn("keep", col("cum_tok") <= col("cap_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("admit_rank"), col("cum_tok"), col("cap_tok"), col("keep"))
+  }
 }

@@ -305,6 +305,66 @@ object Similarity {
         .toDF("cent_id", "cent_emb")
     }
 
+  /** Deterministic power-iteration PCA (round 6): the corpus's top
+    * principal component + mean, without ever materializing the d×d
+    * covariance — each iteration is ONE distributed pass computing
+    * w = Σ_x (x−μ)·⟨x−μ, v⟩ (mathematically C·v up to the 1/n scale,
+    * which power iteration is invariant to), then the driver normalizes
+    * the d-vector. The embedding-pipeline uses: dominant-direction
+    * removal (ABTT/"all-but-the-top"), 1-D curriculum ordering, PCA'd
+    * quantization.
+    *
+    * Every FP step is fixed-order so the DuckDB oracle replays the
+    * trained component BIT-FOR-BIT (ExtensionQueries.pcaCtes): the mean
+    * and each w fold members in vec_id order (orderedSum), per-row dots
+    * fold dims in index order (graft_dot), the driver's norm folds dims
+    * ascending, and init v₀ = 1/√d uniform (exact binary literal at
+    * d = 64). Scale: driver holds 2·d doubles; each pass is a map-side
+    * projection + d-group hash-aggregate — shuffle carries d rows per
+    * partition, nothing corpus-sized; at 100 TB train on a `.limit`ed
+    * sample exactly like [[kmeansCentroids]]. Memo'd per (session,
+    * corpus, iters). Returns (mean, component); empty corpus → empty
+    * arrays. */
+  def pcaPower(corpus: DataFrame, iters: Int = 4): (Array[Double], Array[Double]) =
+    graft.CacheRegistry.memoStat(
+      corpus.sparkSession,
+      s"sim:pca:$iters:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val vecD = transform(col("embedding"), v => v.cast("double"))
+      val muRows = corpus
+        .select(col("vec_id"), posexplode(vecD).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      if (muRows.isEmpty) (Array.empty[Double], Array.empty[Double])
+      else {
+        val dim = muRows.map(_.getInt(0)).max + 1
+        val mu = new Array[Double](dim)
+        muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
+        var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+        for (_ <- 1 to iters) {
+          val centered = zip_with(vecD, typedLit(mu.toSeq), (x, m) => x - m)
+          val rows = corpus
+            .select(
+              col("vec_id"),
+              dot(centered, typedLit(v.toSeq)).as("s"),
+              posexplode(centered).as(Seq("d", "cx"))
+            )
+            .groupBy("d")
+            .agg(orderedSum(col("vec_id"), col("cx") * col("s")).as("w"))
+            .collect()
+          val w = new Array[Double](dim)
+          rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+          var nrm2 = 0.0
+          var i = 0
+          while (i < dim) { nrm2 += w(i) * w(i); i += 1 }
+          val nrm = math.sqrt(nrm2)
+          v = if (nrm == 0.0) w else w.map(_ / nrm)
+        }
+        (mu, v)
+      }
+    }
+
   def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame =
     // memo-persisted per (corpus, nCells) like pqIndex — an IVF index is
     // BUILT once and probed many times; without the barrier every action

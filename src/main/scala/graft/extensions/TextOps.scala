@@ -318,4 +318,92 @@ object TextOps {
           transform(sequence(lit(1), size(h) - (w - 1)), j => array_min(slice(h, j, lit(w))))
         )
       )
+
+  // ---- Text normalization ----------------------------------------------
+  /** Canonical text normalization (round 6): lowercase, collapse every
+    * whitespace run to one space, trim. The idempotent pre-pass every
+    * hash-keyed dedup stage should share — exact dedup on raw text misses
+    * `"A  b"` vs `"a b"`. Pure map-side string expression: zero shuffle,
+    * codegen'd, linear in bytes at any scale. Spark `regexp_replace`
+    * replaces ALL matches; the DuckDB mirror needs the explicit 'g' flag. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  // ---- Corpus statistics: collocations + vocabulary ---------------------
+  /** Adjacent-token (bigram) collocations ranked by pointwise mutual
+    * information: pmi = ln( (c_ab/M) / ((c_a/N)·(c_b/N)) ) with unigram
+    * total N, bigram total M, and a min-count floor that kills the
+    * PMI-loves-rare-pairs pathology. The tokenizer-merge shortlist / Gensim
+    * `Phrases` shape. Scale: two hash-aggregates (map-side combined), the
+    * count join keys on single words (vocab-sized, not corpus-sized),
+    * scalars travel as broadcast 1-row aggregates, and the final cut is
+    * TakeOrdered(topK) — no global sort, no pair explosion (adjacent
+    * bigrams only, corpus-linear). Deterministic: counts are exact and the
+    * rank orders by (pmi DESC, w1, w2) with pmi computed in one fixed
+    * association order mirrored by the oracle. */
+  def pmiPairs(docs: DataFrame, minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val tk = docs.select(tokens(col("text")).as("tk"))
+    val uni = tk
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val bi = tk
+      .filter(size(col("tk")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"), element_at(col("tk"), i + 1).as("w2"))
+          )
+        ).as("b")
+      )
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+    val nTot = broadcast(uni.agg(sum(col("c")).cast("double").as("n")))
+    val mTot = broadcast(bi.agg(sum(col("c_ab")).cast("double").as("m")))
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c_a"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c_b"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(u1, "w1")
+      .join(u2, "w2")
+      .crossJoin(nTot)
+      .crossJoin(mTot)
+      .withColumn(
+        "pmi",
+        log(
+          (col("c_ab").cast("double") / col("m")) /
+            ((col("c_a").cast("double") / col("n")) * (col("c_b").cast("double") / col("n")))
+        )
+      )
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+  }
+
+  /** Top-V vocabulary with cumulative corpus coverage: rank tokens by
+    * (count DESC, token ASC), emit each token's corpus share and the
+    * running coverage of the vocabulary prefix — the "how big must V be
+    * for 95% coverage" curve every tokenizer budget decision reads.
+    * Scale: one hash-aggregate + TakeOrdered(V); the coverage window runs
+    * over the V retained rows only (V ≪ vocab), never the corpus. */
+  def vocabulary(docs: DataFrame, topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val nTot = broadcast(uni.agg(sum(col("c")).cast("double").as("n")))
+    val top = uni.orderBy(col("c").desc, col("w").asc).limit(topV)
+    val wr = Window.orderBy(col("c").desc, col("w").asc)
+    top
+      .crossJoin(nTot)
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("share", col("c").cast("double") / col("n"))
+      .withColumn(
+        "cum_share",
+        sum(col("c")).over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double") / col("n")
+      )
+      .select(col("rank"), col("w").as("token"), col("c").as("cnt"), col("share"), col("cum_share"))
+  }
 }

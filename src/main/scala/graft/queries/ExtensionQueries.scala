@@ -143,6 +143,39 @@ object ExtensionQueries {
     sb.toString
   }
 
+  /** Unrolled power-iteration PCA — term-for-term mirror of
+    * Similarity.pcaPower: per-dim mean folded in vec_id order, v₀ the
+    * uniform 1/√dim vector, each iteration s = ⟨x−μ, v⟩ folded in dim
+    * order then w_d = Σ(x_d−μ_d)·s folded in vec_id order, norm folded in
+    * dim order; final select projects every embedding onto the trained
+    * component. list_reduce has no initial accumulator but 0 + x₀ = x₀
+    * exactly, so it matches graft_dot's 0.0-seeded fold. */
+  private def pcaSql(dim: Int, iters: Int): String = {
+    val v0 = sqlgen.d(1.0 / math.sqrt(dim.toDouble))
+    val sb = new StringBuilder("WITH ")
+    sb ++= s"cx0 AS (SELECT vec_id, label, unnest(range(1, ${dim + 1})) AS d, embedding FROM embeddings), "
+    sb ++= "cxx AS (SELECT vec_id, label, d, CAST(embedding[d] AS DOUBLE) AS x FROM cx0), "
+    sb ++= "pmu AS (SELECT d, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS mu FROM cxx GROUP BY d), "
+    sb ++= "cc AS (SELECT vec_id, label, d, x - mu AS cx FROM cxx JOIN pmu USING (d)), "
+    sb ++= s"pv0 AS (SELECT list_transform(range(1, ${dim + 1}), i -> $v0) AS vl), "
+    for (t <- 1 to iters) {
+      sb ++= s"ps$t AS (SELECT vec_id, list_reduce(list(cx * vl[d] ORDER BY d), (a, b) -> a + b) AS s " +
+        s"FROM cc CROSS JOIN pv${t - 1} GROUP BY vec_id), "
+      sb ++= s"pw$t AS (SELECT d, list_reduce(list(cx * s ORDER BY vec_id), (a, b) -> a + b) AS w " +
+        s"FROM cc JOIN ps$t USING (vec_id) GROUP BY d), "
+      sb ++= s"pn$t AS (SELECT wl, sqrt(list_reduce(list_transform(wl, x -> x * x), (a, b) -> a + b)) AS nrm " +
+        s"FROM (SELECT list(w ORDER BY d) AS wl FROM pw$t)), "
+      sb ++= s"pv$t AS (SELECT CASE WHEN nrm = 0 THEN wl ELSE list_transform(wl, x -> x / nrm) END AS vl FROM pn$t), "
+    }
+    sb ++= s"pf AS (SELECT vec_id, label, " +
+      "list_reduce(list(cx * vl[d] ORDER BY d), (a, b) -> a + b) AS proj, " +
+      "list_reduce(list(cx * cx ORDER BY d), (a, b) -> a + b) AS n2 " +
+      s"FROM cc CROSS JOIN pv$iters GROUP BY vec_id, label) " +
+      "SELECT vec_id, CAST(label AS BIGINT) AS label, round(proj, 6) AS proj, " +
+      "round(sqrt(n2), 6) AS cnorm FROM pf ORDER BY vec_id"
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- queries
   private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
@@ -1539,7 +1572,177 @@ object ExtensionQueries {
     }
   )
 
+  /** Canonical normalization (round 6): lowercase, collapse whitespace
+    * runs, trim — the idempotent pre-pass hash-keyed dedup shares. Output
+    * carries before/after lengths, a changed flag, and the normalized
+    * text's hash (the dedup key). Map-side only: zero shuffle. */
+  val qNormalize = Q(
+    "x_normalize",
+    (s, dir) => {
+      Graft.init(s)
+      val norm = TextOps.normalizeText(col("text"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(norm).cast("long").as("n_norm"),
+          (norm =!= col("text")).as("changed"),
+          TextOps.polyHash(norm).as("norm_hash")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH nm AS (SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw, CAST(length(norm) AS BIGINT) AS n_norm, " +
+        s"norm <> text AS changed, ${ph("norm")} AS norm_hash FROM nm ORDER BY doc_id"
+    )
+  )
+
+  /** PMI collocations (round 6): adjacent-bigram pointwise mutual
+    * information with a min-count floor, top-50 — the tokenizer-merge /
+    * phrase-detection shortlist. Corpus-linear (adjacent bigrams only);
+    * final cut is TakeOrdered, never a global sort. */
+  val qPmiPairs = Q(
+    "x_pmi_pairs",
+    (s, dir) => {
+      Graft.init(s)
+      TextOps
+        .pmiPairs(docs(s, dir), minCount = 5, topK = 50)
+        .withColumn("pmi", P.normd(col("pmi")))
+        .orderBy("w1", "w2")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w), " +
+        "nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc), " +
+        "bc AS (SELECT w1, w2, count(*) AS c_ab FROM (SELECT tk[i] AS w1, tk[i+1] AS w2 " +
+        "FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)) GROUP BY w1, w2), " +
+        "mm AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS m FROM bc), " +
+        "j AS (SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b, " +
+        "ln((c_ab::DOUBLE / mm.m) / ((a.c::DOUBLE / nn.n) * (b.c::DOUBLE / nn.n))) AS pmi " +
+        "FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN nn CROSS JOIN mm " +
+        "WHERE c_ab >= 5), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM j) " +
+        "SELECT w1, w2, c_ab, c_a, c_b, round(pmi, 6) AS pmi FROM r WHERE rk <= 50 ORDER BY w1, w2"
+    )
+  )
+
+  /** Top-V vocabulary + cumulative coverage (round 6): the "how big must
+    * V be for X% coverage" curve behind every tokenizer budget. One
+    * hash-aggregate + TakeOrdered(V); the coverage window sees V rows. */
+  val qVocab = Q(
+    "x_vocab",
+    (s, dir) => {
+      Graft.init(s)
+      TextOps
+        .vocabulary(docs(s, dir), topV = 100)
+        .select(
+          col("rank").cast("long").as("rank"),
+          col("token"),
+          col("cnt"),
+          P.normd(col("share")).as("share"),
+          P.normd(col("cum_share")).as("cum_share")
+        )
+        .orderBy("rank")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w), " +
+        "nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc), " +
+        "top AS (SELECT w, c FROM uc ORDER BY c DESC, w LIMIT 100), " +
+        "r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank, " +
+        "CAST(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum FROM top) " +
+        "SELECT rank, w AS token, c AS cnt, round(c::DOUBLE / nn.n, 6) AS share, " +
+        "round(cum / nn.n, 6) AS cum_share FROM r CROSS JOIN nn ORDER BY rank"
+    )
+  )
+
+  /** Per-source token-share cap (round 6): deterministic content-ordered
+    * admission until a source hits capFrac of total tokens. One window
+    * per source; the total is a broadcast scalar. */
+  val qSourceCap = Q(
+    "x_source_cap",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Mixture
+        .sourceCap(docs(s, dir), TextOps.nTokens(col("text")), capFrac = 0.18)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        s"b AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok, ${ph("text")} AS h FROM toks), " +
+        "tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS total FROM b), " +
+        "w AS (SELECT doc_id, source, n_tok, " +
+        "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS admit_rank, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok " +
+        "FROM b) " +
+        "SELECT doc_id, source, n_tok, admit_rank, cum_tok, " +
+        "CAST(floor(tt.total * 0.18e0) AS BIGINT) AS cap_tok, " +
+        "cum_tok <= CAST(floor(tt.total * 0.18e0) AS BIGINT) AS keep " +
+        "FROM w CROSS JOIN tt ORDER BY doc_id"
+    )
+  )
+
+  /** Edit-distance-verified near-dup pairs (round 6): shingle-Jaccard
+    * inverted-index candidates (jac ≥ 0.3), verified with true
+    * Levenshtein — integer-exact in both engines. O(len²) work runs only
+    * on the candidate set. */
+  val qEditDistPairs = Q(
+    "x_editdist_pairs",
+    (s, dir) => {
+      Graft.init(s)
+      Dedup
+        .editDistPairs(docs(s, dir), candJac = 0.3, simThreshold = 0.5)
+        .select(
+          col("a_id"),
+          col("b_id"),
+          P.normd(col("jac")).as("jac"),
+          col("lev"),
+          P.normd(col("edit_sim")).as("edit_sim")
+        )
+        .orderBy("a_id", "b_id")
+    },
+    Some(
+      s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        "cand AS (SELECT a_id, b_id, jac FROM jc WHERE jac >= 0.3e0), " +
+        "v AS (SELECT a_id, b_id, jac, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev, " +
+        "1e0 - levenshtein(da.text, db.text)::DOUBLE / greatest(length(da.text), length(db.text))::DOUBLE AS edit_sim " +
+        "FROM cand JOIN documents da ON da.doc_id = a_id JOIN documents db ON db.doc_id = b_id) " +
+        "SELECT a_id, b_id, round(jac, 6) AS jac, lev, round(edit_sim, 6) AS edit_sim " +
+        "FROM v WHERE edit_sim >= 0.5e0 ORDER BY a_id, b_id"
+    )
+  )
+
+  /** Power-iteration PCA projection (round 6): project every embedding
+    * onto the trained top principal component (Similarity.pcaPower — one
+    * distributed pass per iteration, driver holds 2·d doubles). The
+    * oracle replays mean, 4 power iterations, and the projection
+    * bit-for-bit via [[pcaCtes]]. */
+  val qPcaPower = Q(
+    "x_pca_power",
+    (s, dir) => {
+      Graft.init(s)
+      val e = embs(s, dir)
+      val (mu, v) = Similarity.pcaPower(e, iters = 4)
+      val vecD = transform(col("embedding"), x => x.cast("double"))
+      val centered = zip_with(vecD, typedLit(mu.toSeq), (x, m) => x - m)
+      e.select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        P.normd(Similarity.dot(centered, typedLit(v.toSeq))).as("proj"),
+        P.normd(sqrt(Similarity.dot(centered, centered))).as("cnorm")
+      ).orderBy("vec_id")
+    },
+    Some(pcaSql(64, 4))
+  )
+
   val all: Seq[Q] = Seq(
+    qNormalize,
+    qPmiPairs,
+    qVocab,
+    qSourceCap,
+    qEditDistPairs,
+    qPcaPower,
     qSplit,
     qStratSample,
     qMixture,

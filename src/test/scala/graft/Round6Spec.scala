@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extensions.{Dedup, Mixture, Similarity, TextOps}
+
+/** Round-6 operators: text normalization, PMI collocations, vocabulary
+  * coverage, per-source token caps, edit-distance-verified near-dups,
+  * power-iteration PCA. Each is cross-validated against an independent
+  * in-memory recomputation (the DuckDB oracle covers sf0.01; these pin
+  * semantics and the determinism/scale contracts).
+  */
+class Round6Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Graft.table(spark, TestSpark.sfDir, "documents")
+  private def embs = Graft.table(spark, TestSpark.sfDir, "embeddings")
+
+  // ------------------------------------------------------- normalizeText
+  test("normalizeText collapses whitespace, lowercases, trims — and is idempotent") {
+    import spark.implicits._
+    val f = Seq("  A  b\tC  ", "already normal", "MiXeD   caSe").toDF("text")
+    val once = f.select(TextOps.normalizeText(col("text")).as("n")).as[String].collect()
+    assert(once.sameElements(Array("a b c", "already normal", "mixed case")))
+    val twice = f
+      .select(TextOps.normalizeText(TextOps.normalizeText(col("text"))).as("n"))
+      .as[String]
+      .collect()
+    assert(once.sameElements(twice), "normalization must be idempotent")
+  }
+
+  // ------------------------------------------------------------ pmiPairs
+  test("pmiPairs equals the brute-force PMI computation") {
+    val res = TextOps
+      .pmiPairs(docs, minCount = 5, topK = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = toks
+      .flatMap(t => t.dropRight(1).zip(t.drop(1)))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    val n = uni.values.sum.toDouble
+    val m = bi.values.sum.toDouble
+    val scored = bi.toSeq
+      .filter(_._2 >= 5)
+      .map { case ((a, b), cab) =>
+        val pmi = math.log((cab / m) / ((uni(a) / n) * (uni(b) / n)))
+        ((a, b), cab, pmi)
+      }
+      .sortBy { case ((a, b), _, pmi) => (-pmi, a, b) }
+      .take(50)
+    assert(res.size == scored.size)
+    scored.foreach { case (k, cab, pmi) =>
+      assert(res.contains(k), s"missing pair $k")
+      assert(res(k)._1 == cab)
+      assert(math.abs(res(k)._2 - pmi) < 1e-12, s"pmi mismatch for $k")
+    }
+  }
+
+  // ---------------------------------------------------------- vocabulary
+  test("vocabulary ranks by (count desc, token), coverage is monotone and consistent") {
+    val rows = TextOps.vocabulary(docs, topV = 50).orderBy("rank").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    val cum = rows.map(_.getDouble(4))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - cum.last) < 1e-9, "cum coverage equals the share sum")
+    assert(cum.last <= 1.0 + 1e-12)
+
+    val uni = docs
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length.toLong)
+      .toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(rows.length)
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq == uni.map { case (w, c) => (w, c) })
+  }
+
+  // ------------------------------------------------------------ sourceCap
+  test("sourceCap admits deterministically and never exceeds the cap") {
+    val res = Mixture.sourceCap(docs, TextOps.nTokens(col("text")), capFrac = 0.18)
+    val rows = res.collect()
+    val total = rows.map(_.getLong(2)).sum
+    val cap = math.floor(total.toDouble * 0.18).toLong
+    assert(rows.forall(_.getLong(5) == cap))
+    // kept tokens per source never exceed the cap
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val kept = rs.filter(_.getBoolean(6)).map(_.getLong(2)).sum
+      assert(kept <= cap, s"source $src kept $kept > cap $cap")
+    }
+    // admit_rank is a 1..n permutation within each source
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length.toLong).toSeq)
+    }
+    // deterministic under repartition: identical verdicts
+    val re = Mixture
+      .sourceCap(docs.repartition(7, col("source")), TextOps.nTokens(col("text")), 0.18)
+      .collect()
+    assert(
+      rows.map(r => r.getLong(0) -> r.getBoolean(6)).toMap ==
+        re.map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    )
+  }
+
+  // -------------------------------------------------------- editDistPairs
+  test("editDistPairs verifies candidates with true Levenshtein") {
+    val cands = Dedup
+      .jaccardPairs(docs, threshold = 0.3)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val verified = Dedup.editDistPairs(docs, candJac = 0.3, simThreshold = 0.5).collect()
+    assert(verified.nonEmpty, "fixture produced no verified pairs; test is weak")
+    val txt = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    verified.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(cands.contains((a, b)), s"verified pair ($a,$b) not in the candidate set")
+      val lev = levLocal(txt(a), txt(b))
+      assert(r.getLong(3) == lev, s"lev mismatch for ($a,$b)")
+      val sim = 1.0 - lev.toDouble / math.max(txt(a).length, txt(b).length)
+      assert(math.abs(r.getDouble(4) - sim) < 1e-12)
+      assert(sim >= 0.5)
+    }
+  }
+
+  private def levLocal(a: String, b: String): Long = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0)
+      dp(0) = i
+      for (j <- 1 to b.length) {
+        val t = dp(j)
+        dp(j) = math.min(
+          math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+        prev = t
+      }
+    }
+    dp(b.length).toLong
+  }
+
+  // ------------------------------------------------------------ pcaPower
+  test("pcaPower trains a unit component, deterministic under repartition") {
+    val (mu, v) = Similarity.pcaPower(embs, iters = 4)
+    assert(mu.length == 64 && v.length == 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, "component must be unit-norm")
+    // FP-determinism: the ordered folds make training repartition-proof
+    graft.CacheRegistry.release(spark)
+    val (mu2, v2) = Similarity.pcaPower(embs.repartition(7), iters = 4)
+    assert(mu.sameElements(mu2) && v.sameElements(v2), "training must be bit-stable under repartition")
+  }
+
+  test("pcaPower finds a higher-variance direction than its uniform init") {
+    val (mu, v) = Similarity.pcaPower(embs, iters = 4)
+    val data = embs
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    def variance(dir: Array[Double]): Double = {
+      val projs = data.map(x => x.indices.map(i => (x(i) - mu(i)) * dir(i)).sum)
+      val mean = projs.sum / projs.length
+      projs.map(p => (p - mean) * (p - mean)).sum / projs.length
+    }
+    val d = mu.length
+    val v0 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    // Rayleigh quotient is non-decreasing across power iterations
+    assert(variance(v) >= variance(v0) - 1e-12)
+    // and the trained direction beats every coordinate axis on this corpus
+    val axisVar = (0 until d).map { i =>
+      val e = Array.fill(d)(0.0); e(i) = 1.0; variance(e)
+    }.max
+    assert(variance(v) >= axisVar * 0.9, "trained component should rival the best single axis")
+  }
+}
