@@ -278,8 +278,16 @@ object Similarity {
           struct((lit(-1.0) * dot(col("embedding"), typedLit(ct.toSeq))).as("nd"), lit(c0).as("c"))
         }
         val assign = array_min(array(entries.toIndexedSeq: _*)).getField("c")
+        // Stage the nCells dot-products in their OWN projection below the
+        // posexplode: computed alongside the Generate they inline into
+        // generate_doConsume, which Janino cannot split past 64 KB at
+        // larger nCells (whole-stage codegen then falls back to
+        // interpreted for the whole stage). A Project supports
+        // splitExpressions, and Generate between the two Projects stops
+        // CollapseProject from undoing the staging.
         val rows = corpus
-          .select(col("vec_id"), assign.as("c"), posexplode(vecD).as(Seq("d", "x")))
+          .select(col("vec_id"), assign.as("c"), vecD.as("__v"))
+          .select(col("vec_id"), col("c"), posexplode(col("__v")).as(Seq("d", "x")))
           .groupBy("c", "d")
           .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
           .collect()
@@ -617,31 +625,34 @@ object Similarity {
       // books(sub)(code) = centroid subvector
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(m)(s => initRows.map(full => full.slice(s * dm, s * dm + dm)))
-      val subsvec = corpus.select(
-        col("vec_id"),
-        posexplode(
-          array((0 until m).map(s0 => slice(col("embedding"), s0 * dm + 1, dm)): _*)
-        ).as(Seq("sub", "svec"))
-      )
       // empty-corpus guard mirrors kmeansCentroids: zero init rows would
       // make array() of zero assign entries — an analysis-time error
       for (_ <- 1 to iters if initRows.nonEmpty) {
-        val assign = coalesce((0 until m).map { s0 =>
+        // All m×kC literal dot-products are computed in ONE projection
+        // straight off the scan — BEFORE any Generate — then exploded as
+        // data. Computing them after the (sub, svec) explode inlined the
+        // whole assignment into generate_doConsume, which Janino cannot
+        // split past 64 KB (whole training stage fell back to interpreted).
+        val perSub = array((0 until m).map { s0 =>
+          val sv = slice(col("embedding"), s0 * dm + 1, dm)
           val entries = books(s0).zipWithIndex.map { case (ct, c0) =>
             struct(
-              (lit(dotLocal(ct, ct)) - lit(2.0) * dot(col("svec"), typedLit(ct.toSeq))).as("dist"),
+              (lit(dotLocal(ct, ct)) - lit(2.0) * dot(sv, typedLit(ct.toSeq))).as("dist"),
               lit(c0).as("c")
             )
           }
-          when(col("sub") === s0, array_min(array(entries.toIndexedSeq: _*)).getField("c"))
+          struct(
+            array_min(array(entries.toIndexedSeq: _*)).getField("c").as("c"),
+            transform(sv, v => v.cast("double")).as("svec")
+          )
         }: _*)
-        val rows = subsvec
-          .withColumn("c", assign)
+        val rows = corpus
+          .select(col("vec_id"), posexplode(perSub).as(Seq("sub", "e")))
           .select(
             col("vec_id"),
             col("sub"),
-            col("c"),
-            posexplode(transform(col("svec"), v => v.cast("double"))).as(Seq("d", "x"))
+            col("e.c").as("c"),
+            posexplode(col("e.svec")).as(Seq("d", "x"))
           )
           .groupBy("sub", "c", "d")
           .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
