@@ -1,0 +1,103 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quality-classifier training for corpus curation (SURVEY §2.F, round
+  * 6): the GPT-3/LLaMA-style selection step — train a tiny logistic
+  * regression that tells target-domain documents from the raw pool, then
+  * score every document and keep the high-probability tail. The
+  * heuristic quality RULES (x_quality_rules) are the features; this
+  * learns their weighting instead of hand-tuning it.
+  *
+  * Training is full-batch gradient descent with every FP step in a fixed
+  * order, same contract as Similarity.pcaPower: per-feature gradients
+  * fold documents in doc_id order, the per-document logit folds features
+  * in index order (graft_dot), and the driver's weight update runs in
+  * feature order — so the DuckDB oracle replays the trained weights
+  * bit-for-bit through unrolled CTEs (ExtensionQueries.lrSql).
+  *
+  * Scale: one distributed pass per iteration — a map-side projection
+  * (logit + residual) and a d-group hash-aggregate; the driver holds d
+  * doubles (d = 5 features). Nothing corpus-sized ever moves: the
+  * shuffle carries d rows per partition per pass. At 100 TB train on a
+  * `.limit`ed sample and score the full corpus map-side with the
+  * broadcast weights, exactly like the k-means/PQ quantizers.
+  */
+object Classify {
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** Fixed-order per-document feature vector (all O(1) ratios, nulls →
+    * 0): [bias, capped length, distinct-token ratio, stopword ratio,
+    * mean token length / 10]. Pure map-side HOFs. */
+  def qualityFeatures(text: Column): Column = {
+    val tk = TextOps.tokens(text)
+    val n = size(tk)
+    val nd = n.cast("double")
+    array(
+      lit(1.0),
+      when(n > 0, least(nd / 100.0, lit(1.0))).otherwise(0.0),
+      when(n > 0, size(array_distinct(tk)).cast("double") / nd).otherwise(0.0),
+      when(n > 0, size(filter(tk, t => EnStopwords.map(t === _).reduce(_ || _))).cast("double") / nd)
+        .otherwise(0.0),
+      when(n > 0, (aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") / nd) / 10.0)
+        .otherwise(0.0)
+    )
+  }
+
+  val NumFeatures: Int = 5
+
+  /** doc_id-ordered sum — the FP-parity fold shared with the trainers. */
+  private def orderedSum(idC: Column, xC: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(idC.as("i"), xC.as("x")))), s => s("x")),
+      lit(0.0),
+      (a, v) => a + v
+    )
+
+  /** Train logistic-regression weights: w ← w − lr·g/n per iteration,
+    * g_j = Σ_docs x_j·(σ(w·x) − y) folded in doc_id order. Returns the
+    * weight vector (length [[NumFeatures]]); empty corpus → zeros.
+    * Memo'd per (session, corpus plan, label expr, lr, iters). */
+  def logRegTrain(
+      docs: DataFrame,
+      isTarget: Column,
+      lr: Double = 0.5,
+      iters: Int = 8
+  ): Array[Double] =
+    graft.CacheRegistry.memoStat(
+      docs.sparkSession,
+      s"clf:lr:$lr:$iters:${isTarget.toString}:${graft.CacheRegistry.planKey(docs)}"
+    ) {
+      val base = docs
+        .select(
+          col("doc_id"),
+          qualityFeatures(col("text")).as("f"),
+          isTarget.cast("double").as("y")
+        )
+      val n = base.count().toDouble
+      val w = Array.fill(NumFeatures)(0.0)
+      if (n == 0) w
+      else {
+        for (_ <- 1 to iters) {
+          val z = Similarity.dot(col("f"), typedLit(w.toSeq))
+          val resid = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+          val rows = base
+            .select(col("doc_id"), resid.as("r"), posexplode(col("f")).as(Seq("d", "x")))
+            .groupBy("d")
+            .agg(orderedSum(col("doc_id"), col("x") * col("r")).as("g"))
+            .collect()
+          rows.foreach(r => w(r.getInt(0)) = w(r.getInt(0)) - lr * r.getDouble(1) / n)
+        }
+        w
+      }
+    }
+
+  /** Score every document with trained weights: σ(w·x) map-side (the
+    * weights travel as a literal — broadcast by construction). */
+  def score(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val z = Similarity.dot(qualityFeatures(col("text")), typedLit(w.toSeq))
+    docs.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+}

@@ -176,6 +176,41 @@ object ExtensionQueries {
     sb.toString
   }
 
+  /** Unrolled logistic-regression training — term-for-term mirror of
+    * Classify.logRegTrain: fixed-order features, w₀ = 0, each iteration
+    * computes per-doc residual σ(w·x)−y (logit folded in feature order)
+    * and per-feature gradient folded in doc_id order, then updates
+    * w_i − lr·g_i/n in feature order. Final select scores every doc with
+    * the trained weights. */
+  private def lrSql(iters: Int, lr: Double): String = {
+    val lrLit = sqlgen.d(lr)
+    val feats =
+      "[1e0, " +
+        "CASE WHEN len(tk) > 0 THEN least(len(tk)::DOUBLE / 100, 1e0) ELSE 0e0 END, " +
+        "CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0e0 END, " +
+        "CASE WHEN len(tk) > 0 THEN len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE / len(tk) ELSE 0e0 END, " +
+        "CASE WHEN len(tk) > 0 THEN (CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(tk)) / 10 ELSE 0e0 END]"
+    val sig =
+      "1e0 / (1e0 + exp(-(list_reduce(list_transform(range(1, 6), i -> f[i] * wl[i]), (a, b) -> a + b))))"
+    val sb = new StringBuilder("WITH ")
+    sb ++= s"ftoks AS ($toksCte), "
+    sb ++= "fb AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1e0 ELSE 0e0 END AS y, " +
+      s"$feats AS f FROM ftoks), "
+    sb ++= "lnn AS (SELECT count(*)::DOUBLE AS n FROM fb), "
+    sb ++= "lw0 AS (SELECT [0e0, 0e0, 0e0, 0e0, 0e0] AS wl), "
+    for (t <- 1 to iters) {
+      sb ++= s"lr$t AS (SELECT doc_id, f, $sig - y AS r FROM fb CROSS JOIN lw${t - 1}), "
+      sb ++= s"lg$t AS (SELECT d, list_reduce(list(f[d] * r ORDER BY doc_id), (a, b) -> a + b) AS g " +
+        s"FROM lr$t CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd GROUP BY d), "
+      sb ++= s"lw$t AS (SELECT list_transform(range(1, 6), i -> wl[i] - $lrLit * gl[i] / n) AS wl " +
+        s"FROM lw${t - 1} CROSS JOIN (SELECT list(g ORDER BY d) AS gl FROM lg$t) gg CROSS JOIN lnn), "
+    }
+    sb ++= s"sc AS (SELECT doc_id, y, $sig AS score FROM fb CROSS JOIN lw$iters) " +
+      "SELECT doc_id, y = 1e0 AS is_target, round(score, 6) AS score, score >= 0.5e0 AS pred " +
+      "FROM sc ORDER BY doc_id"
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- queries
   private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
@@ -1736,7 +1771,33 @@ object ExtensionQueries {
     Some(pcaSql(64, 4))
   )
 
+  /** Learned quality classifier (round 6): logistic regression over the
+    * heuristic quality features, trained by deterministic full-batch GD
+    * (Classify.logRegTrain — one distributed pass per iteration, driver
+    * holds 5 doubles), scoring every doc map-side with the broadcast
+    * weights. The oracle replays training bit-for-bit via [[lrSql]]. */
+  val qQualityLr = Q(
+    "x_quality_lr",
+    (s, dir) => {
+      Graft.init(s)
+      val d = docs(s, dir)
+      val isTarget = col("source") === "src0"
+      val w = graft.extensions.Classify.logRegTrain(d, isTarget, lr = 0.5, iters = 8)
+      graft.extensions.Classify
+        .score(d, w)
+        .select(
+          col("doc_id"),
+          isTarget.as("is_target"),
+          P.normd(col("score")).as("score"),
+          (col("score") >= 0.5).as("pred")
+        )
+        .orderBy("doc_id")
+    },
+    Some(lrSql(8, 0.5))
+  )
+
   val all: Seq[Q] = Seq(
+    qQualityLr,
     qNormalize,
     qPmiPairs,
     qVocab,

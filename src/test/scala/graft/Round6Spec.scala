@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.extensions.{Dedup, Mixture, Similarity, TextOps}
+import graft.extensions.{Classify, Dedup, Mixture, Similarity, TextOps}
 
 /** Round-6 operators: text normalization, PMI collocations, vocabulary
   * coverage, per-source token caps, edit-distance-verified near-dups,
@@ -163,6 +163,31 @@ class Round6Spec extends AnyFunSuite {
     graft.CacheRegistry.release(spark)
     val (mu2, v2) = Similarity.pcaPower(embs.repartition(7), iters = 4)
     assert(mu.sameElements(mu2) && v.sameElements(v2), "training must be bit-stable under repartition")
+  }
+
+  // ---------------------------------------------------------- logRegTrain
+  test("logRegTrain reduces log-loss vs the zero model and is repartition-stable") {
+    val isTarget = col("source") === "src0"
+    val w = Classify.logRegTrain(docs, isTarget, lr = 0.5, iters = 8)
+    assert(w.length == Classify.NumFeatures && w.forall(x => !x.isNaN && !x.isInfinite))
+    assert(w.exists(_ != 0.0), "training moved no weight")
+
+    // independent local replay: same features, same fold orders
+    val feats = docs
+      .select(col("doc_id"), Classify.qualityFeatures(col("text")).as("f"), isTarget.cast("double").as("y"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def loss(wv: Array[Double]): Double = feats.map { case (x, y) =>
+      val z = x.indices.map(i => x(i) * wv(i)).sum
+      val p = 1.0 / (1.0 + math.exp(-z))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / feats.length
+    assert(loss(w) < loss(Array.fill(Classify.NumFeatures)(0.0)), "GD must beat the zero model's log-loss")
+
+    graft.CacheRegistry.release(spark)
+    val w2 = Classify.logRegTrain(docs.repartition(7), isTarget, lr = 0.5, iters = 8)
+    assert(w.sameElements(w2), "training must be bit-stable under repartition")
   }
 
   test("pcaPower finds a higher-variance direction than its uniform init") {
