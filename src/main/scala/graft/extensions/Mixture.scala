@@ -145,6 +145,36 @@ object Mixture {
       )
   }
 
+  /** Temperature-smoothed source sampling (round 6): the multilingual
+    * sampling rule (XLM-R / mBERT): q_s ∝ p_s^α with α < 1 flattens the
+    * source distribution so low-resource sources are upsampled —
+    * `sample_factor = q_s / p_s` is what a sampler multiplies each
+    * source's natural rate by. α = 1 is proportional sampling; α = 0 is
+    * uniform. One partial-agg pass per corpus; the normalizer folds
+    * sources in name order (FP-parity with the oracle); everything after
+    * the aggregate is a broadcast-sized frame. */
+  def temperatureMixture(docs: DataFrame, tokenCount: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val per = docs
+      .groupBy("source")
+      .agg(sum(tokenCount).cast("double").as("n_tokens"))
+    val tot = broadcast(per.agg(sum(col("n_tokens")).as("__total")))
+    val p = per.crossJoin(tot).withColumn("p", col("n_tokens") / col("__total"))
+    val z = broadcast(
+      p.agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"), pow(col("p"), alpha).as("pa")))), s => s("pa")),
+          lit(0.0),
+          (a, v) => a + v
+        ).as("__z")
+      )
+    )
+    p.crossJoin(z)
+      .withColumn("q", pow(col("p"), alpha) / col("__z"))
+      .withColumn("sample_factor", col("q") / col("p"))
+      .select(col("source"), col("n_tokens"), col("p"), col("q"), col("sample_factor"))
+  }
+
   /** Per-source token-share cap (round 6): no single source may exceed
     * `capFrac` of the corpus's total tokens — the "one crawl dump must not
     * dominate the mixture" guard that runs BEFORE recipe weighting. Docs

@@ -150,9 +150,9 @@ object ExtensionQueries {
     * dim order; final select projects every embedding onto the trained
     * component. list_reduce has no initial accumulator but 0 + x₀ = x₀
     * exactly, so it matches graft_dot's 0.0-seeded fold. */
-  private def pcaSql(dim: Int, iters: Int): String = {
+  private def pcaCtes(dim: Int, iters: Int): String = {
     val v0 = sqlgen.d(1.0 / math.sqrt(dim.toDouble))
-    val sb = new StringBuilder("WITH ")
+    val sb = new StringBuilder
     sb ++= s"cx0 AS (SELECT vec_id, label, unnest(range(1, ${dim + 1})) AS d, embedding FROM embeddings), "
     sb ++= "cxx AS (SELECT vec_id, label, d, CAST(embedding[d] AS DOUBLE) AS x FROM cx0), "
     sb ++= "pmu AS (SELECT d, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS mu FROM cxx GROUP BY d), "
@@ -170,11 +170,27 @@ object ExtensionQueries {
     sb ++= s"pf AS (SELECT vec_id, label, " +
       "list_reduce(list(cx * vl[d] ORDER BY d), (a, b) -> a + b) AS proj, " +
       "list_reduce(list(cx * cx ORDER BY d), (a, b) -> a + b) AS n2 " +
-      s"FROM cc CROSS JOIN pv$iters GROUP BY vec_id, label) " +
-      "SELECT vec_id, CAST(label AS BIGINT) AS label, round(proj, 6) AS proj, " +
-      "round(sqrt(n2), 6) AS cnorm FROM pf ORDER BY vec_id"
+      s"FROM cc CROSS JOIN pv$iters GROUP BY vec_id, label)"
     sb.toString
   }
+
+  private def pcaSql(dim: Int, iters: Int): String =
+    s"WITH ${pcaCtes(dim, iters)} " +
+      "SELECT vec_id, CAST(label AS BIGINT) AS label, round(proj, 6) AS proj, " +
+      "round(sqrt(n2), 6) AS cnorm FROM pf ORDER BY vec_id"
+
+  /** ABTT removal mirror: residual norm after subtracting the projection
+    * onto the trained component, folded in dim order. */
+  private def pcaRemoveSql(dim: Int, iters: Int): String =
+    s"WITH ${pcaCtes(dim, iters)}, " +
+      "prr AS (SELECT c.vec_id, pf.proj, pf.n2, " +
+      "list_reduce(list((c.cx - pf.proj * vl[c.d]) * (c.cx - pf.proj * vl[c.d]) ORDER BY c.d), (a, b) -> a + b) AS rn2 " +
+      s"FROM cc c JOIN pf ON pf.vec_id = c.vec_id CROSS JOIN pv$iters " +
+      "GROUP BY c.vec_id, pf.proj, pf.n2) " +
+      "SELECT vec_id, round(proj, 6) AS proj, round(sqrt(n2), 6) AS cnorm, " +
+      "round(sqrt(rn2), 6) AS rnorm, " +
+      "round(CASE WHEN n2 > 0 THEN proj * proj / n2 END, 6) AS var_share " +
+      "FROM prr ORDER BY vec_id"
 
   /** Unrolled logistic-regression training — term-for-term mirror of
     * Classify.logRegTrain: fixed-order features, w₀ = 0, each iteration
@@ -1796,7 +1812,75 @@ object ExtensionQueries {
     Some(lrSql(8, 0.5))
   )
 
+  /** ABTT dominant-direction removal (Mu & Viswanath 2018, "All-but-the-
+    * Top"): subtract each embedding's projection onto the trained top
+    * component — the post-processing that makes similarity scores usable
+    * when one direction dominates the corpus. Reuses the memo'd pcaPower
+    * training; the removal itself is map-side with the component as a
+    * broadcast literal. */
+  val qPcaRemove = Q(
+    "x_pca_remove",
+    (s, dir) => {
+      Graft.init(s)
+      val e = embs(s, dir)
+      val (mu, v) = Similarity.pcaPower(e, iters = 4)
+      val vecD = transform(col("embedding"), x => x.cast("double"))
+      val centered = zip_with(vecD, typedLit(mu.toSeq), (x, m) => x - m)
+      val vLit = typedLit(v.toSeq)
+      e.select(
+        col("vec_id"),
+        centered.as("__c"),
+        Similarity.dot(centered, vLit).as("proj"),
+        Similarity.dot(centered, centered).as("__n2")
+      ).select(
+        col("vec_id"),
+        P.normd(col("proj")).as("proj"),
+        P.normd(sqrt(col("__n2"))).as("cnorm"),
+        P.normd(
+          sqrt(
+            Similarity.dot(
+              zip_with(col("__c"), vLit, (c, vv) => c - col("proj") * vv),
+              zip_with(col("__c"), vLit, (c, vv) => c - col("proj") * vv)
+            )
+          )
+        ).as("rnorm"),
+        P.normd(when(col("__n2") > 0, col("proj") * col("proj") / col("__n2"))).as("var_share")
+      ).orderBy("vec_id")
+    },
+    Some(pcaRemoveSql(64, 4))
+  )
+
+  /** Temperature-smoothed source sampling (XLM-R rule): q_s ∝ p_s^0.3,
+    * sample_factor = q/p per source. One aggregate; broadcast scalars. */
+  val qMixtureTemp = Q(
+    "x_mixture_temp",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Mixture
+        .temperatureMixture(docs(s, dir), TextOps.nTokens(col("text")), alpha = 0.3)
+        .select(
+          col("source"),
+          col("n_tokens"),
+          P.normd(col("p")).as("p"),
+          P.normd(col("q")).as("q"),
+          P.normd(col("sample_factor")).as("sample_factor")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "mp AS (SELECT source, CAST(sum(len(tk)) AS DOUBLE) AS n_tokens FROM toks GROUP BY source), " +
+        "mt AS (SELECT sum(n_tokens) AS total FROM mp), " +
+        "pp AS (SELECT source, n_tokens, n_tokens / mt.total AS p FROM mp CROSS JOIN mt), " +
+        "zz AS (SELECT list_reduce(list(pow(p, 0.3e0) ORDER BY source), (a, b) -> a + b) AS z FROM pp) " +
+        "SELECT source, n_tokens, round(p, 6) AS p, round(pow(p, 0.3e0) / zz.z, 6) AS q, " +
+        "round((pow(p, 0.3e0) / zz.z) / p, 6) AS sample_factor FROM pp CROSS JOIN zz ORDER BY source"
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qPcaRemove,
+    qMixtureTemp,
     qQualityLr,
     qNormalize,
     qPmiPairs,

@@ -806,4 +806,24 @@ object StreamingTa {
       .where(col("n_hits") >= minHits)
       .withColumn("frac", col("n_hits").cast("double") / col("n_grams"))
   }
+
+  // ------------------------------------------- streaming quality scoring
+  /** Continuous-ingest curation gate: score arriving documents with the
+    * PRE-TRAINED quality classifier (Classify.logRegTrain runs batch-side
+    * on a snapshot; the d weights travel as a literal) and carry the
+    * normalized-text hash for downstream exact dedup. Fully STATELESS —
+    * pure map-side expressions, no watermark, no state store, append
+    * mode — so throughput is the scan rate; identical expressions to the
+    * batch path means row-for-row parity (spec-asserted). */
+  def qualityScoreStream(docs: DataFrame, weights: Array[Double], keepAbove: Double): DataFrame = {
+    val norm = graft.extensions.TextOps.normalizeText(col("text"))
+    graft.extensions.Classify
+      .score(docs, weights)
+      .select(
+        col("doc_id"),
+        col("score"),
+        (col("score") >= keepAbove).as("keep"),
+        graft.extensions.TextOps.polyHash(norm).as("norm_hash")
+      )
+  }
 }

@@ -272,4 +272,53 @@ class StreamingParitySpec extends AnyFunSuite {
       .select("ts", "open", "high", "low", "close", "volume").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming quality-classifier scoring equals the batch path") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val w = graft.extensions.Classify.logRegTrain(docs, col("source") === "src0", lr = 0.5, iters = 8)
+    // gate at the score range's midpoint: the src0 prior is small, so a
+    // fixed 0.5 would pass every doc and make the keep-flag check vacuous
+    val scores = graft.extensions.Classify.score(docs, w).select("score").collect().map(_.getDouble(0))
+    val keepAbove = (scores.min + scores.max) / 2
+    val batch = StreamingTa
+      .qualityScoreStream(docs, w, keepAbove)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+
+    val rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_qlr_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk: _*), docs.select("doc_id", "text").schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"d$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    val q = StreamingTa
+      .qualityScoreStream(stream, w, keepAbove)
+      .writeStream
+      .format("memory")
+      .queryName("qlr_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark
+      .table("qlr_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.exists(_._3) && batch.exists(!_._3), "vacuous: gate never splits the fixture")
+  }
 }
