@@ -241,6 +241,42 @@ object ScaleProbe {
       emit("ann_ivf_topk", n, timed(graft.extensions.Similarity.topkIvf(idx, q, 5, 64, 4).count()))
       graft.CacheRegistry.release(spark)
     }
+    // ---- trained-model layer (round 6): one distributed pass per
+    // iteration, driver state O(d) — the curve should be the scan cost,
+    // linear in rows with no cliff.
+    if (want("train")) {
+      for (n <- Seq(100000, 400000, 1600000)) {
+        val v = graft.CacheRegistry.track(vecs(spark, n))
+        v.count()
+        emit(
+          "pca_train4",
+          n,
+          time(graft.extensions.Similarity.pcaPower(v, iters = 4)._2.length.toLong)
+        )
+        graft.CacheRegistry.release(spark)
+      }
+      for (n <- Seq(50000, 200000, 800000)) {
+        val d = graft.CacheRegistry.track(
+          docs(spark, n).select(
+            col("doc_id"),
+            col("text"),
+            concat(lit("src"), pmod(col("doc_id"), lit(8))).as("source")
+          )
+        )
+        d.count()
+        emit(
+          "lr_train8",
+          n,
+          time(
+            graft.extensions.Classify
+              .logRegTrain(d, col("source") === "src0", lr = 0.5, iters = 8)
+              .length
+              .toLong
+          )
+        )
+        graft.CacheRegistry.release(spark)
+      }
+    }
     spark.stop()
   }
 }

@@ -48,18 +48,13 @@ object Classify {
 
   val NumFeatures: Int = 5
 
-  /** doc_id-ordered sum — the FP-parity fold shared with the trainers. */
-  private def orderedSum(idC: Column, xC: Column): Column =
-    aggregate(
-      transform(array_sort(collect_list(struct(idC.as("i"), xC.as("x")))), s => s("x")),
-      lit(0.0),
-      (a, v) => a + v
-    )
-
   /** Train logistic-regression weights: w ← w − lr·g/n per iteration,
-    * g_j = Σ_docs x_j·(σ(w·x) − y) folded in doc_id order. Returns the
-    * weight vector (length [[NumFeatures]]); empty corpus → zeros.
-    * Memo'd per (session, corpus plan, label expr, lr, iters). */
+    * g_j = Σ_docs x_j·(σ(w·x) − y) folded deterministically (two-level:
+    * doc_id-ordered within `doc_id DIV 4096` chunks, chunk-ordered
+    * across — Similarity.chunkedDimSum, bounded lists at any corpus
+    * size). Returns the weight vector (length [[NumFeatures]]); empty
+    * corpus → zeros. Memo'd per (session, corpus plan, label expr, lr,
+    * iters). */
   def logRegTrain(
       docs: DataFrame,
       isTarget: Column,
@@ -83,10 +78,15 @@ object Classify {
         for (_ <- 1 to iters) {
           val z = Similarity.dot(col("f"), typedLit(w.toSeq))
           val resid = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
-          val rows = base
-            .select(col("doc_id"), resid.as("r"), posexplode(col("f")).as(Seq("d", "x")))
-            .groupBy("d")
-            .agg(orderedSum(col("doc_id"), col("x") * col("r")).as("g"))
+          val rows = Similarity
+            .chunkedDimSum(
+              base
+                .select(col("doc_id"), resid.as("r"), posexplode(col("f")).as(Seq("d", "x")))
+                .select(col("doc_id"), col("d"), (col("x") * col("r")).as("xr")),
+              "doc_id",
+              "d",
+              "xr"
+            )
             .collect()
           rows.foreach(r => w(r.getInt(0)) = w(r.getInt(0)) - lr * r.getDouble(1) / n)
         }

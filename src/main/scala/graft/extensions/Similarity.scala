@@ -324,26 +324,51 @@ object Similarity {
     *
     * Every FP step is fixed-order so the DuckDB oracle replays the
     * trained component BIT-FOR-BIT (ExtensionQueries.pcaCtes): the mean
-    * and each w fold members in vec_id order (orderedSum), per-row dots
-    * fold dims in index order (graft_dot), the driver's norm folds dims
-    * ascending, and init v₀ = 1/√d uniform (exact binary literal at
-    * d = 64). Scale: driver holds 2·d doubles; each pass is a map-side
-    * projection + d-group hash-aggregate — shuffle carries d rows per
-    * partition, nothing corpus-sized; at 100 TB train on a `.limit`ed
-    * sample exactly like [[kmeansCentroids]]. Memo'd per (session,
-    * corpus, iters). Returns (mean, component); empty corpus → empty
-    * arrays. */
+    * and each w fold members deterministically via [[chunkedDimSum]]
+    * (vec_id-ordered within 4096-id chunks, chunk-ordered across —
+    * measured 2.5–6× over the flat ordered fold, SCALING.md), per-row
+    * dots fold dims in index order (graft_dot), the driver's norm folds
+    * dims ascending, and init v₀ = 1/√d uniform (exact binary literal
+    * at d = 64). Scale: driver holds 2·d doubles; each pass is a
+    * map-side projection + (d × chunk)-group aggregate with bounded
+    * lists; at 100 TB train on a `.limit`ed sample exactly like
+    * [[kmeansCentroids]]. Memo'd per (session, corpus, iters). Returns
+    * (mean, component); empty corpus → empty arrays. */
+  /** Canonical chunk size for the two-level deterministic sums the
+    * trainers use (pcaPower here, Classify.logRegTrain): a FLAT
+    * id-ordered fold (collect_list the whole group, sort, reduce) is
+    * bit-stable but materializes the corpus per group — measured 18 s /
+    * 100k vectors and superlinear beyond. Folding id-ordered WITHIN
+    * fixed `id DIV 4096` chunks and then chunk-ordered ACROSS chunk
+    * sums is equally canonical (partitioning-independent), keeps every
+    * collected list bounded, and spreads level-1 over chunks×d groups.
+    * The fold TREE changes, so the paired oracles mirror the same two
+    * levels term-for-term. */
+  private[extensions] val SumChunk = 4096
+
+  /** Two-level deterministic per-dim sum: id-ordered within `id DIV
+    * SumChunk` chunks, chunk-ordered across. Input must carry (d, id, x);
+    * returns (d, sx, cnt). */
+  private[extensions] def chunkedDimSum(rows: DataFrame, idC: String, dC: String, xC: String): DataFrame =
+    rows
+      .withColumn("__ch", expr(s"$idC DIV $SumChunk"))
+      .groupBy(dC, "__ch")
+      .agg(orderedSum(col(idC), col(xC)).as("__sx"), count(lit(1)).as("__c"))
+      .groupBy(dC)
+      .agg(orderedSum(col("__ch"), col("__sx")).as("sx"), sum(col("__c")).as("cnt"))
+
   def pcaPower(corpus: DataFrame, iters: Int = 4): (Array[Double], Array[Double]) =
     graft.CacheRegistry.memoStat(
       corpus.sparkSession,
       s"sim:pca:$iters:${graft.CacheRegistry.planKey(corpus)}"
     ) {
       val vecD = transform(col("embedding"), v => v.cast("double"))
-      val muRows = corpus
-        .select(col("vec_id"), posexplode(vecD).as(Seq("d", "x")))
-        .groupBy("d")
-        .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
-        .collect()
+      val muRows = chunkedDimSum(
+        corpus.select(col("vec_id"), posexplode(vecD).as(Seq("d", "x"))),
+        "vec_id",
+        "d",
+        "x"
+      ).collect()
       if (muRows.isEmpty) (Array.empty[Double], Array.empty[Double])
       else {
         val dim = muRows.map(_.getInt(0)).max + 1
@@ -352,15 +377,21 @@ object Similarity {
         var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
         for (_ <- 1 to iters) {
           val centered = zip_with(vecD, typedLit(mu.toSeq), (x, m) => x - m)
-          val rows = corpus
-            .select(
-              col("vec_id"),
-              dot(centered, typedLit(v.toSeq)).as("s"),
-              posexplode(centered).as(Seq("d", "cx"))
-            )
-            .groupBy("d")
-            .agg(orderedSum(col("vec_id"), col("cx") * col("s")).as("w"))
-            .collect()
+          val rows = chunkedDimSum(
+            corpus
+              // s staged BEFORE the explode: in the same projection the
+              // per-vector dot would re-evaluate once per dimension
+              .select(
+                col("vec_id"),
+                dot(centered, typedLit(v.toSeq)).as("s"),
+                centered.as("__c")
+              )
+              .select(col("vec_id"), col("s"), posexplode(col("__c")).as(Seq("d", "cx")))
+              .select(col("vec_id"), col("d"), (col("cx") * col("s")).as("xs")),
+            "vec_id",
+            "d",
+            "xs"
+          ).collect()
           val w = new Array[Double](dim)
           rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
           var nrm2 = 0.0

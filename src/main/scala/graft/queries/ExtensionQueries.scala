@@ -155,14 +155,20 @@ object ExtensionQueries {
     val sb = new StringBuilder
     sb ++= s"cx0 AS (SELECT vec_id, label, unnest(range(1, ${dim + 1})) AS d, embedding FROM embeddings), "
     sb ++= "cxx AS (SELECT vec_id, label, d, CAST(embedding[d] AS DOUBLE) AS x FROM cx0), "
-    sb ++= "pmu AS (SELECT d, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS mu FROM cxx GROUP BY d), "
+    // two-level deterministic sum (mirror of Similarity.chunkedDimSum):
+    // vec_id-ordered within vec_id//4096 chunks, chunk-ordered across
+    sb ++= "pmu1 AS (SELECT d, vec_id // 4096 AS ch, " +
+      "list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS sx, count(*) AS c FROM cxx GROUP BY d, ch), "
+    sb ++= "pmu AS (SELECT d, list_reduce(list(sx ORDER BY ch), (a, b) -> a + b) / sum(c) AS mu FROM pmu1 GROUP BY d), "
     sb ++= "cc AS (SELECT vec_id, label, d, x - mu AS cx FROM cxx JOIN pmu USING (d)), "
     sb ++= s"pv0 AS (SELECT list_transform(range(1, ${dim + 1}), i -> $v0) AS vl), "
     for (t <- 1 to iters) {
       sb ++= s"ps$t AS (SELECT vec_id, list_reduce(list(cx * vl[d] ORDER BY d), (a, b) -> a + b) AS s " +
         s"FROM cc CROSS JOIN pv${t - 1} GROUP BY vec_id), "
-      sb ++= s"pw$t AS (SELECT d, list_reduce(list(cx * s ORDER BY vec_id), (a, b) -> a + b) AS w " +
-        s"FROM cc JOIN ps$t USING (vec_id) GROUP BY d), "
+      sb ++= s"pw1$t AS (SELECT d, vec_id // 4096 AS ch, " +
+        "list_reduce(list(cx * s ORDER BY vec_id), (a, b) -> a + b) AS ws " +
+        s"FROM cc JOIN ps$t USING (vec_id) GROUP BY d, ch), "
+      sb ++= s"pw$t AS (SELECT d, list_reduce(list(ws ORDER BY ch), (a, b) -> a + b) AS w FROM pw1$t GROUP BY d), "
       sb ++= s"pn$t AS (SELECT wl, sqrt(list_reduce(list_transform(wl, x -> x * x), (a, b) -> a + b)) AS nrm " +
         s"FROM (SELECT list(w ORDER BY d) AS wl FROM pw$t)), "
       sb ++= s"pv$t AS (SELECT CASE WHEN nrm = 0 THEN wl ELSE list_transform(wl, x -> x / nrm) END AS vl FROM pn$t), "
@@ -216,8 +222,11 @@ object ExtensionQueries {
     sb ++= "lw0 AS (SELECT [0e0, 0e0, 0e0, 0e0, 0e0] AS wl), "
     for (t <- 1 to iters) {
       sb ++= s"lr$t AS (SELECT doc_id, f, $sig - y AS r FROM fb CROSS JOIN lw${t - 1}), "
-      sb ++= s"lg$t AS (SELECT d, list_reduce(list(f[d] * r ORDER BY doc_id), (a, b) -> a + b) AS g " +
-        s"FROM lr$t CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd GROUP BY d), "
+      // two-level gradient fold (mirror of Similarity.chunkedDimSum)
+      sb ++= s"lg1$t AS (SELECT d, doc_id // 4096 AS ch, " +
+        "list_reduce(list(f[d] * r ORDER BY doc_id), (a, b) -> a + b) AS gs " +
+        s"FROM lr$t CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd GROUP BY d, ch), "
+      sb ++= s"lg$t AS (SELECT d, list_reduce(list(gs ORDER BY ch), (a, b) -> a + b) AS g FROM lg1$t GROUP BY d), "
       sb ++= s"lw$t AS (SELECT list_transform(range(1, 6), i -> wl[i] - $lrLit * gl[i] / n) AS wl " +
         s"FROM lw${t - 1} CROSS JOIN (SELECT list(g ORDER BY d) AS gl FROM lg$t) gg CROSS JOIN lnn), "
     }
