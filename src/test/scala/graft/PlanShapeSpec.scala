@@ -220,4 +220,33 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(nBhj >= 1, s"$name: no broadcast hash join in plan:\n$plan")
     }
   }
+
+  test("round-6 ops: normalization/scoring stay shuffle-free, cuts are TakeOrdered") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    // map-side ops must plan ZERO exchanges — at 100 TB they run at scan speed
+    for (
+      (name, df) <- Seq(
+        "normalizeText" -> docs.select(graft.extensions.TextOps.normalizeText(col("text"))),
+        "classifierScore" -> graft.extensions.Classify.score(docs, Array(0.1, 0.2, 0.3, 0.4, 0.5))
+      )
+    ) {
+      val ex = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.isEmpty, s"$name plans a shuffle:\n${df.queryExecution.executedPlan}")
+    }
+    // top-k cuts must be TakeOrdered (per-partition heaps), never a global sort
+    for (
+      (name, df) <- Seq(
+        "pmiPairs" -> graft.extensions.TextOps.pmiPairs(docs, 5, 50),
+        "vocabulary" -> graft.extensions.TextOps.vocabulary(docs, 100)
+      )
+    ) {
+      val exec = df.queryExecution.executedPlan
+      assert(exec.toString.contains("TakeOrderedAndProject"), s"$name: no TakeOrderedAndProject:\n$exec")
+    }
+    // edit-distance verification must meet through equi-joins only
+    val ed = graft.extensions.Dedup.editDistPairs(docs, 0.3, 0.5)
+    val plan = ed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"editDistPairs plans a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"editDistPairs plans a nested loop:\n$plan")
+  }
 }
