@@ -404,6 +404,59 @@ object Similarity {
       }
     }
 
+  /** k-center-greedy coreset selection (Sener & Savarese 2018's
+    * active-learning rule; Gonzalez 1985's 2-approximation): start from
+    * the lowest-id vector, then k−1 times pick the point FARTHEST from
+    * its nearest already-picked center — the diversity sampler that
+    * covers an embedding space with k exemplars, and the per-pick
+    * distance is the coverage-radius curve (non-increasing; 2-approx of
+    * the optimal k-center radius).
+    *
+    * Distributed shape: each round is ONE map-side pass (squared
+    * distances to the ≤k selected centers as broadcast literals, min
+    * folded via `least`) + a TakeOrdered(1) argmax with a (d² DESC,
+    * vec_id ASC) tie-break — never a global sort, never a pair join;
+    * driver holds k·d doubles. k passes over the corpus is the
+    * textbook trade; at 100 TB you run it over a pre-sampled pool.
+    * Deterministic: min/max over distinct doubles is order-insensitive
+    * and ties break by id, so the DuckDB oracle replays every pick
+    * (ExtensionQueries.kcSql). Returns (pick, vec_id, d2) — d2 NULL for
+    * the seed pick. */
+  def kcenterGreedy(corpus: DataFrame, k: Int): Array[(Long, Long, Option[Double])] =
+    graft.CacheRegistry.memoStat(
+      corpus.sparkSession,
+      s"sim:kcenter:$k:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      require(k >= 1, "k must be >= 1")
+      val vecD = transform(col("embedding"), v => v.cast("double"))
+      val firstRows = corpus.orderBy("vec_id").limit(1).select(col("vec_id"), vecD.as("e")).collect()
+      if (firstRows.isEmpty) Array.empty[(Long, Long, Option[Double])]
+      else {
+        val centers = scala.collection.mutable.ArrayBuffer(
+          firstRows.head.getLong(0) -> firstRows.head.getSeq[Double](1).toArray
+        )
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+          (1L, centers.head._1, None)
+        )
+        for (t <- 2 to k) {
+          val dExprs = centers.map { case (_, c) =>
+            val diff = zip_with(vecD, typedLit(c.toSeq), (x, m) => x - m)
+            dot(diff, diff)
+          }
+          val dmin = if (dExprs.size == 1) dExprs.head else least(dExprs.toSeq: _*)
+          val picked = corpus
+            .select(col("vec_id"), dmin.as("d2"), vecD.as("e"))
+            .orderBy(col("d2").desc, col("vec_id").asc)
+            .limit(1)
+            .collect()
+          val r = picked.head
+          centers += (r.getLong(0) -> r.getSeq[Double](2).toArray)
+          out += ((t.toLong, r.getLong(0), Some(r.getDouble(1))))
+        }
+        out.toArray
+      }
+    }
+
   def ivfIndex(corpus: DataFrame, nCells: Int): DataFrame =
     // memo-persisted per (corpus, nCells) like pqIndex — an IVF index is
     // BUILT once and probed many times; without the barrier every action

@@ -236,6 +236,29 @@ object ExtensionQueries {
     sb.toString
   }
 
+  /** Unrolled k-center-greedy mirror: seed = lowest vec_id, each pick t
+    * maximizes min squared distance to picks 1..t−1 (ties → lowest id);
+    * per-pair d² folds dims in index order like graft_dot. */
+  private def kcSql(dim: Int, k: Int): String = {
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> ($a.e[i] - $b.e[i]) * ($a.e[i] - $b.e[i])), (a, b) -> a + b)"
+    val sb = new StringBuilder("WITH ")
+    sb ++= "emb AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings), "
+    sb ++= "kp1 AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1), "
+    for (t <- 2 to k) {
+      val dists = (1 until t).map(j => d2("m", s"p$j"))
+      val dmin = if (dists.size == 1) dists.head else s"least(${dists.mkString(", ")})"
+      val joins = (1 until t).map(j => s"CROSS JOIN kp$j p$j").mkString(" ")
+      sb ++= s"kd$t AS (SELECT m.vec_id, m.e, $dmin AS d2 FROM emb m $joins), "
+      sb ++= s"kp$t AS (SELECT vec_id, e, d2 FROM (SELECT *, row_number() OVER (ORDER BY d2 DESC, vec_id ASC) AS rk FROM kd$t) WHERE rk = 1), "
+    }
+    val parts =
+      "SELECT CAST(1 AS BIGINT) AS pick, vec_id, CAST(NULL AS DOUBLE) AS d2 FROM kp1" +:
+        (2 to k).map(t => s"SELECT CAST($t AS BIGINT) AS pick, vec_id, round(d2, 6) AS d2 FROM kp$t")
+    sb ++= s"pks AS (${parts.mkString(" UNION ALL ")}) SELECT pick, vec_id, d2 FROM pks ORDER BY pick"
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- queries
   private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
@@ -1887,7 +1910,26 @@ object ExtensionQueries {
     )
   )
 
+  /** k-center-greedy coreset (round 6): 8 diversity exemplars + the
+    * non-increasing coverage-radius curve (Similarity.kcenterGreedy —
+    * one map-side pass + TakeOrdered(1) per pick). */
+  val qKcenter = Q(
+    "x_kcenter",
+    (s, dir) => {
+      Graft.init(s)
+      val picks = Similarity.kcenterGreedy(embs(s, dir), k = 8)
+      import s.implicits._
+      picks.toSeq
+        .map { case (p, id, d2) => (p, id, d2) }
+        .toDF("pick", "vec_id", "d2")
+        .withColumn("d2", P.normd(col("d2")))
+        .orderBy("pick")
+    },
+    Some(kcSql(64, 8))
+  )
+
   val all: Seq[Q] = Seq(
+    qKcenter,
     qPcaRemove,
     qMixtureTemp,
     qQualityLr,

@@ -165,6 +165,32 @@ class Round6Spec extends AnyFunSuite {
     assert(mu.sameElements(mu2) && v.sameElements(v2), "training must be bit-stable under repartition")
   }
 
+  // --------------------------------------------------------- kcenterGreedy
+  test("kcenterGreedy equals the local greedy; coverage radius is non-increasing") {
+    val picks = Similarity.kcenterGreedy(embs, k = 8)
+    assert(picks.length == 8)
+    assert(picks.map(_._2).distinct.length == 8, "picks must be distinct points")
+    val radii = picks.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, "radius must be non-increasing")
+
+    val data = embs
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var centers = List(data.head)
+    val local = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]((1L, data.head._1, None))
+    for (t <- 2 to 8) {
+      val best = data
+        .map { case (id, e) => (id, e, centers.map(c => d2(e, c._2)).min) }
+        .maxBy { case (id, _, d) => (d, -id) }
+      centers = centers :+ (best._1 -> best._2)
+      local += ((t.toLong, best._1, Some(best._3)))
+    }
+    assert(picks.map(p => (p._1, p._2)).toSeq == local.map(p => (p._1, p._2)).toSeq)
+  }
+
   // ---------------------------------------------------------- logRegTrain
   test("logRegTrain reduces log-loss vs the zero model and is repartition-stable") {
     val isTarget = col("source") === "src0"
