@@ -16,6 +16,55 @@ class Round6Spec extends AnyFunSuite {
   private def docs = Graft.table(spark, TestSpark.sfDir, "documents")
   private def embs = Graft.table(spark, TestSpark.sfDir, "embeddings")
 
+  // -------------------------------------------------------- events schema
+  test("Graft.events adapts to long-nanos AND timestamp ts schemas identically") {
+    // the round-6 driver regeneration flipped events.ts from INT64 nanos
+    // to timestamp[us] and broke 120 queries at the analysis step; this
+    // pins the adaptive reader against BOTH generations so the next flip
+    // fails here first, not in the driver gate
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_schema").toFile
+    val base = Graft.events(spark, TestSpark.sfDir).select("ts_us", "user_id", "event_type", "value").limit(200)
+    val want = base.orderBy("ts_us", "user_id").collect().toSeq
+
+    // regenerate the same rows as INT64 epoch-NANOS (rounds <= 5 layout)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base
+      .select(
+        (col("ts_us") * 1000L).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value")
+      )
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val asLong = Graft.events(spark, dir.getAbsolutePath)
+    assert(asLong.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val gotLong = asLong.select("ts_us", "user_id", "event_type", "value").orderBy("ts_us", "user_id").collect().toSeq
+    assert(gotLong == want, "long-nanos reader must yield identical ts_us")
+
+    // regenerate as a proper TIMESTAMP (round-6 layout)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_events_schema2").toFile
+    base
+      .select(
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value")
+      )
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir2/events.parquet")
+    val gotTs = Graft
+      .events(spark, dir2.getAbsolutePath)
+      .select("ts_us", "user_id", "event_type", "value")
+      .orderBy("ts_us", "user_id")
+      .collect()
+      .toSeq
+    assert(gotTs == want, "timestamp reader must yield identical ts_us")
+  }
+
   // ------------------------------------------------------- normalizeText
   test("normalizeText collapses whitespace, lowercases, trims — and is idempotent") {
     import spark.implicits._

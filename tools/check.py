@@ -75,6 +75,22 @@ def main():
             msg = "; ".join(f"{c}: {n} diffs, first@{i} eng={x} ora={y}" for c, n, i, x, y in diffs)
             print(f"FAIL {name}: {msg}")
             n_fail += 1
+            continue
+        # dtype audit: the driver's hash is dtype-sensitive where the value
+        # compare above is not — an int64 engine column vs a float64 oracle
+        # column (DuckDB window sum -> HUGEINT -> float64, the r5 x_pack
+        # miss) hashes 0 vs 0.0 differently even when every value matches.
+        dt = []
+        for c in e.columns:
+            ef = np.issubdtype(e[c].dtype, np.floating)
+            of = np.issubdtype(o[c].dtype, np.floating)
+            ei = np.issubdtype(e[c].dtype, np.integer)
+            oi = np.issubdtype(o[c].dtype, np.integer)
+            if (ef and oi) or (ei and of):
+                dt.append(f"{c}: engine={e[c].dtype} oracle={o[c].dtype}")
+        if dt:
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(dt)}) — values equal but the driver hash will differ")
+            n_fail += 1
         else:
             print(f"PASS {name} ({len(e)} rows)")
             n_pass += 1
