@@ -100,4 +100,23 @@ object Classify {
     val z = Similarity.dot(qualityFeatures(col("text")), typedLit(w.toSeq))
     docs.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
+
+  /** Keep rows whose `score` is at or above the input's mean score — a
+    * deterministic, data-derived gate (no hand-tuned threshold), still
+    * ONE lazy plan: the mean travels as a broadcast 1-row aggregate
+    * computed with the same two-level chunked fold the trainers use, so
+    * the DuckDB oracle replays the cut bit-for-bit. */
+  def gateAboveMean(scored: DataFrame): DataFrame = {
+    val mean = broadcast(
+      Similarity
+        .chunkedGroupSum(
+          scored.select(col("doc_id"), lit(1).as("__g"), col("score")),
+          "doc_id",
+          Seq("__g"),
+          "score"
+        )
+        .select((col("sx") / col("cnt")).as("__mean"))
+    )
+    scored.crossJoin(mean).where(col("score") >= col("__mean")).drop("__mean")
+  }
 }

@@ -204,7 +204,13 @@ object ExtensionQueries {
     * and per-feature gradient folded in doc_id order, then updates
     * w_i − lr·g_i/n in feature order. Final select scores every doc with
     * the trained weights. */
-  private def lrSql(iters: Int, lr: Double): String = {
+  /** σ(w·x) fragment over a row carrying `f` joined with a `wl` CTE. */
+  private val lrSig =
+    "1e0 / (1e0 + exp(-(list_reduce(list_transform(range(1, 6), i -> f[i] * wl[i]), (a, b) -> a + b))))"
+
+  /** LR-training CTE chain (no WITH): defines ftoks/fb(doc_id, y, f)/
+    * lnn/lw0..lw{iters}. Shared by [[lrSql]] and the pipeline oracle. */
+  private def lrCtes(iters: Int, lr: Double): String = {
     val lrLit = sqlgen.d(lr)
     val feats =
       "[1e0, " +
@@ -212,29 +218,33 @@ object ExtensionQueries {
         "CASE WHEN len(tk) > 0 THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0e0 END, " +
         "CASE WHEN len(tk) > 0 THEN len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE / len(tk) ELSE 0e0 END, " +
         "CASE WHEN len(tk) > 0 THEN (CAST(list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(tk)) / 10 ELSE 0e0 END]"
-    val sig =
-      "1e0 / (1e0 + exp(-(list_reduce(list_transform(range(1, 6), i -> f[i] * wl[i]), (a, b) -> a + b))))"
-    val sb = new StringBuilder("WITH ")
+    val sig = lrSig
+    val sb = new StringBuilder
     sb ++= s"ftoks AS ($toksCte), "
-    sb ++= "fb AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1e0 ELSE 0e0 END AS y, " +
+    sb ++= "fb AS MATERIALIZED (SELECT doc_id, CASE WHEN source = 'src0' THEN 1e0 ELSE 0e0 END AS y, " +
       s"$feats AS f FROM ftoks), "
     sb ++= "lnn AS (SELECT count(*)::DOUBLE AS n FROM fb), "
     sb ++= "lw0 AS (SELECT [0e0, 0e0, 0e0, 0e0, 0e0] AS wl), "
     for (t <- 1 to iters) {
-      sb ++= s"lr$t AS (SELECT doc_id, f, $sig - y AS r FROM fb CROSS JOIN lw${t - 1}), "
+      sb ++= s"lr$t AS MATERIALIZED (SELECT doc_id, f, $sig - y AS r FROM fb CROSS JOIN lw${t - 1}), "
       // two-level gradient fold (mirror of Similarity.chunkedDimSum)
       sb ++= s"lg1$t AS (SELECT d, doc_id // 4096 AS ch, " +
         "list_reduce(list(f[d] * r ORDER BY doc_id), (a, b) -> a + b) AS gs " +
         s"FROM lr$t CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd GROUP BY d, ch), "
       sb ++= s"lg$t AS (SELECT d, list_reduce(list(gs ORDER BY ch), (a, b) -> a + b) AS g FROM lg1$t GROUP BY d), "
-      sb ++= s"lw$t AS (SELECT list_transform(range(1, 6), i -> wl[i] - $lrLit * gl[i] / n) AS wl " +
+      sb ++= s"lw$t AS MATERIALIZED (SELECT list_transform(range(1, 6), i -> wl[i] - $lrLit * gl[i] / n) AS wl " +
         s"FROM lw${t - 1} CROSS JOIN (SELECT list(g ORDER BY d) AS gl FROM lg$t) gg CROSS JOIN lnn), "
     }
-    sb ++= s"sc AS (SELECT doc_id, y, $sig AS score FROM fb CROSS JOIN lw$iters) " +
+    // trailing comma-less: callers append their own CTEs / final select
+    val out = sb.toString
+    out.stripSuffix(", ").stripSuffix(",")
+  }
+
+  private def lrSql(iters: Int, lr: Double): String =
+    s"WITH ${lrCtes(iters, lr)}, " +
+      s"sc AS (SELECT doc_id, y, $lrSig AS score FROM fb CROSS JOIN lw$iters) " +
       "SELECT doc_id, y = 1e0 AS is_target, round(score, 6) AS score, score >= 0.5e0 AS pred " +
       "FROM sc ORDER BY doc_id"
-    sb.toString
-  }
 
   /** Unrolled k-center-greedy mirror: seed = lowest vec_id, each pick t
     * maximizes min squared distance to picks 1..t−1 (ties → lowest id);
@@ -1928,7 +1938,58 @@ object ExtensionQueries {
     Some(kcSql(64, 8))
   )
 
+  /** Round-6 end-to-end curation chain, LEARNED edition: normalize +
+    * exact-dedup on the normalized hash (keep lowest id) → score with
+    * the classifier trained on the full corpus → keep docs at/above the
+    * corpus-mean score (data-derived gate, no hand threshold) → cap any
+    * source at 25% of surviving tokens (deterministic admission) →
+    * per-source kept docs/tokens. ONE lazy plan end to end; the oracle
+    * chains the proven per-stage SQL (normalization hash, the full LR
+    * training unroll, the two-level mean fold, the source-cap window). */
+  val qPipeline2 = Q(
+    "x_pipeline2",
+    (s, dir) => {
+      Graft.init(s)
+      val d = docs(s, dir)
+      val keep1 = d
+        .withColumn("__nh", TextOps.polyHash(TextOps.normalizeText(col("text"))))
+        .groupBy("__nh")
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val deduped = d.join(keep1, "doc_id")
+      val w = graft.extensions.Classify.logRegTrain(d, col("source") === "src0", lr = 0.5, iters = 8)
+      val surv = graft.extensions.Classify.gateAboveMean(graft.extensions.Classify.score(deduped, w))
+      graft.extensions.Mixture
+        .sourceCap(surv, TextOps.nTokens(col("text")), capFrac = 0.25)
+        .where(col("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source")
+    },
+    Some(
+      s"WITH ${lrCtes(8, 0.5)}, " +
+        s"p2nm AS (SELECT doc_id, source, text, tk, ${ph("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS nh FROM ftoks), " +
+        "p2k1 AS (SELECT min(doc_id) AS doc_id FROM p2nm GROUP BY nh), " +
+        "p2ded AS (SELECT p2nm.* FROM p2nm JOIN p2k1 USING (doc_id)), " +
+        s"p2sc AS (SELECT p2ded.doc_id, source, text, tk, $lrSig AS score " +
+        "FROM p2ded JOIN fb ON fb.doc_id = p2ded.doc_id CROSS JOIN lw8), " +
+        // corpus-mean gate: two-level chunked fold (mirror of chunkedGroupSum)
+        "p2m1 AS (SELECT doc_id // 4096 AS ch, list_reduce(list(score ORDER BY doc_id), (a, b) -> a + b) AS sx, " +
+        "count(*) AS c FROM p2sc GROUP BY ch), " +
+        "p2m AS (SELECT list_reduce(list(sx ORDER BY ch), (a, b) -> a + b) / sum(c) AS m FROM p2m1), " +
+        "p2surv AS (SELECT doc_id, source, text, tk FROM p2sc CROSS JOIN p2m WHERE score >= m), " +
+        s"p2st AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok, ${ph("text")} AS h FROM p2surv), " +
+        "p2tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS total FROM p2st), " +
+        "p2w AS (SELECT doc_id, source, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM p2st), " +
+        "p2kept AS (SELECT p2w.* FROM p2w CROSS JOIN p2tt WHERE cum <= CAST(floor(total * 0.25e0) AS BIGINT)) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+        "FROM p2kept GROUP BY source ORDER BY source"
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qPipeline2,
     qKcenter,
     qPcaRemove,
     qMixtureTemp,
