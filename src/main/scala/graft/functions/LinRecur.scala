@@ -98,6 +98,21 @@ object Registry {
           "built-in"
         )
         reg.createOrReplaceTempFunction(
+          "graft_bpe_segment",
+          exprs => {
+            val spec = exprs(1) match {
+              case Literal(s: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+                if (s == null) "" else s.toString
+              case other =>
+                throw new IllegalArgumentException(
+                  s"graft_bpe_segment merge spec must be a string literal, got $other"
+                )
+            }
+            BpeSegment(exprs(0), spec)
+          },
+          "built-in"
+        )
+        reg.createOrReplaceTempFunction(
           "graft_ewm_adjust",
           // pandas ewm(adjust=True): Spark's internal EWM implements it
           // exactly (verified numerically, SURVEY §0 environment table).

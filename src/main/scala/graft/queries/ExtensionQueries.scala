@@ -1750,6 +1750,147 @@ object ExtensionQueries {
     )
   )
 
+  // ------------------------------------------------------------ BPE training
+  /** Unrolled BPE training rounds (mirror of Bpe.train): bw0/bs0 = the
+    * word-type dict + char symbolization; per round t, bp{t} counts
+    * adjacent symbol pairs weighted by word count, bm{t} takes the
+    * (c DESC, l, r) argmax, bs{t} re-segments every word via
+    * wrap-and-replace — each symbol gets its own '(...)' delimiter pair,
+    * so DuckDB's non-overlapping left-to-right replace() IS the greedy
+    * left-to-right merge fold (validated: '(a)(a)(a)' → '(aa)(a)',
+    * '(a)(b)(a)(b)' → '(ab)(ab)'). Symbols are [a-z]+ by construction,
+    * so '(' / ')' can never occur inside one. */
+  private def bpeCtes(rounds: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "bw0 AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY word)",
+      "bs0 AS MATERIALIZED (SELECT word, cnt, list_filter(string_split(word, ''), c -> c <> '') AS syms FROM bw0)"
+    )
+    for (t <- 1 to rounds) {
+      val prev = s"bs${t - 1}"
+      // MATERIALIZED everywhere: bs{t-1} is referenced by both bp{t} and
+      // bs{t}, so inlined CTEs would re-expand the chain 2^rounds times.
+      ctes += s"bp$t AS MATERIALIZED (SELECT l, r, sum(cnt) AS c FROM (SELECT syms[i] AS l, syms[i+1] AS r, cnt FROM " +
+        s"(SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM $prev WHERE len(syms) >= 2)) GROUP BY l, r)"
+      ctes += s"bm$t AS MATERIALIZED (SELECT l, r, c FROM bp$t ORDER BY c DESC, l, r LIMIT 1)"
+      ctes += s"bs$t AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(replace('(' || array_to_string(syms, ')(') || ')', " +
+        s"'(' || bm$t.l || ')(' || bm$t.r || ')', '(' || bm$t.l || bm$t.r || ')'), '\\(([a-z]+)\\)', 1) AS syms " +
+        s"FROM $prev CROSS JOIN bm$t)"
+    }
+    ctes.mkString(", ")
+  }
+
+  private val bpeRounds = 12
+
+  /** BPE tokenizer training (round 6): `bpeRounds` merges learned over
+    * the lowercase-alpha word-type dict. Scale: ONE corpus shuffle builds
+    * the dict; each round is a hash-aggregate over the cached dict + a
+    * TakeOrdered(1) argmax (Bpe.scala has the full 100 TB story). The
+    * oracle unrolls every round and replays each argmax exactly. */
+  val qBpeMerges = Q(
+    "x_bpe_merges",
+    (s, dir) => {
+      Graft.init(s)
+      val ms = graft.extensions.Bpe.train(docs(s, dir), bpeRounds)
+      import s.implicits._
+      ms.toSeq
+        .map(m => (m.rank.toLong, m.l, m.r, m.l + m.r, m.c))
+        .toDF("mrank", "l", "r", "merged", "c")
+        .orderBy("mrank")
+    },
+    Some(
+      s"WITH ${bpeCtes(bpeRounds)} SELECT * FROM (" +
+        (1 to bpeRounds)
+          .map(t => s"SELECT CAST($t AS BIGINT) AS mrank, l, r, l || r AS merged, CAST(c AS BIGINT) AS c FROM bm$t")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY mrank"
+    )
+  )
+
+  /** BPE encode + compression ratio (round 6): the trained merges applied
+    * once per word TYPE (broadcast dict), joined map-side onto the per-doc
+    * word stream — per-doc chars vs BPE symbols, the tokens-per-byte
+    * curve a tokenizer budget reads. Integer-exact sums; ratio is one
+    * double division of exact longs. */
+  val qBpeEncode = Q(
+    "x_bpe_encode",
+    (s, dir) => {
+      Graft.init(s)
+      val d = docs(s, dir)
+      val ms = graft.extensions.Bpe.train(d, bpeRounds)
+      graft.extensions.Bpe
+        .encode(d, ms.toSeq)
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_chars"),
+          col("n_bpe"),
+          P.normd(col("ratio")).as("ratio")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH ${bpeCtes(bpeRounds)}, " +
+        s"bdict AS (SELECT word, CAST(length(word) AS BIGINT) AS n_char, CAST(len(syms) AS BIGINT) AS n_sym FROM bs$bpeRounds), " +
+        "bde AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) " +
+        "SELECT doc_id, count(*) AS n_words, CAST(sum(n_char) AS BIGINT) AS n_chars, " +
+        "CAST(sum(n_sym) AS BIGINT) AS n_bpe, round(sum(n_sym)::DOUBLE / sum(n_char), 6) AS ratio " +
+        "FROM bde JOIN bdict USING (word) GROUP BY doc_id ORDER BY doc_id"
+    )
+  )
+
+  // ------------------------------------------------------------ PageRank
+  /** Unrolled weighted-PageRank oracle (mirror of Graphs.pagerank): edge
+    * extraction via the same (ts, event_id)-ordered lead(), per-dst
+    * contributions folded in src order, dangling mass folded in node
+    * order, update spelled `(1-d)/nd + d*(cin + dm/nd)` verbatim.
+    * MATERIALIZED throughout — pr{t-1} is referenced three times per
+    * round (contributions, dangling, carry), so inlined CTEs would
+    * re-expand the chain 3^iters times. */
+  private def prCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "pe AS MATERIALIZED (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst " +
+      "FROM (SELECT user_id, ts, event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS src FROM events) " +
+      "WHERE src IS NOT NULL), "
+    sb ++= "ped AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM pe WHERE dst IS NOT NULL GROUP BY src, dst), "
+    sb ++= "pod AS MATERIALIZED (SELECT src, sum(w) AS outw FROM ped GROUP BY src), "
+    sb ++= "pnod AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM ped UNION ALL SELECT dst FROM ped)), "
+    sb ++= "pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pnod), "
+    sb ++= "pew AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) / CAST(outw AS DOUBLE) AS p FROM ped JOIN pod USING (src)), "
+    sb ++= "pr0 AS MATERIALIZED (SELECT node, 1e0 / nd AS rank FROM pnod CROSS JOIN pnn), "
+    for (t <- 1 to iters) {
+      val prev = s"pr${t - 1}"
+      sb ++= s"pdm$t AS MATERIALIZED (SELECT coalesce(list_reduce(list(rank ORDER BY node), (a, b) -> a + b), 0e0) AS dm " +
+        s"FROM $prev WHERE node NOT IN (SELECT src FROM pod)), "
+      sb ++= s"pc$t AS MATERIALIZED (SELECT dst AS node, list_reduce(list(rank * p ORDER BY src), (a, b) -> a + b) AS cin " +
+        s"FROM pew JOIN $prev ON $prev.node = pew.src GROUP BY dst), "
+      sb ++= s"pr$t AS MATERIALIZED (SELECT pnod.node, (1e0 - 0.85e0) / nd + 0.85e0 * (coalesce(cin, 0e0) + dm / nd) AS rank " +
+        s"FROM pnod LEFT JOIN pc$t USING (node) CROSS JOIN pdm$t CROSS JOIN pnn), "
+    }
+    sb.dropRight(2).toString
+  }
+
+  private val prIters = 10
+
+  /** Weighted PageRank over the item-transition graph (round 6): the
+    * crawl-graph centrality rank (Page et al., 1999) a web-derived
+    * pretraining corpus filters by before any text heuristic runs.
+    * Ranks stay distributed; each iteration is one join + one ordered
+    * per-dst fold (Graphs.scala has the full 100 TB story). */
+  val qPagerank = Q(
+    "x_pagerank",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Graphs
+        .pagerank(graft.extensions.Graphs.transitionEdges(Graft.events(s, dir)), 0.85, prIters)
+        .select(col("node"), P.normd(col("rank")).as("rank"))
+        .orderBy("node")
+    },
+    Some(
+      s"WITH ${prCtes(prIters)} " +
+        s"SELECT node, ${sqlgen.normd("rank")} AS rank FROM pr$prIters ORDER BY node"
+    )
+  )
+
   /** Per-source token-share cap (round 6): deterministic content-ordered
     * admission until a source hits capFrac of total tokens. One window
     * per source; the total is a broadcast scalar. */
@@ -1989,6 +2130,9 @@ object ExtensionQueries {
   )
 
   val all: Seq[Q] = Seq(
+    qPagerank,
+    qBpeMerges,
+    qBpeEncode,
     qPipeline2,
     qKcenter,
     qPcaRemove,
