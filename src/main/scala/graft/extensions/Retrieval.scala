@@ -213,4 +213,71 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_bigram"))
   }
+
+  /** Per-doc perplexity under an interpolated Kneser–Ney bigram LM
+    * (Kneser & Ney, ICASSP 1995; the smoothing KenLM ships and CCNet
+    * filters with — the canonical perplexity gate of web-corpus
+    * curation), fixed discount D = 0.75:
+    *
+    *   p(b|a) = max(c(a,b) − D, 0)/c(a) + D·N₁₊(a·)/c(a) · N₁₊(·b)/T
+    *
+    * with c(a) the CONTEXT count (Σ_b c(a,b)), N₁₊(a·)/N₁₊(·b) distinct
+    * right/left neighbours, T total distinct bigram types. The model is
+    * trained on the corpus being scored, so every scored bigram has
+    * c(a,b) ≥ 1 — no OOV path. Scores are exact-count arithmetic; the
+    * per-doc mean folds bigrams in pair order (FP parity with the
+    * oracle); ppl = exp(mean −ln p).
+    *
+    * Scale: counts are three hash-aggregates off one bigram extraction;
+    * the per-pair probability table is vocabulary-sized (broadcast), the
+    * corpus-sized side is scanned once — same shape as
+    * [[bigramSurprisal]]. Docs with < 2 tokens emit nothing. */
+  def knPerplexity(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+    val bgt = toks
+      .where(size(col("__tk")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("__tk")) - 1),
+            i =>
+              struct(
+                concat(element_at(col("__tk"), i), lit(" "), element_at(col("__tk"), i + 1)).as("p"),
+                element_at(col("__tk"), i).as("a"),
+                element_at(col("__tk"), i + 1).as("b2")
+              )
+          )
+        ).as("s")
+      )
+      .select(col("doc_id"), col("s.p").as("p"), col("s.a").as("a"), col("s.b2").as("b2"))
+    // integer-valued doubles: sums/counts of longs < 2^53 are exact in
+    // any order, so these aggregates need no ordered folds
+    val kab = bgt.groupBy("a", "b2").agg(count(lit(1)).cast("double").as("cab"))
+    val kctx = kab.groupBy("a").agg(sum(col("cab")).as("ca"), count(lit(1)).cast("double").as("n1fa"))
+    val kcont = kab.groupBy("b2").agg(count(lit(1)).cast("double").as("n1pb"))
+    val ktot = kab.agg(count(lit(1)).cast("double").as("__t"))
+    val d = lit(discount)
+    val kp = kab
+      .join(broadcast(kctx), "a")
+      .join(broadcast(kcont), "b2")
+      .crossJoin(broadcast(ktot))
+      .select(
+        concat(col("a"), lit(" "), col("b2")).as("p"),
+        (greatest(col("cab") - d, lit(0.0)) / col("ca") +
+          d * col("n1fa") / col("ca") * (col("n1pb") / col("__t"))).as("pkn")
+      )
+    val orderedMean =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("p"), col("nll")))), x => x("nll")),
+        lit(0.0),
+        (acc, x) => acc + x
+      ) / count(lit(1))
+    bgt
+      .join(broadcast(kp), "p")
+      .withColumn("nll", -log(col("pkn")))
+      .groupBy("doc_id")
+      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_bigram"))
+      .withColumn("ppl", exp(col("mean_nll")))
+  }
 }

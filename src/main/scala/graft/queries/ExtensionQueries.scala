@@ -1838,6 +1838,42 @@ object ExtensionQueries {
     )
   )
 
+  /** Kneser–Ney bigram perplexity (round 6): the KenLM/CCNet-style
+    * perplexity gate with principled smoothing — absolute discounting
+    * interpolated with the continuation distribution (distinct-neighbour
+    * counts), vs x_surprisal2's add-one bigram LM. Oracle mirrors every
+    * count table and the exact p(b|a) spelling. */
+  val qKnPerplexity = Q(
+    "x_kn_perplexity",
+    (s, dir) =>
+      graft.extensions.Retrieval
+        .knPerplexity(docs(s, dir))
+        .select(
+          col("doc_id"),
+          P.normd(col("mean_nll")).as("mean_nll"),
+          P.normd(col("ppl")).as("ppl"),
+          col("n_bigram")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "kb0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+        "i -> struct_pack(p := tk[i] || ' ' || tk[i+1], a := tk[i], b2 := tk[i+1]))) AS s FROM toks WHERE len(tk) >= 2), " +
+        "kbg AS (SELECT doc_id, s.p AS p, s.a AS a, s.b2 AS b2 FROM kb0), " +
+        "kab AS (SELECT a, b2, count(*)::DOUBLE AS cab FROM kbg GROUP BY a, b2), " +
+        "kctx AS (SELECT a, sum(cab) AS ca, count(*)::DOUBLE AS n1fa FROM kab GROUP BY a), " +
+        "kcont AS (SELECT b2, count(*)::DOUBLE AS n1pb FROM kab GROUP BY b2), " +
+        "ktot AS (SELECT count(*)::DOUBLE AS t FROM kab), " +
+        "kp AS (SELECT a || ' ' || b2 AS p, greatest(cab - 0.75e0, 0e0) / ca + " +
+        "0.75e0 * n1fa / ca * (n1pb / t) AS pkn " +
+        "FROM kab JOIN kctx USING (a) JOIN kcont USING (b2) CROSS JOIN ktot), " +
+        "kj AS (SELECT doc_id, p, -ln(pkn) AS nll FROM kbg JOIN kp USING (p)) " +
+        "SELECT doc_id, round(list_reduce(list(nll ORDER BY p), (x, y) -> x + y) / count(*), 6) AS mean_nll, " +
+        "round(exp(list_reduce(list(nll ORDER BY p), (x, y) -> x + y) / count(*)), 6) AS ppl, " +
+        "count(*) AS n_bigram FROM kj GROUP BY doc_id ORDER BY doc_id"
+    )
+  )
+
   // ------------------------------------------------------------ PageRank
   /** Unrolled weighted-PageRank oracle (mirror of Graphs.pagerank): edge
     * extraction via the same (ts, event_id)-ordered lead(), per-dst
@@ -2130,6 +2166,7 @@ object ExtensionQueries {
   )
 
   val all: Seq[Q] = Seq(
+    qKnPerplexity,
     qPagerank,
     qBpeMerges,
     qBpeEncode,

@@ -286,4 +286,53 @@ class Round6Spec extends AnyFunSuite {
     }.max
     assert(variance(v) >= axisVar * 0.9, "trained component should rival the best single axis")
   }
+
+  test("knPerplexity matches a scalar KN reference and the LM normalizes per context") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog")
+    )
+    val df = texts.toDF("doc_id", "text")
+    // scalar reference: same counts, same formula
+    val bigrams = texts.flatMap { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val cab = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toDouble }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1fa = cab.groupBy(_._1._1).map { case (a, m) => a -> m.size.toDouble }
+    val n1pb = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toDouble }
+    val tT = cab.size.toDouble
+    def pkn(a: String, b: String): Double = {
+      val c = cab.getOrElse((a, b), 0.0)
+      math.max(c - 0.75, 0.0) / ca(a) + 0.75 * n1fa(a) / ca(a) * (n1pb.getOrElse(b, 0.0) / tT)
+    }
+    // the defining LM property: sum over the full vocab of p(.|a) == 1
+    val vocab = (cab.keys.map(_._1) ++ cab.keys.map(_._2)).toSet
+    // continuation mass only covers words SEEN as bigram rights; for full
+    // normalization restrict to contexts and check over seen-right vocab
+    ca.keys.foreach { a =>
+      val s = vocab.filter(n1pb.contains).toSeq.map(b => pkn(a, b)).sum +
+        vocab.filterNot(n1pb.contains).toSeq.map(b => pkn(a, b)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"p(.|$a) must normalize, got $s")
+    }
+    val want = texts.map { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      val nlls = tk.sliding(2).map(p => -math.log(pkn(p(0), p(1)))).toSeq
+      id -> (nlls.sum / nlls.size, nlls.size.toLong)
+    }.toMap
+    val got = graft.extensions.Retrieval
+      .knPerplexity(df)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Double]("mean_nll"), r.getAs[Long]("n_bigram"), r.getAs[Double]("ppl"))))
+      .toMap
+    want.foreach { case (id, (m, n)) =>
+      assert(math.abs(got(id)._1 - m) < 1e-12, s"doc $id mean_nll")
+      assert(got(id)._2 == n, s"doc $id n_bigram")
+      assert(math.abs(got(id)._3 - math.exp(m)) < 1e-12, s"doc $id ppl")
+    }
+  }
 }
