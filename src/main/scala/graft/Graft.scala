@@ -32,6 +32,11 @@ object Graft {
       "spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     )
+    // Every execution renders a physicalPlanDescription for the listener
+    // bus even with the UI off; deep plans (iterative algorithms with
+    // nested cached rounds) make that rendering the bottleneck. 64 KiB
+    // keeps descriptions useful and the cost bounded.
+    spark.conf.set("spark.sql.maxPlanStringLength", "65536")
     functions.Registry.register(spark)
     // programmatic-path registration of the opt-in count(DISTINCT) rewrite
     // (config-path sessions get it from GraftExtensions); no-op while

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *    never collected: at web scale the rank vector is itself data-sized
   *    and the driver holds only the scalar dangling mass.
   *  - AQE picks broadcast vs shuffle join per iteration from the actual
-  *    rank-table size; each iteration is persisted and the previous one
-  *    released, so lineage stays O(1) per round.
+  *    rank-table size; each iteration is persisted (previous released)
+  *    and costs exactly one job — the dangling-mass scalar rides the
+  *    materializing action to the driver.
   *
   * Determinism contract (oracle-replayable, partitioning-independent):
   * per-dst contributions fold in src order, the dangling-mass scalar
@@ -77,40 +78,60 @@ object Graphs {
           .select(col("src"), col("dst"), (col("w").cast("double") / col("outw").cast("double")).as("p"))
           .persist()
         ew.count()
-        val srcSet = outd.select(col("src").as("node"))
-        // Each round references the previous ranks TWICE (contributions +
-        // dangling mass), so carrying lineage would double the logical
-        // plan per iteration (2^iters nodes — observed: plan printing
-        // alone dominated the runtime). localCheckpoint materializes the
-        // round and truncates the plan to a LogicalRDD: O(1) plan per
-        // round, the standard iterative-graph idiom (on a cluster swap in
-        // reliable checkpointing for executor-loss tolerance).
-        var ranks = nodes.select(col("node"), lit(1.0 / nD).as("rank")).localCheckpoint(true)
+        // node table with a static has-out flag: the dangling set never
+        // changes, so it's joined ONCE, not per round
+        val srcSet = outd.select(col("src").as("node"), lit(true).as("__has_out"))
+        val nodesF = nodes
+          .join(srcSet, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
+          .persist()
+        // Dangling-mass scalar for a materialized round: ranks of no-out
+        // nodes folded in node order. Fetching ONE double to the driver
+        // (the pcaPower "driver holds the model scalars" contract) lets
+        // the next round embed it as a literal — vs the broadcast-subtree
+        // spelling, which cost two extra jobs per round (dm broadcast +
+        // checkpoint; measured 1.1 s/round at sf0.1 where data is tiny).
+        // This head() is also what materializes the round's persist, so
+        // each iteration is exactly ONE job.
+        def danglingMass(r: DataFrame): Double = r
+          .where(!col("has_out"))
+          .agg(coalesce(Similarity.orderedSum(col("node"), col("rank")), lit(0.0)))
+          .head()
+          .getDouble(0)
+        var ranks =
+          nodesF.select(col("node"), lit(1.0 / nD).as("rank"), col("has_out")).localCheckpoint(false)
+        var dm = danglingMass(ranks)
+        // dm is a driver literal, so each round references the previous
+        // ranks once; LAZY localCheckpoint truncates lineage to a
+        // LogicalRDD — the danglingMass action scans every partition, so
+        // it both materializes the checkpoint and returns the scalar in
+        // the round's single job. (persist alone kept the full nested
+        // plan: every execution re-rendered it into the listener's plan
+        // description, O(rounds²) string work — measured 118 s/run at
+        // sf0.1 where the actual data work is milliseconds.)
         for (_ <- 1 to iters) {
-          // dangling mass: ranks of nodes with no out-edges, folded in node order
-          val dm = ranks
-            .join(srcSet, Seq("node"), "left_anti")
-            .agg(coalesce(Similarity.orderedSum(col("node"), col("rank")), lit(0.0)).as("dm"))
           val cin = ew
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(ranks.select(col("node").as("src"), col("rank")), "src")
             .select(col("src"), col("dst"), (col("rank") * col("p")).as("c"))
             .groupBy(col("dst").as("node"))
             .agg(Similarity.orderedSum(col("src"), col("c")).as("cin"))
-          val next = nodes
+          val next = nodesF
             .join(cin, Seq("node"), "left")
-            .crossJoin(broadcast(dm))
             .select(
               col("node"),
               (lit((1.0 - damping) / nD) +
-                lit(damping) * (coalesce(col("cin"), lit(0.0)) + col("dm") / lit(nD))).as("rank")
+                lit(damping) * (coalesce(col("cin"), lit(0.0)) + lit(dm) / lit(nD))).as("rank"),
+              col("has_out")
             )
-            .localCheckpoint(true)
+            .localCheckpoint(false)
+          dm = danglingMass(next)
           ranks.unpersist(blocking = false)
           ranks = next
         }
         nodes.unpersist(blocking = false)
+        nodesF.unpersist(blocking = false)
         ew.unpersist(blocking = false)
-        ranks
+        ranks.select(col("node"), col("rank"))
       }
     } finally {
       e.unpersist(blocking = false)
