@@ -277,6 +277,43 @@ object ScaleProbe {
         graft.CacheRegistry.release(spark)
       }
     }
+    // ---- tokenizer/graph layer (round 6, second pass). BPE: the corpus
+    // scan (dict build) is the only corpus-sized work — the 12 merge
+    // rounds run on the cached word-TYPE dict (constant 40 types here),
+    // so train time should track the scan and rounds should cost ~zero
+    // extra. PageRank: 10 rounds over cached edges — per-round cost
+    // should be linear in edges with no cliff.
+    if (want("tokgraph")) {
+      for (n <- Seq(40000, 160000, 640000)) {
+        val d = graft.CacheRegistry.track(docs(spark, n))
+        d.count()
+        emit(
+          "bpe_train12",
+          n,
+          time(graft.extensions.Bpe.train(d, 12).length.toLong)
+        )
+        val ms = graft.extensions.Bpe.train(d, 12).toSeq
+        emit("bpe_encode", n, timed(force(graft.extensions.Bpe.encode(d, ms), "n_bpe")))
+        graft.CacheRegistry.release(spark)
+      }
+      for (ne <- Seq(200000, 800000, 3200000)) {
+        val v = 10000
+        val e = spark
+          .range(ne)
+          .select(
+            pmod(col("id") * 31 + 7, lit(v)).as("src"),
+            pmod(col("id") * 2654435761L + 3, lit(v)).as("dst")
+          )
+          .groupBy("src", "dst")
+          .agg(count(lit(1)).as("w"))
+        emit(
+          "pagerank10",
+          ne,
+          time(graft.extensions.Graphs.pagerank(e, 0.85, 10).count())
+        )
+        graft.CacheRegistry.release(spark)
+      }
+    }
     spark.stop()
   }
 }
