@@ -249,4 +249,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"editDistPairs plans a cartesian:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"editDistPairs plans a nested loop:\n$plan")
   }
+
+  test("BPE/KN: corpus-side joins broadcast the trained dict, and the BPE kernel codegens") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    Graft.init(spark)
+    val ms = graft.extensions.Bpe.train(docs, 4).toSeq
+    // encode: the corpus-sized word stream must meet the (vocab-sized)
+    // trained dict through a BroadcastHashJoin — a shuffle join here
+    // would re-shuffle the whole corpus per encode at 100 TB
+    val enc = graft.extensions.Bpe.encode(docs, ms)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(encPlan.contains("BroadcastHashJoin"), s"BPE encode lost its broadcast join:\n$encPlan")
+    assert(!encPlan.contains("SortMergeJoin"), s"BPE encode shuffle-joins the corpus:\n$encPlan")
+    // the segmentation kernel is an expression with doGenCode — it must
+    // not force the dict projection out of whole-stage codegen
+    val seg = docs
+      .select(graft.extensions.Bpe.segmentCol(col("text"), ms).as("s"))
+      .queryExecution
+      .executedPlan
+      .toString
+    // codegen'd operators render with the `*(stageId)` prefix
+    assert(seg.contains("*(1) Project"), s"BPE segment fell out of codegen:\n$seg")
+    val kn = graft.extensions.Retrieval.knPerplexity(docs)
+    val knPlan = kn.queryExecution.executedPlan.toString
+    assert(knPlan.contains("BroadcastHashJoin"), s"KN lost its broadcast pair-table join:\n$knPlan")
+  }
+
+  test("pagerank round inputs stay cached: transition extraction is one window pass") {
+    val ev = Graft.events(spark, TestSpark.sfDir)
+    val e = graft.extensions.Graphs.transitionEdges(ev)
+    val plan = e.queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(windows.size == 1, s"edge extraction should be ONE lead() window pass:\n$plan")
+    // one exchange for the window partitioning + one for the (src,dst)
+    // aggregate — anything more re-shuffles the corpus
+    assert(shuffles.size <= 2, s"edge extraction shuffles ${shuffles.size}x:\n$plan")
+  }
 }
