@@ -101,6 +101,143 @@ object Classify {
     docs.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
+  private def sigmaOf(w: Array[Double]): Column = {
+    val z = Similarity.dot(col("f"), typedLit(w.toSeq))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  private def featBase(docs: DataFrame, isTarget: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      qualityFeatures(col("text")).as("f"),
+      isTarget.cast("double").as("y")
+    )
+
+  /** TracIn-style single-checkpoint influence (Pruthi et al., NeurIPS
+    * 2020 — gradient-dot data attribution, the "which training docs
+    * helped" question): influence(i) = −∇L_i · ḡ_val under the trained
+    * quality LR, where ḡ_val is the mean validation gradient over the
+    * TARGET docs. For logistic regression ∇L_i = x_i·(σ(w·x_i) − y_i),
+    * so the per-doc score collapses to −(σ_i − y_i)·⟨x_i, ḡ_val⟩ — pure
+    * map-side once ḡ_val (d = 5 doubles) is on the driver. Positive =
+    * the doc's gradient step reduces validation loss (helpful).
+    *
+    * Determinism: ḡ_val folds docs through the canonical two-level
+    * chunked sum, the dot folds features in index order — the oracle
+    * replays both on top of the bit-replayable trained weights. Scale:
+    * one distributed pass for ḡ_val + one map-side scoring scan. */
+  def tracinInfluence(
+      docs: DataFrame,
+      isTarget: Column,
+      lr: Double = 0.5,
+      iters: Int = 8
+  ): DataFrame = {
+    val w = logRegTrain(docs, isTarget, lr, iters)
+    val base = featBase(docs, isTarget)
+    val resid = sigmaOf(w) - col("y")
+    val tRows = Similarity
+      .chunkedDimSum(
+        base
+          .where(col("y") === 1.0)
+          .select(col("doc_id"), resid.as("r"), posexplode(col("f")).as(Seq("d", "x")))
+          .select(col("doc_id"), col("d"), (col("x") * col("r")).as("xr")),
+        "doc_id",
+        "d",
+        "xr"
+      )
+      .collect()
+    val gval = new Array[Double](NumFeatures)
+    var nT = 0L
+    tRows.foreach { r => gval(r.getInt(0)) = r.getDouble(1); nT = r.getLong(2) }
+    val g = gval.map(v => if (nT == 0) 0.0 else v / nT.toDouble)
+    base.select(
+      col("doc_id"),
+      (col("y") === 1.0).as("is_target"),
+      (-(resid * Similarity.dot(col("f"), typedLit(g.toSeq)))).as("influence")
+    )
+  }
+
+  /** Reliability diagram of the trained classifier: equal-width bins
+    * over the OBSERVED score range (a lightly-trained LR clusters its
+    * probabilities, so absolute deciles collapse to one bin) — per bin,
+    * the mean predicted probability vs the empirical target rate. The
+    * range scalars are min/max (order-free exact), rates are exact
+    * counts, per-bin mean prediction folds docs in doc_id order. One
+    * scoring scan + a broadcast 1-row range + one 10-group aggregate. */
+  def calibration(
+      docs: DataFrame,
+      isTarget: Column,
+      lr: Double = 0.5,
+      iters: Int = 8,
+      bins: Int = 10
+  ): DataFrame = {
+    val w = logRegTrain(docs, isTarget, lr, iters)
+    val scored = featBase(docs, isTarget)
+      .select(col("doc_id"), col("y"), sigmaOf(w).as("score"))
+    val range = broadcast(scored.agg(min(col("score")).as("__mn"), max(col("score")).as("__mx")))
+    scored
+      .crossJoin(range)
+      .withColumn(
+        "bin",
+        when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+          least(
+            floor((col("score") - col("__mn")) / (col("__mx") - col("__mn")) * lit(bins.toDouble)),
+            lit(bins - 1.0)
+          ).cast("long")
+        )
+      )
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        (Similarity.orderedSum(col("doc_id"), col("score")) / count(lit(1))).as("mean_pred"),
+        (sum(col("y")) / count(lit(1))).as("rate") // 0/1 doubles: exact sum
+      )
+  }
+
+  /** Pearson correlation between the HEURISTIC quality score and the
+    * LEARNED classifier probability — "do the two quality signals
+    * agree" in one scalar. Five moments through the canonical two-level
+    * chunked fold (one pass), correlation assembled on the driver with
+    * the oracle-mirrored expression. Docs with zero tokens (null
+    * heuristic score) are excluded in both engines. */
+  def scoreCorr(
+      docs: DataFrame,
+      isTarget: Column,
+      lr: Double = 0.5,
+      iters: Int = 8
+  ): DataFrame = {
+    val w = logRegTrain(docs, isTarget, lr, iters)
+    val x = TextOps.qualityScore(col("text"))
+    val z = Similarity.dot(qualityFeatures(col("text")), typedLit(w.toSeq))
+    val y = lit(1.0) / (lit(1.0) + exp(-z))
+    val base = docs
+      .select(col("doc_id"), x.as("x"), y.as("y"))
+      .where(col("x").isNotNull)
+    val rows = base.select(
+      col("doc_id"),
+      posexplode(
+        array(
+          col("x"),
+          col("y"),
+          col("x") * col("y"),
+          col("x") * col("x"),
+          col("y") * col("y")
+        )
+      ).as(Seq("d", "v"))
+    )
+    val s = Similarity.chunkedDimSum(rows, "doc_id", "d", "v").collect()
+    val sums = new Array[Double](5)
+    var n = 0L
+    s.foreach { r => sums(r.getInt(0)) = r.getDouble(1); n = r.getLong(2) }
+    val nD = n.toDouble
+    val (sx, sy, sxy, sxx, syy) = (sums(0), sums(1), sums(2), sums(3), sums(4))
+    val corr =
+      if (n == 0) 0.0
+      else (nD * sxy - sx * sy) / (math.sqrt(nD * sxx - sx * sx) * math.sqrt(nD * syy - sy * sy))
+    import docs.sparkSession.implicits._
+    Seq((n, corr)).toDF("n", "corr")
+  }
+
   /** Keep rows whose `score` is at or above the input's mean score — a
     * deterministic, data-derived gate (no hand-tuned threshold), still
     * ONE lazy plan: the mean travels as a broadcast 1-row aggregate

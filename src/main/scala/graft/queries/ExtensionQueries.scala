@@ -1838,6 +1838,94 @@ object ExtensionQueries {
     )
   )
 
+  // --------------------------------------------- classifier analysis layer
+  /** TracIn-style influence (Pruthi 2020, single-checkpoint grad-dot):
+    * which docs HELP the target-domain objective under the trained
+    * quality LR. Oracle: lrCtes weights + the two-level validation
+    * gradient fold + the map-side −(σ−y)·⟨x, ḡ⟩ spelling. */
+  val qInfluence = Q(
+    "x_influence",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Classify
+        .tracinInfluence(docs(s, dir), col("source") === "src0", 0.5, 8)
+        .select(col("doc_id"), col("is_target"), P.normd(col("influence")).as("influence"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH ${lrCtes(8, 0.5)}, " +
+        s"ir AS MATERIALIZED (SELECT doc_id, f, y, $lrSig - y AS r FROM fb CROSS JOIN lw8), " +
+        "ig1 AS (SELECT d, doc_id // 4096 AS ch, " +
+        "list_reduce(list(f[d] * r ORDER BY doc_id), (a, b) -> a + b) AS gs, count(*) AS c " +
+        "FROM ir CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd WHERE y = 1e0 GROUP BY d, ch), " +
+        "ig AS (SELECT d, list_reduce(list(gs ORDER BY ch), (a, b) -> a + b) AS g, CAST(sum(c) AS DOUBLE) AS nt FROM ig1 GROUP BY d), " +
+        "igv AS (SELECT list(g / nt ORDER BY d) AS gv FROM ig) " +
+        "SELECT doc_id, y = 1e0 AS is_target, " +
+        "round(-(r * list_reduce(list_transform(range(1, 6), i -> f[i] * gv[i]), (a, b) -> a + b)), 6) AS influence " +
+        "FROM ir CROSS JOIN igv ORDER BY doc_id"
+    )
+  )
+
+  /** Classifier reliability bins (round 6): decile predicted-probability
+    * bins vs empirical target rate — the calibration check before the
+    * LR probability is trusted as a corpus gate. */
+  val qLrCalibration = Q(
+    "x_lr_calibration",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Classify
+        .calibration(docs(s, dir), col("source") === "src0", 0.5, 8)
+        .select(
+          col("bin"),
+          col("n"),
+          P.normd(col("mean_pred")).as("mean_pred"),
+          P.normd(col("rate")).as("rate")
+        )
+        .orderBy("bin")
+    },
+    Some(
+      s"WITH ${lrCtes(8, 0.5)}, " +
+        s"cs AS MATERIALIZED (SELECT doc_id, y, $lrSig AS score FROM fb CROSS JOIN lw8), " +
+        "crg AS (SELECT min(score) AS mn, max(score) AS mx FROM cs), " +
+        "cbn AS (SELECT doc_id, y, score, CASE WHEN mx = mn THEN 0 ELSE " +
+        "CAST(least(floor((score - mn) / (mx - mn) * 10e0), 9e0) AS BIGINT) END AS bin " +
+        "FROM cs CROSS JOIN crg) " +
+        "SELECT bin, count(*) AS n, " +
+        "round(list_reduce(list(score ORDER BY doc_id), (a, b) -> a + b) / count(*), 6) AS mean_pred, " +
+        "round(sum(y) / count(*), 6) AS rate FROM cbn GROUP BY bin ORDER BY bin"
+    )
+  )
+
+  /** Heuristic-vs-learned quality agreement (round 6): exact Pearson
+    * correlation between TextOps.qualityScore and the LR probability,
+    * five moments through the canonical two-level fold. */
+  val qScoreCorr = Q(
+    "x_score_corr",
+    (s, dir) => {
+      Graft.init(s)
+      graft.extensions.Classify
+        .scoreCorr(docs(s, dir), col("source") === "src0", 0.5, 8)
+        .select(col("n"), P.normd(col("corr")).as("corr"))
+    },
+    Some(
+      s"WITH ${lrCtes(8, 0.5)}, " +
+        "cq AS MATERIALIZED (SELECT fb.doc_id AS doc_id, " +
+        "0.4 * least(len(tk)::DOUBLE / 100, 1.0) + " +
+        "0.3 * (len(list_distinct(tk))::DOUBLE / len(tk)) + " +
+        "0.3 * (len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE / len(tk)) AS x, " +
+        s"$lrSig AS y2 FROM ftoks JOIN fb ON ftoks.doc_id = fb.doc_id CROSS JOIN lw8 WHERE len(tk) > 0), " +
+        "cv AS (SELECT doc_id, d, [x, y2, x * y2, x * x, y2 * y2][d] AS v " +
+        "FROM cq CROSS JOIN (SELECT unnest(range(1, 6)) AS d) dd), " +
+        "cv1 AS (SELECT d, doc_id // 4096 AS ch, " +
+        "list_reduce(list(v ORDER BY doc_id), (a, b) -> a + b) AS gs, count(*) AS c FROM cv GROUP BY d, ch), " +
+        "cv2 AS (SELECT d, list_reduce(list(gs ORDER BY ch), (a, b) -> a + b) AS s, sum(c) AS c FROM cv1 GROUP BY d), " +
+        "cvv AS (SELECT list(s ORDER BY d) AS sl, CAST(max(c) AS DOUBLE) AS n FROM cv2) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "round((n * sl[3] - sl[1] * sl[2]) / (sqrt(n * sl[4] - sl[1] * sl[1]) * sqrt(n * sl[5] - sl[2] * sl[2])), 6) AS corr " +
+        "FROM cvv"
+    )
+  )
+
   /** Kneser–Ney bigram perplexity (round 6): the KenLM/CCNet-style
     * perplexity gate with principled smoothing — absolute discounting
     * interpolated with the continuation distribution (distinct-neighbour
@@ -2166,6 +2254,9 @@ object ExtensionQueries {
   )
 
   val all: Seq[Q] = Seq(
+    qInfluence,
+    qLrCalibration,
+    qScoreCorr,
     qKnPerplexity,
     qPagerank,
     qBpeMerges,

@@ -287,6 +287,44 @@ class Round6Spec extends AnyFunSuite {
     assert(variance(v) >= axisVar * 0.9, "trained component should rival the best single axis")
   }
 
+  test("tracinInfluence/calibration/scoreCorr agree with scalar recomputation from the trained weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val isTarget = col("source") === "src0"
+    val d = docs.limit(120).select(col("doc_id"), col("text"), col("source"))
+    val w = graft.extensions.Classify.logRegTrain(d, isTarget, 0.5, 4)
+    // scalar recomputation of features/σ for every doc
+    val feats = d
+      .select(col("doc_id"), graft.extensions.Classify.qualityFeatures(col("text")).as("f"), isTarget.cast("double").as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def sigma(f: Array[Double]) = 1.0 / (1.0 + math.exp(-f.zip(w).map { case (a, b) => a * b }.sum))
+    val target = feats.filter(_._3 == 1.0)
+    assert(target.nonEmpty, "fixture must contain src0 docs")
+    val gval = (0 until 5).map { j =>
+      target.sortBy(_._1).map { case (_, f, y) => f(j) * (sigma(f) - y) }.sum / target.length
+    }.toArray
+    val got = graft.extensions.Classify
+      .tracinInfluence(d, isTarget, 0.5, 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("influence"))
+      .toMap
+    feats.foreach { case (id, f, y) =>
+      val want = -((sigma(f) - y) * f.zip(gval).map { case (a, b) => a * b }.sum)
+      assert(math.abs(got(id) - want) < 1e-9, s"doc $id influence")
+    }
+    // helpful-vs-harmful split: target docs (y=1, σ<1) must have positive
+    // influence when their gradient aligns with the mean target gradient
+    val cal = graft.extensions.Classify.calibration(d, isTarget, 0.5, 4).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum == feats.length, "bins must partition the corpus")
+    cal.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val corr = graft.extensions.Classify.scoreCorr(d, isTarget, 0.5, 4).collect().head.getAs[Double]("corr")
+    assert(corr >= -1.0 - 1e-12 && corr <= 1.0 + 1e-12, s"corr out of range: $corr")
+  }
+
   test("knPerplexity matches a scalar KN reference and the LM normalizes per context") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
