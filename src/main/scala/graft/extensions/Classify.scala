@@ -133,6 +133,13 @@ object Classify {
       iters: Int = 8
   ): DataFrame = {
     val w = logRegTrain(docs, isTarget, lr, iters)
+    val g = valGradient(docs, isTarget, w)
+    influenceScore(featBase(docs, isTarget), w, g)
+  }
+
+  /** Mean validation gradient ḡ over the TARGET docs under weights `w`
+    * (two-level chunked fold; d doubles to the driver). */
+  def valGradient(docs: DataFrame, isTarget: Column, w: Array[Double]): Array[Double] = {
     val base = featBase(docs, isTarget)
     val resid = sigmaOf(w) - col("y")
     val tRows = Similarity
@@ -149,13 +156,25 @@ object Classify {
     val gval = new Array[Double](NumFeatures)
     var nT = 0L
     tRows.foreach { r => gval(r.getInt(0)) = r.getDouble(1); nT = r.getLong(2) }
-    val g = gval.map(v => if (nT == 0) 0.0 else v / nT.toDouble)
+    gval.map(v => if (nT == 0) 0.0 else v / nT.toDouble)
+  }
+
+  /** Stateless influence scoring of a (doc_id, f, y) frame with the
+    * trained model broadcast as literals — the map-side half of
+    * [[tracinInfluence]], reusable over a stream (no state, no shuffle).
+    */
+  def influenceScore(base: DataFrame, w: Array[Double], g: Array[Double]): DataFrame = {
+    val resid = sigmaOf(w) - col("y")
     base.select(
       col("doc_id"),
       (col("y") === 1.0).as("is_target"),
       (-(resid * Similarity.dot(col("f"), typedLit(g.toSeq)))).as("influence")
     )
   }
+
+  /** Feature/label projection for [[influenceScore]] over raw documents
+    * (public so the streaming path can reuse it verbatim). */
+  def featuresOf(docs: DataFrame, isTarget: Column): DataFrame = featBase(docs, isTarget)
 
   /** Reliability diagram of the trained classifier: equal-width bins
     * over the OBSERVED score range (a lightly-trained LR clusters its

@@ -826,4 +826,18 @@ object StreamingTa {
         graft.extensions.TextOps.polyHash(norm).as("norm_hash")
       )
   }
+
+  /** Stateless TracIn influence over a document stream: the trained
+    * model (weights + mean target gradient, 2·d doubles) travels as
+    * literals, scoring is pure map-side — the continuous-ingest shape
+    * for "is this incoming doc helpful" admission control. Row-for-row
+    * equal to the batch tracinInfluence under the same (w, ḡ). */
+  def influenceStream(
+      docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      weights: Array[Double],
+      gval: Array[Double]
+  ): DataFrame =
+    graft.extensions.Classify
+      .influenceScore(graft.extensions.Classify.featuresOf(docs, isTarget), weights, gval)
 }

@@ -321,4 +321,49 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
     assert(batch.exists(_._3) && batch.exists(!_._3), "vacuous: gate never splits the fixture")
   }
+
+  test("streaming TracIn influence scoring equals the batch path") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val isTarget = col("source") === "src0"
+    val w = graft.extensions.Classify.logRegTrain(docs, isTarget, lr = 0.5, iters = 4)
+    val g = graft.extensions.Classify.valGradient(docs, isTarget, w)
+    val batch = graft.extensions.Classify
+      .tracinInfluence(docs, isTarget, lr = 0.5, iters = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+      .toSet
+
+    val rows = docs.select("doc_id", "text", "source").orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_infl_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk: _*), docs.select("doc_id", "text", "source").schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"d$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamingTa
+      .influenceStream(stream, isTarget, w, g)
+      .writeStream
+      .format("memory")
+      .queryName("infl_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("infl_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.exists(_._3 > 0) && batch.exists(_._3 < 0), "vacuous: influence never splits the fixture")
+  }
 }
