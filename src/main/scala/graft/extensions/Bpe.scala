@@ -37,6 +37,12 @@ object Bpe {
 
   final case class Merge(rank: Int, l: String, r: String, c: Long)
 
+  /** Per-doc lowercase-alpha word array (occurrence order) — the shared
+    * extraction of the dict builder and the stateless streaming counter.
+    */
+  def streamWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
   /** Lowercase-alpha word-frequency dictionary — BPE's training unit.
     * Restricting symbols to [a-z]+ keeps every symbol parenthesis-free,
     * which the oracle's wrapped-symbol encoding relies on. */

@@ -109,9 +109,15 @@ object Graphs {
         // plan: every execution re-rendered it into the listener's plan
         // description, O(rounds²) string work — measured 118 s/run at
         // sf0.1 where the actual data work is milliseconds.)
+        // The rank table is node-sized: up to ~10M nodes it broadcasts
+        // (explicit hint skips AQE's per-round probe stage); beyond that
+        // the plain join shuffle-co-partitions ranks with the cached
+        // edges — the web-scale Pregel shape.
+        val hintRanks: DataFrame => DataFrame =
+          if (n <= 10000000L) broadcast(_) else identity
         for (_ <- 1 to iters) {
           val cin = ew
-            .join(ranks.select(col("node").as("src"), col("rank")), "src")
+            .join(hintRanks(ranks.select(col("node").as("src"), col("rank"))), "src")
             .select(col("src"), col("dst"), (col("rank") * col("p")).as("c"))
             .groupBy(col("dst").as("node"))
             .agg(Similarity.orderedSum(col("src"), col("c")).as("cin"))

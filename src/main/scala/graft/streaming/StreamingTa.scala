@@ -840,4 +840,22 @@ object StreamingTa {
   ): DataFrame =
     graft.extensions.Classify
       .influenceScore(graft.extensions.Classify.featuresOf(docs, isTarget), weights, gval)
+
+  /** Stateless BPE token accounting over a document stream: the trained
+    * merge list travels inside the codegen'd segmentation kernel (a few
+    * KB of literals), so each micro-batch is a pure map — the
+    * tokens-per-byte meter a streaming ingest pipeline runs before
+    * admission. Per-doc word/char/BPE-symbol counts, row-for-row equal
+    * to Bpe.encode's pre-join projection on the same merges. */
+  def bpeCountStream(docs: DataFrame, merges: Seq[graft.extensions.Bpe.Merge]): DataFrame = {
+    graft.functions.Registry.register(docs.sparkSession)
+    val words = graft.extensions.Bpe.streamWords(col("text"))
+    val syms = transform(words, w => size(graft.extensions.Bpe.segmentCol(w, merges)).cast("long"))
+    docs.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x).as("n_chars"),
+      aggregate(syms, lit(0L), (a, x) => a + x).as("n_bpe")
+    )
+  }
 }

@@ -366,4 +366,50 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
     assert(batch.exists(_._3 > 0) && batch.exists(_._3 < 0), "vacuous: influence never splits the fixture")
   }
+
+  test("streaming BPE token counting equals the batch encode totals") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    Graft.init(spark)
+    val ms = graft.extensions.Bpe.train(docs, 6).toSeq
+    val batch = graft.extensions.Bpe
+      .encode(docs, ms)
+      .select("doc_id", "n_words", "n_chars", "n_bpe")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_bpe_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk: _*), docs.select("doc_id", "text").schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"d$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamingTa
+      .bpeCountStream(stream, ms)
+      .writeStream
+      .format("memory")
+      .queryName("bpe_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("bpe_stream")
+      .where(col("n_words") > 0) // batch encode's dict join drops zero-word docs
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.exists { case (_, _, c, b) => b < c }, "vacuous: no doc actually compressed")
+  }
 }
