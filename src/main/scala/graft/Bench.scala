@@ -55,6 +55,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // The status stores retain job/stage/execution history even with the
+      // UI off; a 201-query × 7-run session accumulates thousands of
+      // entries and per-JOB submission cost grows with session age —
+      // multi-job iterative queries (pagerank: ~12 jobs/run) measured 3x
+      // slower at age 450 s than fresh. Tight retention keeps submission
+      // cost flat.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warm-up: JVM/codegen/file-index costs land here, not

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    never collected: at web scale the rank vector is itself data-sized
   *    and the driver holds only the scalar dangling mass.
   *  - AQE picks broadcast vs shuffle join per iteration from the actual
-  *    rank-table size; each iteration is persisted (previous released)
-  *    and costs exactly one job — the dangling-mass scalar rides the
-  *    materializing action to the driver.
+  *    rank-table size. With dangling nodes each round is one barriered
+  *    job (the dangling-mass scalar rides the materializing action to
+  *    the driver); with none — the common case for transition graphs —
+  *    rounds compose lazily and checkpoint every 5, so 10 rounds run as
+  *    ~2 executions.
   *
   * Determinism contract (oracle-replayable, partitioning-independent):
   * per-dst contributions fold in src order, the dangling-mass scalar
@@ -65,78 +67,101 @@ object Graphs {
         .select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
-        .persist()
-      val n = nodes.count()
+      // Round inputs are CHECKPOINTED, not persisted: an InMemoryRelation
+      // embeds the full originating physical plan (events scan + window +
+      // aggregates), and every round's analysis/optimization re-walks
+      // that subtree — measured ~0.5 s/round of pure driver planning.
+      // A LogicalRDD leaf makes each round's plan O(round ops) flat; the
+      // materialized partition count is AQE-coalesced.
+      val ew = e
+        .join(outd, "src")
+        .select(col("src"), col("dst"), (col("w").cast("double") / col("outw").cast("double")).as("p"))
+        .localCheckpoint(false)
+      // node table with a static has-out flag: the dangling set never
+      // changes, so it's joined ONCE, not per round
+      val srcSet = outd.select(col("src").as("node"), lit(true).as("__has_out"))
+      val nodesF = nodes
+        .join(srcSet, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
+        .localCheckpoint(false)
+      // ONE setup action: n + dangling count off the nodesF checkpoint
+      // materialization (separate nodes.count/ew.count jobs cost ~1.5 s).
+      val cnts = nodesF
+        .agg(count(lit(1)).as("n"), count(when(col("has_out"), 1)).as("nOut"))
+        .head()
+      val n = cnts.getLong(0)
       if (n == 0) {
         import spark.implicits._
         Seq.empty[(Long, Double)].toDF("node", "rank")
       } else {
         val nD = n.toDouble
-        // edges with per-edge transition probability factors, reused each round
-        val ew = e
-          .join(outd, "src")
-          .select(col("src"), col("dst"), (col("w").cast("double") / col("outw").cast("double")).as("p"))
-          .persist()
-        ew.count()
-        // node table with a static has-out flag: the dangling set never
-        // changes, so it's joined ONCE, not per round
-        val srcSet = outd.select(col("src").as("node"), lit(true).as("__has_out"))
-        val nodesF = nodes
-          .join(srcSet, Seq("node"), "left")
-          .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
-          .persist()
+        val hasDangling = cnts.getLong(1) < n
         // Dangling-mass scalar for a materialized round: ranks of no-out
         // nodes folded in node order. Fetching ONE double to the driver
         // (the pcaPower "driver holds the model scalars" contract) lets
-        // the next round embed it as a literal — vs the broadcast-subtree
-        // spelling, which cost two extra jobs per round (dm broadcast +
-        // checkpoint; measured 1.1 s/round at sf0.1 where data is tiny).
-        // This head() is also what materializes the round's persist, so
-        // each iteration is exactly ONE job.
+        // the next round embed it — vs the broadcast-subtree spelling,
+        // which cost two extra jobs per round. The head() also
+        // materializes the round's lazy checkpoint.
         def danglingMass(r: DataFrame): Double = r
           .where(!col("has_out"))
           .agg(coalesce(Similarity.orderedSum(col("node"), col("rank")), lit(0.0)))
           .head()
           .getDouble(0)
-        var ranks =
-          nodesF.select(col("node"), lit(1.0 / nD).as("rank"), col("has_out")).localCheckpoint(false)
-        var dm = danglingMass(ranks)
-        // dm is a driver literal, so each round references the previous
-        // ranks once; LAZY localCheckpoint truncates lineage to a
-        // LogicalRDD — the danglingMass action scans every partition, so
-        // it both materializes the checkpoint and returns the scalar in
-        // the round's single job. (persist alone kept the full nested
-        // plan: every execution re-rendered it into the listener's plan
-        // description, O(rounds²) string work — measured 118 s/run at
-        // sf0.1 where the actual data work is milliseconds.)
         // The rank table is node-sized: up to ~10M nodes it broadcasts
         // (explicit hint skips AQE's per-round probe stage); beyond that
         // the plain join shuffle-co-partitions ranks with the cached
         // edges — the web-scale Pregel shape.
         val hintRanks: DataFrame => DataFrame =
           if (n <= 10000000L) broadcast(_) else identity
-        for (_ <- 1 to iters) {
+        // One rank-update round. dm rides RefDouble (reference-carried
+        // scalar): an inlined double literal would change the generated
+        // source every round and defeat the codegen cache.
+        def round(ranks: DataFrame, dm: Double): DataFrame = {
           val cin = ew
             .join(hintRanks(ranks.select(col("node").as("src"), col("rank"))), "src")
             .select(col("src"), col("dst"), (col("rank") * col("p")).as("c"))
             .groupBy(col("dst").as("node"))
             .agg(Similarity.orderedSum(col("src"), col("c")).as("cin"))
-          val next = nodesF
+          val dmCol = org.apache.spark.sql.GraftBridge.column(graft.functions.RefDouble(dm))
+          nodesF
             .join(cin, Seq("node"), "left")
             .select(
               col("node"),
               (lit((1.0 - damping) / nD) +
-                lit(damping) * (coalesce(col("cin"), lit(0.0)) + lit(dm) / lit(nD))).as("rank"),
+                lit(damping) * (coalesce(col("cin"), lit(0.0)) + dmCol / lit(nD))).as("rank"),
               col("has_out")
             )
-            .localCheckpoint(false)
-          dm = danglingMass(next)
-          ranks.unpersist(blocking = false)
-          ranks = next
         }
-        nodes.unpersist(blocking = false)
-        nodesF.unpersist(blocking = false)
-        ew.unpersist(blocking = false)
+        val init = nodesF.select(col("node"), lit(1.0 / nD).as("rank"), col("has_out"))
+        var ranks = init
+        if (hasDangling) {
+          // per-round barrier: dm_t is data the next round needs on the
+          // driver, so each round checkpoints and runs as one job
+          ranks = init.localCheckpoint(false)
+          var dm = danglingMass(ranks)
+          for (_ <- 1 to iters) {
+            val next = round(ranks, dm).localCheckpoint(false)
+            dm = danglingMass(next)
+            ranks.unpersist(blocking = false)
+            ranks = next
+          }
+        } else {
+          // no dangling nodes → dm is 0.0 every round and there is NO
+          // per-round driver dependency: rounds compose lazily (ranks is
+          // referenced once per round — linear growth) with a checkpoint
+          // every few rounds to bound plan depth. 10 rounds run as ~2
+          // AQE executions instead of 10 barriered jobs — measured
+          // 9.5 s → ~5 s at sf0.1.
+          var sinceCkpt = 0
+          for (t <- 1 to iters) {
+            ranks = round(ranks, 0.0)
+            sinceCkpt += 1
+            if (sinceCkpt == 5 || t == iters) {
+              ranks = ranks.localCheckpoint(false)
+              sinceCkpt = 0
+            }
+          }
+        }
         ranks.select(col("node"), col("rank"))
       }
     } finally {
