@@ -157,7 +157,37 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"queries":$qs,"session_age_at_measure":$as,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json)
-    println(json)
+    // stdout copy must survive the driver's 2000-char tail capture (the
+    // round-5 artifact recorded parsed:null because the 201-query line was
+    // 8 KB and only its tail survived). Full per-query map lives in
+    // BENCH_out.json (committed); stdout carries total + guard + a headline
+    // subset — BASELINE.md-comparable queries first, then slowest-first —
+    // greedily packed under a hard char budget so the line ALWAYS fits.
+    val headline = Seq(
+      "q01_bars", "q49_revenue_nation", "sma_10", "ema_10", "rma_10",
+      "wma_10", "trima_10", "macd_12_26_9", "strategy50_batch",
+      "strategy_ohlcv_batch", "x_dedup_exact", "x_neardup_lsh",
+      "x_ann_ivf_topk", "x_ann_pq_topk", "x_bm25_topk", "x_cosine_topk",
+      "x_tfidf_cosine_pairs", "x_salted_hot")
+    val ordered =
+      headline.filter(timed.contains) ++
+        timed.toSeq.sortBy(-_._2).map(_._1).filterNot(headline.contains)
+    val qBudget = 1100
+    val picked = scala.collection.mutable.LinkedHashMap[String, String]()
+    var usedChars = 0
+    ordered.foreach { n =>
+      val entry = "\"" + esc(n) + "\":" + f"${timed(n)}%.3f"
+      if (usedChars + entry.length + 1 <= qBudget) {
+        picked(n) = entry; usedChars += entry.length + 1
+      }
+    }
+    // failures: at most 3 (name + truncated error) on stdout; all in the file
+    val fsCompact = failed.take(3)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\"" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fsCompact,$guard,"queries":${picked.values.mkString("{", ",", "}")},"queries_shown":${picked.size},"full_artifact":"$outPath","sf":"$sfDir"}"""
+    println(compact)
     CacheRegistry.release(spark)
     spark.stop()
   }

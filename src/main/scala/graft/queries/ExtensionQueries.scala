@@ -2253,7 +2253,156 @@ object ExtensionQueries {
     )
   )
 
+  /** PII scan + redaction (round 6b): the privacy pre-pass every released
+    * training corpus runs (C4/Dolma-style). Three conservative regex
+    * classes — email, NANP-style phone, IPv4 — counted per doc and
+    * scrubbed in a fixed order (email → phone → ip, so an address's
+    * digits are never double-counted as a phone). Patterns are written in
+    * the Java∩RE2 common dialect so the DuckDB oracle matches byte-for-
+    * byte. Map-side only: zero shuffle at any corpus size; the redacted
+    * text ships as its polyHash, not the text itself. */
+  val qPii = Q(
+    "x_pii",
+    (s, dir) => {
+      Graft.init(s)
+      val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val rePhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+      val reIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val red = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(reEmail), lit("[EMAIL]")),
+          lit(rePhone),
+          lit("[PHONE]")
+        ),
+        lit(reIp),
+        lit("[IP]")
+      )
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(reEmail)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(rePhone)).cast("long").as("n_phone"),
+          regexp_count(col("text"), lit(reIp)).cast("long").as("n_ip"),
+          TextOps.polyHash(red).as("red_hash")
+        )
+        .withColumn("n_pii", (col("n_email") + col("n_phone") + col("n_ip")).cast("long"))
+        .withColumn("has_pii", col("n_pii") > 0)
+        .select("doc_id", "n_email", "n_phone", "n_ip", "n_pii", "has_pii", "red_hash")
+        .orderBy("doc_id")
+    },
+    Some {
+      val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val rePhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+      val reIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"WITH r AS (SELECT doc_id, " +
+        s"len(regexp_extract_all(text, '$reEmail')) AS n_email, " +
+        s"len(regexp_extract_all(text, '$rePhone')) AS n_phone, " +
+        s"len(regexp_extract_all(text, '$reIp')) AS n_ip, " +
+        s"regexp_replace(regexp_replace(regexp_replace(text, '$reEmail', '[EMAIL]', 'g'), " +
+        s"'$rePhone', '[PHONE]', 'g'), '$reIp', '[IP]', 'g') AS red FROM documents) " +
+        s"SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_phone AS BIGINT) AS n_phone, " +
+        s"CAST(n_ip AS BIGINT) AS n_ip, CAST(n_email + n_phone + n_ip AS BIGINT) AS n_pii, " +
+        s"(n_email + n_phone + n_ip) > 0 AS has_pii, ${ph("red")} AS red_hash " +
+        "FROM r ORDER BY doc_id"
+    }
+  )
+
+  /** Deterministic weighted sampling without replacement (round 6b) —
+    * Efraimidis & Spirakis 2006: priority = ln(u)/w with u a hash-derived
+    * uniform, take the k largest. The one-pass distributed answer to
+    * "sample 50 docs proportional to length": no RNG state, reproducible
+    * under any partitioning, and the cut is TakeOrderedAndProject — k·P
+    * rows cross the wire, never the corpus. Weight = n_chars; u from
+    * polyHash(text) so resampling a changed corpus is automatic. */
+  val qWeightedSample = Q(
+    "x_weighted_sample",
+    (s, dir) => {
+      Graft.init(s)
+      val u = (TextOps.polyHash(col("text")).cast("double") + lit(0.5)) / lit(P0.toDouble)
+      val key = log(u) / col("n_chars").cast("double")
+      docs(s, dir)
+        .where(col("n_chars") > 0)
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars").cast("long").as("w"),
+          key.as("__k")
+        )
+        .orderBy(col("__k").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("w"), P.normd(col("__k")).as("priority"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH r AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
+        s"ln((${ph("text")} + 0.5e0) / $P0.0e0) / n_chars AS k " +
+        "FROM documents WHERE n_chars > 0 ORDER BY k DESC, doc_id LIMIT 50) " +
+        "SELECT doc_id, source, w, round(k, 6) AS priority FROM r ORDER BY doc_id"
+    )
+  )
+
+  /** Corpus snapshot diff (round 6b) — dataset versioning: given two
+    * releases of a corpus, account every doc as added / removed / changed
+    * / unchanged by content hash, per source. The audit table a recurring
+    * crawl publishes next to each release (what Dolma/C4 changelogs
+    * tabulate). Two deterministic snapshot views of `documents` stand in
+    * for the releases: old = doc_id % 11 ≠ 0 with %13-docs pre-
+    * normalization (a simulated edit), new = doc_id % 17 ≠ 0 verbatim.
+    * One doc_id-equi full-outer join + one hash-aggregate: at 100 TB both
+    * sides shuffle once on doc_id (or co-bucket by doc_id and the join is
+    * shuffle-free); only (source, status) counts come back. */
+  val qCorpusDiff = Q(
+    "x_corpus_diff",
+    (s, dir) => {
+      Graft.init(s)
+      val d = docs(s, dir)
+      val old = d
+        .where(col("doc_id") % 11 =!= 0)
+        .select(
+          col("doc_id"),
+          col("source"),
+          TextOps
+            .polyHash(
+              when(col("doc_id") % 13 === 0, TextOps.normalizeText(col("text")))
+                .otherwise(col("text"))
+            )
+            .as("h_old")
+        )
+      val nw = d
+        .where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"), TextOps.polyHash(col("text")).as("h_new"))
+      old
+        .withColumnRenamed("source", "src_old")
+        .join(nw.withColumnRenamed("source", "src_new"), Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("src_new"), col("src_old")).as("source"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("changed")
+            .as("status")
+        )
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    },
+    Some(
+      "WITH old AS (SELECT doc_id, source, " +
+        s"${ph("CASE WHEN doc_id % 13 = 0 THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) ELSE text END")} AS h_old " +
+        "FROM documents WHERE doc_id % 11 <> 0), " +
+        s"nw AS (SELECT doc_id, source, ${ph("text")} AS h_new FROM documents WHERE doc_id % 17 <> 0), " +
+        "j AS (SELECT coalesce(nw.source, old.source) AS source, " +
+        "CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed' " +
+        "WHEN h_old = h_new THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM old FULL OUTER JOIN nw USING (doc_id)) " +
+        "SELECT source, status, count(*) AS n FROM j GROUP BY source, status ORDER BY source, status"
+    )
+  )
+
   val all: Seq[Q] = Seq(
+    qPii,
+    qWeightedSample,
+    qCorpusDiff,
     qInfluence,
     qLrCalibration,
     qScoreCorr,

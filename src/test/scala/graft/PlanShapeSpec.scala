@@ -286,4 +286,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // aggregate — anything more re-shuffles the corpus
     assert(shuffles.size <= 2, s"edge extraction shuffles ${shuffles.size}x:\n$plan")
   }
+
+  test("round-6b ops: PII scan is shuffle-free, weighted sample is TakeOrdered") {
+    // PII scan/redaction is pure map-side regex work — at 100 TB it must
+    // run at scan speed with zero exchanges before its output ordering
+    val pii = graft.queries.ExtensionQueries.qPii.spark(spark, TestSpark.sfDir)
+    val ex = pii.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(
+      ex.size <= 1 && ex.forall(
+        _.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      ),
+      s"x_pii: only the output-order range exchange is allowed:\n${pii.queryExecution.executedPlan}"
+    )
+    // weighted sampling's k-cut must be per-partition heaps + merge
+    // (TakeOrderedAndProject), never a corpus-wide global sort
+    val ws = graft.queries.ExtensionQueries.qWeightedSample.spark(spark, TestSpark.sfDir)
+    assert(
+      ws.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s"x_weighted_sample: no TakeOrderedAndProject:\n${ws.queryExecution.executedPlan}"
+    )
+    // corpus diff: the snapshot full-outer must meet as an equi-join on
+    // doc_id — a nested-loop here would be corpus² at release time
+    val cd = graft.queries.ExtensionQueries.qCorpusDiff.spark(spark, TestSpark.sfDir)
+    val cdPlan = cd.queryExecution.executedPlan.toString
+    assert(!cdPlan.contains("CartesianProduct"), s"x_corpus_diff plans a cartesian")
+    assert(!cdPlan.contains("BroadcastNestedLoopJoin"), s"x_corpus_diff plans a nested loop")
+  }
 }
