@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Catalyst analysis recurses per stacked projection; a 90-indicator
   // strategy plan needs a deeper thread stack than the JVM default
   "-Xss64m",
+  // A 200-query bench session generates >240 MB of JIT-compiled code
+  // (2000 cached codegen classes); at the default ReservedCodeCacheSize
+  // the C2 compiler shuts off mid-session and whichever codegen-heavy
+  // query runs next executes interpreted — measured 0.9 s → 4.6 s on
+  // x_ann_ivfpq_topk at session query #115. This (not machine load) was
+  // the round-4/5 driver-bench "contamination" signature.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -12,6 +12,14 @@ import java.nio.file.{Files, Paths}
   * throws is recorded under "failed" with its error — never as a timing —
   * so a regression cannot masquerade as a speedup.
   *
+  * Session-age trap #2 (round 6 root-cause of the "contaminated" driver
+  * benches): a 200-query session JIT-compiles more code than the default
+  * 240 MB ReservedCodeCacheSize holds; when it fills, C2 shuts off and
+  * the next codegen-heavy query runs interpreted (measured 0.9 s → 4.6 s
+  * on x_ann_ivfpq_topk at query #115, reproducible, position-dependent).
+  * Fixed by -XX:ReservedCodeCacheSize=512m in build.sbt javaOptions
+  * (driver's forked sbt run) and tools/run_main.sh.
+  *
   * Tamper-evident load guard: medians-of-5 in one JVM are only
   * trustworthy on an otherwise idle machine (the round-4 driver artifact
   * recorded 21.7s for a query that times 0.66s clean — concurrent JVMs

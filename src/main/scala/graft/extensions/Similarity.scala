@@ -234,7 +234,7 @@ object Similarity {
   /** Ordered per-dim sum for centroid means: members folded in vec_id
     * order from 0.0 — mirrors DuckDB `list_reduce(list(x ORDER BY
     * vec_id), +)` (0 + x₀ = x₀). */
-  private[extensions] def orderedSum(idC: Column, xC: Column): Column =
+  private[graft] def orderedSum(idC: Column, xC: Column): Column =
     aggregate(
       transform(array_sort(collect_list(struct(idC.as("i"), xC.as("x")))), s => s("x")),
       lit(0.0),

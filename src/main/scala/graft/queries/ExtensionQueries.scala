@@ -2399,10 +2399,124 @@ object ExtensionQueries {
     )
   )
 
+  /** Leakage-free split (round 6b): assign train/val/test by near-dup
+    * CLUSTER, not by doc — the eval-integrity fix for x_split's blind
+    * spot, where two near-duplicates can straddle train and test and leak
+    * the answer (Lee et al. 2021 measure exactly this). Split key =
+    * polyHash of the cluster representative id, so every member of a
+    * cluster lands in the same partition by construction; the output
+    * carries the measured cross-split leak count (structurally 0 here,
+    * and the column is the audit a pipeline asserts on). Cost on top of
+    * clustering: one map-side bucket + one hash-agg. */
+  val qSplitLeakfree = Q(
+    "x_split_leakfree",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val cl = Dedup.nearDupClusters(d, Dedup.jaccardPairs(d, threshold = 0.5))
+      val lab = cl.select(
+        col("doc_id"),
+        col("cluster_id"),
+        pmod(TextOps.polyHash(col("cluster_id").cast("string")), lit(100L)).as("bucket")
+      )
+      val split = lab.withColumn(
+        "split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")
+      )
+      val leaky = split
+        .groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("__ns"))
+        .agg(count(when(col("__ns") > 1, 1)).as("leaky_clusters"))
+      split
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .orderBy("split")
+    },
+    Some(
+      s"WITH RECURSIVE ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        "pairs AS (SELECT a_id, b_id FROM jc WHERE jac >= 0.5), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id " +
+        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id), " +
+        s"sp AS (SELECT doc_id, cluster_id, CASE WHEN ${ph("CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train' " +
+        s"WHEN ${ph("CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM lab), " +
+        "lk AS (SELECT count(*) FILTER (WHERE ns > 1) AS leaky_clusters FROM " +
+        "(SELECT cluster_id, count(DISTINCT split) AS ns FROM sp GROUP BY cluster_id)) " +
+        "SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters, " +
+        "max(lk.leaky_clusters) AS leaky_clusters FROM sp CROSS JOIN lk " +
+        "GROUP BY split ORDER BY split"
+    )
+  )
+
+  /** Per-class embedding outlier scoring (round 6b): distance to the
+    * label centroid + within-label percentile — the mislabeled-example /
+    * novelty filter (Northcutt's confident-learning shape on the
+    * geometric side). Centroids are trained with the same fixed-order
+    * fold contract as PCA/LR (vec_id-ordered per-dim sums collected to
+    * the driver — 2·d·|labels| doubles), broadcast back as a map literal,
+    * and the distance fold runs dim-ordered, so the oracle replays
+    * training bit-for-bit. Scoring is map-side; the only shuffle is the
+    * per-label rank window. */
+  val qEmbedOutliers = Q(
+    "x_embed_outliers",
+    (s, dir) => {
+      Graft.init(s)
+      val e = embs(s, dir)
+      val vecD = transform(col("embedding"), v => v.cast("double"))
+      val cents: Map[Int, Seq[Double]] = graft.CacheRegistry.memoStat(
+        s,
+        s"embout:cents:${graft.CacheRegistry.planKey(e)}"
+      ) {
+        e.select(col("vec_id"), col("label"), posexplode(vecD).as(Seq("d", "x")))
+          .groupBy("label", "d")
+          .agg(Similarity.orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (lbl, rows) =>
+            lbl -> rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          }
+      }
+      val centCol = element_at(typedLit(cents), col("label"))
+      val dist = sqrt(
+        aggregate(
+          zip_with(vecD, centCol, (x, c) => (x - c) * (x - c)),
+          lit(0.0),
+          (a, v) => a + v
+        )
+      )
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label").orderBy("__dist")
+      e.select(col("vec_id"), col("label"), dist.as("__dist"))
+        .withColumn("pr", percent_rank().over(w))
+        .select(
+          col("vec_id"),
+          col("label"),
+          P.normd(col("__dist")).as("dist"),
+          P.normd(col("pr")).as("pr"),
+          (col("pr") >= 0.95).as("is_outlier")
+        )
+        .orderBy("vec_id")
+    },
+    Some(
+      "WITH ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, " +
+        "unnest(embedding)::DOUBLE AS x FROM embeddings), " +
+        "cents AS (SELECT label, d, list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS c " +
+        "FROM ex GROUP BY label, d), " +
+        "dists AS (SELECT e.vec_id, e.label, " +
+        "sqrt(list_reduce(list((e.x - c.c) * (e.x - c.c) ORDER BY e.d), (a, b) -> a + b)) AS dist " +
+        "FROM ex e JOIN cents c ON c.label = e.label AND c.d = e.d GROUP BY e.vec_id, e.label), " +
+        "pr AS (SELECT vec_id, label, dist, percent_rank() OVER (PARTITION BY label ORDER BY dist) AS pr FROM dists) " +
+        "SELECT vec_id, label, round(dist, 6) AS dist, round(pr, 6) AS pr, pr >= 0.95e0 AS is_outlier " +
+        "FROM pr ORDER BY vec_id"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qPii,
     qWeightedSample,
     qCorpusDiff,
+    qSplitLeakfree,
+    qEmbedOutliers,
     qInfluence,
     qLrCalibration,
     qScoreCorr,
