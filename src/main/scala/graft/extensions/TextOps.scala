@@ -24,6 +24,26 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** PII regex classes, written in the Java∩RE2 common dialect so the
+    * DuckDB oracle (RE2) matches the engine (java.util.regex) byte-for-
+    * byte. Shared by the batch query (x_pii) and the streaming scan. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Fixed-order scrub (email → phone → ip): an address's digits are
+    * never double-counted as a phone; order is part of the contract. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(PiiEmail), lit("[EMAIL]")),
+        lit(PiiPhone),
+        lit("[PHONE]")
+      ),
+      lit(PiiIp),
+      lit("[IP]")
+    )
+
   /** Polynomial rolling hash of a string's chars mod P — base 31 left
     * fold, as a native codegen'd expression (graft.functions.PolyHash;
     * ~40× fewer interpreted ops than the HOF spelling). ASCII-only

@@ -2265,35 +2265,12 @@ object ExtensionQueries {
     "x_pii",
     (s, dir) => {
       Graft.init(s)
-      val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val rePhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
-      val reIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val red = regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), lit(reEmail), lit("[EMAIL]")),
-          lit(rePhone),
-          lit("[PHONE]")
-        ),
-        lit(reIp),
-        lit("[IP]")
-      )
-      docs(s, dir)
-        .select(
-          col("doc_id"),
-          regexp_count(col("text"), lit(reEmail)).cast("long").as("n_email"),
-          regexp_count(col("text"), lit(rePhone)).cast("long").as("n_phone"),
-          regexp_count(col("text"), lit(reIp)).cast("long").as("n_ip"),
-          TextOps.polyHash(red).as("red_hash")
-        )
-        .withColumn("n_pii", (col("n_email") + col("n_phone") + col("n_ip")).cast("long"))
-        .withColumn("has_pii", col("n_pii") > 0)
-        .select("doc_id", "n_email", "n_phone", "n_ip", "n_pii", "has_pii", "red_hash")
-        .orderBy("doc_id")
+      graft.streaming.StreamingTa.piiScanStream(docs(s, dir)).orderBy("doc_id")
     },
     Some {
-      val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val rePhone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
-      val reIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val reEmail = TextOps.PiiEmail
+      val rePhone = TextOps.PiiPhone
+      val reIp = TextOps.PiiIp
       s"WITH r AS (SELECT doc_id, " +
         s"len(regexp_extract_all(text, '$reEmail')) AS n_email, " +
         s"len(regexp_extract_all(text, '$rePhone')) AS n_phone, " +
@@ -2511,12 +2488,68 @@ object ExtensionQueries {
     )
   )
 
+  /** Deletion-request propagation (round 6b): GDPR/right-to-be-forgotten
+    * over a deduplicated corpus. Deleting only the requested doc_ids is
+    * not enough — their near-duplicates carry the same content, so the
+    * forget set must close over near-dup clusters (the flip side of
+    * x_split_leakfree's integrity argument). Per-source audit: direct
+    * requests, propagated removals, and what survives. Cost on top of
+    * clustering: one broadcast semi-join of hit clusters + one hash-agg
+    * — the request list is always tiny next to the corpus. */
+  val qForget = Q(
+    "x_forget",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val cl = Dedup.nearDupClusters(d, Dedup.jaccardPairs(d, threshold = 0.5))
+      val direct = col("doc_id") % 97 === 5
+      val hit = cl
+        .where(direct)
+        .select(col("cluster_id"))
+        .distinct()
+        .withColumn("__hit", lit(true))
+      cl.join(broadcast(hit), Seq("cluster_id"), "left")
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(
+          col("source"),
+          direct.cast("int").as("__direct"),
+          (coalesce(col("__hit"), lit(false)) && !direct).cast("int").as("__prop"),
+          coalesce(col("__hit"), lit(false)).cast("int").as("__gone")
+        )
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("__direct").cast("long").as("n_direct"),
+          sum("__prop").cast("long").as("n_propagated"),
+          (count(lit(1)) - sum("__gone")).cast("long").as("n_kept")
+        )
+        .orderBy("source")
+    },
+    Some(
+      s"WITH RECURSIVE ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        "pairs AS (SELECT a_id, b_id FROM jc WHERE jac >= 0.5), " +
+        "edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id " +
+        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id), " +
+        "hit AS (SELECT DISTINCT cluster_id FROM lab WHERE doc_id % 97 = 5), " +
+        "j AS (SELECT l.doc_id, l.cluster_id, d.source, l.doc_id % 97 = 5 AS direct, " +
+        "h.cluster_id IS NOT NULL AS gone FROM lab l " +
+        "JOIN documents d ON d.doc_id = l.doc_id LEFT JOIN hit h ON h.cluster_id = l.cluster_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN direct THEN 1 ELSE 0 END) AS BIGINT) AS n_direct, " +
+        "CAST(sum(CASE WHEN gone AND NOT direct THEN 1 ELSE 0 END) AS BIGINT) AS n_propagated, " +
+        "CAST(count(*) - sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM j GROUP BY source ORDER BY source"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qPii,
     qWeightedSample,
     qCorpusDiff,
     qSplitLeakfree,
     qEmbedOutliers,
+    qForget,
     qInfluence,
     qLrCalibration,
     qScoreCorr,

@@ -815,6 +815,27 @@ object StreamingTa {
     * pure map-side expressions, no watermark, no state store, append
     * mode — so throughput is the scan rate; identical expressions to the
     * batch path means row-for-row parity (spec-asserted). */
+  /** Stateless PII scan over a document stream: per-class regex counts +
+    * the redacted text's hash, pure map-side per micro-batch — the
+    * privacy gate a streaming ingest runs before anything is persisted.
+    * Row-for-row the batch x_pii projection (the batch query IS this
+    * function over a static frame). */
+  def piiScanStream(docs: DataFrame): DataFrame = {
+    import graft.extensions.TextOps
+    graft.functions.Registry.register(docs.sparkSession)
+    docs
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(TextOps.PiiEmail)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(TextOps.PiiPhone)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(TextOps.PiiIp)).cast("long").as("n_ip"),
+        TextOps.polyHash(TextOps.piiRedact(col("text"))).as("red_hash")
+      )
+      .withColumn("n_pii", (col("n_email") + col("n_phone") + col("n_ip")).cast("long"))
+      .withColumn("has_pii", col("n_pii") > 0)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "n_pii", "has_pii", "red_hash")
+  }
+
   def qualityScoreStream(docs: DataFrame, weights: Array[Double], keepAbove: Double): DataFrame = {
     val norm = graft.extensions.TextOps.normalizeText(col("text"))
     graft.extensions.Classify

@@ -412,4 +412,45 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
     assert(batch.exists { case (_, _, c, b) => b < c }, "vacuous: no doc actually compressed")
   }
+
+  test("streaming PII scan equals the batch x_pii projection") {
+    val docs = Graft.table(spark, TestSpark.sfDir, "documents")
+    val batch = StreamingTa
+      .piiScanStream(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
+      .toSet
+
+    val rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    val srcDir = Files.createTempDirectory("graft_pii_stream").toFile
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk: _*), docs.select("doc_id", "text").schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"d$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamingTa
+      .piiScanStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("pii_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("pii_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
 }
