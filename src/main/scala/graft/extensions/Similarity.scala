@@ -498,6 +498,38 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     }
 
+  /** Incremental IVF maintenance: assign an ingest batch to the BASE
+    * corpus's trained centroids (no retraining — the index-append shape
+    * of continuous ingest: a day's embeddings land in an hour, the
+    * quarterly retrain stays a separate batch job). Returns base ∪ batch
+    * rows as (vec_id, embedding, cell, is_new); base work is index reuse
+    * only (memo'd), batch work is batch × nCells dots — at 100 TB the
+    * corpus is never rescanned to admit new vectors. Pair with the
+    * per-cell drift monitor (x_ann_append) to decide when assignment
+    * quality has decayed enough to justify retraining. */
+  def ivfAppend(base: DataFrame, batch: DataFrame, nCells: Int): DataFrame = {
+    val idxBase = ivfIndex(base, nCells)
+    // same DF ⇒ same memo key as ivfIndex's internal trainer call: the
+    // centroids are computed once and shared
+    val cents = kmeansCentroids(base, nCells)
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = batch
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cent_id"),
+        dot(col("embedding"), col("cent_emb")).as("csim")
+      )
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    idxBase
+      .withColumn("is_new", lit(false))
+      .unionByName(assigned.withColumn("is_new", lit(true)))
+  }
+
   /** ANN top-k via IVF probing: each query scores only the vectors in its
     * nprobe nearest cells. Approximate — recall measured vs topkBrute in
     * the test suite. */

@@ -96,15 +96,15 @@ object ExtensionQueries {
     * assign by max dot with ties → lowest cell, per-dim means folded in
     * vec_id order, L2-normalized, empty cells keep previous). Defines
     * `cents(cent_id, cent_emb)`. */
-  private def kmeansCtes(kC: Int, dim: Int, iters: Int): String = {
+  private def kmeansCtes(kC: Int, dim: Int, iters: Int, from: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
       s"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb " +
-      s"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kC)), "
+      s"FROM (SELECT * FROM $from ORDER BY vec_id LIMIT $kC)), "
     for (t <- 1 to iters) {
       sb ++= s"kasg$t AS (SELECT vec_id, embedding, c FROM (SELECT e.vec_id, e.embedding, ct.c, " +
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dotSql("e.embedding", "ct.emb")} DESC, ct.c ASC) AS rk " +
-        s"FROM embeddings e, cents${t - 1} ct) WHERE rk = 1), "
+        s"FROM $from e, cents${t - 1} ct) WHERE rk = 1), "
       sb ++= s"kmu$t AS (SELECT c, d, " +
         "list_reduce(list(CAST(embedding[d] AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y) / count(*) AS mu " +
         s"FROM kasg$t, (SELECT unnest(range(1, ${dim + 1})) AS d) dd GROUP BY c, d), "
@@ -2543,6 +2543,67 @@ object ExtensionQueries {
     )
   )
 
+  /** Incremental IVF append + drift monitor (round 6b): a held-out ingest
+    * batch (vec_id % 10 = 0) is assigned to the BASE-trained centroids
+    * without retraining — the continuous-ingest index-maintenance shape —
+    * and the per-cell audit compares mean centroid-similarity of base vs
+    * appended vectors (ordered folds), the staleness signal that tells
+    * operators when assignment quality has decayed enough to retrain.
+    * Base-side work is memo'd index reuse; batch work is batch×nCells
+    * dots; the oracle replays the base trainer and both assignments. */
+  val qAnnAppend = Q(
+    "x_ann_append",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val base = e.where(col("vec_id") % 10 =!= 0).select(col("vec_id"), col("embedding"))
+      val nw = e.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansCentroids(base, 16)
+      val merged = Similarity.ivfAppend(base, nw, 16)
+      def orderedMean(flag: org.apache.spark.sql.Column) = {
+        val lst = transform(
+          array_sort(collect_list(when(flag, struct(col("vec_id"), col("sim"))))),
+          x => x("sim")
+        )
+        val cnt = sum(flag.cast("long"))
+        when(cnt > 0, aggregate(lst, lit(0.0), (a, v) => a + v) / cnt.cast("double"))
+      }
+      merged
+        .join(broadcast(cents), col("cell") === col("cent_id"))
+        .withColumn("sim", Similarity.dot(col("embedding"), col("cent_emb")))
+        .groupBy("cell")
+        .agg(
+          sum((!col("is_new")).cast("long")).as("n_base"),
+          sum(col("is_new").cast("long")).as("n_new"),
+          P.normd(orderedMean(!col("is_new"))).as("mean_sim_base"),
+          P.normd(orderedMean(col("is_new"))).as("mean_sim_new")
+        )
+        .orderBy("cell")
+    },
+    Some(
+      "WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0), " +
+        "nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0), " +
+        s"${kmeansCtes(16, 64, 1, "base")}, " +
+        "asgb AS (SELECT vec_id, cell, sim FROM (SELECT b.vec_id, ct.cent_id AS cell, " +
+        s"${dotSql("b.embedding", "ct.cent_emb")} AS sim, " +
+        s"row_number() OVER (PARTITION BY b.vec_id ORDER BY ${dotSql("b.embedding", "ct.cent_emb")} DESC, ct.cent_id ASC) AS rk " +
+        "FROM base b, cents ct) WHERE rk = 1), " +
+        "asgn AS (SELECT vec_id, cell, sim FROM (SELECT n.vec_id, ct.cent_id AS cell, " +
+        s"${dotSql("n.embedding", "ct.cent_emb")} AS sim, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("n.embedding", "ct.cent_emb")} DESC, ct.cent_id ASC) AS rk " +
+        "FROM nw n, cents ct) WHERE rk = 1), " +
+        "u AS (SELECT vec_id, cell, sim, FALSE AS is_new FROM asgb " +
+        "UNION ALL SELECT vec_id, cell, sim, TRUE AS is_new FROM asgn) " +
+        "SELECT cell, " +
+        "CAST(count(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_base, " +
+        "CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS n_new, " +
+        "round(CASE WHEN count(*) FILTER (WHERE NOT is_new) > 0 THEN " +
+        "list_reduce(list(sim ORDER BY vec_id) FILTER (WHERE NOT is_new), (x, y) -> x + y) / (count(*) FILTER (WHERE NOT is_new)) END, 6) AS mean_sim_base, " +
+        "round(CASE WHEN count(*) FILTER (WHERE is_new) > 0 THEN " +
+        "list_reduce(list(sim ORDER BY vec_id) FILTER (WHERE is_new), (x, y) -> x + y) / (count(*) FILTER (WHERE is_new)) END, 6) AS mean_sim_new " +
+        "FROM u GROUP BY cell ORDER BY cell"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qPii,
     qWeightedSample,
@@ -2550,6 +2611,7 @@ object ExtensionQueries {
     qSplitLeakfree,
     qEmbedOutliers,
     qForget,
+    qAnnAppend,
     qInfluence,
     qLrCalibration,
     qScoreCorr,

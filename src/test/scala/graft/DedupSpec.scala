@@ -163,6 +163,38 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("IVF append: merged index is probe-able and finds the appended vectors") {
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val base = e.where(col("vec_id") % 10 =!= 0).select(col("vec_id"), col("embedding"))
+    val batch = e.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("embedding"))
+    val merged = Similarity.ivfAppend(base, batch, 16)
+    // base rows ride through untouched — the index was reused, not rebuilt
+    val idxBase = Similarity
+      .ivfIndex(base, 16)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mergedBase = merged
+      .where(!col("is_new"))
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mergedBase == idxBase)
+    // the "new data is searchable immediately" contract: recall vs brute
+    // force over the MERGED corpus stays high, and appended vectors show
+    // up among the neighbors. Probe with the BASE-trained centroids (the
+    // persisted-index path) — topkIvf's retrain-from-index-rows shortcut
+    // would train over the merged rows and route queries against a
+    // different centroid set than the one the cells were assigned under.
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val union = base.unionByName(batch)
+    val brute = Similarity
+      .topkBrute(union, queries, 5)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity
+      .topkIvfWithCents(merged.drop("is_new"), Similarity.kmeansCentroids(base, 16), queries, 5, 4)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"merged-index recall $recall")
+    assert(ann.exists { case (_, n) => n % 10 == 0 }, "no appended vector ever retrieved")
+  }
+
   test("filtered search returns only same-label neighbors; IVF-filtered recall >= 0.8") {
     val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
     val queries = e.where(col("vec_id") < 10)
