@@ -241,6 +241,31 @@ object ScaleProbe {
       emit("ann_ivf_topk", n, timed(graft.extensions.Similarity.topkIvf(idx, q, 5, 64, 4).count()))
       graft.CacheRegistry.release(spark)
     }
+    // ---- incremental append vs rebuild (round 6b): admitting a fixed
+    // 8k batch into a built index must cost ~batch×nCells dots however
+    // big the corpus is; the rebuild alternative re-pays the full
+    // corpus×nCells quantization every ingest cycle.
+    if (want("append")) for (n <- Seq(80000, 320000, 1280000)) {
+      val base = graft.CacheRegistry.track(vecs(spark, n))
+      val batch = graft.CacheRegistry.track(
+        vecs(spark, 8000).select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      )
+      base.count(); batch.count()
+      graft.extensions.Similarity.ivfIndex(base, 64).count() // steady state
+      emit(
+        "ann_append_8k",
+        n,
+        timed(
+          graft.extensions.Similarity.ivfAppend(base, batch, 64).where(col("is_new")).count()
+        )
+      )
+      emit(
+        "ann_rebuild_8k",
+        n,
+        time(graft.extensions.Similarity.ivfIndex(base.unionByName(batch), 64).count())
+      )
+      graft.CacheRegistry.release(spark)
+    }
     // ---- trained-model layer (round 6): one distributed pass per
     // iteration, driver state O(d) — the curve should be the scan cost,
     // linear in rows with no cliff.
