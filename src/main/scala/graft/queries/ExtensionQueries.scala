@@ -2604,6 +2604,134 @@ object ExtensionQueries {
     )
   )
 
+  /** Zipf rank-frequency fit (round 6c): log-log OLS slope over the
+    * top-200 terms — the corpus-health / tokenizer-sizing statistic
+    * (natural language sits near slope −1; synthetic or templated
+    * corpora drift). One hash-agg for term counts, a TakeOrdered(200)
+    * cut, and the OLS folds run rank-ordered over just those 200 rows,
+    * so the fit costs nothing at any corpus size. */
+  val qZipf = Q(
+    "x_zipf",
+    (s, dir) => {
+      Graft.init(s)
+      val terms = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+      val totals = terms.agg(
+        count(lit(1)).as("n_terms"),
+        sum("cnt").cast("long").as("n_tokens")
+      )
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)
+      val top = terms
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(200)
+        .withColumn("rank", row_number().over(w))
+        .select(log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"), col("rank"))
+      // rank-ordered folds: Σx, Σy, Σxy, Σx², Σy² — deterministic FP
+      def fold(v: org.apache.spark.sql.Column) =
+        aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), v.as("v")))), t => t("v")),
+          lit(0.0),
+          (a, x) => a + x
+        )
+      top
+        .agg(
+          count(lit(1)).cast("double").as("__n"),
+          fold(col("x")).as("__sx"),
+          fold(col("y")).as("__sy"),
+          fold(col("x") * col("y")).as("__sxy"),
+          fold(col("x") * col("x")).as("__sxx"),
+          fold(col("y") * col("y")).as("__syy")
+        )
+        .crossJoin(broadcast(totals))
+        .select(
+          col("n_terms"),
+          col("n_tokens"),
+          P.normd(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+          ).as("zipf_slope"),
+          P.normd(
+            (col("__sy") - col("__sx") *
+              ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+                (col("__n") * col("__sxx") - col("__sx") * col("__sx")))) / col("__n")
+          ).as("intercept"),
+          P.normd(
+            pow(col("__n") * col("__sxy") - col("__sx") * col("__sy"), 2) /
+              ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+                (col("__n") * col("__syy") - col("__sy") * col("__sy")))
+          ).as("r2")
+        )
+    },
+    Some(
+      s"WITH toks AS ($toksCte), " +
+        "tc AS (SELECT t AS term, count(*) AS cnt FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t), " +
+        "tot AS (SELECT count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc), " +
+        "top AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank " +
+        "FROM tc ORDER BY cnt DESC, term ASC LIMIT 200), " +
+        "f AS (SELECT count(*)::DOUBLE AS n, " +
+        "list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx, " +
+        "list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy, " +
+        "list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy, " +
+        "list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx, " +
+        "list_reduce(list(y * y ORDER BY rank), (a, b) -> a + b) AS syy FROM top) " +
+        "SELECT tot.n_terms, tot.n_tokens, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope, " +
+        "round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6) AS intercept, " +
+        "round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 " +
+        "FROM f CROSS JOIN tot"
+    )
+  )
+
+  /** Robust per-source length outliers (round 6c): median/MAD robust
+    * z-score on n_chars (|z| > 3.5, the Iglewicz–Hoaglin cut) — the
+    * length filter that survives heavy-tailed web text where mean/stddev
+    * clip half a source. Exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`); two source-keyed passes
+    * (median, then MAD on the residual), stats broadcast back. */
+  val qRobustLength = Q(
+    "x_robust_length",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val med = d
+        .groupBy("source")
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val mad = d
+        .join(broadcast(med), "source")
+        .groupBy("source")
+        .agg(percentile(abs(col("n_chars") - col("med")), lit(0.5)).as("mad"))
+      val rz = lit(0.6745) * (col("n_chars") - col("med")) / nullif(col("mad"), lit(0.0))
+      d.join(broadcast(med), "source")
+        .join(broadcast(mad), "source")
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          P.normd(col("med")).as("med"),
+          P.normd(col("mad")).as("mad"),
+          P.normd(rz).as("rz"),
+          // flag off the ROUNDED z (both engines): a value within 5e-7 of
+          // the 3.5 cut must not flip the flag on fp noise
+          coalesce(abs(P.normd(rz)) > 3.5, lit(false)).as("is_len_outlier")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH med AS (SELECT source, quantile_cont(n_chars, 0.5e0) AS med FROM documents GROUP BY source), " +
+        "mad AS (SELECT d.source, quantile_cont(abs(d.n_chars - m.med), 0.5e0) AS mad " +
+        "FROM documents d JOIN med m USING (source) GROUP BY d.source), " +
+        "z AS (SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad, " +
+        "0.6745e0 * (d.n_chars - m.med) / nullif(a.mad, 0.0e0) AS rz " +
+        "FROM documents d JOIN med m USING (source) JOIN mad a USING (source)) " +
+        "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, round(med, 6) AS med, " +
+        "round(mad, 6) AS mad, round(rz, 6) AS rz, " +
+        "coalesce(abs(round(rz, 6)) > 3.5e0, FALSE) AS is_len_outlier FROM z ORDER BY doc_id"
+    )
+  )
+
   val all: Seq[Q] = Seq(
     qPii,
     qWeightedSample,
@@ -2612,6 +2740,8 @@ object ExtensionQueries {
     qEmbedOutliers,
     qForget,
     qAnnAppend,
+    qZipf,
+    qRobustLength,
     qInfluence,
     qLrCalibration,
     qScoreCorr,

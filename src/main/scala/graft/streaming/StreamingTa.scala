@@ -815,6 +815,31 @@ object StreamingTa {
     * pure map-side expressions, no watermark, no state store, append
     * mode — so throughput is the scan rate; identical expressions to the
     * batch path means row-for-row parity (spec-asserted). */
+  /** Stateless IVF cell assignment over an embedding stream: the trained
+    * coarse centroids travel as literals (nCells·d doubles), assignment
+    * is an argmax over broadcast dots per row — the online half of
+    * incremental index maintenance ([[graft.extensions.Similarity.ivfAppend]]):
+    * vectors arrive, get a cell, land in the cell-partitioned layout;
+    * the corpus is never touched. Same (sim desc, cell asc) tie-break as
+    * the batch path, and the same codegen'd dot — assignments are
+    * row-for-row the batch ivfAppend's is_new side. */
+  def cellAssignStream(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.Registry.register(vecs.sparkSession)
+    val entries = cents.map { case (c, ct) =>
+      struct(
+        (lit(-1.0) * graft.extensions.Similarity.dot(col("embedding"), typedLit(ct))).as("nd"),
+        lit(c).as("c")
+      )
+    }
+    val best = array_min(array(entries: _*))
+    vecs.select(
+      col("vec_id"),
+      col("embedding"),
+      best.getField("c").as("cell"),
+      (lit(-1.0) * best.getField("nd")).as("csim")
+    )
+  }
+
   /** Stateless PII scan over a document stream: per-class regex counts +
     * the redacted text's hash, pure map-side per micro-batch — the
     * privacy gate a streaming ingest runs before anything is persisted.

@@ -453,4 +453,34 @@ class StreamingParitySpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("streaming IVF cell assignment equals the batch ivfAppend side") {
+    import graft.extensions.Similarity
+    val e = Graft.table(spark, TestSpark.sfDir, "embeddings")
+    val base = e.where(col("vec_id") % 10 =!= 0).select(col("vec_id"), col("embedding"))
+    val batchV = e.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("embedding"))
+    val batch = Similarity
+      .ivfAppend(base, batchV, 16)
+      .where(col("is_new"))
+      .select("vec_id", "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val cents = Similarity
+      .kmeansCentroids(base, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq
+    // static-frame application of the stream projection (stateless map —
+    // micro-batching cannot change a per-row result; the parquet-chunk
+    // harness above covers the plumbing for this op class)
+    val streamed = StreamingTa
+      .cellAssignStream(batchV, cents)
+      .select("vec_id", "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
 }
