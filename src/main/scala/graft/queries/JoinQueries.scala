@@ -513,5 +513,37 @@ object JoinQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(qAsof, qAsofVariants, qRangeJoin, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils)
+  /** Multi-timeframe indicator (the pandas-ta MTF workflow: compute on a
+    * higher timeframe, align back to the lower one): SMA(5) of the
+    * per-user DAILY closes, as-of joined back onto every raw event — each
+    * event sees the most recent completed daily-SMA value. Composition of
+    * bars → window batch → as-of; the daily side is key-sized, so the
+    * as-of union sort is dominated by the raw side (one shuffle). */
+  val qMtfSma = Q(
+    "x_mtf_sma",
+    (s: SparkSession, dir: String) => {
+      val ev = Graft.userSeries(s, dir)
+      val daily = ev
+        .groupBy(col("series_id"), expr("CAST(to_date(timestamp_micros(ts)) AS DATE)").as("day"))
+        .agg(max("ts").as("ts"), expr("max_by(close, ts)").as("close"))
+        .drop("day")
+      val sma = daily.ta.sma(5).select(col("series_id"), col("ts"), col("sma_5"))
+      AsofJoin
+        .asof(ev, sma, "series_id", "ts", Seq("sma_5"), prefix = "mtf_")
+        .select(col("series_id"), col("ts"), P.normd(col("mtf_sma_5")).as("mtf_sma_5"))
+        .orderBy("series_id", "ts")
+    },
+    Some(
+      s"WITH s AS ($seriesCte), " +
+        "d AS (SELECT series_id, max(ts) AS ts, arg_max(close, ts) AS close FROM " +
+        "(SELECT *, CAST(date_trunc('day', to_timestamp(ts // 1000000)) AS DATE) AS day FROM s) " +
+        "GROUP BY series_id, day), " +
+        s"m AS (SELECT series_id, ts, ${rmean("close", 5)} AS sma_5 FROM d) " +
+        "SELECT s.series_id, s.ts, round(m.sma_5, 6) AS mtf_sma_5 " +
+        "FROM s ASOF LEFT JOIN m ON s.series_id = m.series_id AND s.ts >= m.ts " +
+        "ORDER BY s.series_id, s.ts"
+    )
+  )
+
+  val all: Seq[Q] = Seq(qAsof, qAsofVariants, qRangeJoin, qCdlPatterns, qCdlPatterns2, qCdlPatterns3, qCdlPatterns4, qCdlPatterns5, qCdlPatterns6, qCandleUtils, qMtfSma)
 }

@@ -231,5 +231,59 @@ object Rec2Queries {
     mkBars(s"jma_$n", Seq(s"jma_$n"), Some(sql))(_.ta.jma(n))
   }
 
-  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma)
+  // ------------------------------------------------------------- cusum
+  /** Two-sided CUSUM changepoint flags per user series (rec.Cusum): the
+    * per-series μ/σ are rounded to 6 dp on BOTH engines before the
+    * recursion, so the fold runs from bit-identical inputs and the
+    * alarm comparisons cannot straddle an ulp. */
+  val qCusum = {
+    val (k, h) = (0.5, 5.0)
+    val stepFrom = (psp: String, psn: String) =>
+      s"CASE WHEN close IS NULL OR sd IS NULL OR sd = 0 THEN NULL " +
+        s"ELSE greatest(0e0, $psp + (close - mu) / sd - ${d(k)}) END AS sp_pre, " +
+        s"CASE WHEN close IS NULL OR sd IS NULL OR sd = 0 THEN NULL " +
+        s"ELSE greatest(0e0, $psn - (close - mu) / sd - ${d(k)}) END AS sn_pre"
+    val outs =
+      "sp_pre AS out_sp, sn_pre AS out_sn, " +
+        s"CASE WHEN sp_pre IS NULL THEN NULL WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm, " +
+        s"CASE WHEN sp_pre IS NULL THEN psp WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN 0e0 ELSE sp_pre END AS sp, " +
+        s"CASE WHEN sn_pre IS NULL THEN psn WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN 0e0 ELSE sn_pre END AS sn"
+    val sql =
+      s"WITH RECURSIVE s AS ($seriesCte), " +
+        "st AS (SELECT series_id, round(avg(close), 6) AS mu, round(stddev_samp(close), 6) AS sd " +
+        "FROM s GROUP BY 1), " +
+        s"b AS (SELECT s.*, st.mu, st.sd, row_number() OVER ($W) AS rn FROM s JOIN st USING (series_id)), " +
+        "r AS (SELECT series_id, ts, rn, " + outs.replace("psp", "0e0").replace("psn", "0e0") +
+        s" FROM (SELECT *, ${stepFrom("0e0", "0e0")} FROM b WHERE rn = 1) z0 " +
+        "UNION ALL SELECT series_id, ts, rn, " + outs +
+        s" FROM (SELECT *, ${stepFrom("psp", "psn")} FROM " +
+        "(SELECT b.series_id, b.ts, b.rn, b.close, b.mu, b.sd, r.sp AS psp, r.sn AS psn " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z1) z2) " +
+        "SELECT series_id, ts, round(out_sp, 6) AS cusum_pos, round(out_sn, 6) AS cusum_neg, " +
+        "alarm AS cusum_alarm FROM r" + orderTail
+    Q(
+      "x_cusum",
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        Graft
+          .userSeries(spark, dir)
+          .ta
+          .cusum(k, h)
+          .select(
+            col("series_id"),
+            col("ts"),
+            P.normd(col("cusum_pos")).as("cusum_pos"),
+            P.normd(col("cusum_neg")).as("cusum_neg"),
+            col("cusum_alarm")
+          )
+          .orderBy("series_id", "ts")
+      },
+      Some(sql)
+    )
+  }
+
+  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum)
 }

@@ -298,6 +298,14 @@ object StreamingTa {
     }
   }
 
+  /** cusum staging (fixed-reference mode only — the causal form): the
+    * trained μ/σ ride along as constants, exactly the literals the batch
+    * compileRec lowering stages. */
+  final class CusumStage(mu: Double, sd: Double) extends StreamStage {
+    val fields = Seq(dblField("__mu"), dblField("__sd"))
+    def update(t: BarTick): Array[Any] = Array(Double.box(mu), Double.box(sd))
+  }
+
   /** qqe staging: the full batch chain — Wilder-rma rsi of close moves →
     * sma-seeded ema(smooth) of rsi (__rsima) → double Wilder-ewm of
     * |Δrsima| × factor (__dar). Mirrors compileRec's levels gate-for-gate. */
@@ -524,6 +532,7 @@ object StreamingTa {
         case "td_seq" => () => new TdSeqStage
         case "hilo"   => () => new HiloStage(i("high_length", 13), i("low_length", 21))
         case "qqe"    => () => new QqeStage(i("length", 14), i("smooth", 5), dd("factor", 4.236))
+        case "cusum"  => () => new CusumStage(dd("mu", 0.0), dd("sd", 1.0))
         case _        => () => NoStage
       }
       StreamKernel(outs, make, stage)

@@ -172,6 +172,14 @@ object registry {
     "pvr" -> ("volume", (df, _) => df.ta.pvr),
     "pvt" -> ("volume", (df, _) => df.ta.pvt),
     // statistics
+    "cusum" -> ("statistics", (df, p) =>
+      df.ta.cusum(
+        dd(p, "k", 0.5),
+        dd(p, "h", 5.0),
+        "close",
+        p.get("mu").map(_.toString.toDouble),
+        p.get("sd").map(_.toString.toDouble)
+      )),
     "entropy" -> ("statistics", (df, p) => df.ta.entropy(i(p, "length", 10))),
     "kurtosis" -> ("statistics", (df, p) => df.ta.kurtosis(i(p, "length", 30))),
     "mad" -> ("statistics", (df, p) => df.ta.mad(i(p, "length", 30))),

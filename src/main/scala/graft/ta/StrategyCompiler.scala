@@ -1366,6 +1366,19 @@ private[ta] object StrategyCompiler {
       case "mcgd" =>
         val n = i(p, "length", 10)
         Some(RecPlan(Nil, Seq(dbl(s"mcgd_$n")), () => new rec.Mcgd(n, "close"), Nil))
+      // Fixed-reference CUSUM only: the trained μ/σ are literals, so the
+      // staging is causal and streamable. Full-series retrospective mode
+      // (no mu/sd) needs a whole-series aggregate — accessor-only, routed
+      // to the builder fold (and rejected by the streaming registry).
+      case "cusum" if p.contains("mu") && p.contains("sd") =>
+        val kk = dd(p, "k", 0.5); val hh = dd(p, "h", 5.0)
+        val mu = dd(p, "mu", 0.0); val sd = dd(p, "sd", 1.0)
+        Some(RecPlan(
+          Seq(Seq("__mu" -> lit(mu), "__sd" -> lit(sd))),
+          Seq(dbl("cusum_pos"), dbl("cusum_neg"), longF("cusum_alarm")),
+          () => new rec.Cusum(kk, hh, "close"),
+          Seq("__mu", "__sd")
+        ))
       case "ssf" =>
         val n = i(p, "length", 10)
         Some(RecPlan(Nil, Seq(dbl(s"ssf_$n")), () => new rec.Ssf(n, "close"), Nil))

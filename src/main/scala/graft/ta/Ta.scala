@@ -806,6 +806,41 @@ final class Ta(private val df: DataFrame) {
   def mcgd(n: Int = 10, src: String = "close"): DataFrame =
     rec.perSeries(df, Seq(dbl(s"mcgd_$n")))(() => new rec.Mcgd(n, src))
 
+  /** Two-sided CUSUM changepoint detection — see rec.Cusum. Two modes:
+    * with explicit `mu`/`sd` (a trained reference distribution) the
+    * standardization is a pair of literals — causal, streamable
+    * (StreamingTa), Strategy-compilable; without them the per-series μ/σ
+    * are a key-sized aggregate broadcast back onto the big side (full-
+    * series retrospective mode — NOT causal, so deliberately not
+    * streamable), and the kernel's repartition stays the only full-data
+    * shuffle. */
+  def cusum(
+      k: Double = 0.5,
+      h: Double = 5.0,
+      src: String = "close",
+      mu: Option[Double] = None,
+      sd: Option[Double] = None
+  ): DataFrame = {
+    val staged = (mu, sd) match {
+      case (Some(m), Some(s0)) =>
+        df.withColumn("__mu", lit(m)).withColumn("__sd", lit(s0))
+      case _ =>
+        val stats = df
+          .groupBy("series_id")
+          .agg(
+            round(avg(col(src)), 6).as("__mu"),
+            round(stddev_samp(col(src)), 6).as("__sd")
+          )
+        df.join(broadcast(stats), Seq("series_id"), "left")
+    }
+    rec
+      .perSeries(
+        staged,
+        Seq(dbl("cusum_pos"), dbl("cusum_neg"), StructField("cusum_alarm", LongType, nullable = true))
+      )(() => new rec.Cusum(k, h, src))
+      .drop("__mu", "__sd")
+  }
+
   /** Ehlers 2-pole super smoother — see rec.Ssf. */
   def ssf(n: Int = 10, src: String = "close"): DataFrame =
     rec.perSeries(df, Seq(dbl(s"ssf_$n")))(() => new rec.Ssf(n, src))

@@ -584,4 +584,39 @@ object rec {
       out
     }
   }
+
+  /** Two-sided CUSUM changepoint detector (Page 1954) over the
+    * standardized series. Consumes pre-computed per-series `__mu`/`__sd`
+    * columns (rounded to 6 dp so the oracle recursion folds from
+    * bit-identical inputs); state:
+    *
+    *   sp = max(0, sp' + (x − μ)/σ − k)    // upward drift statistic
+    *   sn = max(0, sn' + (μ − x)/σ − k)    // downward drift statistic
+    *   alarm = (sp > h OR sn > h); on alarm both statistics reset to 0
+    *
+    * Emits the pre-reset statistics so the alarm row shows the exceeding
+    * value. Null x or σ∈{null,0} → null outputs, state unchanged. Not a
+    * pandas-ta indicator — pipeline drift/changepoint monitoring (the
+    * same recursion a data-quality monitor runs per feed). */
+  final class Cusum(k: Double = 0.5, h: Double = 5.0, src: String = "close") extends Kernel {
+    private var iX, iMu, iSd = 0
+    private var sp, sn = 0.0
+    def init(schema: StructType): Unit = {
+      iX = schema.fieldIndex(src)
+      iMu = schema.fieldIndex("__mu"); iSd = schema.fieldIndex("__sd")
+    }
+    def reset(): Unit = { sp = 0.0; sn = 0.0 }
+    def update(row: Row): Array[Any] = {
+      if (isN(row, iX) || isN(row, iMu) || isN(row, iSd) || d(row, iSd) == 0.0)
+        return Array(null, null, null)
+      val z = (d(row, iX) - d(row, iMu)) / d(row, iSd)
+      sp = math.max(0.0, sp + z - k)
+      sn = math.max(0.0, sn - z - k)
+      val alarm = sp > h || sn > h
+      val out: Array[Any] =
+        Array(Double.box(sp), Double.box(sn), Long.box(if (alarm) 1L else 0L))
+      if (alarm) { sp = 0.0; sn = 0.0 }
+      out
+    }
+  }
 }

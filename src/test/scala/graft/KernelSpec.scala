@@ -57,4 +57,47 @@ class KernelSpec extends AnyFunSuite {
     }.tail
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
   }
+
+  test("cusum fixed-reference mode: alarm fires above h and resets both statistics") {
+    import spark.implicits._
+    val df = Seq(3.0, 3.0, -1.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("series_id", "ts", "close")
+    val r = df.ta
+      .cusum(k = 0.5, h = 2.0, mu = Some(0.0), sd = Some(1.0))
+      .orderBy("ts")
+      .collect()
+    def row(i: Int) = (
+      r(i).getAs[Double]("cusum_pos"),
+      r(i).getAs[Double]("cusum_neg"),
+      r(i).getAs[Long]("cusum_alarm")
+    )
+    // z=3: sp = max(0, 0+3−0.5) = 2.5 > h → alarm, state resets
+    assert(row(0) == ((2.5, 0.0, 1L)))
+    // reset state, same input → identical statistic again
+    assert(row(1) == ((2.5, 0.0, 1L)))
+    // z=−1: sp = 0, sn = max(0, 1−0.5) = 0.5, no alarm
+    assert(row(2) == ((0.0, 0.5, 0L)))
+    // z=0: sn decays by k → 0
+    assert(row(3) == ((0.0, 0.0, 0L)))
+  }
+
+  test("cusum retrospective mode standardizes by the 6dp-rounded per-series stats") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) }.toDF("series_id", "ts", "close")
+    val r = df.ta.cusum(k = 0.5, h = 5.0).orderBy("ts").collect()
+    val mu = math.rint(xs.sum / xs.size * 1e6) / 1e6
+    val n = xs.size
+    val sd0 = math.sqrt(xs.map(x => (x - xs.sum / n) * (x - xs.sum / n)).sum / (n - 1))
+    val sd = math.rint(sd0 * 1e6) / 1e6
+    var sp = 0.0; var sn = 0.0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val z = (x - mu) / sd
+      sp = math.max(0.0, sp + z - 0.5); sn = math.max(0.0, sn - z - 0.5)
+      assert(math.abs(r(i).getAs[Double]("cusum_pos") - sp) < 1e-12, s"sp row $i")
+      assert(math.abs(r(i).getAs[Double]("cusum_neg") - sn) < 1e-12, s"sn row $i")
+      if (sp > 5.0 || sn > 5.0) { sp = 0.0; sn = 0.0 }
+    }
+  }
 }

@@ -58,7 +58,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // everything else must share the single (series_id, ts) exchange
     val kernelKinds = Set(
       "psar", "supertrend", "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
-      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma"
+      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma",
+      "cusum" // REC kernel + broadcast stats join — not a window op
     )
     val kinds = registry.indicators.filterNot(kernelKinds)
     assert(kinds.size >= 80, s"registry smaller than expected: ${kinds.size}")
@@ -312,5 +313,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val cdPlan = cd.queryExecution.executedPlan.toString
     assert(!cdPlan.contains("CartesianProduct"), s"x_corpus_diff plans a cartesian")
     assert(!cdPlan.contains("BroadcastNestedLoopJoin"), s"x_corpus_diff plans a nested loop")
+  }
+
+  test("cusum stats join broadcasts; mtf as-of meets without a nested loop") {
+    // retrospective cusum: the per-series μ/σ table is key-sized — it must
+    // come back as a BroadcastHashJoin, never a sort-merge of the big side
+    val cu = graft.queries.Rec2Queries.qCusum.spark(spark, TestSpark.sfDir)
+    val cuPlan = cu.queryExecution.executedPlan.toString
+    assert(cuPlan.contains("BroadcastHashJoin"), s"x_cusum: stats join is not broadcast:\n$cuPlan")
+    assert(!cuPlan.contains("SortMergeJoin"), s"x_cusum: unexpected sort-merge join:\n$cuPlan")
+    // MTF: daily-SMA alignment is the as-of union — no join node may be a
+    // nested loop/cartesian (the raw side dominates; daily side is key-sized)
+    val mtf = graft.queries.JoinQueries.qMtfSma.spark(spark, TestSpark.sfDir)
+    val mtfPlan = mtf.queryExecution.executedPlan.toString
+    assert(!mtfPlan.contains("CartesianProduct"), s"x_mtf_sma plans a cartesian:\n$mtfPlan")
+    assert(!mtfPlan.contains("BroadcastNestedLoopJoin"), s"x_mtf_sma plans a nested loop:\n$mtfPlan")
   }
 }

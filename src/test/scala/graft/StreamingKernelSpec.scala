@@ -63,7 +63,7 @@ class StreamingKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("batched kernel stream equals batch for ALL 14 REC kernels, typed") {
+  test("batched kernel stream equals batch for ALL REC kernels (14 + fixed-ref cusum), typed") {
     import spark.implicits._
     import graft.ta.{registry, IndicatorSpec}
     val bars = Graft
@@ -105,7 +105,10 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("td_seq"),
       IndicatorSpec("ebsw", Map("length" -> 20, "bars" -> 10)),
       IndicatorSpec("hwc"),
-      IndicatorSpec("jma", Map("length" -> 7))
+      IndicatorSpec("jma", Map("length" -> 7)),
+      // fixed-reference CUSUM — the causal, streamable mode (trained μ/σ
+      // ride as literals in both the batch lowering and the stream stage)
+      IndicatorSpec("cusum", Map("mu" -> 100.0, "sd" -> 10.0, "k" -> 0.25, "h" -> 3.0))
     )
     val sks = specs14.map(s => StreamingTa.recStream(s).getOrElse(fail(s"no recStream for ${s.kind}")))
 
