@@ -215,4 +215,41 @@ object Mixture {
       .withColumn("keep", col("cum_tok") <= col("cap_tok"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("admit_rank"), col("cum_tok"), col("cap_tok"), col("keep"))
   }
+
+  /** Population Stability Index of each source's `metric` distribution
+    * against the whole corpus — the standard drift / mixture-shift score
+    * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted). Buckets are
+    * the corpus-wide deciles (exact interpolated percentiles — the same
+    * Spark `percentile` ≡ DuckDB `quantile_cont` identity x_robust_length
+    * relies on); shares are Laplace-smoothed (+0.5 per bucket) so an
+    * empty source-bucket cannot produce ±∞.
+    *
+    * Scale: the decile row is a 1-row aggregate cross-broadcast onto the
+    * scan, bucket assignment is map-side, and everything after the one
+    * (source, bucket) hash-aggregate is key-sized — no corpus-width
+    * shuffle, no row explosion. */
+  def psiBySource(docs: DataFrame, metric: Column): DataFrame = {
+    val d = docs.select(col("source"), metric.as("__m"))
+    val edgeAggs = (1 to 9).map(i => percentile(col("__m"), lit(i / 10.0)).as(s"__e$i"))
+    val edges = broadcast(d.agg(edgeAggs.head, edgeAggs.tail: _*))
+    val bucket = (1 to 9)
+      .map(i => when(col("__m") > col(s"__e$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val withB = d.crossJoin(edges).select(col("source"), bucket.as("bucket"))
+    val sb = withB.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+    val gb = withB.groupBy("bucket").agg(count(lit(1)).as("c_b"))
+    val st = sb.groupBy("source").agg(sum("c_sb").as("n_docs"))
+    val gt = broadcast(gb.agg(sum("c_b").as("n_tot")))
+    val grid = st.crossJoin(broadcast(gb.sparkSession.range(10).select(col("id").cast("int").as("bucket"))))
+    val p = (col("c_sb") + lit(0.5)) / (col("n_docs") + lit(5.0))
+    val q = (col("c_b") + lit(0.5)) / (col("n_tot") + lit(5.0))
+    grid
+      .join(sb, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .join(broadcast(gb), Seq("bucket"))
+      .crossJoin(gt)
+      .groupBy("source", "n_docs")
+      .agg(sum((p - q) * log(p / q)).as("psi"))
+      .select(col("source"), col("n_docs"), col("psi"))
+  }
 }

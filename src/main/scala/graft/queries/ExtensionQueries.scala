@@ -2732,7 +2732,38 @@ object ExtensionQueries {
     )
   )
 
+  /** Population Stability Index per source vs the corpus (decile buckets
+    * of n_chars, Laplace-smoothed shares) — see Mixture.psiBySource. The
+    * smoothed shares divide and log from integer counts identical on
+    * both engines; the 10-term PSI sum rounds at 6 dp. */
+  val qPsi = Q(
+    "x_psi",
+    (s, dir) =>
+      graft.extensions.Mixture
+        .psiBySource(docs(s, dir), col("n_chars"))
+        .select(col("source"), col("n_docs"), P.normd(col("psi")).as("psi"))
+        .orderBy("source"),
+    Some {
+      val p = "(c_sb + 0.5e0) / (n_docs + 5e0)"
+      val q = "(c_b + 0.5e0) / (n_tot + 5e0)"
+      "WITH d AS (SELECT source, n_chars AS m FROM documents), " +
+        "e AS (SELECT " + (1 to 9).map(i => s"quantile_cont(m, 0.${i}e0) AS e$i").mkString(", ") + " FROM d), " +
+        "b AS (SELECT source, (" + (1 to 9).map(i => s"CASE WHEN m > e$i THEN 1 ELSE 0 END").mkString(" + ") + ") AS bucket FROM d, e), " +
+        "sb AS (SELECT source, bucket, count(*) AS c_sb FROM b GROUP BY 1, 2), " +
+        "gb AS (SELECT bucket, count(*) AS c_b FROM b GROUP BY 1), " +
+        "st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_docs FROM sb GROUP BY 1), " +
+        "gt AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_tot FROM gb), " +
+        "grid AS (SELECT st.source, st.n_docs, g.bucket FROM st, (SELECT unnest(range(0, 10)) AS bucket) g), " +
+        "j AS (SELECT grid.source, grid.n_docs, grid.bucket, coalesce(sb.c_sb, 0) AS c_sb, gb.c_b, gt.n_tot " +
+        "FROM grid LEFT JOIN sb ON sb.source = grid.source AND sb.bucket = grid.bucket " +
+        "JOIN gb ON gb.bucket = grid.bucket CROSS JOIN gt) " +
+        s"SELECT source, n_docs, round(sum(($p - $q) * ln($p / $q)), 6) AS psi " +
+        "FROM j GROUP BY 1, 2 ORDER BY source"
+    }
+  )
+
   val all: Seq[Q] = Seq(
+    qPsi,
     qPii,
     qWeightedSample,
     qCorpusDiff,

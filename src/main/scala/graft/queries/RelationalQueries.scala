@@ -444,6 +444,61 @@ object RelationalQueries {
     )
   )
 
+  /** Purged walk-forward cross-validation audit (López de Prado's purged
+    * time-series CV, walk-forward form): the global time axis splits into
+    * nFolds+1 equal blocks; fold f tests on block f and trains on
+    * everything ending one embargo period BEFORE the test start — the
+    * embargoed rows between train_end and test_start belong to neither
+    * side, so serially-correlated labels cannot leak across the split.
+    * Output is the per-fold audit (boundaries + train/embargo/test row
+    * counts) a training pipeline records next to each fold's metrics.
+    *
+    * Scale: min/max is one O(1) aggregate; the fold counts are 3·nFolds
+    * conditional sums in ONE map-side-combined pass over the table
+    * (no per-fold scan, no row explosion), then a driver-side stack of
+    * the single aggregate row. All-integer arithmetic — no FP contract. */
+  val qWalkForward = Q(
+    "x_walkforward",
+    (s: SparkSession, dir: String) => {
+      val nF = 4
+      val emb = 3600000000L // 1h embargo, micros
+      val ev = Graft.events(s, dir).select(col("ts_us").cast("long").as("ts_us"))
+      val r0 = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+      val lo = r0.getLong(0); val hi = r0.getLong(1); val span = hi - lo + 1
+      def b(i: Int): Long = lo + i.toLong * span / (nF + 1)
+      val aggs = (1 to nF).flatMap { f =>
+        val ts0 = b(f); val te = b(f + 1); val tr = ts0 - emb
+        Seq(
+          sum(when(col("ts_us") < tr, 1L).otherwise(0L)).as(s"tr$f"),
+          sum(when(col("ts_us") >= tr && col("ts_us") < ts0, 1L).otherwise(0L)).as(s"em$f"),
+          sum(when(col("ts_us") >= ts0 && col("ts_us") < te, 1L).otherwise(0L)).as(s"te$f")
+        )
+      }
+      val one = ev.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = (1 to nF)
+        .map(f => s"CAST($f AS BIGINT), CAST(${b(f) - emb} AS BIGINT), CAST(${b(f)} AS BIGINT), CAST(${b(f + 1)} AS BIGINT), tr$f, em$f, te$f")
+        .mkString(", ")
+      one
+        .selectExpr(
+          s"stack($nF, $stackArgs) AS (fold, train_end, test_start, test_end, n_train, n_embargo, n_test)"
+        )
+        .orderBy("fold")
+    },
+    Some(
+      "WITH bnd AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span FROM events), " +
+        "ev AS (SELECT epoch_us(ts) AS t FROM events), " +
+        "c AS (SELECT f.fold AS fold, bnd.lo + f.fold * bnd.span // 5 AS test_start, " +
+        "bnd.lo + (f.fold + 1) * bnd.span // 5 AS test_end " +
+        "FROM (SELECT unnest(range(1, 5)) AS fold) f, bnd) " +
+        "SELECT c.fold AS fold, c.test_start - 3600000000 AS train_end, c.test_start AS test_start, " +
+        "c.test_end AS test_end, " +
+        "CAST(sum(CASE WHEN ev.t < c.test_start - 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN ev.t >= c.test_start - 3600000000 AND ev.t < c.test_start THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo, " +
+        "CAST(sum(CASE WHEN ev.t >= c.test_start AND ev.t < c.test_end THEN 1 ELSE 0 END) AS BIGINT) AS n_test " +
+        "FROM c, ev GROUP BY 1, 2, 3, 4 ORDER BY fold"
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward)
 }

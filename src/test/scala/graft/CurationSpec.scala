@@ -237,4 +237,47 @@ class CurationSpec extends AnyFunSuite {
       assert((row.getLong(1) == row.getLong(2)) == (row.getInt(0) == 0))
     }
   }
+
+  test("psiBySource: corpus-mirroring source scores near zero, shifted source dominates") {
+    import spark.implicits._
+    // "same" draws the identical 1..100 spread the corpus has overall;
+    // "shifted" sits entirely in the top decile
+    val rows =
+      (1 to 100).map(i => ("same", i)) ++
+        (1 to 100).map(i => ("also_same", i)) ++
+        (1 to 40).map(_ => ("shifted", 99))
+    val df = rows.toDF("source", "n_chars")
+    val psi = graft.extensions.Mixture
+      .psiBySource(df, org.apache.spark.sql.functions.col("n_chars"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    // the reference is the CORPUS, which the shifted mass pollutes — so
+    // "same" is not exactly zero; the detector's job is the separation
+    assert(psi("shifted") > 1.0, s"shifted psi ${psi("shifted")} not flagged")
+    assert(psi("shifted") > 5.0 * psi("same"), s"no separation: ${psi("shifted")} vs ${psi("same")}")
+    assert(math.abs(psi("same") - psi("also_same")) < 1e-9, "identical sources diverge")
+  }
+
+  test("walkforward folds: ordered boundaries, embargo gap, counts partition the axis") {
+    val r = graft.queries.RelationalQueries.qWalkForward
+      .spark(spark, TestSpark.sfDir)
+      .collect()
+    assert(r.length == 4)
+    val total = Graft.events(spark, TestSpark.sfDir).count()
+    var prevTestStart = Long.MinValue
+    r.foreach { row =>
+      val (trainEnd, testStart, testEnd) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      val (nTrain, nEmb, nTest) = (row.getLong(4), row.getLong(5), row.getLong(6))
+      assert(trainEnd == testStart - 3600000000L, "embargo gap is not one hour")
+      assert(testStart < testEnd, "empty test block")
+      assert(testStart > prevTestStart, "folds not strictly advancing")
+      prevTestStart = testStart
+      assert(nTrain + nEmb <= total && nTest <= total)
+      assert(nTrain > 0 && nTest > 0, "degenerate fold")
+    }
+    // later folds train on strictly more history
+    val trains = r.map(_.getLong(4))
+    assert(trains.sameElements(trains.sorted), "train size not monotone")
+  }
 }
