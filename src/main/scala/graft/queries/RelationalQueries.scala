@@ -499,6 +499,107 @@ object RelationalQueries {
     )
   )
 
+  /** Calendar resample + forward-fill (the pandas `resample('1h').last()
+    * .ffill()` workflow): per user, the last observed value in each hour
+    * of the GLOBAL [min, max] hour grid, gaps forward-filled from the
+    * most recent observed hour; is_gap marks filled rows. The grid is a
+    * 1-row bounds aggregate cross-broadcast into a `sequence` explode
+    * (series × hours — key-sized), the per-hour last is one hash-agg of
+    * the big side, and the fill is one `last(ignoreNulls)` window over
+    * the key-sized grid. No value arithmetic anywhere — outputs are
+    * copies of input doubles, so the compare is exact. */
+  val qResampleFfill = Q(
+    "x_resample_ffill",
+    (s: SparkSession, dir: String) => {
+      val hourUs = 3600000000L
+      val ev = Graft.userSeries(s, dir) // series_id, ts (micros), close
+        .withColumn("hour", (col("ts") / lit(hourUs)).cast("long") * lit(hourUs))
+      val lastPerHour = ev
+        .groupBy("series_id", "hour")
+        .agg(expr("max_by(close, ts)").as("close"))
+      val bounds = broadcast(
+        ev.agg(min("hour").as("__lo"), max("hour").as("__hi"))
+      )
+      val grid = lastPerHour
+        .select("series_id")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+          col("series_id"),
+          explode(expr(s"sequence(__lo, __hi, $hourUs)")).as("hour")
+        )
+      val w = Window
+        .partitionBy("series_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(lastPerHour, Seq("series_id", "hour"), "left")
+        .select(
+          col("series_id"),
+          col("hour").as("ts"),
+          last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+          col("close").isNull.as("is_gap")
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some(
+      s"WITH s AS ($seriesCte), " +
+        "e AS (SELECT series_id, ts // 3600000000 * 3600000000 AS hour, ts, close FROM s), " +
+        "lh AS (SELECT series_id, hour, arg_max(close, ts) AS close FROM e GROUP BY 1, 2), " +
+        "b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e), " +
+        "grid AS (SELECT sid.series_id, h.hour FROM (SELECT DISTINCT series_id FROM lh) sid, " +
+        "(SELECT unnest(range(b.lo, b.hi + 1, 3600000000)) AS hour FROM b) h) " +
+        "SELECT grid.series_id, grid.hour AS ts, " +
+        "last_value(lh.close IGNORE NULLS) OVER (PARTITION BY grid.series_id ORDER BY grid.hour " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill, " +
+        "lh.close IS NULL AS is_gap " +
+        "FROM grid LEFT JOIN lh ON lh.series_id = grid.series_id AND lh.hour = grid.hour " +
+        "ORDER BY grid.series_id, ts"
+    )
+  )
+
+  /** Pairwise cross-series Pearson correlation of DAILY closes (the
+    * cross-sectional matrix a multi-asset user computes): series pairs
+    * a < b aligned on day, correlation from explicit co-moment sums so
+    * both engines fold the identical arithmetic. The day-keyed self-join
+    * explodes S² per day — exact all-pairs semantics, intended for the
+    * cross-sectional case where S is panel-sized (10s–1000s); corpus-
+    * scale similarity belongs to the banded/sketch operators. */
+  val qCorrMatrix = Q(
+    "x_corr_matrix",
+    (s: SparkSession, dir: String) => {
+      val daily = Graft
+        .userSeries(s, dir)
+        .groupBy(col("series_id"), (col("ts") / lit(86400000000L)).cast("long").as("day"))
+        .agg(expr("max_by(close, ts)").as("close"))
+      val a = daily.select(col("series_id").as("sa"), col("day"), col("close").as("xa"))
+      val b = daily.select(col("series_id").as("sb"), col("day"), col("close").as("xb"))
+      val n = count(lit(1)).cast("double")
+      val num = n * sum(col("xa") * col("xb")) - sum("xa") * sum("xb")
+      val da = n * sum(col("xa") * col("xa")) - sum("xa") * sum("xa")
+      val db = n * sum(col("xb") * col("xb")) - sum("xb") * sum("xb")
+      a.join(b, Seq("day"))
+        .where(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+          count(lit(1)).as("n_days"),
+          P.normd(num / when(da * db > 0.0, sqrt(da * db))).as("corr")
+        )
+        .orderBy("sa", "sb")
+    },
+    Some(
+      s"WITH s AS ($seriesCte), " +
+        "d AS (SELECT series_id, ts // 86400000000 AS day, arg_max(close, ts) AS close FROM s GROUP BY 1, 2), " +
+        "j AS (SELECT a.series_id AS sa, b.series_id AS sb, a.close AS xa, b.close AS xb " +
+        "FROM d a JOIN d b ON a.day = b.day AND a.series_id < b.series_id) " +
+        "SELECT sa, sb, count(*) AS n_days, " +
+        "round((count(*) * sum(xa * xb) - sum(xa) * sum(xb)) / " +
+        "(CASE WHEN (count(*) * sum(xa * xa) - sum(xa) * sum(xa)) * (count(*) * sum(xb * xb) - sum(xb) * sum(xb)) > 0 " +
+        "THEN sqrt((count(*) * sum(xa * xa) - sum(xa) * sum(xa)) * (count(*) * sum(xb * xb) - sum(xb) * sum(xb))) END), 6) AS corr " +
+        "FROM j GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix)
 }

@@ -280,4 +280,37 @@ class CurationSpec extends AnyFunSuite {
     val trains = r.map(_.getLong(4))
     assert(trains.sameElements(trains.sorted), "train size not monotone")
   }
+
+  test("resample+ffill: dense hourly grid, fill only after first observation, observed rows exact") {
+    val r = graft.queries.RelationalQueries.qResampleFfill.spark(spark, TestSpark.sfDir).collect()
+    val bySeries = r.groupBy(_.getLong(0))
+    val hoursPerSeries = bySeries.values.map(_.length).toSet
+    assert(hoursPerSeries.size == 1, s"grid not dense: $hoursPerSeries")
+    bySeries.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      var seen = false
+      sorted.foreach { row =>
+        val gap = row.getBoolean(3)
+        if (!gap) seen = true
+        // once a value exists, ffill must never be null again
+        if (seen) assert(!row.isNullAt(2), "null after first observation")
+        else assert(row.isNullAt(2), "value before first observation")
+      }
+    }
+  }
+
+  test("corr matrix: upper triangle only, values in [-1,1], day counts consistent") {
+    val r = graft.queries.RelationalQueries.qCorrMatrix.spark(spark, TestSpark.sfDir).collect()
+    assert(r.nonEmpty)
+    val nSeries = (1 + math.sqrt(1 + 8.0 * r.length)) / 2
+    assert(nSeries == math.rint(nSeries), s"${r.length} rows is not a full upper triangle")
+    r.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1), "not strictly upper-triangular")
+      if (!row.isNullAt(3)) {
+        val c = row.getDouble(3)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+      }
+      assert(row.getLong(2) > 0)
+    }
+  }
 }
