@@ -339,6 +339,44 @@ object ScaleProbe {
         graft.CacheRegistry.release(spark)
       }
     }
+
+    // ---- round-6d ops: cusum rides the REC shape plus a key-sized
+    // broadcast stats join (expected: psar-like linearity); corr-matrix
+    // cost is pairs × days — quadratic in panel WIDTH by design, the
+    // probe shows the S² curve the docstring warns about; resample's
+    // grid is series × hours (key-sized), so cost tracks the hash-agg
+    // of the raw side, not the grid.
+    if (want("round6d")) {
+      for (l <- Seq(12500, 50000, 200000)) {
+        val df = graft.CacheRegistry.track(series(spark, 256, l))
+        df.count()
+        emit("cusum_256series", 256L * l, timed(force(df.ta.cusum(), "cusum_pos")))
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+      for (s0 <- Seq(128, 512, 2048)) {
+        val daily = graft.CacheRegistry.track(series(spark, s0, 365))
+        daily.count()
+        val a = daily.select(col("series_id").as("sa"), col("ts").as("day"), col("close").as("xa"))
+        val b = daily.select(col("series_id").as("sb"), col("ts").as("day"), col("close").as("xb"))
+        val n = count(lit(1)).cast("double")
+        val num = n * sum(col("xa") * col("xb")) - sum("xa") * sum("xb")
+        val da = n * sum(col("xa") * col("xa")) - sum("xa") * sum("xa")
+        val db = n * sum(col("xb") * col("xb")) - sum("xb") * sum("xb")
+        emit(
+          "corr_matrix_panel",
+          s0,
+          timed(
+            a.join(b, Seq("day"))
+              .where(col("sa") < col("sb"))
+              .groupBy("sa", "sb")
+              .agg((num / when(da * db > 0.0, sqrt(da * db))).as("corr"))
+              .where(col("corr").isNotNull)
+              .count()
+          )
+        )
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+    }
     spark.stop()
   }
 }
