@@ -301,6 +301,49 @@ object Dedup {
       .select("a_id", "b_id", "jac")
   }
 
+  /** LSH candidate-recall calibration curve: for every exact-Jaccard pair
+    * (sim ≥ minSim, inverted-index join), was it produced as a banded
+    * MinHash candidate? Aggregated by 0.1-wide similarity bucket next to
+    * the theoretical S-curve 1 − (1 − s^r)^b at the bucket midpoint —
+    * the table an operator reads to pick (bands, rows) before committing
+    * a corpus-sized dedup run to them.
+    *
+    * Scale: the ground-truth side is the exact pair join (use on a
+    * SAMPLE at corpus scale — that is the point of calibrating first);
+    * the candidate side and the bucket aggregate are the banded join +
+    * one key-sized hash-agg. */
+  def lshCalibration(
+      docs: DataFrame,
+      minSim: Double = 0.1,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
+    val exact = jaccardPairs(docs, minSim, k)
+    val banded = bandedSig(docs, k, bands, rowsPerBand)
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .withColumn("is_cand", lit(1L))
+    val sMid = least(col("bucket").cast("double") / 10.0 + lit(0.05), lit(1.0))
+    exact
+      .join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy(floor(col("jac") * 10).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cand")
+      )
+      .withColumn("recall", col("n_cand").cast("double") / col("n_pairs"))
+      .withColumn(
+        "theory",
+        lit(1.0) - pow(lit(1.0) - pow(sMid, rowsPerBand.toDouble), bands.toDouble)
+      )
+  }
+
   /** INCREMENTAL near-dup: match a new batch of documents against an
     * existing corpus through the corpus's LSH index — the production
     * shape of continuous-ingest dedup, where recomputing (or even

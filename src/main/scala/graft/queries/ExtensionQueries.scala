@@ -546,6 +546,51 @@ object ExtensionQueries {
     Some(jacPairsSql(0.5))
   )
 
+  /** LSH parameter-calibration curve (Dedup.lshCalibration): measured
+    * candidate recall per 0.1 Jaccard bucket vs the 1−(1−s^r)^b theory
+    * S-curve at the bucket midpoint. The oracle rebuilds the banded
+    * signature table from the same 16 (a, b) hash params and joins band
+    * slices exactly as the engine does. */
+  val qLshCurve = {
+    val (bands, rpb) = (8, 2)
+    Q(
+      "x_lsh_curve",
+      (s, dir) =>
+        Dedup
+          .lshCalibration(docs(s, dir), minSim = 0.01, bands = bands, rowsPerBand = rpb)
+          .select(
+            col("bucket"),
+            col("n_pairs"),
+            col("n_cand"),
+            P.normd(col("recall")).as("recall"),
+            P.normd(col("theory")).as("theory")
+          )
+          .orderBy("bucket"),
+      Some {
+        val mhCols = TextOps.minhashParams.zipWithIndex
+          .map { case ((a, b), i) =>
+            s"list_min(list_transform(bh, h -> (h * $a + $b) % $P0)) AS mh$i"
+          }
+          .mkString(", ")
+        val bt = (0 until bands)
+          .map(b => s"SELECT doc_id, $b AS band, mh${b * rpb} AS s1, mh${b * rpb + 1} AS s2 FROM mh")
+          .mkString(" UNION ALL ")
+        s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+          s"mh AS (SELECT doc_id, $mhCols FROM bases WHERE n_sh > 0), " +
+          s"bt AS ($bt), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bt a " +
+          "JOIN bt b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id), " +
+          "ex AS (SELECT a_id, b_id, jac FROM jc WHERE jac >= 0.01e0), " +
+          "cv AS (SELECT CAST(floor(ex.jac * 10) AS BIGINT) AS bucket, count(*) AS n_pairs, " +
+          "CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand " +
+          "FROM ex LEFT JOIN cand c ON c.a_id = ex.a_id AND c.b_id = ex.b_id GROUP BY 1) " +
+          "SELECT bucket, n_pairs, n_cand, round(CAST(n_cand AS DOUBLE) / n_pairs, 6) AS recall, " +
+          s"round(1e0 - pow(1e0 - pow(least(CAST(bucket AS DOUBLE) / 10e0 + 0.05e0, 1e0), ${rpb}e0), ${bands}e0), 6) AS theory " +
+          "FROM cv ORDER BY bucket"
+      }
+    )
+  }
+
   /** Q46 MinHash signatures (first 8 hash functions as columns). */
   val qMinhash = Q(
     "x_minhash_sig",
@@ -2763,6 +2808,7 @@ object ExtensionQueries {
   )
 
   val all: Seq[Q] = Seq(
+    qLshCurve,
     qPsi,
     qPii,
     qWeightedSample,

@@ -281,6 +281,26 @@ class CurationSpec extends AnyFunSuite {
     assert(trains.sameElements(trains.sorted), "train size not monotone")
   }
 
+  test("lsh calibration: full recall on the planted-dup bucket, near-theory rejection at the bottom") {
+    val r = Dedup
+      .lshCalibration(docs, minSim = 0.01)
+      .collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4)))
+      .toMap
+    assert(r.nonEmpty)
+    val top = r.keys.max
+    assert(top >= 9, "no high-similarity bucket on the fixture corpus")
+    assert(r(top)._3 == 1.0, s"recall at the dup bucket: ${r(top)._3}")
+    // candidates can only help: measured recall must sit at or above 0 and
+    // the bottom bucket must reject the overwhelming majority (that IS
+    // the point of banding)
+    r.get(0L).foreach { case (nPairs, nCand, recall, theory) =>
+      assert(nCand <= nPairs)
+      assert(recall < 0.05, s"bottom-bucket candidate rate $recall defeats banding")
+      assert(theory < 0.1)
+    }
+  }
+
   test("resample+ffill: dense hourly grid, fill only after first observation, observed rows exact") {
     val r = graft.queries.RelationalQueries.qResampleFfill.spark(spark, TestSpark.sfDir).collect()
     val bySeries = r.groupBy(_.getLong(0))
