@@ -913,4 +913,51 @@ object StreamingTa {
       aggregate(syms, lit(0L), (a, x) => a + x).as("n_bpe")
     )
   }
+
+  /** Windowed PSI drift monitor over a value stream: per event-time
+    * window, the Population Stability Index of the window's `valueCol`
+    * distribution against a TRAINED reference (bucket edges + reference
+    * shares as literals — the offline half is Mixture.psiBySource's
+    * decile machinery). One watermarked groupBy(window) with a
+    * conditional-sum column per bucket (single aggregate — append-mode
+    * legal), PSI assembled map-side from the counts; alert at the
+    * standard 0.25 cut. The streaming complement to the retrospective
+    * x_psi and the per-series rec.Cusum: distribution-level drift,
+    * online. Batch parity: the same function on a static frame is the
+    * oracle (StreamingParitySpec). */
+  def psiStream(
+      events: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      edges: Seq[Double],
+      refShares: Seq[Double],
+      windowDur: String = "1 hour",
+      watermark: String = "1 day",
+      minN: Long = 100L
+  ): DataFrame = {
+    val nB = edges.size + 1
+    require(refShares.size == nB, s"need ${nB} reference shares")
+    val bucket = edges.map(e => when(col(valueCol) > lit(e), 1).otherwise(0)).reduce(_ + _)
+    val counts = (0 until nB).map(i => sum(when(bucket === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val n = (0 until nB).map(i => col(s"__c$i")).reduce(_ + _)
+    val psi = (0 until nB)
+      .map { i =>
+        val p = (col(s"__c$i") + lit(0.5)) / (n + lit(0.5 * nB))
+        val q = lit(refShares(i))
+        (p - q) * log(p / q)
+      }
+      .reduce(_ + _)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        col("w.start").as("w_start"),
+        n.cast("long").as("n"),
+        psi.as("psi"),
+        // PSI on a handful of rows is smoothing noise, not drift — the
+        // standard practice gates the alert on a minimum window count
+        (psi > lit(0.25) && n >= lit(minN)).as("drift_alert")
+      )
+  }
 }

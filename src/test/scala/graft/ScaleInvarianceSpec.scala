@@ -42,6 +42,11 @@ class ScaleInvarianceSpec extends AnyFunSuite {
   test("hwc scale-invariant") { invariant(_.ta.hwc(), Seq("hwc_mid", "hwc_upper")) }
   test("jma scale-invariant") { invariant(_.ta.jma(7), Seq("jma_7")) }
 
+  test("cusum scale-invariant (both standardization modes)") {
+    invariant(_.ta.cusum(), Seq("cusum_pos", "cusum_neg"))
+    invariant(_.ta.cusum(mu = Some(100.0), sd = Some(10.0)), Seq("cusum_pos", "cusum_neg"))
+  }
+
   test("psar/supertrend/ha scale-invariant on bars") {
     val base = Graft.bars(spark, TestSpark.sfDir)
     def run(df: DataFrame) =

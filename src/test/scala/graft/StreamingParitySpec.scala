@@ -483,4 +483,59 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
     assert(batch.nonEmpty)
   }
+
+  test("streaming windowed PSI drift monitor equals the batch computation") {
+    val ev = Graft.events(spark, TestSpark.sfDir).select("tstamp", "value")
+    // train the reference offline: value deciles + overall bucket shares
+    val edges = ev
+      .agg(
+        org.apache.spark.sql.functions
+          .percentile_approx(col("value"), typedLit((1 to 9).map(_ / 10.0)), lit(10000))
+      )
+      .head()
+      .getSeq[Double](0)
+    val nTot = ev.count().toDouble
+    val bucketOf = edges.map(e => when(col("value") > lit(e), 1).otherwise(0)).reduce(_ + _)
+    val refShares = ev
+      .groupBy(bucketOf.as("b"))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val ref = (0 until 10).map(i => refShares.getOrElse(i, 0L) / nTot)
+
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val batch = StreamingTa
+      .psiStream(ev, "value", "tstamp", edges, ref, windowDur = "1 day")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r6(r.getDouble(2)), r.getBoolean(3)))
+      .toSet
+
+    val srcDir = Files.createTempDirectory("graft_psi_stream").toFile
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val stream = spark.readStream
+      .schema("tstamp TIMESTAMP, value DOUBLE")
+      .parquet(srcDir.getAbsolutePath)
+    // complete mode for the finite replay (same rationale as the bars test)
+    val q = StreamingTa
+      .psiStream(stream, "value", "tstamp", edges, ref, windowDur = "1 day")
+      .writeStream
+      .format("memory")
+      .queryName("psi_stream")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("psi_stream")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r6(r.getDouble(2)), r.getBoolean(3)))
+      .toSet
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+    // daily windows of the same corpus the reference was trained on,
+    // each well above the minN gate: a calibrated score must not alert
+    // on its own training distribution in most windows
+    assert(batch.count(_._4) < batch.size / 2, "reference-matched stream mostly alerting")
+  }
 }
