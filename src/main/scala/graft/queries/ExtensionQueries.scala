@@ -790,6 +790,34 @@ object ExtensionQueries {
 
   /** Multimodal plumbing: binary payload + typed metadata + stub decode.
     * Oracle exploits the ASCII corpus: utf-8 byte values = char codes. */
+  /** Content-defined chunking dedup ratio over the media payloads — see
+    * Media.cdcChunkStats (boundaries from the trailing-8-byte rolling
+    * hash, chunk hashes deduped corpus-wide). All-integer output. */
+  val qMediaCdc = Q(
+    "x_media_cdc",
+    (s, dir) =>
+      Media
+        .cdcChunkStats(Media.asMediaTable(docs(s, dir)))
+        .orderBy("doc_id"),
+    Some {
+      val wHash = ph("substring(t, i - 7, 8)")
+      val cHash = ph("substring(t, p.s, p.l)")
+      "WITH m AS (SELECT doc_id, text AS t, length(text) AS len FROM documents), " +
+        s"b AS (SELECT doc_id, t, len, CASE WHEN len >= 8 THEN list_filter(range(8, len + 1), i -> $wHash % 64 = 0) " +
+        "ELSE [] END AS bnds FROM m), " +
+        "c AS (SELECT doc_id, t, list_prepend(1, list_transform(bnds, x -> x + 1)) AS ss, " +
+        "list_append(bnds, len) AS es FROM b), " +
+        "ch0 AS (SELECT doc_id, t, unnest(list_filter(list_transform(range(1, len(ss) + 1), " +
+        "j -> {'s': ss[j], 'l': es[j] - ss[j] + 1}), q -> q.l > 0)) AS p FROM c), " +
+        s"ch AS (SELECT doc_id, $cHash AS chash, CAST(p.l AS BIGINT) AS clen FROM ch0), " +
+        "dfq AS (SELECT chash, count(*) AS cdf FROM ch GROUP BY 1) " +
+        "SELECT ch.doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, " +
+        "CAST(sum(CASE WHEN cdf >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes " +
+        "FROM ch JOIN dfq USING (chash) GROUP BY 1 ORDER BY doc_id"
+    }
+  )
+
   val qMediaFeatures = Q(
     "x_media_features",
     (s, dir) =>
@@ -2867,6 +2895,7 @@ object ExtensionQueries {
     qAnnFiltered,
     qCosinePairs,
     qMediaFeatures,
+    qMediaCdc,
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,

@@ -281,6 +281,29 @@ class CurationSpec extends AnyFunSuite {
     assert(trains.sameElements(trains.sorted), "train size not monotone")
   }
 
+  test("CDC chunking re-aligns after an insertion (the property fixed-size chunking lacks)") {
+    import spark.implicits._
+    import graft.extensions.Media
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq(1L -> base, 2L -> (s"INSERTED PREFIX $base"))
+      .toDF("doc_id", "text")
+    val media = Media.asMediaTable(d)
+    // reach into the chunk hashes: re-run the stats op but also assert
+    // overlap via the corpus-wide dup counts — with only these two docs,
+    // every re-aligned chunk is a corpus-dup
+    val stats = Media
+      .cdcChunkStats(media)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (n1, dup1) = stats(1L)
+    val (n2, dup2) = stats(2L)
+    assert(n1 >= 3, s"fixture produced only $n1 chunks; boundaries too sparse to test")
+    // all but the chunk(s) containing the insertion point must re-align
+    assert(dup1 >= n1 - 1, s"only $dup1/$n1 base chunks re-aligned after prefix insertion")
+    assert(dup2 >= n1 - 1, s"shifted doc shares only $dup2 chunks")
+  }
+
   test("lsh calibration: full recall on the planted-dup bucket, near-theory rejection at the bottom") {
     val r = Dedup
       .lshCalibration(docs, minSim = 0.01)
