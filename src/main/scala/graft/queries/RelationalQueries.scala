@@ -600,6 +600,44 @@ object RelationalQueries {
     )
   )
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the behavioral model (and next-event training-label
+    * extractor) a sequence pipeline starts from. One lead() window pass
+    * keyed the same as every per-user op, a (from, to) hash-aggregate,
+    * and the row-normalization window runs over the KEY-SIZED aggregate
+    * (|event types|² rows), not the events. p = n / Σ_to n per from. */
+  val qMarkov = Q(
+    "x_markov",
+    (s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val pairs = Graft
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn(
+          "p",
+          P.normd(
+            col("n").cast("double") /
+              sum("n").over(Window.partitionBy("from_type"))
+          )
+        )
+        .orderBy("from_type", "to_type")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt FROM events), " +
+        "t AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n " +
+        "FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p " +
+        "FROM t ORDER BY from_type, to_type"
+    )
+  )
+
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix, qMarkov)
 }
