@@ -315,6 +315,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cdPlan.contains("BroadcastNestedLoopJoin"), s"x_corpus_diff plans a nested loop")
   }
 
+  test("round-6d ops: markov is join-free, psi/resample/corr/cdc meet on keys") {
+    // markov: lead window + hash-agg + key-sized normalization window —
+    // a join anywhere means the plan regressed to a self-join shape
+    val mk = graft.queries.RelationalQueries.qMarkov.spark(spark, TestSpark.sfDir)
+    val mkPlan = mk.queryExecution.executedPlan.toString
+    assert(!mkPlan.contains("Join"), s"x_markov plans a join:\n$mkPlan")
+    // the rest: broadcast of 1-row bounds/edges/totals is fine (it IS a
+    // BroadcastNestedLoopJoin on a single-row build side); what must
+    // never appear is an unbroadcast cartesian or a data-sized nested loop
+    for (
+      (name, df) <- Seq(
+        "x_psi" -> graft.queries.ExtensionQueries.qPsi.spark(spark, TestSpark.sfDir),
+        "x_resample_ffill" -> graft.queries.RelationalQueries.qResampleFfill.spark(spark, TestSpark.sfDir),
+        "x_corr_matrix" -> graft.queries.RelationalQueries.qCorrMatrix.spark(spark, TestSpark.sfDir),
+        "x_media_cdc" -> graft.queries.ExtensionQueries.qMediaCdc.spark(spark, TestSpark.sfDir)
+      )
+    ) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      val nested = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      // any BNLJ must be a broadcast build (the 1-row aggregate pattern)
+      nested.foreach(l => assert(l.contains("BuildRight") || l.contains("BuildLeft"), s"$name: $l"))
+    }
+  }
+
   test("cusum stats join broadcasts; mtf as-of meets without a nested loop") {
     // retrospective cusum: the per-series μ/σ table is key-sized — it must
     // come back as a BroadcastHashJoin, never a sort-merge of the big side
