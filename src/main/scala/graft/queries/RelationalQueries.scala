@@ -638,6 +638,66 @@ object RelationalQueries {
     )
   )
 
+  /** Rolling beta + correlation of each series' daily returns against the
+    * equal-weight cross-sectional benchmark (avg return that day) — the
+    * rolling-factor-exposure panel a risk system maintains. Returns and
+    * the benchmark stage in one pass (lag window + per-day window over
+    * the same daily frame); the co-moment rolling sums are plain W-class
+    * windows on the shared (series, ts) key, so the whole panel is two
+    * window passes and zero joins. Day-1 rows (null return) are dropped
+    * BEFORE the rolling frames so both engines count identical rows. */
+  val qRollingBeta = {
+    val n = 10
+    Q(
+      "x_rolling_beta",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("series_id").orderBy("ts")
+        val fr = w.rowsBetween(-(n - 1), Window.currentRow)
+        val staged = Graft
+          .userBars(s, dir)
+          .withColumn("ret", P.sdiv(col("close"), lag("close", 1).over(w)) - 1.0)
+          .withColumn("bench", avg("ret").over(Window.partitionBy("ts")))
+          .where(col("ret").isNotNull && col("bench").isNotNull)
+        val cnt = count(col("ret")).over(fr)
+        def g(c: org.apache.spark.sql.Column) = when(cnt >= n, c)
+        val sxy = g(sum(col("ret") * col("bench")).over(fr))
+        val sx = g(sum(col("ret")).over(fr))
+        val sy = g(sum(col("bench")).over(fr))
+        val syy = g(sum(col("bench") * col("bench")).over(fr))
+        val sxx = g(sum(col("ret") * col("ret")).over(fr))
+        val nn = lit(n.toDouble)
+        val covn = nn * sxy - sx * sy
+        val varb = nn * syy - sy * sy
+        val varx = nn * sxx - sx * sx
+        staged
+          .select(
+            col("series_id"),
+            col("ts"),
+            P.normd(covn / when(varb =!= 0.0, varb)).as(s"beta_$n"),
+            P.normd(covn / when(varx * varb > 0.0, sqrt(varx * varb))).as(s"corr_$n")
+          )
+          .orderBy("series_id", "ts")
+      },
+      Some {
+        val frS = s"OVER ($W ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+        def g(v: String) = s"CASE WHEN count(ret) $frS >= $n THEN $v END"
+        s"WITH ub AS ($userBarsCte), " +
+          s"r AS (SELECT series_id, ts, close / nullif(lag(close, 1) $ov, 0) - 1e0 AS ret FROM ub), " +
+          "b AS (SELECT *, avg(ret) OVER (PARTITION BY ts) AS bench FROM r), " +
+          "f AS (SELECT series_id, ts, ret, bench FROM b WHERE ret IS NOT NULL AND bench IS NOT NULL), " +
+          "m AS (SELECT series_id, ts, " +
+          s"${g(s"sum(ret * bench) $frS")} AS sxy, ${g(s"sum(ret) $frS")} AS sx, " +
+          s"${g(s"sum(bench) $frS")} AS sy, ${g(s"sum(bench * bench) $frS")} AS syy, " +
+          s"${g(s"sum(ret * ret) $frS")} AS sxx FROM f) " +
+          s"SELECT series_id, ts, " +
+          s"round(($n * sxy - sx * sy) / nullif($n * syy - sy * sy, 0), 6) AS beta_$n, " +
+          s"round(($n * sxy - sx * sy) / (CASE WHEN ($n * sxx - sx * sx) * ($n * syy - sy * sy) > 0 " +
+          s"THEN sqrt(($n * sxx - sx * sx) * ($n * syy - sy * sy)) END), 6) AS corr_$n " +
+          "FROM m" + orderTail
+      }
+    )
+  }
+
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix, qMarkov)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix, qMarkov, qRollingBeta)
 }
