@@ -914,6 +914,33 @@ object StreamingTa {
     )
   }
 
+  /** Stream–stream interval join: last-hour view→purchase attribution
+    * candidates. Each purchase joins every view by the same user in the
+    * strictly-preceding `horizon` — the Structured Streaming
+    * stream-stream join with event-time bounds on BOTH sides, so state
+    * for either side is dropped once the watermark passes its horizon
+    * (bounded state, the thing an unconstrained stream join lacks).
+    * Semantics are exactly `RangeJoin.within(purchases, views, lower =
+    * horizon, upper = −1)` on the same frame — batch parity spec-gated
+    * (StreamingParitySpec). Downstream last-touch/dedup is a separate
+    * stateful stage; this operator emits the candidate pair stream. */
+  def attributionStream(events: DataFrame, horizonSec: Long = 3600L, watermark: String = "1 day"): DataFrame = {
+    val views = events
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases
+      .join(
+        views,
+        expr(s"p_user = v_user AND v_ts >= p_ts - INTERVAL $horizonSec SECONDS AND v_ts < p_ts")
+      )
+      .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Windowed PSI drift monitor over a value stream: per event-time
     * window, the Population Stability Index of the window's `valueCol`
     * distribution against a TRAINED reference (bucket edges + reference

@@ -484,6 +484,64 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join (attribution) equals the batch RangeJoin") {
+    val ev = Graft.events(spark, TestSpark.sfDir).select("user_id", "event_type", "ts_us", "tstamp")
+    // batch ground truth: purchases × prior-hour views, RangeJoin bins
+    val views = ev.where(col("event_type") === "view").select(col("user_id"), col("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase").select(col("user_id"), col("ts_us"))
+    val batch = graft.operators.RangeJoin
+      .within(purchases, views, "user_id", "ts_us", lower = 3600000000L, upper = -1L)
+      .select(col("user_id"), col("ts_us"), col("r_ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    // replay in 3 chunks + a far-future sentinel view (inert user) in the
+    // final file so the watermark passes every real event and the join
+    // state fully flushes — a finite replay otherwise withholds the tail
+    val rows = ev.select("user_id", "event_type", "tstamp").orderBy("tstamp").collect()
+    val srcDir = Files.createTempDirectory("graft_attr_stream").toFile
+    val schema = ev.select("user_id", "event_type", "tstamp").schema
+    val maxTs = rows.last.getTimestamp(2)
+    val sentinel = org.apache.spark.sql.Row(
+      -1L, "view", new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+    )
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    (chunks :+ Array(sentinel)).zipWithIndex.foreach { case (chunk, i) =>
+      spark
+        .createDataFrame(java.util.Arrays.asList(chunk.toSeq: _*), schema)
+        .coalesce(1)
+        .write
+        .parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"a$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_type STRING, tstamp TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val q = StreamingTa
+      .attributionStream(stream, horizonSec = 3600L, watermark = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("attr_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("attr_stream")
+      .collect()
+      .map { r =>
+        def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        (r.getLong(0), us(r.getTimestamp(1)), us(r.getTimestamp(2)))
+      }
+      .toSet
+    assert(batch.nonEmpty, "vacuous: no purchase has a prior-hour view")
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("streaming windowed PSI drift monitor equals the batch computation") {
     val ev = Graft.events(spark, TestSpark.sfDir).select("tstamp", "value")
     // train the reference offline: value deciles + overall bucket shares
