@@ -285,5 +285,41 @@ object Rec2Queries {
     )
   }
 
-  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum)
+  // ------------------------------------------------------------- kalman
+  /** 1-D Kalman local-level filter per user series (rec.Kalman): the
+    * predict/gain/update recursion replayed step-for-step as a recursive
+    * CTE — gain is state-only arithmetic, so both engines fold identical
+    * doubles. */
+  val qKalman = {
+    val (q, rn) = (0.01, 1.0)
+    val sql =
+      s"WITH RECURSIVE s AS ($seriesCte), " +
+        s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM s), " +
+        "r AS (SELECT series_id, ts, rn, close AS x, 1e0 AS p, CAST(NULL AS DOUBLE) AS g FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT series_id, ts, rn, xp + k0 * (close - xp) AS x, (1e0 - k0) * pp AS p, k0 AS g FROM (" +
+        "SELECT z0.*, z0.pp / (z0.pp + (" + d(rn) + ")) AS k0 FROM (" +
+        s"SELECT b.series_id, b.ts, b.rn, b.close, r.x AS xp, r.p + (${d(q)}) AS pp " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z0) z1) " +
+        "SELECT series_id, ts, round(x, 6) AS kf, round(g, 6) AS kf_gain FROM r" + orderTail
+    Q(
+      "x_kalman",
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        Graft
+          .userSeries(spark, dir)
+          .ta
+          .kalman(q, rn)
+          .select(
+            col("series_id"),
+            col("ts"),
+            P.normd(col("kf")).as("kf"),
+            P.normd(col("kf_gain")).as("kf_gain")
+          )
+          .orderBy("series_id", "ts")
+      },
+      Some(sql)
+    )
+  }
+
+  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum, qKalman)
 }

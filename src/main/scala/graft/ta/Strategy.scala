@@ -172,6 +172,7 @@ object registry {
     "pvr" -> ("volume", (df, _) => df.ta.pvr),
     "pvt" -> ("volume", (df, _) => df.ta.pvt),
     // statistics
+    "kalman" -> ("overlap", (df, p) => df.ta.kalman(dd(p, "q", 0.01), dd(p, "r", 1.0))),
     "cusum" -> ("statistics", (df, p) =>
       df.ta.cusum(
         dd(p, "k", 0.5),

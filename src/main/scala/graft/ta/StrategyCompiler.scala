@@ -1366,6 +1366,9 @@ private[ta] object StrategyCompiler {
       case "mcgd" =>
         val n = i(p, "length", 10)
         Some(RecPlan(Nil, Seq(dbl(s"mcgd_$n")), () => new rec.Mcgd(n, "close"), Nil))
+      case "kalman" =>
+        val q = dd(p, "q", 0.01); val r = dd(p, "r", 1.0)
+        Some(RecPlan(Nil, Seq(dbl("kf"), dbl("kf_gain")), () => new rec.Kalman(q, r, "close"), Nil))
       // Fixed-reference CUSUM only: the trained μ/σ are literals, so the
       // staging is causal and streamable. Full-series retrospective mode
       // (no mu/sd) needs a whole-series aggregate — accessor-only, routed

@@ -806,6 +806,10 @@ final class Ta(private val df: DataFrame) {
   def mcgd(n: Int = 10, src: String = "close"): DataFrame =
     rec.perSeries(df, Seq(dbl(s"mcgd_$n")))(() => new rec.Mcgd(n, src))
 
+  /** 1-D Kalman local-level filter — see rec.Kalman. */
+  def kalman(q: Double = 0.01, r: Double = 1.0, src: String = "close"): DataFrame =
+    rec.perSeries(df, Seq(dbl("kf"), dbl("kf_gain")))(() => new rec.Kalman(q, r, src))
+
   /** Two-sided CUSUM changepoint detection — see rec.Cusum. Two modes:
     * with explicit `mu`/`sd` (a trained reference distribution) the
     * standardization is a pair of literals — causal, streamable

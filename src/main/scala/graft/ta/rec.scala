@@ -585,6 +585,32 @@ object rec {
     }
   }
 
+  /** 1-D Kalman filter, local-level model (the classic price-smoothing
+    * filter): predict P′ = P + q; gain K = P′/(P′+r); update
+    * x = x′ + K·(z − x′), P = (1−K)·P′. Seeds x₀ = z₀, P₀ = 1 (gain null
+    * on the seed row). Null z → emit current level, gain null, state
+    * unchanged. q = process noise, r = observation noise — q/r sets the
+    * smoothing bandwidth. */
+  final class Kalman(q: Double = 0.01, rNoise: Double = 1.0, src: String = "close")
+      extends Kernel {
+    private var iX = 0
+    private var started = false
+    private var x, p = 0.0
+    def init(schema: StructType): Unit = { iX = schema.fieldIndex(src) }
+    def reset(): Unit = { started = false; x = 0.0; p = 0.0 }
+    def update(row: Row): Array[Any] = {
+      if (isN(row, iX))
+        return Array(if (started) Double.box(x) else null, null)
+      val z = d(row, iX)
+      if (!started) { x = z; p = 1.0; started = true; return Array(Double.box(x), null) }
+      val pp = p + q
+      val k0 = pp / (pp + rNoise)
+      x = x + k0 * (z - x)
+      p = (1.0 - k0) * pp
+      Array(Double.box(x), Double.box(k0))
+    }
+  }
+
   /** Two-sided CUSUM changepoint detector (Page 1954) over the
     * standardized series. Consumes pre-computed per-series `__mu`/`__sd`
     * columns (rounded to 6 dp so the oracle recursion folds from

@@ -58,8 +58,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // everything else must share the single (series_id, ts) exchange
     val kernelKinds = Set(
       "psar", "supertrend", "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
-      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma",
-      "cusum" // REC kernel + broadcast stats join — not a window op
+      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma", "kalman",
+      "cusum" // REC kernels (cusum adds a broadcast stats join) — not window ops
     )
     val kinds = registry.indicators.filterNot(kernelKinds)
     assert(kinds.size >= 80, s"registry smaller than expected: ${kinds.size}")

@@ -106,6 +106,7 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("ebsw", Map("length" -> 20, "bars" -> 10)),
       IndicatorSpec("hwc"),
       IndicatorSpec("jma", Map("length" -> 7)),
+      IndicatorSpec("kalman", Map("q" -> 0.05, "r" -> 1.0)),
       // fixed-reference CUSUM — the causal, streamable mode (trained μ/σ
       // ride as literals in both the batch lowering and the stream stage)
       IndicatorSpec("cusum", Map("mu" -> 100.0, "sd" -> 10.0, "k" -> 0.25, "h" -> 3.0))
