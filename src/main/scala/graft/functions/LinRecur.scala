@@ -93,6 +93,19 @@ object Registry {
           "built-in"
         )
         reg.createOrReplaceTempFunction(
+          "graft_cdc_bounds",
+          exprs => {
+            def intLit(e: Expression, what: String): Long = e match {
+              case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+              case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+              case other =>
+                throw new IllegalArgumentException(s"graft_cdc_bounds $what must be an integer literal, got $other")
+            }
+            CdcBoundaries(exprs(0), intLit(exprs(1), "win").toInt, intLit(exprs(2), "modBase"))
+          },
+          "built-in"
+        )
+        reg.createOrReplaceTempFunction(
           "graft_kmv",
           exprs => KmvSketch.fromExprs(exprs),
           "built-in"

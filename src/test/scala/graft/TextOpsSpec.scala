@@ -73,4 +73,35 @@ class TextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CdcBoundaries rolling pass equals the HOF boundary-filter specification") {
+    import org.apache.spark.sql.functions._
+    graft.functions.Registry.register(spark)
+    val d = Graft
+      .table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text").as("__t"), length(col("text")).as("__len"))
+    val hof = when(
+      col("__len") >= 8,
+      filter(
+        sequence(lit(8), col("__len")),
+        i => graft.extensions.TextOps.polyHash(col("__t").substr(i - lit(7), lit(8))) % lit(64L) === lit(0L)
+      )
+    ).otherwise(array().cast("array<int>"))
+    val rows = d
+      .select(
+        col("doc_id"),
+        hof.as("spec"),
+        call_function("graft_cdc_bounds", col("__t"), lit(8), lit(64L)).as("got")
+      )
+      .collect()
+    assert(rows.nonEmpty)
+    var any = false
+    rows.foreach { r =>
+      val spec = r.getSeq[Int](1)
+      val got = r.getSeq[Int](2)
+      assert(got == spec, s"doc ${r.getLong(0)}: $got vs $spec")
+      if (spec.nonEmpty) any = true
+    }
+    assert(any, "no document produced a boundary; the fixture makes this vacuous")
+  }
 }
