@@ -58,6 +58,25 @@ class KernelSpec extends AnyFunSuite {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
   }
 
+  test("kalman seeds at z0 and follows the predict/gain/update recursion") {
+    import spark.implicits._
+    val df = Seq(10.0, 12.0, 11.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("series_id", "ts", "close")
+    val r = df.ta.kalman(q = 0.01, r = 1.0).orderBy("ts").collect()
+    assert(r(0).getAs[Double]("kf") == 10.0 && r(0).isNullAt(r(0).fieldIndex("kf_gain")))
+    val k1 = 1.01 / 2.01
+    val x1 = 10.0 + k1 * 2.0
+    val p1 = (1.0 - k1) * 1.01
+    assert(math.abs(r(1).getAs[Double]("kf") - x1) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("kf_gain") - k1) < 1e-12)
+    val pp2 = p1 + 0.01
+    val k2 = pp2 / (pp2 + 1.0)
+    val x2 = x1 + k2 * (11.0 - x1)
+    assert(math.abs(r(2).getAs[Double]("kf") - x2) < 1e-12)
+    assert(math.abs(r(2).getAs[Double]("kf_gain") - k2) < 1e-12)
+  }
+
   test("cusum fixed-reference mode: alarm fires above h and resets both statistics") {
     import spark.implicits._
     val df = Seq(3.0, 3.0, -1.0, 0.0).zipWithIndex
