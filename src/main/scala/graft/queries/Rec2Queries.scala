@@ -321,5 +321,78 @@ object Rec2Queries {
     )
   }
 
-  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum, qKalman)
+  // ---------------------------------------------------- kalman + cusum
+  /** Innovation-based changepoint monitoring (the textbook composite): a
+    * Kalman local-level filter absorbs slow drift, and the two-sided
+    * CUSUM runs on the PREDICTION INNOVATIONS z_t − x_{t−1} — so level
+    * shifts the filter hasn't caught yet alarm, while gradual trends the
+    * filter tracks do not. Engine = `ta.kalman` chained into `ta.cusum
+    * (src = "innov")`; oracle chains the two recursive CTEs (DuckDB
+    * allows several recursions in one WITH RECURSIVE list). */
+  val qKalmanCusum = {
+    val (q, rnz) = (0.01, 1.0)
+    val (k, h) = (0.5, 5.0)
+    val stepFrom = (psp: String, psn: String) =>
+      s"CASE WHEN close IS NULL OR sd IS NULL OR sd = 0 THEN NULL " +
+        s"ELSE greatest(0e0, $psp + (close - mu) / sd - ${d(k)}) END AS sp_pre, " +
+        s"CASE WHEN close IS NULL OR sd IS NULL OR sd = 0 THEN NULL " +
+        s"ELSE greatest(0e0, $psn - (close - mu) / sd - ${d(k)}) END AS sn_pre"
+    val outs =
+      "sp_pre AS out_sp, sn_pre AS out_sn, " +
+        s"CASE WHEN sp_pre IS NULL THEN NULL WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm, " +
+        s"CASE WHEN sp_pre IS NULL THEN psp WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN 0e0 ELSE sp_pre END AS sp, " +
+        s"CASE WHEN sn_pre IS NULL THEN psn WHEN sp_pre > ${d(h)} OR sn_pre > ${d(h)} " +
+        "THEN 0e0 ELSE sn_pre END AS sn"
+    val sql =
+      s"WITH RECURSIVE s AS ($seriesCte), " +
+        s"kb AS (SELECT *, row_number() OVER ($W) AS rn FROM s), " +
+        "kr AS (SELECT series_id, ts, rn, close AS x, 1e0 AS p FROM kb WHERE rn = 1 " +
+        "UNION ALL SELECT series_id, ts, rn, xp + k0 * (close - xp) AS x, (1e0 - k0) * pp AS p FROM (" +
+        s"SELECT z0.*, z0.pp / (z0.pp + (${d(rnz)})) AS k0 FROM (" +
+        s"SELECT kb.series_id, kb.ts, kb.rn, kb.close, kr.x AS xp, kr.p + (${d(q)}) AS pp " +
+        "FROM kb JOIN kr ON kb.series_id = kr.series_id AND kb.rn = kr.rn + 1) z0) z1), " +
+        "i AS (SELECT kb.series_id, kb.ts, kb.rn, " +
+        "kb.close - lag(kr.x) OVER (PARTITION BY kb.series_id ORDER BY kb.rn) AS close " +
+        "FROM kb JOIN kr ON kb.series_id = kr.series_id AND kb.rn = kr.rn), " +
+        "st AS (SELECT series_id, round(avg(close), 6) AS mu, round(stddev_samp(close), 6) AS sd " +
+        "FROM i GROUP BY 1), " +
+        "b AS (SELECT i.series_id, i.ts, i.rn, i.close, st.mu, st.sd FROM i JOIN st USING (series_id)), " +
+        "r AS (SELECT series_id, ts, rn, " + outs.replace("psp", "0e0").replace("psn", "0e0") +
+        s" FROM (SELECT *, ${stepFrom("0e0", "0e0")} FROM b WHERE rn = 1) z0 " +
+        "UNION ALL SELECT series_id, ts, rn, " + outs +
+        s" FROM (SELECT *, ${stepFrom("psp", "psn")} FROM " +
+        "(SELECT b.series_id, b.ts, b.rn, b.close, b.mu, b.sd, r.sp AS psp, r.sn AS psn " +
+        "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z1) z2) " +
+        "SELECT b.series_id, b.ts, round(b.close, 6) AS innov, round(r.out_sp, 6) AS cusum_pos, " +
+        "round(r.out_sn, 6) AS cusum_neg, r.alarm AS cusum_alarm " +
+        "FROM r JOIN b ON b.series_id = r.series_id AND b.rn = r.rn ORDER BY b.series_id, b.ts"
+    Q(
+      "x_kalman_cusum",
+      (spark: SparkSession, dir: String) => {
+        Graft.init(spark)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("series_id").orderBy("ts")
+        Graft
+          .userSeries(spark, dir)
+          .ta
+          .kalman(q, rnz)
+          .withColumn("innov", col("close") - lag("kf", 1).over(w))
+          .ta
+          .cusum(k, h, src = "innov")
+          .select(
+            col("series_id"),
+            col("ts"),
+            P.normd(col("innov")).as("innov"),
+            P.normd(col("cusum_pos")).as("cusum_pos"),
+            P.normd(col("cusum_neg")).as("cusum_neg"),
+            col("cusum_alarm")
+          )
+          .orderBy("series_id", "ts")
+      },
+      Some(sql)
+    )
+  }
+
+  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum, qKalman, qKalmanCusum)
 }
