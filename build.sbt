@@ -35,6 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the C2 compiler shuts off mid-session and whichever codegen-heavy
   // query runs next executes interpreted — measured 0.9 s → 4.6 s on
   // x_ann_ivfpq_topk at session query #115. This (not machine load) was
-  // the round-4/5 driver-bench "contamination" signature.
-  "-XX:ReservedCodeCacheSize=512m",
+  // the round-4/5 driver-bench "contamination" signature. 512 MB still
+  // filled on the full 222-query session (round-6 judge probes: PQ ANN
+  // rows 6-7x their fresh-JVM numbers), so: 1 GB, and Bench.scala now
+  // records per-query CodeHeap occupancy + re-probes the worst queries
+  // in a fresh JVM so the artifact self-certifies.
+  "-XX:ReservedCodeCacheSize=1g",
 )

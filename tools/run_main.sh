@@ -5,4 +5,4 @@ set -e
 CLS="$1"; shift
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')/root/repo/target/scala-2.13/classes"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $ADD_OPENS -XX:ReservedCodeCacheSize=512m -Xss64m -Xmx12g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp "$CP" "$CLS" "$@"
+exec java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xss64m -Xmx12g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp "$CP" "$CLS" "$@"
