@@ -308,20 +308,38 @@ object Dedup {
     * the table an operator reads to pick (bands, rows) before committing
     * a corpus-sized dedup run to them.
     *
-    * Scale: the ground-truth side is the exact pair join (use on a
-    * SAMPLE at corpus scale — that is the point of calibrating first);
-    * the candidate side and the bucket aggregate are the banded join +
-    * one key-sized hash-agg. */
+    * Scale: the ground-truth side is the exact pair join, which is
+    * quadratic in matching shingles — so the sampling contract is
+    * ENFORCED here, not left to the docstring: when the corpus exceeds
+    * `maxDocs`, a deterministic content-hash filter
+    * (polyHash(text) mod 1e6 < maxDocs·1e6/n, stable across runs,
+    * partitionings and appends — no RNG) bounds the frame BOTH sides
+    * see. Calibration is a property of the (bands, rows) parameters,
+    * not of corpus size, so a hash-uniform sample estimates the same
+    * curve; the quadratic cliff is unreachable through this signature.
+    * Below the ceiling the filter is skipped and the result is exactly
+    * the full-corpus curve. The one extra cost is a count() of the
+    * input — one columnar scan, trivially amortized by the pair join
+    * it bounds. */
   def lshCalibration(
       docs: DataFrame,
       minSim: Double = 0.1,
       k: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 2,
+      maxDocs: Long = 20000L
   ): DataFrame = {
     require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
-    val exact = jaccardPairs(docs, minSim, k)
-    val banded = bandedSig(docs, k, bands, rowsPerBand)
+    require(maxDocs > 0, "maxDocs must be positive: the exact ground-truth side is pair-quadratic")
+    val n = docs.count()
+    val sampled =
+      if (n <= maxDocs) docs
+      else {
+        val keepPerM = math.max(1L, maxDocs * 1000000L / n)
+        docs.where(pmod(TextOps.polyHash(col("text")), lit(1000000L)) < lit(keepPerM))
+      }
+    val exact = jaccardPairs(sampled, minSim, k)
+    val banded = bandedSig(sampled, k, bands, rowsPerBand)
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bsig"))

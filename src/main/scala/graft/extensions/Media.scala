@@ -70,21 +70,22 @@ object Media {
     * anywhere in the corpus, and the bytes those cover — the storage-
     * dedup ratio a blob store reports.
     *
-    * The fixture payloads are UTF-8 of ASCII text, so byte windows ==
-    * char windows: the payload decodes once and the window hash runs on
-    * chars (a production byte-domain build swaps `substr`-on-string for
-    * `substr`-on-binary with a byte-poly hash — identical semantics for
-    * single-byte encodings, and exactly how the oracle replays it from
-    * `text`).
+    * The entire pipeline runs in the BYTE domain on the binary payload:
+    * boundary detection, slicing (`substr` on BINARY is byte-positional)
+    * and chunk hashing (PolyHash over octets) — so multi-byte or
+    * non-UTF-8 payloads chunk correctly; there is no character decode to
+    * shear offsets against. On the ASCII fixture corpus this is
+    * value-identical to the oracle's char-domain replay from `text`
+    * (byte == code point).
     *
     * Scale: boundary detection + chunk hashing are map-side per doc
-    * (O(len·win) char ops, no shuffle); the only shuffles are the
+    * (O(len·win) byte ops, no shuffle); the only shuffles are the
     * chunk-hash frequency aggregate and the key-sized join back —
     * both proportional to Σ chunks, never pairs. */
   def cdcChunkStats(media: DataFrame, win: Int = 8, modBase: Long = 64L): DataFrame = {
     graft.functions.Registry.register(media.sparkSession)
     val staged = media
-      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("__t"))
+      .select(col("doc_id"), col("payload").as("__t"))
       .select(col("doc_id"), col("__t"), length(col("__t")).as("__len"))
     // boundary END positions (1-based, inclusive) in ONE codegen'd rolling
     // pass (functions.CdcBoundaries) — value-identical to filtering

@@ -550,14 +550,22 @@ object ExtensionQueries {
     * candidate recall per 0.1 Jaccard bucket vs the 1−(1−s^r)^b theory
     * S-curve at the bucket midpoint. The oracle rebuilds the banded
     * signature table from the same 16 (a, b) hash params and joins band
-    * slices exactly as the engine does. */
+    * slices exactly as the engine does.
+    *
+    * The gate exercises the ENFORCED sampling contract: maxDocs = 400 is
+    * below every fixture's corpus (500 at sf0.01, 5000 at sf0.1), so the
+    * deterministic content-hash filter fires and the oracle replays it
+    * (ph(text) % 1e6 < 400e6 // count(*)) over an `sdocs` CTE — the
+    * quadratic exact-pairs ground truth is computed on the same bounded
+    * sample in both engines. */
   val qLshCurve = {
     val (bands, rpb) = (8, 2)
+    val maxDocs = 400L
     Q(
       "x_lsh_curve",
       (s, dir) =>
         Dedup
-          .lshCalibration(docs(s, dir), minSim = 0.01, bands = bands, rowsPerBand = rpb)
+          .lshCalibration(docs(s, dir), minSim = 0.01, bands = bands, rowsPerBand = rpb, maxDocs = maxDocs)
           .select(
             col("bucket"),
             col("n_pairs"),
@@ -575,7 +583,12 @@ object ExtensionQueries {
         val bt = (0 until bands)
           .map(b => s"SELECT doc_id, $b AS band, mh${b * rpb} AS s1, mh${b * rpb + 1} AS s2 FROM mh")
           .mkString(" UNION ALL ")
-        s"WITH ${jacIdxCtes("a.doc_id < b.doc_id")}, " +
+        // sampled-docs CTE replaces the documents base table in the whole
+        // chain (toks reads FROM sdocs): the engine-side content-hash
+        // sample, replayed in integer arithmetic.
+        s"WITH sdocs AS (SELECT * FROM documents WHERE ${ph("text")} % 1000000 < " +
+          s"greatest(1, ${maxDocs} * 1000000 // (SELECT count(*) FROM documents))), " +
+          s"${jacIdxCtes("a.doc_id < b.doc_id").replace("FROM documents", "FROM sdocs")}, " +
           s"mh AS (SELECT doc_id, $mhCols FROM bases WHERE n_sh > 0), " +
           s"bt AS ($bt), " +
           "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bt a " +

@@ -289,16 +289,24 @@ object Rec2Queries {
   /** 1-D Kalman local-level filter per user series (rec.Kalman): the
     * predict/gain/update recursion replayed step-for-step as a recursive
     * CTE — gain is state-only arithmetic, so both engines fold identical
-    * doubles. */
+    * doubles. Null-close rows mirror the kernel exactly (emit current
+    * level, gain null, state carried — x IS NULL encodes "not started",
+    * so a leading null defers the seed to the first observation) instead
+    * of poisoning the rest of the recursion, matching qCusum's defensive
+    * handling. */
   val qKalman = {
     val (q, rn) = (0.01, 1.0)
     val sql =
       s"WITH RECURSIVE s AS ($seriesCte), " +
         s"b AS (SELECT *, row_number() OVER ($W) AS rn FROM s), " +
-        "r AS (SELECT series_id, ts, rn, close AS x, 1e0 AS p, CAST(NULL AS DOUBLE) AS g FROM b WHERE rn = 1 " +
-        "UNION ALL SELECT series_id, ts, rn, xp + k0 * (close - xp) AS x, (1e0 - k0) * pp AS p, k0 AS g FROM (" +
+        "r AS (SELECT series_id, ts, rn, close AS x, " +
+        "CASE WHEN close IS NULL THEN NULL ELSE 1e0 END AS p, CAST(NULL AS DOUBLE) AS g FROM b WHERE rn = 1 " +
+        "UNION ALL SELECT series_id, ts, rn, " +
+        "CASE WHEN close IS NULL THEN xp WHEN xp IS NULL THEN close ELSE xp + k0 * (close - xp) END AS x, " +
+        "CASE WHEN close IS NULL THEN pprev WHEN xp IS NULL THEN 1e0 ELSE (1e0 - k0) * pp END AS p, " +
+        "CASE WHEN close IS NULL OR xp IS NULL THEN NULL ELSE k0 END AS g FROM (" +
         "SELECT z0.*, z0.pp / (z0.pp + (" + d(rn) + ")) AS k0 FROM (" +
-        s"SELECT b.series_id, b.ts, b.rn, b.close, r.x AS xp, r.p + (${d(q)}) AS pp " +
+        s"SELECT b.series_id, b.ts, b.rn, b.close, r.x AS xp, r.p AS pprev, r.p + (${d(q)}) AS pp " +
         "FROM b JOIN r ON b.series_id = r.series_id AND b.rn = r.rn + 1) z0) z1) " +
         "SELECT series_id, ts, round(x, 6) AS kf, round(g, 6) AS kf_gain FROM r" + orderTail
     Q(
@@ -348,10 +356,14 @@ object Rec2Queries {
     val sql =
       s"WITH RECURSIVE s AS ($seriesCte), " +
         s"kb AS (SELECT *, row_number() OVER ($W) AS rn FROM s), " +
-        "kr AS (SELECT series_id, ts, rn, close AS x, 1e0 AS p FROM kb WHERE rn = 1 " +
-        "UNION ALL SELECT series_id, ts, rn, xp + k0 * (close - xp) AS x, (1e0 - k0) * pp AS p FROM (" +
+        // same null-close carry-state guard as qKalman's recursion
+        "kr AS (SELECT series_id, ts, rn, close AS x, " +
+        "CASE WHEN close IS NULL THEN NULL ELSE 1e0 END AS p FROM kb WHERE rn = 1 " +
+        "UNION ALL SELECT series_id, ts, rn, " +
+        "CASE WHEN close IS NULL THEN xp WHEN xp IS NULL THEN close ELSE xp + k0 * (close - xp) END AS x, " +
+        "CASE WHEN close IS NULL THEN pprev WHEN xp IS NULL THEN 1e0 ELSE (1e0 - k0) * pp END AS p FROM (" +
         s"SELECT z0.*, z0.pp / (z0.pp + (${d(rnz)})) AS k0 FROM (" +
-        s"SELECT kb.series_id, kb.ts, kb.rn, kb.close, kr.x AS xp, kr.p + (${d(q)}) AS pp " +
+        s"SELECT kb.series_id, kb.ts, kb.rn, kb.close, kr.x AS xp, kr.p AS pprev, kr.p + (${d(q)}) AS pp " +
         "FROM kb JOIN kr ON kb.series_id = kr.series_id AND kb.rn = kr.rn + 1) z0) z1), " +
         "i AS (SELECT kb.series_id, kb.ts, kb.rn, " +
         "kb.close - lag(kr.x) OVER (PARTITION BY kb.series_id ORDER BY kb.rn) AS close " +

@@ -561,10 +561,16 @@ object RelationalQueries {
   /** Pairwise cross-series Pearson correlation of DAILY closes (the
     * cross-sectional matrix a multi-asset user computes): series pairs
     * a < b aligned on day, correlation from explicit co-moment sums so
-    * both engines fold the identical arithmetic. The day-keyed self-join
-    * explodes S² per day — exact all-pairs semantics, intended for the
-    * cross-sectional case where S is panel-sized (10s–1000s); corpus-
-    * scale similarity belongs to the banded/sketch operators. */
+    * both engines compute the SAME FORMULA — but the co-moment sums are
+    * plain unordered double aggregates (Spark's partial/final hash-agg
+    * addition order is nondeterministic), so 6 dp parity rests on the
+    * panel's magnitudes keeping the summation error below rounding, not
+    * on an ordered-fold contract (qZipf-style collect_list folds would
+    * buy bit-stability at the cost of materializing per-pair day lists
+    * across S² pairs — not worth it for a correlation). The day-keyed
+    * self-join explodes S² per day — exact all-pairs semantics, intended
+    * for the cross-sectional case where S is panel-sized (10s–1000s);
+    * corpus-scale similarity belongs to the banded/sketch operators. */
   val qCorrMatrix = Q(
     "x_corr_matrix",
     (s: SparkSession, dir: String) => {

@@ -601,16 +601,33 @@ object StreamingTa {
     * side is a dimension by assumption — it fits in a broadcast like
     * every star-schema dim; for fact-fact temporal joins use the batch
     * AsofJoin after landing. Row-for-row parity with
-    * `AsofJoin.asof(direction = "backward")` is spec-asserted. */
+    * `AsofJoin.asof(direction = "backward")` is spec-asserted.
+    *
+    * The dimension assumption is ENFORCED, not assumed: the right side
+    * is counted (one cheap aggregate — it is about to be collected
+    * anyway) and rejected above `maxDimRows` BEFORE the collect, so a
+    * fact table handed in by mistake fails loudly with a pointer to the
+    * batch path instead of OOMing the driver. The default ceiling
+    * (5M rows ≈ 3 × 24B ≈ 120 MB collected) matches the broadcast-dim
+    * scale this operator is designed for. */
   def asofEnrichStream(
       ticks: Dataset[Tick],
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      outCol: String
+      outCol: String,
+      maxDimRows: Long = 5000000L
   ): DataFrame = {
     val spark = right.sparkSession
+    val nRight = right.count()
+    require(
+      nRight <= maxDimRows,
+      s"asofEnrichStream right side has $nRight rows (> maxDimRows=$maxDimRows): it is collected to " +
+        "the driver and broadcast, which only a DIMENSION survives. For fact-fact temporal joins, " +
+        "land the stream and use batch graft.plans.AsofJoin.asof; or raise maxDimRows explicitly " +
+        "if the driver genuinely has the memory."
+    )
     val dim: Map[String, (Array[Long], Array[Double])] = right
       .select(col(keyCol).cast("string"), col(tsCol).cast("long"), col(valueCol).cast("double"))
       .collect()

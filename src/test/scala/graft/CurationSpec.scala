@@ -304,6 +304,55 @@ class CurationSpec extends AnyFunSuite {
     assert(dup2 >= n1 - 1, s"shifted doc shares only $dup2 chunks")
   }
 
+  test("CDC chunking is byte-domain correct on non-ASCII payloads") {
+    import spark.implicits._
+    import graft.extensions.Media
+    // 'é' is 2 bytes in UTF-8: char offsets and byte offsets diverge after
+    // the first one — exactly the shear the byte-domain pipeline must not have
+    val base = (1 to 40).map(i => s"wé$i").mkString(" ")
+    val d = Seq(10L -> base, 11L -> (s"prefix $base")).toDF("doc_id", "text")
+    val got = Media
+      .cdcChunkStats(Media.asMediaTable(d))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // independent recomputation entirely over UTF-8 BYTES
+    val P = 1000000007L
+    def chunks(s: String): Seq[(Long, Int)] = {
+      val b = s.getBytes("UTF-8")
+      val win = 8; val modBase = 64L
+      val bnds = scala.collection.mutable.ArrayBuffer[Int]()
+      if (b.length >= win) {
+        var h = 0L
+        (0 until win).foreach(j => h = (h * 31 + (b(j) & 0xffL)) % P)
+        if (h % modBase == 0) bnds += win
+        var pw = 1L; (1 until win).foreach(_ => pw = pw * 31 % P)
+        (win until b.length).foreach { i =>
+          h = (h - (b(i - win) & 0xffL) * pw % P + P) % P
+          h = (h * 31 + (b(i) & 0xffL)) % P
+          if (h % modBase == 0) bnds += i + 1
+        }
+      }
+      val ss = 1 +: bnds.map(_ + 1).toSeq
+      val es = bnds.toSeq :+ b.length
+      ss.zip(es).filter { case (s0, e0) => e0 - s0 + 1 > 0 }.map { case (s0, e0) =>
+        var acc = 0L
+        (s0 - 1 until e0).foreach(i => acc = (acc * 31 + (b(i) & 0xffL)) % P)
+        (acc, e0 - s0 + 1)
+      }
+    }
+    val all = Map(10L -> chunks(base), 11L -> chunks(s"prefix $base"))
+    val freq = all.values.flatten.groupBy(_._1).map { case (h, cs) => h -> cs.size }
+    all.foreach { case (id, cs) =>
+      val nDup = cs.count(c => freq(c._1) >= 2)
+      val dupBytes = cs.filter(c => freq(c._1) >= 2).map(_._2.toLong).sum
+      assert(got(id) == ((cs.size.toLong, nDup.toLong, dupBytes)), s"doc $id: ${got(id)} vs byte-domain recomputation")
+    }
+    // sanity: the fixture actually exercises re-alignment (shared chunks exist)
+    assert(got(10L)._2 > 0, "no duplicate chunks; re-alignment not exercised on non-ASCII payload")
+  }
+
   test("lsh calibration: full recall on the planted-dup bucket, near-theory rejection at the bottom") {
     val r = Dedup
       .lshCalibration(docs, minSim = 0.01)
@@ -322,6 +371,33 @@ class CurationSpec extends AnyFunSuite {
       assert(recall < 0.05, s"bottom-bucket candidate rate $recall defeats banding")
       assert(theory < 0.1)
     }
+  }
+
+  test("lsh calibration enforces its sampling contract: capped run == pre-filtered full run") {
+    val n = docs.count()
+    val m = n / 2
+    // capped path: operator applies the deterministic content-hash filter
+    val capped = Dedup
+      .lshCalibration(docs, minSim = 0.01, maxDocs = m)
+      .collect()
+      .map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+    // manual replay of the documented filter, then an uncapped run — the
+    // operator's internal sample must be exactly this frame, nothing else
+    val keepPerM = math.max(1L, m * 1000000L / n)
+    val pre = docs.where(pmod(TextOps.polyHash(col("text")), lit(1000000L)) < lit(keepPerM))
+    val nPre = pre.count()
+    assert(nPre < n && nPre > 0, s"fixture filter kept $nPre/$n docs; contract not exercised")
+    val full = Dedup
+      .lshCalibration(pre, minSim = 0.01, maxDocs = n + 1)
+      .collect()
+      .map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(capped.length == full.length && capped.sameElements(full), "capped path diverged from pre-filtered full path")
+    // sub-threshold corpus: the filter must NOT fire (result == uncapped)
+    val uncapped = Dedup.lshCalibration(docs, minSim = 0.01, maxDocs = n).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val defaulted = Dedup.lshCalibration(docs, minSim = 0.01).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(uncapped.sameElements(defaulted), "sub-threshold corpus was sampled")
   }
 
   test("resample+ffill: dense hourly grid, fill only after first observation, observed rows exact") {

@@ -113,5 +113,13 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(streamed.size == batch.size)
     assert(streamed == batch)
     assert(batch.values.exists(_.isEmpty) || dim.count() > 0, "vacuous")
+
+    // the dimension assumption is enforced: an over-ceiling right side
+    // must fail loudly BEFORE the driver collect, pointing at the batch
+    // path — not OOM mid-collect
+    val oversized = intercept[IllegalArgumentException] {
+      StreamingTa.asofEnrichStream(ticks, dim, "series_id", "ts", "quote", "r_quote", maxDimRows = 1L)
+    }
+    assert(oversized.getMessage.contains("AsofJoin"), s"guard message unhelpful: ${oversized.getMessage}")
   }
 }
