@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * `BINARY` columns with a typed metadata struct, and a batched
   * feature-extraction pass over `mapPartitions`.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic pseudo-features from the
-  * raw bytes. Everything around it — schema, typed Dataset, partition-wise
-  * batching, feature struct — is the real pipeline a codec would slot into:
-  * replace `decodeStub`'s body with the JNI/codec call and nothing else
-  * changes. Executor-side batching (one iterator pass per partition, zero
-  * driver collection) is exactly the mapInPandas/Arrow batch shape of the
-  * Python equivalent.
+  * The decode seam is PROVEN end-to-end by one real pure-JVM codec:
+  * `decodeWav` parses RIFF/WAVE PCM-16 (magic validation, chunk walk with
+  * pad bytes, LE sample fold) inside the same executor-side pipeline —
+  * see `decodeWavRows` and the `x_media_decode` oracle gate. For formats
+  * without a pure-JVM parser in this container (JPEG, MP4, …),
+  * `decodeStub` remains the clearly-marked contract: deterministic
+  * pseudo-features from raw bytes, with the schema / typed Dataset /
+  * partition-wise batching identical to the WAV path — replace the stub
+  * body with the JNI/codec call and nothing else changes. Executor-side
+  * batching (one iterator pass per partition, zero driver collection) is
+  * exactly the mapInPandas/Arrow batch shape of the Python equivalent.
   */
 object Media {
 
@@ -151,5 +154,146 @@ object Media {
             Frame(id, fid, end - off, s)
           }
       }
+  }
+
+  // ------------------------------------------------------------ WAV codec
+  /** Decoded PCM WAV facts + per-window amplitude features. All-integer
+    * so the oracle replay (and the CORRECTNESS hash) is exact. */
+  case class WavInfo(
+      sample_rate: Int,
+      n_channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      abs_sum: Long,
+      n_windows: Long,
+      max_win_sum: Long
+  )
+
+  case class WavRow(
+      doc_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      abs_sum: Long,
+      n_windows: Long,
+      max_win_sum: Long
+  )
+
+  private def fourCC(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  private def leU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** REAL pure-JVM RIFF/WAVE decoder (PCM-16): validates the RIFF/WAVE
+    * magic, walks the chunk list with even-size padding (skipping LIST/
+    * INFO/etc.), reads the fmt fields, and folds the 16-bit LE samples
+    * into integer amplitude features — total |sample| sum plus per-window
+    * (default 256-sample) sums with the max window retained. This is the
+    * decode seam `decodeStub` stubs for formats without a pure-JVM
+    * parser, proven end-to-end here: a mis-read header offset, a skipped
+    * pad byte, or a sign error in the PCM fold all diverge from the
+    * oracle's analytic replay. Malformed input fails loudly (wrong magic,
+    * truncated chunk, non-PCM format, non-16-bit) — a corrupt blob must
+    * never decode to plausible features. */
+  def decodeWav(bytes: Array[Byte], winSamples: Int = 256): WavInfo = {
+    require(
+      bytes.length >= 12 && fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE payload"
+    )
+    var off = 12
+    var rate = 0; var ch = 0; var bps = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
+      val id = fourCC(bytes, off)
+      val sz = leU32(bytes, off + 4).toInt
+      val body = off + 8
+      id match {
+        case "fmt " =>
+          require(sz >= 16 && body + 16 <= bytes.length, "truncated fmt chunk")
+          val fmt = leU16(bytes, body)
+          require(fmt == 1, s"unsupported WAV audio format $fmt (PCM only)")
+          ch = leU16(bytes, body + 2)
+          require(ch >= 1, "zero channels")
+          rate = leU32(bytes, body + 4).toInt
+          require(rate >= 1, "zero sample rate")
+          bps = leU16(bytes, body + 14)
+          require(bps == 16, s"unsupported bits/sample $bps (PCM-16 only)")
+        case "data" =>
+          dataOff = body; dataLen = sz
+        case _ => () // LIST, fact, bext, … — skip
+      }
+      off = body + sz + (sz & 1) // RIFF chunks pad to even length
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataOff + dataLen <= bytes.length, "truncated data chunk")
+    val nS = dataLen / 2
+    var absSum = 0L; var winSum = 0L; var maxWin = 0L
+    var k = 0; var nW = 0L
+    var s = 0
+    while (s < nS) {
+      // 16-bit LE: sign carried by the high byte
+      val v = (bytes(dataOff + 2 * s + 1) << 8) | (bytes(dataOff + 2 * s) & 0xff)
+      val a = math.abs(v).toLong
+      absSum += a; winSum += a; k += 1
+      if (k == winSamples || s == nS - 1) {
+        nW += 1; if (winSum > maxWin) maxWin = winSum
+        winSum = 0; k = 0
+      }
+      s += 1
+    }
+    val frames = nS / ch
+    WavInfo(rate, ch, bps, frames, frames * 1000L / rate, absSum, nW, maxWin)
+  }
+
+  /** Deterministic synthetic WAV from text — the gate's payload
+    * generator (no audio assets in the container): mono PCM-16 at
+    * rate = 8000 + (len % 100)·10 Hz, sample_i = ((char_i·131 + i) mod
+    * 4001) − 2000, with an odd-sized LIST chunk planted between fmt and
+    * data so the decoder's chunk-walk (and its pad-byte handling) is on
+    * the verified path. The oracle recomputes the features analytically
+    * from the same text — any byte the encoder or decoder mislays
+    * diverges. */
+  def synthWav(text: String): Array[Byte] = {
+    val n = text.length
+    val rate = 8000 + (n % 100) * 10
+    val listBody = "graftmeta".getBytes(java.nio.charset.StandardCharsets.US_ASCII) // 9 bytes: forces a pad
+    val listPadded = listBody.length + (listBody.length & 1)
+    val dataLen = n * 2
+    val total = 12 + (8 + 16) + (8 + listPadded) + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(total - 8); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(1.toShort) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2) // byte rate
+    bb.putShort(2.toShort); bb.putShort(16.toShort) // block align, bits
+    bb.put("LIST".getBytes); bb.putInt(listBody.length); bb.put(listBody)
+    if (listPadded > listBody.length) bb.put(0.toByte)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((text.charAt(i).toInt * 131 + i) % 4001) - 2000).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Batched executor-side WAV decode over (doc_id, payload) — the same
+    * mapPartitions shape as `extractFeatures`, with the real codec in the
+    * decode slot. No shuffle, no driver round-trip; output is one
+    * integer-feature row per blob. */
+  def decodeWavRows(spark: SparkSession, media: DataFrame, winSamples: Int = 256): Dataset[WavRow] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val w = decodeWav(b, winSamples)
+        WavRow(id, w.sample_rate, w.n_channels, w.n_samples, w.duration_ms, w.abs_sum, w.n_windows, w.max_win_sum)
+      })
   }
 }

@@ -722,6 +722,29 @@ object ExtensionQueries {
     )
   )
 
+  /** Cost-based ANN front door (Similarity.topk): at fixture scale the
+    * memo'd cardinality probe routes to the exact brute scan (n ≤
+    * bruteMax), so the oracle is the brute SQL — the routed-path parity
+    * (forced IVF / IVF-PQ via conf overrides) is spec-asserted in
+    * AnnDispatchSpec. */
+  val qAnnAuto = Q(
+    "x_ann_auto",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity
+        .topk(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("nbr_id"), P.normd(col("sim")).as("sim"))
+        .orderBy("q_id", "rk")
+    },
+    Some(
+      "SELECT q_id, rk, nbr_id, round(sim, 6) AS sim FROM (" +
+        s"SELECT q.vec_id AS q_id, c.vec_id AS nbr_id, ${dotSql("q.embedding", "c.embedding")} AS sim, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rk " +
+        "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "WHERE rk <= 5 ORDER BY q_id, rk"
+    )
+  )
+
   /** Q47 FILTERED top-k: exact same-label top-5 neighbors for query
     * vectors vec_id < 10 — the tenant/language-scoped search every
     * vector store exposes. The equality predicate applies BEFORE any
@@ -829,6 +852,41 @@ object ExtensionQueries {
         "CAST(sum(CASE WHEN cdf >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes " +
         "FROM ch JOIN dfq USING (chash) GROUP BY 1 ORDER BY doc_id"
     }
+  )
+
+  /** REAL decode through the seam: each doc's text deterministically
+    * encodes to a mono PCM-16 WAV (Media.synthWav — RIFF header, planted
+    * odd-size LIST chunk, LE samples s_i = ((c_i·131+i) mod 4001) − 2000),
+    * the executor-side decoder (Media.decodeWav) parses it back, and the
+    * oracle computes the same integer features ANALYTICALLY from the text
+    * — it never sees the bytes, so header-offset/pad/sign bugs in either
+    * the encoder or the decoder hash-diverge. */
+  val qMediaDecode = Q(
+    "x_media_decode",
+    (s, dir) => {
+      import s.implicits._
+      val wav = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, Media.synthWav(t)) })
+        .toDF("doc_id", "payload")
+      Media
+        .decodeWavRows(s, wav)
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH d AS (SELECT doc_id, string_split(text, '') AS cs, length(text) AS n FROM documents), " +
+        "a AS (SELECT doc_id, n, 8000 + (n % 100) * 10 AS rate, " +
+        "list_transform(range(0, n), i -> abs(((unicode(cs[i+1]) * 131 + i) % 4001) - 2000)) AS am FROM d) " +
+        "SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels, " +
+        "CAST(n AS BIGINT) AS n_samples, CAST(n * 1000 // rate AS BIGINT) AS duration_ms, " +
+        "CAST(coalesce(list_sum(am), 0) AS BIGINT) AS abs_sum, " +
+        "CAST((n + 255) // 256 AS BIGINT) AS n_windows, " +
+        "CAST(coalesce(list_max(list_transform(range(0, (n + 255) // 256), " +
+        "w -> list_sum(am[w*256+1 : least((w+1)*256, n)]))), 0) AS BIGINT) AS max_win_sum " +
+        "FROM a ORDER BY doc_id"
+    )
   )
 
   val qMediaFeatures = Q(
@@ -2905,10 +2963,12 @@ object ExtensionQueries {
     qSimhash,
     qSimhashPairs,
     qCosineTopk,
+    qAnnAuto,
     qAnnFiltered,
     qCosinePairs,
     qMediaFeatures,
     qMediaCdc,
+    qMediaDecode,
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,
