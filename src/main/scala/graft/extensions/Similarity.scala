@@ -1095,4 +1095,106 @@ object Similarity {
       .join(dupOf, Seq("vec_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
   }
+
+  // ------------------------------------------------- cost-based front door
+  /** Session conf keys for the automatic ANN dispatch (see [[topk]]). */
+  val AutoKey = "spark.graft.ann.auto" // default true; false pins brute
+  val BruteMaxKey = "spark.graft.ann.bruteMax" // default 100000
+  val IvfPqMinKey = "spark.graft.ann.ivfPqMin" // default 1000000
+  /** Written after every [[topk]] call: which plan the dispatch chose —
+    * observable by monitoring/specs without re-deriving the decision. */
+  val ChoiceKey = "spark.graft.ann.lastChoice"
+
+  /** PQ subspace count for a dimension (must divide dim); 0 = PQ not
+    * applicable, fall back to plain IVF. */
+  private[graft] def pqSubspaces(dim: Int): Int =
+    if (dim % 16 == 0) 16 else if (dim % 8 == 0) 8 else if (dim % 4 == 0) 4 else 0
+
+  /** The pure dispatch rule, split out for direct spec coverage. Derived
+    * from SCALING.md's measured curves: brute force stays flat to ~100k
+    * vectors (parallel scan slack hides the linear cost — 0.82→1.39 s
+    * across 20k→320k, vs an index build that only amortizes when reused),
+    * the IVF probe is corpus-size-independent at fixed nprobe/nCells, and
+    * past ~1M vectors the scored representation itself must shrink —
+    * IVF-PQ's m-byte codes. recallTarget = 1.0 demands EXACT results:
+    * always brute, regardless of size. */
+  private[graft] def annPlan(n: Long, dim: Int, recallTarget: Double, bruteMax: Long, ivfPqMin: Long): String =
+    if (recallTarget >= 1.0 || n <= bruteMax) "brute"
+    else if (n <= ivfPqMin || pqSubspaces(dim) == 0) "ivf"
+    else "ivfpq"
+
+  /** IVF geometry from corpus size + recall target: nCells ~ √n (the
+    * standard inverted-file sizing — cell population ≈ √n keeps probe
+    * and routing balanced), nprobe as the cell fraction that met the
+    * spec-asserted recall floors on the fixture corpora (nprobe/nCells =
+    * 1/4 ↔ recall ≥ 0.9; 3/8 ↔ ≥ 0.95; 1/8 for relaxed targets). */
+  private[graft] def ivfParams(n: Long, recallTarget: Double): (Int, Int) = {
+    val nCells = math.max(16L, math.min(4096L, math.round(math.sqrt(n.toDouble)))).toInt
+    val frac = if (recallTarget >= 0.95) 0.375 else if (recallTarget >= 0.9) 0.25 else 0.125
+    (nCells, math.max(1, math.round(nCells * frac).toInt))
+  }
+
+  /** Memo'd cardinality/dimension probe — one eager aggregate per
+    * (session, corpus plan), reused by every later dispatch on the same
+    * corpus (the Halo.auto pattern). */
+  private def corpusStats(corpus: DataFrame): (Long, Int) = {
+    val boxed = graft.CacheRegistry.memoStat(
+      corpus.sparkSession,
+      s"ann:stats:${graft.CacheRegistry.planKey(corpus)}"
+    ) {
+      val r = corpus.agg(count(lit(1)), max(size(col("embedding")))).head()
+      (Long.box(r.getLong(0)), Int.box(if (r.isNullAt(1)) 0 else r.getInt(1)))
+    }
+    (boxed._1.longValue(), boxed._2.intValue())
+  }
+
+  /** Cost-based ANN FRONT DOOR — closes the round-6 usability gap where
+    * a user had to pick brute/IVF/PQ/IVF-PQ by hand from SCALING.md's
+    * crossover tables. Dispatches on the memo'd corpus cardinality:
+    *
+    *   - n ≤ bruteMax (default 100k) or recallTarget = 1.0 → exact
+    *     brute scan ([[topkBrute]]);
+    *   - n ≤ ivfPqMin (default 1M) → trained-IVF probe over the memo'd
+    *     index ([[topkIvf]]), geometry from [[ivfParams]];
+    *   - beyond → IVF-PQ ([[topkIvfPq]]), PQ subspaces from the probed
+    *     dimension, oversample widened with the recall target.
+    *
+    * Results are always (q_id, rk, nbr_id, sim) with EXACT sims on the
+    * emitted rows (every routed path exact-re-ranks its shortlist), so
+    * switching route changes only which neighbors the shortlist may
+    * miss, bounded by the spec-asserted recall floors. The chosen plan
+    * lands in [[ChoiceKey]]; `spark.graft.ann.auto=false` pins brute.
+    * Dispatch overhead is the one memo'd count+dim aggregate —
+    * SCALING.md measures it. */
+  def topk(corpus: DataFrame, queries: DataFrame, k: Int, recallTarget: Double = 0.9): DataFrame = {
+    val spark = corpus.sparkSession
+    if (!spark.conf.get(AutoKey, "true").toBoolean) {
+      spark.conf.set(ChoiceKey, "brute(pinned)")
+      return topkBrute(corpus, queries, k)
+    }
+    val bruteMax = spark.conf.get(BruteMaxKey, "100000").toLong
+    val ivfPqMin = spark.conf.get(IvfPqMinKey, "1000000").toLong
+    val (n, dim) = corpusStats(corpus)
+    val choice = annPlan(n, dim, recallTarget, bruteMax, ivfPqMin)
+    spark.conf.set(ChoiceKey, choice)
+    choice match {
+      case "brute" => topkBrute(corpus, queries, k)
+      case "ivf" =>
+        val (nCells, nprobe) = ivfParams(n, recallTarget)
+        topkIvf(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)
+      case _ =>
+        val (nCells, nprobe) = ivfParams(n, recallTarget)
+        topkIvfPq(
+          corpus,
+          queries,
+          k,
+          nCells,
+          nprobe,
+          m = pqSubspaces(dim),
+          dim = dim,
+          kC = 32,
+          oversample = if (recallTarget >= 0.9) 8 else 4
+        )
+    }
+  }
 }
