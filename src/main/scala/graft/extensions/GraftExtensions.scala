@@ -67,6 +67,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => KmvSketch.fromExprs(exprs)
       )
     )
+    // indicator-family SQL wrappers (graft_sma/graft_ewma/graft_hl2-class;
+    // shared builder list with the programmatic Registry.register path)
+    graft.functions.TaSqlSurface.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[graft.functions.TaSqlSurface.type].getName, name),
+          builder
+        )
+      )
+    }
     // opt-in count(DISTINCT) → KMV estimate (spark.graft.approxDistinct)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }

@@ -145,6 +145,10 @@ object Registry {
           },
           "built-in"
         )
+        // indicator-family SQL wrappers (shared list with GraftExtensions)
+        TaSqlSurface.builders.foreach { case (name, b) =>
+          reg.createOrReplaceTempFunction(name, b, "built-in")
+        }
         done += key
       }
     }

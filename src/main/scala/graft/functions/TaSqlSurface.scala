@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import graft.ta.{prim => P}
+
+/** SQL entry points for the indicator primitive families — the round-6
+  * gap closure for non-Scala consumers on a shared cluster: the
+  * 141-indicator registry was Scala-accessor-only, so a SQL user could
+  * reach `graft_ewm`/`graft_linrec` (bare kernels needing an explicit
+  * OVER clause) but not `sma(close, 10)`-class indicators.
+  *
+  * Each builder expands to the SAME prim-layer Column tree the Scala
+  * accessor uses (shared code path — not a reimplementation), converted
+  * back to an Expression through GraftBridge. The window spec is the
+  * canonical `PARTITION BY series_id ORDER BY ts`, so the consuming
+  * query's relation must expose those two columns — the same contract
+  * the Scala accessor has. Window extraction is the analyzer's normal
+  * ExtractWindowExpressions pass; all wrappers keep their window
+  * expressions at the top level of the tree (no window-in-window), which
+  * is why the EW-seeded composites (ema, rsi, …) are NOT here — their
+  * staged projections can't collapse into one expression, and SQL users
+  * compose them from these parts exactly as stage.scala does.
+  *
+  * Both registration paths consume this one list: `Registry.register`
+  * (programmatic, Graft.init) and `GraftExtensions` (cluster-wide via
+  * spark.sql.extensions).
+  */
+object TaSqlSurface {
+
+  private def c(e: Expression): Column = GraftBridge.column(e).cast("double")
+  // eager ColumnNode→Expression conversion: the lazy wrapper would ride
+  // the resolved plan into codegen and fail there (function builders
+  // bypass the Dataset-API conversion point)
+  private def x(col: Column): Expression = GraftBridge.expressionEager(col)
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$fn window length must be an integer literal, got $other")
+  }
+
+  private def dblLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Float, org.apache.spark.sql.types.FloatType) => v.toDouble
+    case Literal(v: Int, IntegerType)   => v.toDouble
+    case Literal(v: Long, LongType)     => v.toDouble
+    // SQL decimal literals ("0.2") parse as DecimalType, not DOUBLE
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+      v.toDouble
+    case other =>
+      throw new IllegalArgumentException(s"$fn alpha must be a numeric literal, got $other")
+  }
+
+  /** (name, builder) pairs — W class (fixed rolling), EW class (running
+    * recursions over the canonical frame), ELEM class (bar arithmetic). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ---- W class --------------------------------------------------------
+    "graft_sma" -> (es => x(P.rmean(c(es(0)), intLit(es(1), "graft_sma")))),
+    "graft_wma" -> (es => x(P.wma(c(es(0)), intLit(es(1), "graft_wma")))),
+    "graft_stdev" -> (es => x(P.rstd(c(es(0)), intLit(es(1), "graft_stdev")))),
+    "graft_variance" -> (es => x(P.rvar(c(es(0)), intLit(es(1), "graft_variance")))),
+    "graft_rsum" -> (es => x(P.rsum(c(es(0)), intLit(es(1), "graft_rsum")))),
+    "graft_rmin" -> (es => x(P.rmin(c(es(0)), intLit(es(1), "graft_rmin")))),
+    "graft_rmax" -> (es => x(P.rmax(c(es(0)), intLit(es(1), "graft_rmax")))),
+    "graft_rmedian" -> (es => x(P.rmedian(c(es(0)), intLit(es(1), "graft_rmedian")))),
+    "graft_zscore" -> (es => {
+      val n = intLit(es(1), "graft_zscore")
+      val v = c(es(0))
+      x(P.sdiv(v - P.rmean(v, n), P.rstd(v, n)))
+    }),
+    "graft_roc" -> (es => {
+      val n = intLit(es(1), "graft_roc")
+      x(P.pctChange(c(es(0)), n) * org.apache.spark.sql.functions.lit(100.0))
+    }),
+    // ---- EW class (canonical running frame pre-applied) -----------------
+    "graft_ewma" -> (es => x(P.ewm(c(es(0)), dblLit(es(1), "graft_ewma")))),
+    "graft_rma" -> (es => x(P.rmaOf(c(es(0)), intLit(es(1), "graft_rma")))),
+    // ---- ELEM class -----------------------------------------------------
+    "graft_hl2" -> (es => x((c(es(0)) + c(es(1))) / 2.0)),
+    "graft_hlc3" -> (es => x((c(es(0)) + c(es(1)) + c(es(2))) / 3.0)),
+    "graft_ohlc4" -> (es => x((c(es(0)) + c(es(1)) + c(es(2)) + c(es(3))) / 4.0)),
+    "graft_wcp" -> (es => x((c(es(0)) + c(es(1)) + c(es(2)) * 2.0) / 4.0)),
+    "graft_tr" -> (es => {
+      import org.apache.spark.sql.functions.{abs, greatest, lit, when}
+      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
+      val pc = P.shift(cl, 1)
+      x(when(pc.isNull, lit(null)).otherwise(greatest(h - l, abs(h - pc), abs(l - pc))))
+    })
+  )
+}

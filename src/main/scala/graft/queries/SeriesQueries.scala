@@ -272,8 +272,73 @@ object SeriesQueries {
     }
   }
 
+  // ------------------------------------------------------------ SQL surface
+  /** The indicator SQL entry points consumed AS A SQL-ONLY USER WOULD:
+    * one spark.sql text query over a temp view of the bars table, calling
+    * the graft_* wrapper functions (TaSqlSurface) with no Column-API
+    * involvement. The wrappers expand to the same prim-layer trees the
+    * Scala accessor builds, so the oracle is the standard sqlgen mirror.
+    * Covers all three exposed families: W (sma/wma/stdev/zscore/roc),
+    * EW (ewma/rma), ELEM (hl2/tr). */
+  val qSqlSurface = Q(
+    "x_sql_surface",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars")
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  graft_sma(close, 10) AS s_sma,
+            |  graft_wma(close, 10) AS s_wma,
+            |  graft_stdev(close, 10) AS s_stdev,
+            |  graft_zscore(close, 10) AS s_z,
+            |  graft_roc(close, 10) AS s_roc,
+            |  graft_ewma(close, 0.2) AS s_ewma,
+            |  graft_rma(close, 10) AS s_rma,
+            |  graft_hl2(high, low) AS s_hl2,
+            |  graft_tr(high, low, close) AS s_tr
+            |FROM graft_bars""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +:
+            Seq("s_sma", "s_wma", "s_stdev", "s_z", "s_roc", "s_ewma", "s_rma", "s_hl2", "s_tr")
+              .map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val b = new Cte("bars", barsCte)
+        .addSel(
+          "t1",
+          s"${rmean("close", 10)} AS s_sma, ${wmaSqlOf("close", 10)} AS s_wma, " +
+            s"${rstd("close", 10)} AS s_stdev, " +
+            s"${sdiv(s"(close - ${rmean("close", 10)})", rstd("close", 10))} AS s_z, " +
+            s"(${sdiv("close", s"lag(close, 10) $ov")} - 1e0) * 100e0 AS s_roc, " +
+            s"${ewm("close", 0.2)} AS s_ewma, " +
+            s"${rma("close", 10)} AS s_rma, " +
+            "(high + low) / 2e0 AS s_hl2, " +
+            s"CASE WHEN lag(close, 1) $ov IS NULL THEN NULL ELSE " +
+            s"greatest(high - low, abs(high - lag(close, 1) $ov), abs(low - lag(close, 1) $ov)) END AS s_tr"
+        )
+      b.result(
+        "SELECT series_id, ts, " +
+          Seq("s_sma", "s_wma", "s_stdev", "s_z", "s_roc", "s_ewma", "s_rma", "s_hl2", "s_tr")
+            .map(o => s"${normd(o)} AS $o")
+            .mkString(", ") +
+          s" FROM ${b.top}$orderTail"
+      )
+    }
+  )
+
+  /** wma oracle fragment (normalized 1..n weights in lag order). */
+  private def wmaSqlOf(x: String, n: Int): String = {
+    val ws = (1 to n).map(_.toDouble)
+    val s = ws.sum
+    gate(x, n, wdot(x, ws.reverse.map(_ / s)))
+  }
+
   def all: Seq[Q] = Seq(
     qSma, qEma, qWma, qRma, qDema, qTema, qTrima, qHma, qRsi, qMacd, qMomRoc,
-    qStats, qStats2, qReturns, qDrawdown
+    qStats, qStats2, qReturns, qDrawdown, qSqlSurface
   )
 }

@@ -23,4 +23,52 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(0)).toSeq == Seq(10.0, 15.0, 22.5))
     assert(r.head.getDouble(1) == 11.0)
   }
+
+  test("indicator SQL surface: every TaSqlSurface function resolves from SQL text") {
+    Graft.init(spark)
+    // exposure list is the contract: a SQL-only consumer can reach these
+    val exposed = graft.functions.TaSqlSurface.builders.map(_._1)
+    assert(
+      exposed == Seq(
+        "graft_sma", "graft_wma", "graft_stdev", "graft_variance", "graft_rsum",
+        "graft_rmin", "graft_rmax", "graft_rmedian", "graft_zscore", "graft_roc",
+        "graft_ewma", "graft_rma",
+        "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr"
+      ),
+      "SQL surface contract changed — update SURVEY.md §2.C and this list together"
+    )
+    Graft.bars(spark, TestSpark.sfDir).createOrReplaceTempView("xs_bars")
+    // one SELECT touching every exposed function must analyze and run
+    val cols = Seq(
+      "graft_sma(close, 3)", "graft_wma(close, 3)", "graft_stdev(close, 3)",
+      "graft_variance(close, 3)", "graft_rsum(close, 3)", "graft_rmin(close, 3)",
+      "graft_rmax(close, 3)", "graft_rmedian(close, 3)", "graft_zscore(close, 3)",
+      "graft_roc(close, 3)", "graft_ewma(close, 0.5)", "graft_rma(close, 3)",
+      "graft_hl2(high, low)", "graft_hlc3(high, low, close)",
+      "graft_ohlc4(open, high, low, close)", "graft_wcp(high, low, close)",
+      "graft_tr(high, low, close)"
+    ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+    val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
+    assert(out.nonEmpty)
+
+    // spot-check semantics against the Scala accessor on the same frame
+    val sql3 = spark
+      .sql("SELECT series_id, ts, graft_sma(close, 3) AS v FROM xs_bars")
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> Option(r.get(2)))
+      .toMap
+    import org.apache.spark.sql.functions.col
+    val api3 = Graft
+      .bars(spark, TestSpark.sfDir)
+      .withColumn("v", graft.ta.prim.rmean(col("close"), 3))
+      .select("series_id", "ts", "v")
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> Option(r.get(2)))
+      .toMap
+    assert(sql3 == api3, "SQL wrapper diverged from the Scala accessor path")
+
+    // non-literal window length must fail loudly, not mis-plan
+    val e = intercept[Exception](spark.sql("SELECT graft_sma(close, CAST(volume AS INT)) FROM xs_bars"))
+    assert(e.getMessage.contains("integer literal"), s"unexpected: ${e.getMessage}")
+  }
 }
