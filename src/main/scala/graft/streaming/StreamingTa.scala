@@ -1004,4 +1004,80 @@ object StreamingTa {
         (psi > lit(0.25) && n >= lit(minN)).as("drift_alert")
       )
   }
+
+  // ------------------------------------------- streaming top-k retrieval
+  /** Streaming ANN SERVING: arriving query vectors probe the persisted
+    * IVF index through a stream-static cell join — the serving half that
+    * closes the loop with [[cellAssignStream]] (the ingestion half).
+    *
+    * Routing uses the trained coarse centroids as literals (nCells·d
+    * doubles, zero stream-side shuffle before the candidate join) with
+    * the SAME tie-break as the batch prober — cells by (csim desc,
+    * cent_id asc) via the struct array_sort, neighbors by (sim desc,
+    * nbr_id asc) — so output is row-for-row
+    * [[graft.extensions.Similarity.topkIvfWithCents]] (spec-asserted over
+    * chunked replays). Candidates meet the index on the cell key: with a
+    * cell-partitioned saved index ([[graft.extensions.Similarity.saveIvfIndex]])
+    * each micro-batch reads only its probed cells' files, so serving I/O
+    * scales with cells probed, never corpus size.
+    *
+    * Per-query top-k folds in flatMapGroupsWithState with a k-bounded
+    * insertion — memory per query is O(k) however many candidates the
+    * cells hold. All of a query's candidates land in its own micro-batch
+    * (the stream-static join is within-batch), so state is only the
+    * once-emitted flag guarding against a duplicate query id arriving in
+    * a later batch. */
+  def topkIvfStream(
+      queries: DataFrame,
+      index: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    graft.functions.Registry.register(queries.sparkSession)
+    import queries.sparkSession.implicits._
+    val entries = cents.map { case (cid, ct) =>
+      struct(
+        (lit(-1.0) * graft.extensions.Similarity.dot(col("embedding"), typedLit(ct))).as("nd"),
+        lit(cid).as("c")
+      )
+    }
+    val probes = queries
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        explode(slice(array_sort(array(entries: _*)), 1, nprobe)).as("pr")
+      )
+      .select(col("q_id"), col("q_emb"), col("pr.c").as("cell"))
+    val cand = probes
+      .join(index.select(col("vec_id"), col("embedding"), col("cell")), "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"),
+        col("vec_id").as("nbr_id"),
+        graft.extensions.Similarity.dot(col("q_emb"), col("embedding")).as("sim")
+      )
+      .as[(Long, Long, Double)]
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, s) => (-s, id) }
+    cand
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (q: Long, it: Iterator[(Long, Long, Double)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var buf = Vector.empty[(Long, Double)] // sorted by (sim desc, id asc), ≤ k
+            it.foreach { case (_, id, s) =>
+              val t = (id, s)
+              if (buf.size < k || ord.lt(t, buf.last)) {
+                val i = buf.indexWhere(b => ord.lt(t, b))
+                buf = (if (i < 0) buf :+ t else (buf.take(i) :+ t) ++ buf.drop(i)).take(k)
+              }
+            }
+            buf.iterator.zipWithIndex.map { case ((id, s), i) => (q, i + 1, id, s) }
+          }
+      )
+      .toDF("q_id", "rk", "nbr_id", "sim")
+  }
 }
