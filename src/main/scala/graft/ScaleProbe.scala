@@ -377,6 +377,49 @@ object ScaleProbe {
         graft.CacheRegistry.releaseTransients(spark)
       }
     }
+    // ---- PageRank at edge scale (round 7): the 10k-node tokgraph probe
+    // is barrier-bound (flat across 16× edges); this one grows BOTH the
+    // edge count and the node space so the data term surfaces, and the
+    // last config crosses the 10M-node threshold where the rank table
+    // stops broadcasting and shuffle-co-partitions with the cached edges
+    // (Graphs.pagerank's hintRanks switch — the web-scale Pregel shape).
+    // 3 rounds: enough to amortize setup and see per-round cost.
+    if (want("prlarge"))
+      for (
+        (nE, nN) <- Seq(
+          (1000000L, 200000L),
+          (10000000L, 2000000L),
+          (50000000L, 8000000L), // broadcast side of the threshold
+          (50000000L, 20000000L) // co-partition side, same edge count
+        )
+      ) {
+        val e = graft.CacheRegistry.track(
+          spark
+            .range(nE)
+            .select(
+              pmod(col("id") * 2654435761L, lit(nN)).as("src"),
+              pmod(col("id") * 40503L + 7L, lit(nN)).as("dst"),
+              (pmod(col("id"), lit(3)) + 1L).as("w")
+            )
+        )
+        e.count()
+        emit(s"pagerank3_nodes$nN", nE, time(graft.extensions.Graphs.pagerank(e, 0.85, 3).count()))
+        graft.CacheRegistry.release(spark)
+      }
+
+    // ---- ANN front-door dispatch overhead (round 7): Similarity.topk's
+    // cost over the explicit call it routes to. First call pays the
+    // memo'd count+dim probe; warm calls should be indistinguishable
+    // from direct topkBrute.
+    if (want("anndispatch")) for (n <- Seq(20000, 80000)) {
+      val v = graft.CacheRegistry.track(vecs(spark, n))
+      v.count()
+      val q = v.where(col("vec_id") < 64)
+      emit("ann_front_direct", n, timed(graft.extensions.Similarity.topkBrute(v, q, 5).count()))
+      emit("ann_front_auto_first", n, time(graft.extensions.Similarity.topk(v, q, 5).count()))
+      emit("ann_front_auto_warm", n, timed(graft.extensions.Similarity.topk(v, q, 5).count()))
+      graft.CacheRegistry.release(spark)
+    }
     spark.stop()
   }
 }
