@@ -296,4 +296,133 @@ object Media {
         WavRow(id, w.sample_rate, w.n_channels, w.n_samples, w.duration_ms, w.abs_sum, w.n_windows, w.max_win_sum)
       })
   }
+
+  // ------------------------------------------------------------ BMP codec
+  /** Decoded 24-bpp BMP facts + channel/positional features. All-integer
+    * for exact oracle replay. `wsum_lum` is the POSITION-WEIGHTED
+    * luminance sum Σ p·(B+G+R) over the logical top-down row-major pixel
+    * index p — channel sums alone are order-blind, so a decoder that
+    * mishandles the bottom-up row order or the 4-byte row padding would
+    * still match them; the weighted sum catches exactly those bugs. */
+  case class BmpInfo(
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      wsum_lum: Long
+  )
+
+  case class BmpRow(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      wsum_lum: Long
+  )
+
+  /** REAL pure-JVM BMP decoder (BITMAPINFOHEADER, 24-bpp uncompressed):
+    * validates the BM magic, reads the pixel-array offset and DIB
+    * dimensions, walks rows at the padded 4-byte stride in file order
+    * (bottom-up for positive height, top-down for negative — both
+    * handled), and folds per-channel sums plus the position-weighted
+    * luminance over the LOGICAL top-down pixel order. The second format
+    * through the decode seam after WAV — same contract: malformed input
+    * (wrong magic, unsupported bpp/compression, truncated pixel array)
+    * fails loudly rather than decoding to plausible features. */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP payload")
+    val pixOff = leU32(bytes, 10).toInt
+    val dibSize = leU32(bytes, 14).toInt
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    val w = leU32(bytes, 18).toInt
+    val hRaw = leU32(bytes, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$hRaw")
+    val bpp = leU16(bytes, 28)
+    require(bpp == 24, s"unsupported bits/pixel $bpp (24-bpp only)")
+    val compression = leU32(bytes, 30)
+    require(compression == 0, s"unsupported compression $compression (BI_RGB only)")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(pixOff + stride.toLong * h <= bytes.length, "truncated pixel array")
+    var sr = 0L; var sg = 0L; var sb = 0L; var wl = 0L
+    var row = 0
+    while (row < h) {
+      // logical row (top-down) for this file row
+      val lr = if (topDown) row else h - 1 - row
+      val base = pixOff + row * stride
+      var c = 0
+      while (c < w) {
+        val b0 = bytes(base + c * 3) & 0xff // stored B, G, R
+        val g0 = bytes(base + c * 3 + 1) & 0xff
+        val r0 = bytes(base + c * 3 + 2) & 0xff
+        sb += b0; sg += g0; sr += r0
+        wl += (lr.toLong * w + c) * (b0 + g0 + r0)
+        c += 1
+      }
+      row += 1
+    }
+    BmpInfo(w, h, w.toLong * h, sr, sg, sb, wl)
+  }
+
+  /** Deterministic synthetic 24-bpp BMP from text — the image twin of
+    * [[synthWav]]: width = 1 + len%16, height = ceil(len/width) (min 1),
+    * pixel p (top-down row-major) has channels B = (base·3 + p·7) mod
+    * 256, G = (base·5 + p·11) mod 256, R = (base·2 + p·13) mod 256 with
+    * base = polyHash(text) mod 251 — content-dependent, so the oracle's
+    * analytic replay catches any byte the encoder or decoder mislays.
+    * Written BOTTOM-UP with real row padding, so the decoder's row
+    * re-ordering and stride walk are on the verified path. */
+  def synthBmp(text: String): Array[Byte] = {
+    val n = text.length
+    val w = 1 + n % 16
+    val h = math.max(1, (n + w - 1) / w)
+    // polyHash over UTF-8 bytes, same arithmetic as TextOps.polyHash
+    var acc = 0L
+    text.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(b => acc = (acc * 31 + (b & 0xffL)) % 1000000007L)
+    val base = acc % 251L
+    val stride = ((w * 3 + 3) / 4) * 4
+    val total = 54 + stride * h
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(total)
+    bb.putShort(0.toShort); bb.putShort(0.toShort); bb.putInt(54) // reserved, pixel offset
+    bb.putInt(40); bb.putInt(w); bb.putInt(h) // positive height = bottom-up
+    bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0); bb.putInt(stride * h) // BI_RGB, image size
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0) // ppm, palette
+    var fileRow = 0
+    while (fileRow < h) {
+      val lr = h - 1 - fileRow // bottom-up: first file row is the last logical row
+      var c = 0
+      while (c < w) {
+        val p = lr.toLong * w + c
+        bb.put(((base * 3 + p * 7) % 256).toByte)
+        bb.put(((base * 5 + p * 11) % 256).toByte)
+        bb.put(((base * 2 + p * 13) % 256).toByte)
+        c += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { bb.put(0.toByte); pad += 1 }
+      fileRow += 1
+    }
+    bb.array()
+  }
+
+  /** Batched executor-side BMP decode — same pipeline shape as
+    * [[decodeWavRows]]. */
+  def decodeBmpRows(spark: SparkSession, media: DataFrame): Dataset[BmpRow] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val i = decodeBmp(b)
+        BmpRow(id, i.width, i.height, i.n_pixels, i.sum_r, i.sum_g, i.sum_b, i.wsum_lum)
+      })
+  }
 }

@@ -889,6 +889,42 @@ object ExtensionQueries {
     )
   )
 
+  /** Second real decoder through the seam — BMP: each doc's text encodes
+    * to a 24-bpp bottom-up BMP with real row padding (Media.synthBmp;
+    * pixel channels from a content-derived base scalar + the top-down
+    * pixel index), Media.decodeBmp parses it back, and the oracle
+    * replays the features analytically. The position-weighted luminance
+    * sum is order-SENSITIVE, so bottom-up re-ordering or stride-padding
+    * bugs diverge where plain channel sums would not. */
+  val qMediaDecodeBmp = Q(
+    "x_media_decode_bmp",
+    (s, dir) => {
+      import s.implicits._
+      val bmp = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, Media.synthBmp(t)) })
+        .toDF("doc_id", "payload")
+      Media
+        .decodeBmpRows(s, bmp)
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH d AS (SELECT doc_id, length(text) AS n, ${ph("text")} % 251 AS base FROM documents), " +
+        "g AS (SELECT doc_id, n, base, 1 + n % 16 AS w, " +
+        "greatest(1, (n + (1 + n % 16) - 1) // (1 + n % 16)) AS h FROM d), " +
+        "px AS (SELECT doc_id, w, h, base, unnest(range(0, w * h)) AS p FROM g), " +
+        "ch AS (SELECT doc_id, w, h, p, (base * 3 + p * 7) % 256 AS b, " +
+        "(base * 5 + p * 11) % 256 AS gg, (base * 2 + p * 13) % 256 AS r FROM px) " +
+        "SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height, " +
+        "CAST(count(*) AS BIGINT) AS n_pixels, CAST(sum(r) AS BIGINT) AS sum_r, " +
+        "CAST(sum(gg) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b, " +
+        "CAST(sum(p * (b + gg + r)) AS BIGINT) AS wsum_lum " +
+        "FROM ch GROUP BY doc_id ORDER BY doc_id"
+    )
+  )
+
   val qMediaFeatures = Q(
     "x_media_features",
     (s, dir) =>
@@ -1234,6 +1270,48 @@ object ExtensionQueries {
         "SELECT doc_id, round(score, 6) AS score, n_terms FROM (" +
         "SELECT doc_id, list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score, count(*) AS n_terms " +
         "FROM sc GROUP BY doc_id) ORDER BY score DESC, doc_id LIMIT 10"
+    }
+  )
+
+  /** RM3 pseudo-relevance feedback (Retrieval.rm3Expand): BM25 →
+    * top-3 feedback docs → RM1 weights Σ tf/dl folded in doc order →
+    * top-5 new expansion terms (weight desc, term asc) → BM25 re-run
+    * with the expanded set. The oracle replays BOTH stages and the
+    * expansion pick; exp_terms in the output verifies WHAT was added,
+    * not just the final ranking. */
+  val qRm3 = Q(
+    "x_rm3_expand",
+    (s, dir) =>
+      graft.extensions.Retrieval
+        .rm3Expand(docs(s, dir), Seq("table", "scan", "fast", "window"))
+        .select(col("rk"), col("doc_id"), P.normd(col("score")).as("score"), col("n_terms"), col("exp_terms"))
+        .orderBy("rk"),
+    Some {
+      import graft.queries.{sqlgen => G}
+      val k1 = 1.2; val b = 0.75
+      val q0 = "('table','scan','fast','window')"
+      def bm25Stage(tag: String, termPred: String): String =
+        s"tf$tag AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM t WHERE $termPred GROUP BY 1, 2, 3), " +
+          s"df$tag AS (SELECT term, count(*)::DOUBLE AS df FROM tf$tag GROUP BY 1), " +
+          s"sc$tag AS (SELECT tf$tag.doc_id, tf$tag.term, ln((st.n - df$tag.df + ${G.d(0.5)}) / (df$tag.df + ${G.d(0.5)}) + ${G.d(1.0)}) " +
+          s"* (tf$tag.tf * (${G.d(k1 + 1.0)})) / (tf$tag.tf + ${G.d(k1)} * (${G.d(1.0)} - ${G.d(b)} + ${G.d(b)} * tf$tag.dl / st.avgdl)) AS s " +
+          s"FROM tf$tag JOIN df$tag USING (term) CROSS JOIN st), " +
+          s"agg$tag AS (SELECT doc_id, list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS score, count(*) AS n_terms " +
+          s"FROM sc$tag GROUP BY doc_id)"
+      s"WITH toks AS ($toksCte), d AS (SELECT doc_id, tk, len(tk)::DOUBLE AS dl FROM toks), " +
+        "t AS (SELECT doc_id, dl, unnest(tk) AS term FROM d), " +
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d), " +
+        bm25Stage("1", s"term IN $q0") + ", " +
+        "fb AS (SELECT doc_id FROM agg1 ORDER BY score DESC, doc_id LIMIT 3), " +
+        "wtd AS (SELECT t.term, t.doc_id, count(*)::DOUBLE / any_value(t.dl) AS w " +
+        "FROM t JOIN fb USING (doc_id) GROUP BY t.term, t.doc_id), " +
+        "rm1 AS (SELECT term, list_reduce(list(w ORDER BY doc_id), (a, x) -> a + x) AS w FROM wtd GROUP BY term), " +
+        s"exp AS (SELECT term, w FROM rm1 WHERE term NOT IN $q0 ORDER BY w DESC, term LIMIT 5), " +
+        "q2 AS (SELECT term FROM exp UNION SELECT unnest(['table','scan','fast','window']) AS term), " +
+        bm25Stage("2", "term IN (SELECT term FROM q2)") + " " +
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk, doc_id, round(score, 6) AS score, n_terms, " +
+        "(SELECT string_agg(term, ' ' ORDER BY w DESC, term) FROM exp) AS exp_terms " +
+        "FROM agg2 ORDER BY score DESC, doc_id LIMIT 10"
     }
   )
 
@@ -2943,6 +3021,7 @@ object ExtensionQueries {
     qVecCluster,
     qTfidf,
     qBm25,
+    qRm3,
     qChunks,
     qSurprisal,
     qQualityRules,
@@ -2969,6 +3048,7 @@ object ExtensionQueries {
     qMediaFeatures,
     qMediaCdc,
     qMediaDecode,
+    qMediaDecodeBmp,
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,

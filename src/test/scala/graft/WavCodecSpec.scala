@@ -102,6 +102,75 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- BMP side
+  /** Hand-build a 24-bpp BMP; rows supplied TOP-DOWN as (B,G,R) triples,
+    * written bottom-up (positive height) or top-down (negative). */
+  private def buildBmp(rows: Seq[Seq[(Int, Int, Int)]], topDown: Boolean = false): Array[Byte] = {
+    val h = rows.length; val w = rows.head.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val total = 54 + stride * h
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(total)
+    bb.putShort(0.toShort); bb.putShort(0.toShort); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(if (topDown) -h else h)
+    bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0); bb.putInt(stride * h)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    val fileRows = if (topDown) rows else rows.reverse
+    fileRows.foreach { r =>
+      r.foreach { case (b, g, rr) => bb.put(b.toByte); bb.put(g.toByte); bb.put(rr.toByte) }
+      (w * 3 until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("BMP golden decode: dimensions, channel sums, position-weighted luminance") {
+    // 2x2: logical top-down pixels p=0..3 with distinct channels
+    val rows = Seq(
+      Seq((10, 20, 30), (40, 50, 60)), // p=0, p=1
+      Seq((1, 2, 3), (4, 5, 6)) // p=2, p=3
+    )
+    val i = Media.decodeBmp(buildBmp(rows))
+    assert(i.width == 2 && i.height == 2 && i.n_pixels == 4)
+    assert(i.sum_b == 10 + 40 + 1 + 4 && i.sum_g == 20 + 50 + 2 + 5 && i.sum_r == 30 + 60 + 3 + 6)
+    assert(i.wsum_lum == 0 * 60 + 1 * 150 + 2 * 6 + 3 * 15)
+  }
+
+  test("BMP bottom-up and top-down encodings of the same image decode identically") {
+    val rows = Seq(Seq((9, 8, 7)), Seq((1, 2, 3)), Seq((100, 101, 102))) // w=1: 1 padded byte/row
+    assert(Media.decodeBmp(buildBmp(rows)) == Media.decodeBmp(buildBmp(rows, topDown = true)))
+  }
+
+  test("BMP malformed input fails loudly") {
+    val good = buildBmp(Seq(Seq((1, 2, 3))))
+    def boom(b: Array[Byte], what: String): Unit =
+      assert(intercept[IllegalArgumentException](Media.decodeBmp(b)).getMessage != null, what)
+    boom("PNGnotabitmap".getBytes ++ new Array[Byte](60), "wrong magic")
+    boom(good.dropRight(2), "truncated pixel array")
+    val b8 = good.clone(); b8(28) = 8 // 8-bpp
+    boom(b8, "unsupported bpp")
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    boom(rle, "compressed")
+  }
+
+  test("BMP encode → decode parity with the analytic oracle formula") {
+    Seq("x", "hello bmp", (1 to 123).map(i => ('a' + i % 26).toChar).mkString).foreach { t =>
+      val i = Media.decodeBmp(Media.synthBmp(t))
+      val n = t.length
+      val w = 1 + n % 16
+      val h = math.max(1, (n + w - 1) / w)
+      var acc = 0L
+      t.getBytes("UTF-8").foreach(b => acc = (acc * 31 + (b & 0xffL)) % 1000000007L)
+      val base = acc % 251
+      val pix = (0L until w.toLong * h).map { p =>
+        ((base * 3 + p * 7) % 256, (base * 5 + p * 11) % 256, (base * 2 + p * 13) % 256)
+      }
+      assert(i.width == w && i.height == h && i.n_pixels == w.toLong * h)
+      assert(i.sum_b == pix.map(_._1).sum && i.sum_g == pix.map(_._2).sum && i.sum_r == pix.map(_._3).sum)
+      assert(i.wsum_lum == pix.zipWithIndex.map { case ((b, g, r), p) => p * (b + g + r) }.sum)
+    }
+  }
+
   test("distributed decode path: decodeWavRows equals local decode per doc") {
     val spark = TestSpark.spark
     import spark.implicits._
