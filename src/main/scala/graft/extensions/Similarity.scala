@@ -1101,6 +1101,10 @@ object Similarity {
   val AutoKey = "spark.graft.ann.auto" // default true; false pins brute
   val BruteMaxKey = "spark.graft.ann.bruteMax" // default 100000
   val IvfPqMinKey = "spark.graft.ann.ivfPqMin" // default 1000000
+  /** Query-count ceiling for the broadcast-probe spelling: above it the
+    * IVF route shuffles probes against the cell-partitioned index
+    * ([[topkIvfLarge]]) instead of broadcasting queries×nprobe rows. */
+  val BroadcastQueriesMaxKey = "spark.graft.ann.broadcastQueriesMax" // default 100000
   /** Written after every [[topk]] call: which plan the dispatch chose —
     * observable by monitoring/specs without re-deriving the decision. */
   val ChoiceKey = "spark.graft.ann.lastChoice"
@@ -1174,14 +1178,24 @@ object Similarity {
     }
     val bruteMax = spark.conf.get(BruteMaxKey, "100000").toLong
     val ivfPqMin = spark.conf.get(IvfPqMinKey, "1000000").toLong
+    val qMax = spark.conf.get(BroadcastQueriesMaxKey, "100000").toLong
     val (n, dim) = corpusStats(corpus)
-    val choice = annPlan(n, dim, recallTarget, bruteMax, ivfPqMin)
+    val choice0 = annPlan(n, dim, recallTarget, bruteMax, ivfPqMin)
+    // query-side scale: the broadcast-probe IVF spelling ships
+    // queries×nprobe rows to every task — above the ceiling, switch to
+    // the shuffle-co-partitioned prober (one memo'd count on the query
+    // frame, only paid when the corpus route is IVF)
+    val choice =
+      if (choice0 == "ivf" && corpusStats(queries)._1 > qMax) "ivf_large" else choice0
     spark.conf.set(ChoiceKey, choice)
     choice match {
       case "brute" => topkBrute(corpus, queries, k)
       case "ivf" =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
         topkIvf(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)
+      case "ivf_large" =>
+        val (nCells, nprobe) = ivfParams(n, recallTarget)
+        topkIvfLarge(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)
       case _ =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
         topkIvfPq(

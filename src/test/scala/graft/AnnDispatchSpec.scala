@@ -68,6 +68,24 @@ class AnnDispatchSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.BruteMaxKey)
   }
 
+  test("huge query sets on the IVF route switch to the shuffle-co-partitioned prober") {
+    val n = embs.count()
+    spark.conf.set(Similarity.BruteMaxKey, "10")
+    spark.conf.set(Similarity.BroadcastQueriesMaxKey, "5") // 10 queries > 5
+    try {
+      val auto = rows(Similarity.topk(embs, queries, k = 5))
+      assert(spark.conf.get(Similarity.ChoiceKey) == "ivf_large")
+      val (nCells, nprobe) = Similarity.ivfParams(n, 0.9)
+      val explicit = rows(
+        Similarity.topkIvfLarge(Similarity.ivfIndex(embs, nCells), queries, k = 5, nCells = nCells, nprobe = nprobe)
+      )
+      assert(auto == explicit)
+    } finally {
+      spark.conf.unset(Similarity.BruteMaxKey)
+      spark.conf.unset(Similarity.BroadcastQueriesMaxKey)
+    }
+  }
+
   test("forced IVF-PQ route (both ceilings below corpus) equals the explicit topkIvfPq call") {
     val n = embs.count()
     spark.conf.set(Similarity.BruteMaxKey, "10")

@@ -52,6 +52,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$finalPlan")
   }
 
+  test("SQL-surface indicator batch keeps the one-shuffle property") {
+    // the graft_* SQL wrappers expand to prim-layer trees on the shared
+    // window spec — a SQL-only consumer stacking several of them must
+    // still plan ONE Exchange, exactly like the Scala accessor batch
+    Graft.init(spark)
+    synthetic.repartition(col("series_id")).createOrReplaceTempView("ps_sql_bars")
+    val out = spark.sql(
+      "SELECT series_id, ts, graft_sma(close, 10) AS a, graft_wma(close, 10) AS b, " +
+        "graft_stdev(close, 10) AS c, graft_zscore(close, 10) AS d, graft_roc(close, 10) AS e, " +
+        "graft_ewma(close, 0.2) AS f, graft_rma(close, 10) AS g, graft_tr(high, low, close) AS h " +
+        "FROM ps_sql_bars"
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size <= 2, s"window batch split into ${windows.size} WindowExec nodes")
+  }
+
   test("every window-class registry indicator in ONE strategy = one shuffle") {
     import graft.ta.{registry, IndicatorSpec, Strategy}
     // REC kernels repartition internally (mapPartitions state machines);
