@@ -59,6 +59,68 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    * models, as deployed in Anserini/Indri): run BM25, take the top
+    * `fbDocs` documents as pseudo-relevant, build the RM1 expansion
+    * weight w(t) = Σ_d tf(t,d)/dl_d over those docs, append the top
+    * `fbTerms` NEW terms (weight desc, term asc ties) to the query, and
+    * re-run BM25 with the expanded term set — the standard recall lever
+    * when the literal query under-describes the information need (and,
+    * in a curation pipeline, the way a decontamination/retrieval sweep
+    * widens around a seed query).
+    *
+    * Determinism: RM1 folds per-term contributions in doc_id order (the
+    * bm25 orderedSum pattern); the expansion cut is TakeOrdered with a
+    * total tie-break. The expansion itself is collected — it is
+    * `fbTerms` strings, the same driver-sized-pool contract as
+    * [[mmrRerank]]; both BM25 passes stay fully distributed. Output
+    * carries the expansion terms so the oracle verifies WHAT was added,
+    * not just the final ranking. */
+  def rm3Expand(
+      docs: DataFrame,
+      terms: Seq[String],
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10
+  ): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0, "rm3 needs a non-empty feedback pool")
+    val fb = bm25(docs, terms, k1, b, fbDocs).select(col("doc_id"))
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).cast("double").as("dl"))
+    val wtd = toks
+      .join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .select(col("term"), col("doc_id"), (col("tf") / col("dl")).as("w"))
+    val rm1 = wtd
+      .groupBy("term")
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("w")))), x => x("w")),
+          lit(0.0),
+          (acc, x) => acc + x
+        ).as("w")
+      )
+    val exp = rm1
+      .where(!col("term").isInCollection(terms))
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(fbTerms)
+      .select("term")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.orderBy(col("score").desc, col("doc_id").asc) // topK rows — bounded
+    bm25(docs, terms ++ exp, k1, b, topK)
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("exp_terms", lit(exp.mkString(" ")))
+      .select("rk", "doc_id", "score", "n_terms", "exp_terms")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
     * candidate lists — THE standard way hybrid search merges a lexical
     * (BM25) list with a vector (cosine) list without score calibration:
