@@ -365,12 +365,17 @@ object Rec2Queries {
         s"SELECT z0.*, z0.pp / (z0.pp + (${d(rnz)})) AS k0 FROM (" +
         s"SELECT kb.series_id, kb.ts, kb.rn, kb.close, kr.x AS xp, kr.p AS pprev, kr.p + (${d(q)}) AS pp " +
         "FROM kb JOIN kr ON kb.series_id = kr.series_id AND kb.rn = kr.rn + 1) z0) z1), " +
-        "i AS (SELECT kb.series_id, kb.ts, kb.rn, " +
+        // MATERIALIZED is load-bearing: the second recursion (r) references
+        // b every iteration, and an inlined b re-runs the ENTIRE kr
+        // recursion per step — measured 221 s -> 2.2 s at sf0.1 (~66-row
+        // series = ~66 re-evaluations). Same lesson as the pagerank/BPE
+        // round-unroll oracles.
+        "i AS MATERIALIZED (SELECT kb.series_id, kb.ts, kb.rn, " +
         "kb.close - lag(kr.x) OVER (PARTITION BY kb.series_id ORDER BY kb.rn) AS close " +
         "FROM kb JOIN kr ON kb.series_id = kr.series_id AND kb.rn = kr.rn), " +
-        "st AS (SELECT series_id, round(avg(close), 6) AS mu, round(stddev_samp(close), 6) AS sd " +
+        "st AS MATERIALIZED (SELECT series_id, round(avg(close), 6) AS mu, round(stddev_samp(close), 6) AS sd " +
         "FROM i GROUP BY 1), " +
-        "b AS (SELECT i.series_id, i.ts, i.rn, i.close, st.mu, st.sd FROM i JOIN st USING (series_id)), " +
+        "b AS MATERIALIZED (SELECT i.series_id, i.ts, i.rn, i.close, st.mu, st.sd FROM i JOIN st USING (series_id)), " +
         "r AS (SELECT series_id, ts, rn, " + outs.replace("psp", "0e0").replace("psn", "0e0") +
         s" FROM (SELECT *, ${stepFrom("0e0", "0e0")} FROM b WHERE rn = 1) z0 " +
         "UNION ALL SELECT series_id, ts, rn, " + outs +
