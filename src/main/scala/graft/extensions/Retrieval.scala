@@ -59,6 +59,75 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** STREAMING BM25 scoring — the retrieval gate of a continuous-ingest
+    * pipeline: score arriving documents against a fixed query with the
+    * corpus statistics (N, avgdl, per-term df) frozen as SNAPSHOT
+    * literals, the same way the streaming quality/PII gates carry their
+    * trained weights. Fully stateless (pure map-side expressions, no
+    * watermark, works on batch and streaming frames alike), so
+    * throughput is the scan rate. Scoring arithmetic is term-for-term
+    * [[bm25]]'s, folded in the fixed term order of `terms` — handed the
+    * stats [[bm25]] itself computes over a corpus, it reproduces that
+    * corpus's scores row-for-row (spec-asserted). Emits docs matching
+    * ≥ 1 query term, like the batch join semantics. */
+  def bm25ScoreStream(
+      docs: DataFrame,
+      terms: Seq[String],
+      n: Double,
+      avgdl: Double,
+      dfs: Map[String, Double],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25ScoreStream needs at least one query term")
+    val dl = size(TextOps.tokens(col("text"))).cast("double")
+    def tf(t: String): Column =
+      size(filter(TextOps.tokens(col("text")), x => x === lit(t))).cast("double")
+    def idf(t: String): Column = {
+      val df0 = dfs.getOrElse(t, 0.0)
+      lit(math.log((n - df0 + 0.5) / (df0 + 0.5) + 1.0))
+    }
+    // alphabetical left fold = bm25's orderedSum over struct(term, s):
+    // absent terms contribute an exact 0.0 (x + 0.0 never changes a
+    // double), so the present terms fold in exactly the batch order
+    val sortedTerms = terms.sorted
+    val contribs = sortedTerms.map { t =>
+      val tft = tf(t)
+      when(tft > 0.0, idf(t) * (tft * lit(k1 + 1.0)) / (tft + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val nHit = sortedTerms.map(t => when(tf(t) > 0.0, 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(
+        col("doc_id"),
+        contribs.reduce(_ + _).as("score"),
+        nHit.as("n_terms")
+      )
+      .where(col("n_terms") > 0)
+  }
+
+  /** Corpus-stats snapshot for [[bm25ScoreStream]]: (N, avgdl, df per
+    * query term) computed exactly as [[bm25]] computes them internally —
+    * run batch-side on a corpus snapshot, carry the scalars into the
+    * stream. */
+  def bm25Stats(docs: DataFrame, terms: Seq[String]): (Double, Double, Map[String, Double]) = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), col("__tk"), size(col("__tk")).cast("double").as("dl"))
+    val st = toks.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+    val dfs = toks
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy("doc_id", "term")
+      .count()
+      .groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    (st.getDouble(0), st.getDouble(1), dfs)
+  }
+
   /** RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
     * models, as deployed in Anserini/Indri): run BM25, take the top
     * `fbDocs` documents as pseudo-relevant, build the RM1 expansion

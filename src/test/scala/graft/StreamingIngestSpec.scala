@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.extensions.{Media, Retrieval}
+import java.nio.file.Files
+
+/** Round-7 streaming-ingest gates: the BM25 retrieval gate and the real
+  * media decoders run STATELESSLY on a document stream and must equal
+  * their batch twins row-for-row (same expressions, snapshot-literal
+  * stats — the qualityScoreStream/piiScanStream contract).
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Graft.table(spark, TestSpark.sfDir, "documents")
+
+  /** Replay (doc_id, text) as 3 in-order file micro-batches. */
+  private def docStream(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    val stage = Files.createTempDirectory("graft_ingest_stage").toFile
+    val src = Files.createTempDirectory("graft_ingest_src").toFile
+    rows.grouped(math.ceil(rows.length / 3.0).toInt).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk.toSeq).toDF("doc_id", "text").coalesce(1).write.parquet(s"$stage/c$i")
+      val f = new java.io.File(s"$stage/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(src, f"chunk$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getAbsolutePath)
+  }
+
+  test("streaming BM25 gate with snapshot stats reproduces the batch ranking row-for-row") {
+    val terms = Seq("table", "scan", "fast", "window")
+    val (n, avgdl, dfs) = Retrieval.bm25Stats(docs, terms)
+    assert(dfs.nonEmpty && n > 0)
+
+    val q = Retrieval
+      .bm25ScoreStream(docStream(), terms, n, avgdl, dfs)
+      .writeStream
+      .format("memory")
+      .queryName("bm25_gate")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("bm25_gate")
+      .collect()
+      .map(r => r.getLong(0) -> ((math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2))))
+      .toMap
+
+    // batch twin #1: the same stateless expressions over the static frame
+    val static = Retrieval
+      .bm25ScoreStream(docs, terms, n, avgdl, dfs)
+      .collect()
+      .map(r => r.getLong(0) -> ((math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2))))
+      .toMap
+    assert(streamed == static, "stream diverged from the same expressions on a static frame")
+
+    // batch twin #2: full bm25 over the corpus the stats were snapshot
+    // from — its top-10 scores must be found verbatim in the gate output
+    val top = Retrieval
+      .bm25(docs, terms)
+      .collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2)))
+    assert(top.nonEmpty)
+    top.foreach { case (id, score, nt) =>
+      assert(streamed.get(id).contains((score, nt)), s"doc $id: ${streamed.get(id)} vs ($score, $nt)")
+    }
+  }
+
+  test("real media decoders run on a stream: WAV decode equals batch per doc") {
+    import spark.implicits._
+    val wavStream = docStream()
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, Media.synthWav(t)) })
+      .toDF("doc_id", "payload")
+    val q = Media
+      .decodeWavRows(spark, wavStream)
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("wav_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("wav_stream")
+      .collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail)
+      .toMap
+    val batch = docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .map { case (id, t) =>
+        val w = Media.decodeWav(Media.synthWav(t))
+        id -> Seq[Any](w.sample_rate.toLong, w.n_channels.toLong, w.n_samples, w.duration_ms, w.abs_sum, w.n_windows, w.max_win_sum)
+      }
+      .toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+}
