@@ -407,6 +407,43 @@ object ScaleProbe {
         graft.CacheRegistry.release(spark)
       }
 
+    // ---- query-side scale routing (round 8): the broadcast prober
+    // (topkIvf — queries×nprobe rows broadcast to the index scan) vs the
+    // co-partitioned shuffle prober (topkIvfLarge — probes meet the index
+    // through a cell-keyed shuffle join). Fixed 80k corpus, query set
+    // grows 1k → 1M: the broadcast route should win while the probe set
+    // is small (no shuffle of the index side) and lose — then become
+    // untenable (driver-sized broadcast) — as the query set grows past
+    // the spark.graft.ann.broadcastQueriesMax default (100k), which this
+    // curve certifies. The 1M point runs ONLY the co-partition route:
+    // 4M probe rows × ~300 B would be a GB-scale broadcast by design.
+    if (want("ivflarge")) {
+      val n = 80000
+      val v = graft.CacheRegistry.track(vecs(spark, n))
+      v.count()
+      val idx = graft.extensions.Similarity.ivfIndex(v, 64)
+      idx.count() // memo'd build paid outside the timings
+      for (qn <- Seq(1000, 10000, 100000, 1000000)) {
+        val q = graft.CacheRegistry.track(
+          vecs(spark, qn).select((col("vec_id") + 500000000L).as("vec_id"), col("embedding"))
+        )
+        q.count()
+        if (qn <= 100000)
+          emit(
+            "ivf_broadcast_probe",
+            qn,
+            timed(graft.extensions.Similarity.topkIvf(idx, q, 5, 64, 4).count())
+          )
+        emit(
+          "ivf_copart_probe",
+          qn,
+          timed(graft.extensions.Similarity.topkIvfLarge(idx, q, 5, 64, 4).count())
+        )
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+      graft.CacheRegistry.release(spark)
+    }
+
     // ---- ANN front-door dispatch overhead (round 7): Similarity.topk's
     // cost over the explicit call it routes to. First call pays the
     // memo'd count+dim probe; warm calls should be indistinguishable

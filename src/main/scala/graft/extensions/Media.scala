@@ -209,8 +209,13 @@ object Media {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length && (rate == 0 || dataOff < 0)) {
       val id = fourCC(bytes, off)
-      val sz = leU32(bytes, off + 4).toInt
+      val szL = leU32(bytes, off + 4) // unsigned; ≥ 2^31 would wrap .toInt negative
       val body = off + 8
+      // A crafted size ≥ 2^31 (e.g. 0xFFFFFFF8 → -8 as Int) would make the
+      // offset advance stationary or backward — an executor-side infinite
+      // loop. Fail loudly per the malformed-input contract.
+      require(szL <= Int.MaxValue && body + szL <= bytes.length, s"corrupt $id chunk size $szL")
+      val sz = szL.toInt
       id match {
         case "fmt " =>
           require(sz >= 16 && body + 16 <= bytes.length, "truncated fmt chunk")
@@ -337,6 +342,9 @@ object Media {
   def decodeBmp(bytes: Array[Byte]): BmpInfo = {
     require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP payload")
     val pixOff = leU32(bytes, 10).toInt
+    // a pixel offset ≥ 2^31 wraps negative and would slip past the
+    // truncated-pixel-array require below into a raw AIOOBE
+    require(pixOff >= 54 && pixOff <= bytes.length, s"corrupt pixel-array offset $pixOff")
     val dibSize = leU32(bytes, 14).toInt
     require(dibSize >= 40, s"unsupported DIB header size $dibSize")
     val w = leU32(bytes, 18).toInt
@@ -423,6 +431,54 @@ object Media {
       .mapPartitions(_.map { case (id, b) =>
         val i = decodeBmp(b)
         BmpRow(id, i.width, i.height, i.n_pixels, i.sum_r, i.sum_g, i.sum_b, i.wsum_lum)
+      })
+  }
+
+  // ------------------------------------------------- magic-byte dispatcher
+  /** One row of the mixed-format decode: which decoder the sniffer chose
+    * plus that format's two headline integer features (a real pipeline
+    * would emit per-format structs; two shared columns keep the oracle
+    * exact): WAV → (abs_sum, n_samples), BMP → (wsum_lum, n_pixels),
+    * unrecognized → the stub's (byte_sum_64, n_bytes). */
+  case class MixedRow(doc_id: Long, format: String, f1: Long, f2: Long)
+
+  /** Container sniff by magic bytes — the real-world dispatch rule for a
+    * mixed binary-payload column (file extensions don't survive into a
+    * BINARY column; leading bytes do): RIFF/WAVE → "wav", BM + a full
+    * BITMAPFILEHEADER's worth of bytes → "bmp", anything else → "bin".
+    * Sniffing is a ROUTE, not a validation — a payload that matches a
+    * magic but is structurally corrupt still fails loudly inside its
+    * decoder, never silently falls through to the stub. */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 12 && fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "WAVE") "wav"
+    else if (bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
+    else "bin"
+
+  /** Mixed-format decode: ONE executor-side mapPartitions pass routes each
+    * payload through [[sniffFormat]] to the matching decoder —
+    * [[decodeWav]], [[decodeBmp]], or the [[decodeStub]] seam — unifying
+    * the per-format entry points ([[decodeWavRows]], [[decodeBmpRows]],
+    * [[extractFeatures]]) behind one operator. Zero shuffle, no
+    * per-format filter+union (which would scan the payload column once
+    * per format); the scale shape is identical to the single-format
+    * decoders. */
+  def decodeMixedRows(spark: SparkSession, media: DataFrame, winSamples: Int = 256): Dataset[MixedRow] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        sniffFormat(b) match {
+          case "wav" =>
+            val w = decodeWav(b, winSamples)
+            MixedRow(id, "wav", w.abs_sum, w.n_samples)
+          case "bmp" =>
+            val i = decodeBmp(b)
+            MixedRow(id, "bmp", i.wsum_lum, i.n_pixels)
+          case _ =>
+            val f = decodeStub(id, b)
+            MixedRow(id, "bin", f.byte_sum_64, f.n_bytes)
+        }
       })
   }
 }

@@ -89,8 +89,10 @@ object Retrieval {
     }
     // alphabetical left fold = bm25's orderedSum over struct(term, s):
     // absent terms contribute an exact 0.0 (x + 0.0 never changes a
-    // double), so the present terms fold in exactly the batch order
-    val sortedTerms = terms.sorted
+    // double), so the present terms fold in exactly the batch order.
+    // distinct first: batch bm25's isInCollection counts a duplicated
+    // query term once; folding it twice here would break row-for-row parity
+    val sortedTerms = terms.distinct.sorted
     val contribs = sortedTerms.map { t =>
       val tft = tf(t)
       when(tft > 0.0, idf(t) * (tft * lit(k1 + 1.0)) / (tft + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))))
@@ -154,6 +156,29 @@ object Retrieval {
       b: Double = 0.75,
       topK: Int = 10
   ): DataFrame = {
+    val exp = rm3ExpansionTerms(docs, terms, fbDocs, fbTerms, k1, b)
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.orderBy(col("score").desc, col("doc_id").asc) // topK rows — bounded
+    bm25(docs, terms ++ exp, k1, b, topK)
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("exp_terms", lit(exp.mkString(" ")))
+      .select("rk", "doc_id", "score", "n_terms", "exp_terms")
+  }
+
+  /** The TRAINING half of RM3 on its own: the expansion term list, for
+    * consumers that train offline and score elsewhere — most importantly
+    * [[rm3ScoreStream]], which carries these terms into a continuous
+    * scoring stream the way qualityScoreStream carries trained weights.
+    * Identical arithmetic to the inline computation [[rm3Expand]] used
+    * through round 7 (rm3Expand now delegates here). */
+  def rm3ExpansionTerms(
+      docs: DataFrame,
+      terms: Seq[String],
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): Seq[String] = {
     require(fbDocs >= 1 && fbTerms >= 0, "rm3 needs a non-empty feedback pool")
     val fb = bm25(docs, terms, k1, b, fbDocs).select(col("doc_id"))
     val toks = docs
@@ -174,7 +199,7 @@ object Retrieval {
           (acc, x) => acc + x
         ).as("w")
       )
-    val exp = rm1
+    rm1
       .where(!col("term").isInCollection(terms))
       .orderBy(col("w").desc, col("term").asc)
       .limit(fbTerms)
@@ -182,13 +207,32 @@ object Retrieval {
       .collect()
       .map(_.getString(0))
       .toSeq
-    import org.apache.spark.sql.expressions.Window
-    val rk = Window.orderBy(col("score").desc, col("doc_id").asc) // topK rows — bounded
-    bm25(docs, terms ++ exp, k1, b, topK)
-      .withColumn("rk", row_number().over(rk).cast("long"))
-      .withColumn("exp_terms", lit(exp.mkString(" ")))
-      .select("rk", "doc_id", "score", "n_terms", "exp_terms")
   }
+
+  /** STREAMING RM3 scoring — the online half of pseudo-relevance
+    * feedback: the expansion is trained OFFLINE on a corpus snapshot
+    * ([[rm3ExpansionTerms]], plus [[bm25Stats]] over the expanded set)
+    * and arriving documents are scored against the expanded query by the
+    * stateless [[bm25ScoreStream]] fold. This is the qualityScoreStream
+    * contract applied to retrieval: model state (expansion terms + corpus
+    * stats) rides as literals, the stream stays shuffle-free, and
+    * re-expansion is a snapshot refresh, not a stream operation. Handed
+    * the stats bm25 computes over the snapshot corpus, the scored rows
+    * reproduce [[rm3Expand]]'s second BM25 pass row-for-row
+    * (spec-asserted); `exp_terms` carries WHAT was added, like the batch
+    * output. */
+  def rm3ScoreStream(
+      docs: DataFrame,
+      terms: Seq[String],
+      expTerms: Seq[String],
+      n: Double,
+      avgdl: Double,
+      dfs: Map[String, Double],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame =
+    bm25ScoreStream(docs, terms ++ expTerms, n, avgdl, dfs, k1, b)
+      .withColumn("exp_terms", lit(expTerms.mkString(" ")))
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
     * candidate lists — THE standard way hybrid search merges a lexical

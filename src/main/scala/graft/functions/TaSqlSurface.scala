@@ -54,40 +54,72 @@ object TaSqlSurface {
       throw new IllegalArgumentException(s"$fn alpha must be a numeric literal, got $other")
   }
 
+  // arity gate: a SQL caller passing the wrong argument count gets an
+  // argument-count error, not an IndexOutOfBoundsException from es(i)
+  private def ar(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+    name -> { es =>
+      require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+      f(es)
+    }
+
   /** (name, builder) pairs — W class (fixed rolling), EW class (running
     * recursions over the canonical frame), ELEM class (bar arithmetic). */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // ---- W class --------------------------------------------------------
-    "graft_sma" -> (es => x(P.rmean(c(es(0)), intLit(es(1), "graft_sma")))),
-    "graft_wma" -> (es => x(P.wma(c(es(0)), intLit(es(1), "graft_wma")))),
-    "graft_stdev" -> (es => x(P.rstd(c(es(0)), intLit(es(1), "graft_stdev")))),
-    "graft_variance" -> (es => x(P.rvar(c(es(0)), intLit(es(1), "graft_variance")))),
-    "graft_rsum" -> (es => x(P.rsum(c(es(0)), intLit(es(1), "graft_rsum")))),
-    "graft_rmin" -> (es => x(P.rmin(c(es(0)), intLit(es(1), "graft_rmin")))),
-    "graft_rmax" -> (es => x(P.rmax(c(es(0)), intLit(es(1), "graft_rmax")))),
-    "graft_rmedian" -> (es => x(P.rmedian(c(es(0)), intLit(es(1), "graft_rmedian")))),
-    "graft_zscore" -> (es => {
+    ar("graft_sma", 2)(es => x(P.rmean(c(es(0)), intLit(es(1), "graft_sma")))),
+    ar("graft_wma", 2)(es => x(P.wma(c(es(0)), intLit(es(1), "graft_wma")))),
+    ar("graft_stdev", 2)(es => x(P.rstd(c(es(0)), intLit(es(1), "graft_stdev")))),
+    ar("graft_variance", 2)(es => x(P.rvar(c(es(0)), intLit(es(1), "graft_variance")))),
+    ar("graft_rsum", 2)(es => x(P.rsum(c(es(0)), intLit(es(1), "graft_rsum")))),
+    ar("graft_rmin", 2)(es => x(P.rmin(c(es(0)), intLit(es(1), "graft_rmin")))),
+    ar("graft_rmax", 2)(es => x(P.rmax(c(es(0)), intLit(es(1), "graft_rmax")))),
+    ar("graft_rmedian", 2)(es => x(P.rmedian(c(es(0)), intLit(es(1), "graft_rmedian")))),
+    ar("graft_zscore", 2)(es => {
       val n = intLit(es(1), "graft_zscore")
       val v = c(es(0))
       x(P.sdiv(v - P.rmean(v, n), P.rstd(v, n)))
     }),
-    "graft_roc" -> (es => {
+    ar("graft_roc", 2)(es => {
       val n = intLit(es(1), "graft_roc")
       x(P.pctChange(c(es(0)), n) * org.apache.spark.sql.functions.lit(100.0))
     }),
     // ---- EW class (canonical running frame pre-applied) -----------------
-    "graft_ewma" -> (es => x(P.ewm(c(es(0)), dblLit(es(1), "graft_ewma")))),
-    "graft_rma" -> (es => x(P.rmaOf(c(es(0)), intLit(es(1), "graft_rma")))),
+    ar("graft_ewma", 2)(es => x(P.ewm(c(es(0)), dblLit(es(1), "graft_ewma")))),
+    ar("graft_rma", 2)(es => x(P.rmaOf(c(es(0)), intLit(es(1), "graft_rma")))),
     // ---- ELEM class -----------------------------------------------------
-    "graft_hl2" -> (es => x((c(es(0)) + c(es(1))) / 2.0)),
-    "graft_hlc3" -> (es => x((c(es(0)) + c(es(1)) + c(es(2))) / 3.0)),
-    "graft_ohlc4" -> (es => x((c(es(0)) + c(es(1)) + c(es(2)) + c(es(3))) / 4.0)),
-    "graft_wcp" -> (es => x((c(es(0)) + c(es(1)) + c(es(2)) * 2.0) / 4.0)),
-    "graft_tr" -> (es => {
+    ar("graft_hl2", 2)(es => x((c(es(0)) + c(es(1))) / 2.0)),
+    ar("graft_hlc3", 3)(es => x((c(es(0)) + c(es(1)) + c(es(2))) / 3.0)),
+    ar("graft_ohlc4", 4)(es => x((c(es(0)) + c(es(1)) + c(es(2)) + c(es(3))) / 4.0)),
+    ar("graft_wcp", 3)(es => x((c(es(0)) + c(es(1)) + c(es(2)) * 2.0) / 4.0)),
+    ar("graft_tr", 3)(es => {
       import org.apache.spark.sql.functions.{abs, greatest, lit, when}
       val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
       val pc = P.shift(cl, 1)
       x(when(pc.isNull, lit(null)).otherwise(greatest(h - l, abs(h - pc), abs(l - pc))))
-    })
+    }),
+    // ---- seeded-EW composites (phase 2) ---------------------------------
+    // Bare running-frame kernels (explicit OVER clause in SQL) …
+    ar("graft_ema_k", 2)(es =>
+      SeededComposites.EmaSeeded(dblE(es(0)), intLit(es(1), "graft_ema_k"))),
+    ar("graft_rsi_k", 2)(es =>
+      SeededComposites.RsiSeeded(dblE(es(0)), intLit(es(1), "graft_rsi_k"))),
+    ar("graft_macd_k", 4)(es =>
+      SeededComposites.MacdSeeded(
+        dblE(es(0)),
+        intLit(es(1), "graft_macd_k"), intLit(es(2), "graft_macd_k"), intLit(es(3), "graft_macd_k"))),
+    // … and the canonical-window wrappers (no OVER needed, same contract
+    // as graft_sma-class). The kernel call routes through the function
+    // registry rather than wrapping the Expression directly — registry-
+    // resolved window functions analyze cleanly where direct-wrapped ones
+    // trip CheckAnalysis (same constraint as wf.linrec).
+    ar("graft_ema", 2)(es => x(kernel("graft_ema_k", es).over(P.cum))),
+    ar("graft_rsi", 2)(es => x(kernel("graft_rsi_k", es).over(P.cum))),
+    ar("graft_macd", 4)(es => x(kernel("graft_macd_k", es).over(P.cum)))
   )
+
+  private def dblE(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
+
+  private def kernel(name: String, es: Seq[Expression]): Column =
+    org.apache.spark.sql.functions.call_function(name, es.map(GraftBridge.column): _*)
 }

@@ -925,6 +925,51 @@ object ExtensionQueries {
     )
   )
 
+  /** Magic-byte dispatcher over a MIXED-format payload column
+    * (Media.decodeMixedRows): docs synthesize to WAV / BMP / raw bytes by
+    * doc_id mod 3, one mapPartitions pass sniffs each payload's leading
+    * bytes and routes it to the matching decoder. The oracle replays the
+    * same routing BY THE MOD RULE (it never sees the bytes), so a sniffer
+    * that misroutes even one payload diverges on that row's format tag
+    * and features — and a payload whose decode differs from its format's
+    * analytic replay diverges exactly as in the single-format gates. */
+  val qMediaDecodeMixed = Q(
+    "x_media_decode_mixed",
+    (s, dir) => {
+      import s.implicits._
+      val mixed = docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val payload = (id % 3) match {
+            case 0 => Media.synthWav(t)
+            case 1 => Media.synthBmp(t)
+            case _ => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+      Media.decodeMixedRows(s, mixed).toDF().orderBy("doc_id")
+    },
+    Some(
+      // wav branch: abs_sum / n_samples (x_media_decode's replay)
+      "WITH w0 AS (SELECT doc_id, string_split(text, '') AS cs, length(text) AS n FROM documents WHERE doc_id % 3 = 0), " +
+        "w1 AS (SELECT doc_id, n, list_transform(range(0, n), i -> abs(((unicode(cs[i+1]) * 131 + i) % 4001) - 2000)) AS am FROM w0), " +
+        "wav AS (SELECT doc_id, 'wav' AS format, CAST(coalesce(list_sum(am), 0) AS BIGINT) AS f1, CAST(n AS BIGINT) AS f2 FROM w1), " +
+        // bmp branch: wsum_lum / n_pixels (x_media_decode_bmp's replay)
+        s"b0 AS (SELECT doc_id, length(text) AS n, ${ph("text")} % 251 AS base FROM documents WHERE doc_id % 3 = 1), " +
+        "b1 AS (SELECT doc_id, base, 1 + n % 16 AS w, greatest(1, (n + (1 + n % 16) - 1) // (1 + n % 16)) AS h FROM b0), " +
+        "b2 AS (SELECT doc_id, w, h, base, unnest(range(0, w * h)) AS p FROM b1), " +
+        "b3 AS (SELECT doc_id, w, h, p, (base * 3 + p * 7) % 256 AS b, (base * 5 + p * 11) % 256 AS gg, (base * 2 + p * 13) % 256 AS r FROM b2), " +
+        "bmp AS (SELECT doc_id, 'bmp' AS format, CAST(sum(p * (b + gg + r)) AS BIGINT) AS f1, CAST(max(w) * max(h) AS BIGINT) AS f2 FROM b3 GROUP BY doc_id), " +
+        // stub branch: byte_sum_64 / n_bytes (x_media_features' replay)
+        "bin AS (SELECT doc_id, 'bin' AS format, " +
+        "CAST(list_sum(list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(unicode(c) AS BIGINT))) AS BIGINT) AS f1, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS f2 FROM documents WHERE doc_id % 3 = 2) " +
+        "SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM bin ORDER BY doc_id"
+    )
+  )
+
   val qMediaFeatures = Q(
     "x_media_features",
     (s, dir) =>
@@ -3049,6 +3094,7 @@ object ExtensionQueries {
     qMediaCdc,
     qMediaDecode,
     qMediaDecodeBmp,
+    qMediaDecodeMixed,
     qMediaFrames,
     qAnnIvf,
     qAnnIvfBig,

@@ -565,9 +565,8 @@ object RelationalQueries {
     * plain unordered double aggregates (Spark's partial/final hash-agg
     * addition order is nondeterministic), so 6 dp parity rests on the
     * panel's magnitudes keeping the summation error below rounding, not
-    * on an ordered-fold contract (qZipf-style collect_list folds would
-    * buy bit-stability at the cost of materializing per-pair day lists
-    * across S² pairs — not worth it for a correlation). The day-keyed
+    * on an ordered-fold contract — [[qCorrMatrixOrd]] is the bit-stable
+    * spelling for panels where that headroom is in doubt. The day-keyed
     * self-join explodes S² per day — exact all-pairs semantics, intended
     * for the cross-sectional case where S is panel-sized (10s–1000s);
     * corpus-scale similarity belongs to the banded/sketch operators. */
@@ -609,6 +608,72 @@ object RelationalQueries {
         "(CASE WHEN (count(*) * sum(xa * xa) - sum(xa) * sum(xa)) * (count(*) * sum(xb * xb) - sum(xb) * sum(xb)) > 0 " +
         "THEN sqrt((count(*) * sum(xa * xa) - sum(xa) * sum(xa)) * (count(*) * sum(xb * xb) - sum(xb) * sum(xb))) END), 6) AS corr " +
         "FROM j GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+  )
+
+  /** ORDERED-FOLD variant of [[qCorrMatrix]] — closes its accepted risk:
+    * the five co-moment sums fold per pair in DAY order via the
+    * Similarity.orderedSum pattern (sort_array(collect_list) + aggregate
+    * from 0.0 ≡ DuckDB list_reduce over list(x ORDER BY day)), so both
+    * engines run the IDENTICAL addition sequence and 6 dp parity is a
+    * bit-stability contract, not a magnitude bet. Cost: materializes each
+    * pair's aligned day list (n_days doubles × 5 sums) inside the
+    * aggregate — per-pair state is days-sized rather than O(1), the
+    * documented price of determinism; panels with benign magnitudes keep
+    * the O(1) unordered spelling. */
+  val qCorrMatrixOrd = Q(
+    "x_corr_matrix_ord",
+    (s: SparkSession, dir: String) => {
+      val daily = Graft
+        .userSeries(s, dir)
+        .where(col("series_id") % 3 === 0)
+        .groupBy(col("series_id"), (col("ts") / lit(86400000000L)).cast("long").as("day"))
+        .agg(expr("max_by(close, ts)").as("close"))
+      val a = daily.select(col("series_id").as("sa"), col("day"), col("close").as("xa"))
+      val b = daily.select(col("series_id").as("sb"), col("day"), col("close").as("xb"))
+      import graft.extensions.Similarity.orderedSum
+      val grouped = a.join(b, Seq("day"))
+        .where(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+          count(lit(1)).as("n_days"),
+          orderedSum(col("day"), col("xa")).as("sxa"),
+          orderedSum(col("day"), col("xb")).as("sxb"),
+          orderedSum(col("day"), col("xa") * col("xb")).as("sab"),
+          orderedSum(col("day"), col("xa") * col("xa")).as("saa"),
+          orderedSum(col("day"), col("xb") * col("xb")).as("sbb")
+        )
+      val n = col("n_days").cast("double")
+      val num = n * col("sab") - col("sxa") * col("sxb")
+      val da = n * col("saa") - col("sxa") * col("sxa")
+      val db = n * col("sbb") - col("sxb") * col("sxb")
+      grouped
+        .select(
+          col("sa"),
+          col("sb"),
+          col("n_days"),
+          P.normd(num / when(da * db > 0.0, sqrt(da * db))).as("corr")
+        )
+        .orderBy("sa", "sb")
+    },
+    Some(
+      s"WITH s AS ($seriesCte), " +
+        "d AS (SELECT series_id, ts // 86400000000 AS day, arg_max(close, ts) AS close FROM s " +
+        "WHERE series_id % 3 = 0 GROUP BY 1, 2), " +
+        "j AS (SELECT a.series_id AS sa, b.series_id AS sb, a.day AS day, a.close AS xa, b.close AS xb " +
+        "FROM d a JOIN d b ON a.day = b.day AND a.series_id < b.series_id), " +
+        "g AS (SELECT sa, sb, count(*) AS n_days, " +
+        "list_reduce(list(xa ORDER BY day), (a, x) -> a + x) AS sxa, " +
+        "list_reduce(list(xb ORDER BY day), (a, x) -> a + x) AS sxb, " +
+        "list_reduce(list(xa * xb ORDER BY day), (a, x) -> a + x) AS sab, " +
+        "list_reduce(list(xa * xa ORDER BY day), (a, x) -> a + x) AS saa, " +
+        "list_reduce(list(xb * xb ORDER BY day), (a, x) -> a + x) AS sbb " +
+        "FROM j GROUP BY 1, 2) " +
+        "SELECT sa, sb, n_days, " +
+        "round((n_days * sab - sxa * sxb) / " +
+        "(CASE WHEN (n_days * saa - sxa * sxa) * (n_days * sbb - sxb * sxb) > 0 " +
+        "THEN sqrt((n_days * saa - sxa * sxa) * (n_days * sbb - sxb * sxb)) END), 6) AS corr " +
+        "FROM g ORDER BY 1, 2"
     )
   )
 
@@ -711,5 +776,5 @@ object RelationalQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix, qMarkov, qRollingBeta)
+    Seq(qVp, qMetrics, qJensens, qVwapAnchor, qRevenueNation, qSaltedRevenue, qSaltedHotRevenue, qSessions, qRolling7d, qRetention, qFunnel, qWalkForward, qResampleFfill, qCorrMatrix, qCorrMatrixOrd, qMarkov, qRollingBeta)
 }

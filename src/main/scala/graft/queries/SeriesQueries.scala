@@ -330,6 +330,65 @@ object SeriesQueries {
     }
   )
 
+  /** SQL surface PHASE 2 — the seeded-EW composites from pure SQL text:
+    * `graft_ema` / `graft_rsi` / `graft_macd` resolve to the single-
+    * expression fold kernels (functions.SeededComposites) with the
+    * canonical window baked in, so a SQL-only user gets the composites
+    * round 7 excluded (TaSqlSurface.scala:22's window-in-window
+    * limitation, closed by collapsing each composite into one
+    * AggregateWindowFunction). The macd struct output is projected once
+    * and field-accessed — one window expression serving three columns.
+    * The oracle is the staged-arithmetic mirror (emaSql / the qRsi and
+    * qMacd chains) over the same bars, proving fold ≡ staged at 6 dp. */
+  val qSqlSurface2 = Q(
+    "x_sql_surface2",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars")
+      spark
+        .sql(
+          """SELECT series_id, ts, s_ema, s_rsi,
+            |  m.macd AS s_macd, m.macds AS s_macds, m.macdh AS s_macdh
+            |FROM (
+            |  SELECT series_id, ts,
+            |    graft_ema(close, 10) AS s_ema,
+            |    graft_rsi(close, 10) AS s_rsi,
+            |    graft_macd(close, 12, 26, 9) AS m
+            |  FROM graft_bars
+            |)""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +:
+            Seq("s_ema", "s_rsi", "s_macd", "s_macds", "s_macdh")
+              .map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val a12 = 2.0 / 13; val a26 = 2.0 / 27; val a9 = 2.0 / 10
+      val b = emaSql(new Cte("bars", barsCte), "close", "s_ema", 10)
+        .addSel("r1", s"close - lag(close, 1) $ov AS rd_")
+        .addSel(
+          "r2",
+          "CASE WHEN rd_ IS NULL THEN NULL WHEN rd_ > 0 THEN rd_ ELSE 0e0 END AS rup_, " +
+            "CASE WHEN rd_ IS NULL THEN NULL WHEN rd_ < 0 THEN -rd_ ELSE 0e0 END AS rdn_"
+        )
+        .addSel("r3", s"${rma("rup_", 10)} AS ru_, ${rma("rdn_", 10)} AS rd2_")
+        .addSel("r4", s"100e0 * ${sdiv("ru_", "(ru_ + rd2_)")} AS s_rsi")
+        .addSel("m1", s"${ewm("close", a12)} AS e12_, ${ewm("close", a26)} AS e26_")
+        .addSel("m2", "e12_ - e26_ AS s_macd")
+        .addSel("m3", s"${ewm("s_macd", a9)} AS s_macds")
+        .addSel("m4", "s_macd - s_macds AS s_macdh")
+      b.result(
+        "SELECT series_id, ts, " +
+          Seq("s_ema", "s_rsi", "s_macd", "s_macds", "s_macdh")
+            .map(o => s"${normd(o)} AS $o")
+            .mkString(", ") +
+          s" FROM ${b.top}$orderTail"
+      )
+    }
+  )
+
   /** wma oracle fragment (normalized 1..n weights in lag order). */
   private def wmaSqlOf(x: String, n: Int): String = {
     val ws = (1 to n).map(_.toDouble)
@@ -339,6 +398,6 @@ object SeriesQueries {
 
   def all: Seq[Q] = Seq(
     qSma, qEma, qWma, qRma, qDema, qTema, qTrima, qHma, qRsi, qMacd, qMomRoc,
-    qStats, qStats2, qReturns, qDrawdown, qSqlSurface
+    qStats, qStats2, qReturns, qDrawdown, qSqlSurface, qSqlSurface2
   )
 }

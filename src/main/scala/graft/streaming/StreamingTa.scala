@@ -1026,13 +1026,26 @@ object StreamingTa {
     * cells hold. All of a query's candidates land in its own micro-batch
     * (the stream-static join is within-batch), so state is only the
     * once-emitted flag guarding against a duplicate query id arriving in
-    * a later batch. */
+    * a later batch.
+    *
+    * State growth contract: with the default `dedupTtlMs = 0` the flag
+    * uses NoTimeout — one Boolean per DISTINCT query id ever seen, so
+    * query-id cardinality must be bounded over the stream's lifetime (or
+    * the stream restarted on an id epoch). For an unbounded-id serving
+    * deployment pass `dedupTtlMs > 0`: the flag switches to
+    * ProcessingTimeTimeout and `state.remove()` fires after the TTL, so
+    * state holds only the ids seen within the window (a replayed id
+    * re-emits after the TTL — the standard at-least-once window-dedup
+    * trade). The TTL path is not the test default because processing-time
+    * timeouts schedule future batches, which makes the deterministic
+    * `processAllAvailable` replay used by the parity spec block. */
   def topkIvfStream(
       queries: DataFrame,
       index: DataFrame,
       cents: Seq[(Long, Seq[Double])],
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      dedupTtlMs: Long = 0L
   ): DataFrame = {
     graft.functions.Registry.register(queries.sparkSession)
     import queries.sparkSession.implicits._
@@ -1062,11 +1075,18 @@ object StreamingTa {
     val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, s) => (-s, id) }
     cand
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        if (dedupTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+      )(
         (q: Long, it: Iterator[(Long, Long, Double)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            if (dedupTtlMs > 0) state.setTimeoutDuration(dedupTtlMs)
+            Iterator.empty
+          } else {
             state.update(true)
+            if (dedupTtlMs > 0) state.setTimeoutDuration(dedupTtlMs)
             var buf = Vector.empty[(Long, Double)] // sorted by (sim desc, id asc), ≤ k
             it.foreach { case (_, id, s) =>
               val t = (id, s)

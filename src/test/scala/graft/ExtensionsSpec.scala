@@ -33,7 +33,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_sma", "graft_wma", "graft_stdev", "graft_variance", "graft_rsum",
         "graft_rmin", "graft_rmax", "graft_rmedian", "graft_zscore", "graft_roc",
         "graft_ewma", "graft_rma",
-        "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr"
+        "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr",
+        // phase 2 (round 8): seeded-EW composite kernels + wrappers
+        "graft_ema_k", "graft_rsi_k", "graft_macd_k",
+        "graft_ema", "graft_rsi", "graft_macd"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -46,7 +49,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_roc(close, 3)", "graft_ewma(close, 0.5)", "graft_rma(close, 3)",
       "graft_hl2(high, low)", "graft_hlc3(high, low, close)",
       "graft_ohlc4(open, high, low, close)", "graft_wcp(high, low, close)",
-      "graft_tr(high, low, close)"
+      "graft_tr(high, low, close)",
+      "graft_ema(close, 3)", "graft_rsi(close, 3)", "graft_macd(close, 3, 6, 2).macd",
+      "graft_ema_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_rsi_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_macd_k(close, 3, 6, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

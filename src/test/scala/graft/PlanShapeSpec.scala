@@ -75,6 +75,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size <= 2, s"window batch split into ${windows.size} WindowExec nodes")
   }
 
+  test("SQL-surface seeded composites (phase 2) keep the one-shuffle property") {
+    // graft_ema / graft_rsi / graft_macd are single AggregateWindowFunction
+    // folds on the same canonical frame — mixing them with the phase-1
+    // wrappers must still plan ONE Exchange and (since every expression
+    // shares one window spec + frame) a single WindowExec
+    Graft.init(spark)
+    synthetic.repartition(col("series_id")).createOrReplaceTempView("ps_sql2_bars")
+    val out = spark.sql(
+      "SELECT series_id, ts, graft_sma(close, 10) AS a, graft_ema(close, 10) AS b, " +
+        "graft_rsi(close, 14) AS c, graft_macd(close, 12, 26, 9) AS m " +
+        "FROM ps_sql2_bars"
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size <= 2, s"composite batch split into ${windows.size} WindowExec nodes")
+  }
+
   test("every window-class registry indicator in ONE strategy = one shuffle") {
     import graft.ta.{registry, IndicatorSpec, Strategy}
     // REC kernels repartition internally (mapPartitions state machines);

@@ -73,6 +73,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming RM3: offline-trained expansion scores a stream identically to batch rm3Expand") {
+    val terms = Seq("table", "scan")
+    val (fbDocs, fbTerms, topK) = (3, 5, 10)
+    // offline training on the corpus snapshot: expansion terms + stats
+    // over the EXPANDED set (the second-pass vocabulary)
+    val exp = Retrieval.rm3ExpansionTerms(docs, terms, fbDocs, fbTerms)
+    assert(exp.nonEmpty && exp.size <= fbTerms)
+    val (n, avgdl, dfs) = Retrieval.bm25Stats(docs, terms ++ exp)
+
+    val q = Retrieval
+      .rm3ScoreStream(docStream(), terms, exp, n, avgdl, dfs)
+      .writeStream
+      .format("memory")
+      .queryName("rm3_gate")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("rm3_gate")
+      .collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2), r.getString(3)))
+
+    // batch twin: rm3Expand's full pipeline (expansion + second BM25
+    // pass + topK cut). Its rows must appear VERBATIM in the streamed
+    // scores under the same (score desc, doc_id asc) order.
+    val batch = Retrieval
+      .rm3Expand(docs, terms, fbDocs, fbTerms, topK = topK)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6, r.getLong(3), r.getString(4)))
+    assert(batch.nonEmpty)
+    val streamTop = streamed
+      .sortBy { case (id, s, _, _) => (-s, id) }
+      .take(topK)
+      .zipWithIndex
+      .map { case ((id, s, nt, e), i) => (i + 1L, id, s, nt, e) }
+    assert(
+      streamTop.toSeq == batch.toSeq,
+      s"streamed top-$topK ${streamTop.toSeq} != batch rm3 ${batch.toSeq}"
+    )
+  }
+
   test("real media decoders run on a stream: WAV decode equals batch per doc") {
     import spark.implicits._
     val wavStream = docStream()

@@ -85,6 +85,11 @@ class WavCodecSpec extends AnyFunSuite {
     boom(nonPcm, "non-PCM format")
     val bad8 = good.clone(); bad8(34) = 8 // bitsPerSample = 8
     boom(bad8, "8-bit samples")
+    // crafted chunk size >= 2^31 (0xFFFFFFF8 -> -8 as Int): without the
+    // guard the chunk-walk offset goes stationary/backward = infinite loop
+    val huge = good.clone()
+    huge(16) = 0xf8.toByte; huge(17) = 0xff.toByte; huge(18) = 0xff.toByte; huge(19) = 0xff.toByte
+    boom(huge, "overflowing chunk size")
   }
 
   test("encode → decode parity with the analytic oracle formula") {
@@ -151,6 +156,11 @@ class WavCodecSpec extends AnyFunSuite {
     boom(b8, "unsupported bpp")
     val rle = good.clone(); rle(30) = 1 // BI_RLE8
     boom(rle, "compressed")
+    // pixel-array offset >= 2^31 wraps negative: must be the descriptive
+    // require, not a raw ArrayIndexOutOfBoundsException from the walk
+    val off = good.clone()
+    off(10) = 0xf8.toByte; off(11) = 0xff.toByte; off(12) = 0xff.toByte; off(13) = 0xff.toByte
+    boom(off, "overflowing pixel offset")
   }
 
   test("BMP encode → decode parity with the analytic oracle formula") {
