@@ -274,10 +274,19 @@ object Bench {
     // sbt server; a forked shard is told its expected count (sbt + parent
     // + itself) so orchestration doesn't trip the guard but a foreign JVM
     // still does. Load: 1-min avg above 1/4 of the cores at start means
-    // some OTHER work owns part of the machine.
-    val jvmsExpected = sys.env.get("SPARK_GRAFT_JVMS_EXPECTED").map(_.toInt).getOrElse(2)
+    // some OTHER work owns part of the machine — but ONLY for the
+    // standalone path: a forked shard starts seconds after the previous
+    // shard released all 32 cores, so its 1-min loadavg is the decayed
+    // history of OUR OWN just-finished shard, not concurrent work (the
+    // first sharded run flagged every shard after the first this way).
+    // For shards the live-foreign-work signal is the JVM count; the
+    // parent still records machine-level load at run start/end.
+    val jvmsExpected = sys.env.get("SPARK_GRAFT_JVMS_EXPECTED").map(_.toInt)
     val loadThreshold = cpus.toDouble / 4.0
-    val contaminatedAtStart = jvmsStart > jvmsExpected || loadStart > loadThreshold
+    val contaminatedAtStart = jvmsExpected match {
+      case Some(exp) => jvmsStart > exp
+      case None      => jvmsStart > 2 || loadStart > loadThreshold
+    }
     val sessionStart = System.nanoTime()
     // optional comma-separated subset for local iteration (full run default)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
@@ -352,7 +361,7 @@ object Bench {
     if (contaminatedAtStart) {
       System.err.println(
         s"CONTAMINATED: bench started with loadavg=$loadStart (threshold $loadThreshold) and " +
-          s"$jvmsStart java processes (expected ≤$jvmsExpected) — timings are inflated by concurrent work"
+          s"$jvmsStart java processes (expected ≤${jvmsExpected.getOrElse(2)}) — timings are inflated by concurrent work"
       )
     }
     // Shard protocol: a TSV sidecar the orchestrator parses without JSON

@@ -115,6 +115,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     )
   }
 
+  test("magic-byte dispatcher runs on a stream: mixed-format decode equals batch per doc") {
+    import spark.implicits._
+    def toMixed(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val payload = (id % 3) match {
+          case 0 => Media.synthWav(t)
+          case 1 => Media.synthBmp(t)
+          case _ => t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+    val q = Media
+      .decodeMixedRows(spark, toMixed(docStream()))
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("mixed_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark
+      .table("mixed_stream")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = Media
+      .decodeMixedRows(spark, toMixed(docs.select(col("doc_id"), col("text"))))
+      .collect()
+      .map(r => r.doc_id -> ((r.format, r.f1, r.f2)))
+      .toMap
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    assert(streamed == batch, "streamed mixed decode diverged from batch")
+    assert(Set("wav", "bmp", "bin").subsetOf(streamed.values.map(_._1).toSet))
+  }
+
   test("real media decoders run on a stream: WAV decode equals batch per doc") {
     import spark.implicits._
     val wavStream = docStream()
