@@ -1103,7 +1103,15 @@ object Similarity {
   val IvfPqMinKey = "spark.graft.ann.ivfPqMin" // default 1000000
   /** Query-count ceiling for the broadcast-probe spelling: above it the
     * IVF route shuffles probes against the cell-partitioned index
-    * ([[topkIvfLarge]]) instead of broadcasting queries×nprobe rows. */
+    * ([[topkIvfLarge]]) instead of broadcasting queries×nprobe rows.
+    * The default is a MEMORY guardrail, not a latency crossover —
+    * SCALING.md's round-8 `ivflarge` curve measures broadcast ~2.4×
+    * cheaper per query at every size it can run (the co-partition route
+    * pays the two-sided cell shuffle + candidate ser/de), but at 100k
+    * queries the probe broadcast is already ~130 MB shipped to EVERY
+    * executor; past it the broadcast becomes driver/executor-unsafe long
+    * before it becomes slow, while the co-partitioned route completes
+    * the 1M-query point (5G candidates) in one shuffle-bound pass. */
   val BroadcastQueriesMaxKey = "spark.graft.ann.broadcastQueriesMax" // default 100000
   /** Written after every [[topk]] call: which plan the dispatch chose —
     * observable by monitoring/specs without re-deriving the decision. */
