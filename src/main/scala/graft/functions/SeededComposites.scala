@@ -122,6 +122,71 @@ object SeededComposites {
       copy(x = c0(0))
   }
 
+  /** Shared machinery for CASCADED seeded emas (dema/tema): level i+1
+    * runs the full sma-seeded ema fold over level i's output, exactly as
+    * the staged spelling chains stage.ema calls (each level re-derives
+    * the positional gate from the same row numbering and seeds on the
+    * nulls-skipped mean of the previous level's first n values — for
+    * level ≥ 2 that is effectively the single value the previous level
+    * emits at the seed row). Buffer: one position plus (sum, count, acc)
+    * per level. */
+  sealed abstract class EmaCascade(levels: Int) extends AggregateWindowFunction {
+    def x: Expression
+    def n: Int
+    private lazy val alpha = 2.0 / (n + 1)
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    protected lazy val pos = AttributeReference("casPos", LongType, nullable = false)()
+    protected lazy val ss =
+      (1 to levels).map(i => AttributeReference(s"casSum$i", DoubleType, nullable = true)())
+    protected lazy val cs =
+      (1 to levels).map(i => AttributeReference(s"casCnt$i", LongType, nullable = false)())
+    protected lazy val ys =
+      (1 to levels).map(i => AttributeReference(s"casAcc$i", DoubleType, nullable = true)())
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      pos +: (0 until levels).flatMap(i => Seq(ss(i), cs(i), ys(i)))
+    override val initialValues: Seq[Expression] =
+      Literal(0L) +: (1 to levels).flatMap(_ => Seq(nullD, Literal(0L), nullD))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val nL = Literal(n.toLong)
+      val posN = Add(pos, Literal(1L))
+      var input: Expression = x
+      val per = (0 until levels).flatMap { i =>
+        val sN =
+          If(LessThan(pos, nL), Coalesce(Seq(Add(Coalesce(Seq(ss(i), Literal(0.0))), input), ss(i))), ss(i))
+        val cN = If(And(LessThan(pos, nL), IsNotNull(input)), Add(cs(i), Literal(1L)), cs(i))
+        val sd = Divide(sN, Cast(cN, DoubleType))
+        val z = If(LessThan(posN, nL), nullD, If(EqualTo(posN, nL), sd, input))
+        val yN = ewmStep(ys(i), z, alpha)
+        input = yN // next level folds over this level's post-update output
+        Seq(sN, cN, yN)
+      }
+      posN +: per
+    }
+  }
+
+  /** pandas-ta dema(src, n) = 2·ema − ema(ema) as one cascaded fold —
+    * mirror of the staged qDema chain (2e0·e1 − e2). */
+  case class DemaSeeded(x: Expression, n: Int) extends EmaCascade(2) {
+    override def prettyName: String = "graft_dema_k"
+    override lazy val evaluateExpression: Expression =
+      Subtract(Multiply(Literal(2.0), ys(0)), ys(1))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): DemaSeeded =
+      copy(x = c0(0))
+  }
+
+  /** pandas-ta tema(src, n) = 3·e1 − 3·e2 + e3, same cascade one level
+    * deeper — mirror of the staged qTema chain. */
+  case class TemaSeeded(x: Expression, n: Int) extends EmaCascade(3) {
+    override def prettyName: String = "graft_tema_k"
+    override lazy val evaluateExpression: Expression =
+      Add(Subtract(Multiply(Literal(3.0), ys(0)), Multiply(Literal(3.0), ys(1))), ys(2))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): TemaSeeded =
+      copy(x = c0(0))
+  }
+
   /** pandas-ta macd(src, fast, slow, sig) as ONE window aggregate
     * emitting STRUCT(macd, macds, macdh) — the fold form of Ta.macd
     * (Ta.scala:1179): two unseeded adjust=False ewms of the source, the

@@ -107,6 +107,10 @@ object TaSqlSurface {
       SeededComposites.MacdSeeded(
         dblE(es(0)),
         intLit(es(1), "graft_macd_k"), intLit(es(2), "graft_macd_k"), intLit(es(3), "graft_macd_k"))),
+    ar("graft_dema_k", 2)(es =>
+      SeededComposites.DemaSeeded(dblE(es(0)), intLit(es(1), "graft_dema_k"))),
+    ar("graft_tema_k", 2)(es =>
+      SeededComposites.TemaSeeded(dblE(es(0)), intLit(es(1), "graft_tema_k"))),
     // … and the canonical-window wrappers (no OVER needed, same contract
     // as graft_sma-class). The kernel call routes through the function
     // registry rather than wrapping the Expression directly — registry-
@@ -114,7 +118,9 @@ object TaSqlSurface {
     // trip CheckAnalysis (same constraint as wf.linrec).
     ar("graft_ema", 2)(es => x(kernel("graft_ema_k", es).over(P.cum))),
     ar("graft_rsi", 2)(es => x(kernel("graft_rsi_k", es).over(P.cum))),
-    ar("graft_macd", 4)(es => x(kernel("graft_macd_k", es).over(P.cum)))
+    ar("graft_macd", 4)(es => x(kernel("graft_macd_k", es).over(P.cum))),
+    ar("graft_dema", 2)(es => x(kernel("graft_dema_k", es).over(P.cum))),
+    ar("graft_tema", 2)(es => x(kernel("graft_tema_k", es).over(P.cum)))
   )
 
   private def dblE(e: Expression): Expression =

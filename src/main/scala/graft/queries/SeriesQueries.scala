@@ -347,19 +347,21 @@ object SeriesQueries {
       Graft.bars(spark, dir).createOrReplaceTempView("graft_bars")
       spark
         .sql(
-          """SELECT series_id, ts, s_ema, s_rsi,
+          """SELECT series_id, ts, s_ema, s_rsi, s_dema, s_tema,
             |  m.macd AS s_macd, m.macds AS s_macds, m.macdh AS s_macdh
             |FROM (
             |  SELECT series_id, ts,
             |    graft_ema(close, 10) AS s_ema,
             |    graft_rsi(close, 10) AS s_rsi,
+            |    graft_dema(close, 10) AS s_dema,
+            |    graft_tema(close, 10) AS s_tema,
             |    graft_macd(close, 12, 26, 9) AS m
             |  FROM graft_bars
             |)""".stripMargin
         )
         .select(
           col("series_id") +: col("ts") +:
-            Seq("s_ema", "s_rsi", "s_macd", "s_macds", "s_macdh")
+            Seq("s_ema", "s_rsi", "s_dema", "s_tema", "s_macd", "s_macds", "s_macdh")
               .map(o => P.normd(col(o)).as(o)): _*
         )
         .orderBy("series_id", "ts")
@@ -379,12 +381,15 @@ object SeriesQueries {
         .addSel("m2", "e12_ - e26_ AS s_macd")
         .addSel("m3", s"${ewm("s_macd", a9)} AS s_macds")
         .addSel("m4", "s_macd - s_macds AS s_macdh")
-      b.result(
+      // dema/tema cascades: s_ema IS level-1 e1; chain two more seeded levels
+      val b2 = emaSql(emaSql(b, "s_ema", "dt_e2", 10), "dt_e2", "dt_e3", 10)
+        .addSel("dt", "2e0*s_ema - dt_e2 AS s_dema, 3e0*s_ema - 3e0*dt_e2 + dt_e3 AS s_tema")
+      b2.result(
         "SELECT series_id, ts, " +
-          Seq("s_ema", "s_rsi", "s_macd", "s_macds", "s_macdh")
+          Seq("s_ema", "s_rsi", "s_dema", "s_tema", "s_macd", "s_macds", "s_macdh")
             .map(o => s"${normd(o)} AS $o")
             .mkString(", ") +
-          s" FROM ${b.top}$orderTail"
+          s" FROM ${b2.top}$orderTail"
       )
     }
   )

@@ -35,8 +35,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_ewma", "graft_rma",
         "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr",
         // phase 2 (round 8): seeded-EW composite kernels + wrappers
-        "graft_ema_k", "graft_rsi_k", "graft_macd_k",
-        "graft_ema", "graft_rsi", "graft_macd"
+        "graft_ema_k", "graft_rsi_k", "graft_macd_k", "graft_dema_k", "graft_tema_k",
+        "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -51,6 +51,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_ohlc4(open, high, low, close)", "graft_wcp(high, low, close)",
       "graft_tr(high, low, close)",
       "graft_ema(close, 3)", "graft_rsi(close, 3)", "graft_macd(close, 3, 6, 2).macd",
+      "graft_dema(close, 3)", "graft_tema(close, 3)",
       "graft_ema_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_rsi_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_macd_k(close, 3, 6, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"

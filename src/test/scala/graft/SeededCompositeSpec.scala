@@ -68,6 +68,22 @@ class SeededCompositeSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dema/graft_tema cascaded folds == staged ema chains, bit-exact, nulls included") {
+    Graft.init(spark)
+    frame.createOrReplaceTempView("sc_frame")
+    val fold = spark.sql(
+      "SELECT series_id, ts, graft_dema(close, 10) AS d, graft_tema(close, 10) AS t FROM sc_frame"
+    )
+    val e1 = graft.ta.stage.ema(frame, "close", "e1", 10)
+    val e2 = graft.ta.stage.ema(e1, "e1", "e2", 10)
+    val e3 = graft.ta.stage.ema(e2, "e2", "e3", 10)
+    val staged = e3
+      .withColumn("d", lit(2.0) * col("e1") - col("e2"))
+      .withColumn("t", lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3"))
+    assertSame(collectCol(staged, "d"), collectCol(fold, "d"), "dema")
+    assertSame(collectCol(staged, "t"), collectCol(fold, "t"), "tema")
+  }
+
   test("SQL wrappers reject wrong arity with an argument-count error") {
     Graft.init(spark)
     frame.createOrReplaceTempView("sc_frame")
