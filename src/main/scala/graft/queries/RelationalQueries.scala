@@ -620,13 +620,20 @@ object RelationalQueries {
     * pair's aligned day list (n_days doubles × 5 sums) inside the
     * aggregate — per-pair state is days-sized rather than O(1), the
     * documented price of determinism; panels with benign magnitudes keep
-    * the O(1) unordered spelling. */
+    * the O(1) unordered spelling. The gate runs a SMALLER sub-panel than
+    * x_corr_matrix (every 9th series, not every 3rd): the contract under
+    * test is the fold order, which any panel size witnesses — and
+    * DuckDB 1.0's ordered-aggregate path (`list(x ORDER BY day)` under
+    * GROUP BY) peaks near its full memory limit at the 125k-pair sf0.1
+    * panel (measured ~100 GiB / 37 s for a 3.4 M-row input), so the
+    * full-panel oracle is borderline-OOM flaky while the engine side is
+    * untroubled. */
   val qCorrMatrixOrd = Q(
     "x_corr_matrix_ord",
     (s: SparkSession, dir: String) => {
       val daily = Graft
         .userSeries(s, dir)
-        .where(col("series_id") % 3 === 0)
+        .where(col("series_id") % 9 === 0)
         .groupBy(col("series_id"), (col("ts") / lit(86400000000L)).cast("long").as("day"))
         .agg(expr("max_by(close, ts)").as("close"))
       val a = daily.select(col("series_id").as("sa"), col("day"), col("close").as("xa"))
@@ -659,7 +666,7 @@ object RelationalQueries {
     Some(
       s"WITH s AS ($seriesCte), " +
         "d AS (SELECT series_id, ts // 86400000000 AS day, arg_max(close, ts) AS close FROM s " +
-        "WHERE series_id % 3 = 0 GROUP BY 1, 2), " +
+        "WHERE series_id % 9 = 0 GROUP BY 1, 2), " +
         "j AS (SELECT a.series_id AS sa, b.series_id AS sb, a.day AS day, a.close AS xa, b.close AS xb " +
         "FROM d a JOIN d b ON a.day = b.day AND a.series_id < b.series_id), " +
         "g AS (SELECT sa, sb, count(*) AS n_days, " +
