@@ -77,5 +77,19 @@ class StreamingTopkSpec extends AnyFunSuite {
     )
     // every query produced a full top-k (no query starved by chunking)
     assert(streamed.groupBy(_._1).forall(_._2.size == k))
+
+    // TTL-flag path (dedupTtlMs > 0 → ProcessingTimeTimeout +
+    // setTimeoutDuration) must be output-identical. Batch execution never
+    // fires timeouts, but it does run the TTL branch of the state
+    // function — a wrong timeout setup would throw here, and the results
+    // must not change. (The TTL default stays 0 because processing-time
+    // timeouts schedule future batches, which blocks the deterministic
+    // processAllAvailable replay above.)
+    val ttlRows = StreamingTa
+      .topkIvfStream(queries, index, cents, k, nprobe, dedupTtlMs = 60000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), math.rint(r.getDouble(3) * 1e6) / 1e6))
+      .toSet
+    assert(ttlRows == batch, "TTL-flagged state path diverged from batch prober")
   }
 }
