@@ -407,6 +407,37 @@ object ScaleProbe {
         graft.CacheRegistry.release(spark)
       }
 
+    // ---- seeded-composite spellings (round 8): the staged multi-
+    // projection ema/dema (stage.ema chains: row_number + rolling-mean
+    // seed columns + LinRecur, stacked per level) vs the single
+    // AggregateWindowFunction fold (SeededComposites via the SQL
+    // surface). Same Exchange+Sort either way; the fold carries its
+    // seed state in the aggregation buffer instead of materializing
+    // helper columns per level, so the projection count stays constant
+    // as levels stack (tema = 3 chained emas staged, one fold here).
+    if (want("sqlfold")) for (l <- Seq(50000, 200000)) {
+      val df = graft.CacheRegistry.track(series(spark, 256, l))
+      df.count()
+      emit("ema20_staged", 256L * l, timed(force(graft.ta.stage.emaStaged(df, "close", "ema_20", 20), "ema_20")))
+      emit(
+        "ema20_fold",
+        256L * l,
+        timed(force(df.selectExpr("series_id", "ts", "graft_ema(close, 20) AS ema_20"), "ema_20"))
+      )
+      val demaStaged = {
+        val d1 = graft.ta.stage.emaStaged(df, "close", "e1", 20)
+        val d2 = graft.ta.stage.emaStaged(d1, "e1", "e2", 20)
+        d2.withColumn("dema_20", lit(2.0) * col("e1") - col("e2"))
+      }
+      emit("dema20_staged", 256L * l, timed(force(demaStaged, "dema_20")))
+      emit(
+        "dema20_fold",
+        256L * l,
+        timed(force(df.selectExpr("series_id", "ts", "graft_dema(close, 20) AS dema_20"), "dema_20"))
+      )
+      graft.CacheRegistry.releaseTransients(spark)
+    }
+
     // ---- query-side scale routing (round 8): the broadcast prober
     // (topkIvf — queries×nprobe rows broadcast to the index scan) vs the
     // co-partitioned shuffle prober (topkIvfLarge — probes meet the index

@@ -390,16 +390,16 @@ final class Ta(private val df: DataFrame) {
   def rsi(n: Int = 10, src: String = "close"): DataFrame =
     rsiAs(df, src, s"rsi_$n", n)
 
-  private def rsiAs(d0: DataFrame, src: String, out: String, n: Int): DataFrame = {
-    val dd = diff(c(src))
-    d0.withColumn("__rup", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
-      .withColumn("__rdn", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
-      .withColumn(
-        out,
-        lit(100.0) * sdiv(rmaOf(col("__rup"), n), rmaOf(col("__rup"), n) + rmaOf(col("__rdn"), n))
-      )
-      .drop("__rup", "__rdn")
-  }
+  /** Round-8: the single-expression RSI fold
+    * (functions.SeededComposites.RsiSeeded) — the staged diff/up/dn/
+    * double-rma spelling it bit-matches is preserved as the reference in
+    * SeededCompositeSpec. One window expression instead of two helper
+    * columns + three window aggregates. */
+  private def rsiAs(d0: DataFrame, src: String, out: String, n: Int): DataFrame =
+    d0.withColumn(
+      out,
+      call_function("graft_rsi_k", c(src).cast("double"), lit(n)).over(prim.cum)
+    )
 
   // ========================================================= trend =====
   /** Aroon: 100·(n − bars-since-extreme)/n over n+1 rows; ties → most
@@ -1151,20 +1151,23 @@ final class Ta(private val df: DataFrame) {
 
   // ============================================== basic composites =====
   /** DEMA: 2·e1 − e2 over sma-seeded emas (reference overlap/dema.py). */
-  def dema(n: Int = 10, src: String = "close"): DataFrame = {
-    val d1 = stage.ema(df, src, "__de1", n)
-    val d2 = stage.ema(d1, "__de1", "__de2", n)
-    d2.withColumn(s"dema_$n", lit(2.0) * col("__de1") - col("__de2")).drop("__de1", "__de2")
-  }
+  /** DEMA: 2e1 − e2 — one cascaded fold (SeededComposites.DemaSeeded,
+    * both ema levels in the aggregation buffer): the chained-ema cost
+    * no longer grows with levels (SCALING.md `sqlfold`: dema fold ≈ ema
+    * fold at 51M rows vs 1.6× for the chain). */
+  def dema(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(
+      s"dema_$n",
+      call_function("graft_dema_k", c(src).cast("double"), lit(n)).over(prim.cum)
+    )
 
-  /** TEMA: 3e1 − 3e2 + e3 (reference overlap/tema.py). */
-  def tema(n: Int = 10, src: String = "close"): DataFrame = {
-    val d1 = stage.ema(df, src, "__te1", n)
-    val d2 = stage.ema(d1, "__te1", "__te2", n)
-    val d3 = stage.ema(d2, "__te2", "__te3", n)
-    d3.withColumn(s"tema_$n", lit(3.0) * col("__te1") - lit(3.0) * col("__te2") + col("__te3"))
-      .drop("__te1", "__te2", "__te3")
-  }
+  /** TEMA: 3e1 − 3e2 + e3 (reference overlap/tema.py), same cascade one
+    * level deeper. */
+  def tema(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(
+      s"tema_$n",
+      call_function("graft_tema_k", c(src).cast("double"), lit(n)).over(prim.cum)
+    )
 
   /** HMA: wma(2·wma(n/2) − wma(n), ⌊√n⌋) (reference overlap/hma.py). */
   def hma(n: Int = 10, src: String = "close"): DataFrame = {
@@ -1175,16 +1178,20 @@ final class Ta(private val df: DataFrame) {
       .drop("__h")
   }
 
-  /** MACD on UNseeded adjust=False ewms (declared spec SURVEY §2.B). */
+  /** MACD on UNseeded adjust=False ewms (declared spec SURVEY §2.B).
+    * Round-8: one struct-valued fold (SeededComposites.MacdSeeded) —
+    * the three ewm accumulators update in a single window aggregate;
+    * the staged two-level spelling it bit-matches is the reference in
+    * SeededCompositeSpec. */
   def macd(fast: Int = 12, slow: Int = 26, sig: Int = 9, src: String = "close"): DataFrame = {
-    val x = c(src)
-    val d0 = df
-      .withColumn("__mf", prim.ewm(x, 2.0 / (fast + 1)))
-      .withColumn("__ms", prim.ewm(x, 2.0 / (slow + 1)))
-      .withColumn("macd", col("__mf") - col("__ms"))
-    d0.withColumn("macds", prim.ewm(col("macd"), 2.0 / (sig + 1)))
-      .withColumn("macdh", col("macd") - col("macds"))
-      .drop("__mf", "__ms")
+    val m = call_function(
+      "graft_macd_k", c(src).cast("double"), lit(fast), lit(slow), lit(sig)
+    ).over(prim.cum)
+    df.withColumn("__m", m)
+      .withColumn("macd", col("__m.macd"))
+      .withColumn("macds", col("__m.macds"))
+      .withColumn("macdh", col("__m.macdh"))
+      .drop("__m")
   }
 
   def logReturn(n: Int = 1, cumulative: Boolean = false, src: String = "close"): DataFrame = {

@@ -39,30 +39,57 @@ class SeededCompositeSpec extends AnyFunSuite {
       }
     }
 
-  test("graft_ema fold == stage.ema staged, bit-exact, nulls included") {
+  // The staged multi-projection spellings are the REFERENCE the folds
+  // are proven against. Since round 8 the accessor itself runs the
+  // folds, so the references here are stage.emaStaged and inline prim
+  // spellings — NOT Ta methods (comparing Ta to the SQL fold would be
+  // tautological).
+
+  test("graft_ema fold == staged reference, bit-exact, nulls included") {
     Graft.init(spark)
     frame.createOrReplaceTempView("sc_frame")
     val fold = spark.sql("SELECT series_id, ts, graft_ema(close, 10) AS e FROM sc_frame")
-    val staged = graft.ta.stage.ema(frame, "close", "e", 10)
+    val staged = graft.ta.stage.emaStaged(frame, "close", "e", 10)
     assertSame(collectCol(staged, "e"), collectCol(fold, "e"), "ema")
   }
 
-  test("graft_rsi fold == Ta.rsi staged, bit-exact, nulls included") {
+  /** Staged rsi reference: diff → up/dn gains → two Wilder rmas →
+    * 100·sdiv (the pre-round-8 Ta.rsiAs spelling, verbatim). */
+  private def rsiStaged(d0: org.apache.spark.sql.DataFrame, src: String, out: String, n: Int) = {
+    import graft.ta.{prim => P}
+    val dd = P.diff(col(src))
+    d0.withColumn("__rup", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
+      .withColumn("__rdn", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
+      .withColumn(
+        out,
+        lit(100.0) * P.sdiv(P.rmaOf(col("__rup"), n), P.rmaOf(col("__rup"), n) + P.rmaOf(col("__rdn"), n))
+      )
+      .drop("__rup", "__rdn")
+  }
+
+  test("graft_rsi fold == staged reference, bit-exact, nulls included") {
     Graft.init(spark)
     frame.createOrReplaceTempView("sc_frame")
     val fold = spark.sql("SELECT series_id, ts, graft_rsi(close, 14) AS r FROM sc_frame")
-    val staged = frame.ta.rsi(14, "close").withColumnRenamed("rsi_14", "r")
+    val staged = rsiStaged(frame, "close", "r", 14)
     assertSame(collectCol(staged, "r"), collectCol(fold, "r"), "rsi")
   }
 
-  test("graft_macd fold == Ta.macd staged, bit-exact, nulls included") {
+  test("graft_macd fold == staged reference, bit-exact, nulls included") {
+    import graft.ta.{prim => P}
     Graft.init(spark)
     frame.createOrReplaceTempView("sc_frame")
     val fold = spark.sql(
       "SELECT series_id, ts, m.macd AS macd, m.macds AS macds, m.macdh AS macdh " +
         "FROM (SELECT series_id, ts, graft_macd(close, 12, 26, 9) AS m FROM sc_frame)"
     )
-    val staged = frame.ta.macd(12, 26, 9, "close")
+    // pre-round-8 Ta.macd spelling, verbatim
+    val staged = frame
+      .withColumn("__mf", P.ewm(col("close"), 2.0 / 13))
+      .withColumn("__ms", P.ewm(col("close"), 2.0 / 27))
+      .withColumn("macd", col("__mf") - col("__ms"))
+      .withColumn("macds", P.ewm(col("macd"), 2.0 / 10))
+      .withColumn("macdh", col("macd") - col("macds"))
     Seq("macd", "macds", "macdh").foreach { c =>
       assertSame(collectCol(staged, c), collectCol(fold, c), c)
     }
@@ -74,9 +101,9 @@ class SeededCompositeSpec extends AnyFunSuite {
     val fold = spark.sql(
       "SELECT series_id, ts, graft_dema(close, 10) AS d, graft_tema(close, 10) AS t FROM sc_frame"
     )
-    val e1 = graft.ta.stage.ema(frame, "close", "e1", 10)
-    val e2 = graft.ta.stage.ema(e1, "e1", "e2", 10)
-    val e3 = graft.ta.stage.ema(e2, "e2", "e3", 10)
+    val e1 = graft.ta.stage.emaStaged(frame, "close", "e1", 10)
+    val e2 = graft.ta.stage.emaStaged(e1, "e1", "e2", 10)
+    val e3 = graft.ta.stage.emaStaged(e2, "e2", "e3", 10)
     val staged = e3
       .withColumn("d", lit(2.0) * col("e1") - col("e2"))
       .withColumn("t", lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3"))
