@@ -47,18 +47,15 @@ private[ta] object StrategyCompiler {
   private def clvExpr: Column =
     when(high =!= low, ((close - low) - (high - close)) / (high - low)).otherwise(0.0)
 
-  /** sma-seeded adjust=False ema levels (mirror of stage.ema with the z
-    * CASE inlined into the ewm argument — same ops, same order). Uses the
-    * shared `__rn` level-0 column. */
-  private def emaLv(src: Column, out: String, n: Int): (Seq[Level], Seq[String]) = {
-    val alpha = 2.0 / (n + 1)
-    val sd = s"__${out}_sd"
-    val levels = Seq(
-      Seq(sd -> avg(src).over(f(n))),
-      Seq(out -> ewm(when(col("__rn") < n, lit(null)).when(col("__rn") === n, col(sd)).otherwise(src), alpha))
-    )
-    (levels, Seq(sd))
-  }
+  /** sma-seeded adjust=False ema as ONE fold level (round 8): the
+    * SeededComposites.EmaSeeded kernel carries the positional gate, the
+    * seed mean and the recurrence in its aggregation buffer — one level
+    * instead of the former two (seed column + seeded ewm), bit-identical
+    * to the staged spelling (SeededCompositeSpec) and ~2× cheaper at
+    * scale (SCALING.md `sqlfold`). Chains (emaChain) shrink from 2k
+    * levels to k. */
+  private def emaLv(src: Column, out: String, n: Int): (Seq[Level], Seq[String]) =
+    (Seq(Seq(out -> call_function("graft_ema_k", src.cast("double"), lit(n)).over(prim.cum))), Nil)
 
   /** Chain of sma-seeded emas e1..eK over src; returns (levels, temps). */
   private def emaChain(src: Column, prefix: String, n: Int, k: Int): (Seq[Level], Seq[String]) = {
@@ -132,16 +129,12 @@ private[ta] object StrategyCompiler {
         val (l, t) = emaLv(close, s"ema_$n", n)
         Some(ColPlan(l, t))
       case "dema" =>
+        // cascade kernel: both ema levels in one aggregation buffer
         val n = i(p, "length", 10)
-        val (l, t) = emaChain(close, s"__dema${n}_e", n, 2)
-        Some(ColPlan(l :+ Seq(s"dema_$n" -> (lit(2.0) * col(s"__dema${n}_e1") - col(s"__dema${n}_e2"))), t))
+        Some(one(s"dema_$n", call_function("graft_dema_k", close.cast("double"), lit(n)).over(prim.cum)))
       case "tema" =>
         val n = i(p, "length", 10)
-        val (l, t) = emaChain(close, s"__tema${n}_e", n, 3)
-        Some(ColPlan(
-          l :+ Seq(s"tema_$n" -> (lit(3.0) * col(s"__tema${n}_e1") - lit(3.0) * col(s"__tema${n}_e2") + col(s"__tema${n}_e3"))),
-          t
-        ))
+        Some(one(s"tema_$n", call_function("graft_tema_k", close.cast("double"), lit(n)).over(prim.cum)))
       case "trima" =>
         val n = i(p, "length", 10)
         val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
@@ -230,30 +223,25 @@ private[ta] object StrategyCompiler {
         val (l, t) = linregLv(close, s"linreg_$n", n)
         Some(ColPlan(l, t))
       case "rsi" =>
+        // single fold: diff/up/dn/double-rma in the aggregation buffer
         val n = i(p, "length", 10)
-        val up = s"__rsi${n}_up"; val dn = s"__rsi${n}_dn"
-        val d0 = diff(close)
-        Some(ColPlan(
-          Seq(
-            Seq(
-              up -> when(d0.isNull, lit(null)).when(d0 > 0, d0).otherwise(lit(0.0)),
-              dn -> when(d0.isNull, lit(null)).when(d0 < 0, -d0).otherwise(lit(0.0))
-            ),
-            Seq(s"rsi_$n" -> (lit(100.0) * sdiv(rmaOf(col(up), n), rmaOf(col(up), n) + rmaOf(col(dn), n))))
-          ),
-          Seq(up, dn)
-        ))
+        Some(one(s"rsi_$n", call_function("graft_rsi_k", close.cast("double"), lit(n)).over(prim.cum)))
       case "macd" =>
+        // struct fold: three ewm accumulators in one window aggregate,
+        // the line/signal/hist projected from the struct in level 2
         val fast = i(p, "fast", 12); val slow = i(p, "slow", 26); val sig = i(p, "signal", 9)
-        val mf = "__macd_mf"; val ms = "__macd_ms"
+        val m = "__macd_m"
         Some(ColPlan(
           Seq(
-            Seq(mf -> ewm(close, 2.0 / (fast + 1)), ms -> ewm(close, 2.0 / (slow + 1))),
-            Seq("macd" -> (col(mf) - col(ms))),
-            Seq("macds" -> ewm(col("macd"), 2.0 / (sig + 1))),
-            Seq("macdh" -> (col("macd") - col("macds")))
+            Seq(m -> call_function("graft_macd_k", close.cast("double"), lit(fast), lit(slow), lit(sig))
+              .over(prim.cum)),
+            Seq(
+              "macd" -> col(s"$m.macd"),
+              "macds" -> col(s"$m.macds"),
+              "macdh" -> col(s"$m.macdh")
+            )
           ),
-          Seq(mf, ms)
+          Seq(m)
         ))
       case "mom" =>
         val n = i(p, "length", 10)
@@ -910,21 +898,16 @@ private[ta] object StrategyCompiler {
         ))
       case "stochrsi" =>
         val n = i(p, "length", 10); val k = 3; val dN = 3
-        val up = "__srsi_rup"; val dn = "__srsi_rdn"; val rsi0 = "__srsi_rsi"; val sr = "__srsi_srsi"
-        val d0 = diff(close)
+        val rsi0 = "__srsi_rsi"; val sr = "__srsi_srsi"
         val lo = rmin(col(rsi0), n); val hi = rmax(col(rsi0), n)
         Some(ColPlan(
           Seq(
-            Seq(
-              up -> when(d0.isNull, lit(null)).when(d0 > 0, d0).otherwise(lit(0.0)),
-              dn -> when(d0.isNull, lit(null)).when(d0 < 0, -d0).otherwise(lit(0.0))
-            ),
-            Seq(rsi0 -> (lit(100.0) * sdiv(rmaOf(col(up), n), rmaOf(col(up), n) + rmaOf(col(dn), n)))),
+            Seq(rsi0 -> call_function("graft_rsi_k", close.cast("double"), lit(n)).over(prim.cum)),
             Seq(sr -> (lit(100.0) * sdiv(col(rsi0) - lo, hi - lo))),
             Seq("stochrsi_k" -> rmean(col(sr), k)),
             Seq("stochrsi_d" -> rmean(col("stochrsi_k"), dN))
           ),
-          Seq(up, dn, rsi0, sr)
+          Seq(rsi0, sr)
         ))
       case "ichimoku" =>
         val tN = i(p, "tenkan", 9); val kN = i(p, "kijun", 26)
@@ -1433,18 +1416,10 @@ private[ta] object StrategyCompiler {
       case "qqe" =>
         val n = i(p, "length", 14); val smooth = i(p, "smooth", 5); val factor = dd(p, "factor", 4.236)
         val wilders = n * 2 - 1
-        val d0 = diff(close)
         val (lEma, tEma) = emaLv(col("__qrsi"), "__rsima", smooth)
         Some(RecPlan(
           Seq(
-            Seq(
-              "__qqe_rup" -> when(d0.isNull, lit(null)).when(d0 > 0, d0).otherwise(lit(0.0)),
-              "__qqe_rdn" -> when(d0.isNull, lit(null)).when(d0 < 0, -d0).otherwise(lit(0.0))
-            ),
-            Seq("__qrsi" -> (lit(100.0) * sdiv(
-              rmaOf(col("__qqe_rup"), n),
-              rmaOf(col("__qqe_rup"), n) + rmaOf(col("__qqe_rdn"), n)
-            )))
+            Seq("__qrsi" -> call_function("graft_rsi_k", close.cast("double"), lit(n)).over(prim.cum))
           ) ++ lEma ++ Seq(
             Seq("__adr" -> abs(diff(col("__rsima")))),
             Seq("__matr" -> ewm(col("__adr"), 1.0 / wilders)),
@@ -1452,7 +1427,7 @@ private[ta] object StrategyCompiler {
           ),
           Seq(dbl(s"qqe_$n"), intF(s"qqe_trend_$n"), dbl(s"qqe_long_$n"), dbl(s"qqe_short_$n")),
           () => new rec.Qqe,
-          Seq("__qqe_rup", "__qqe_rdn", "__qrsi", "__rsima", "__adr", "__matr", "__dar") ++ tEma
+          Seq("__qrsi", "__rsima", "__adr", "__matr", "__dar") ++ tEma
         ))
       case _ => None
     }
