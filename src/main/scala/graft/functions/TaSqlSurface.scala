@@ -18,10 +18,15 @@ import graft.ta.{prim => P}
   * query's relation must expose those two columns — the same contract
   * the Scala accessor has. Window extraction is the analyzer's normal
   * ExtractWindowExpressions pass; all wrappers keep their window
-  * expressions at the top level of the tree (no window-in-window), which
-  * is why the EW-seeded composites (ema, rsi, …) are NOT here — their
-  * staged projections can't collapse into one expression, and SQL users
-  * compose them from these parts exactly as stage.scala does.
+  * expressions at the top level of the tree (no window-in-window).
+  * The EW-seeded composites (ema, rsi, macd, dema, tema) were excluded
+  * until round 8 for exactly that limitation — their staged spellings
+  * stack projections — and are covered now by the phase-2
+  * single-expression fold kernels (SeededComposites): each composite is
+  * ONE AggregateWindowFunction, so no nesting arises. Phase 3 (round 9)
+  * extends the same machinery to the Wilder/rma-seeded composites
+  * (atr/natr/stoch/bbands/trix/tsi/adx) and the branching REC state
+  * machines (psar, supertrend — RecFolds).
   *
   * Both registration paths consume this one list: `Registry.register`
   * (programmatic, Graft.init) and `GraftExtensions` (cluster-wide via
@@ -111,6 +116,13 @@ object TaSqlSurface {
       SeededComposites.DemaSeeded(dblE(es(0)), intLit(es(1), "graft_dema_k"))),
     ar("graft_tema_k", 2)(es =>
       SeededComposites.TemaSeeded(dblE(es(0)), intLit(es(1), "graft_tema_k"))),
+    // ---- REC state-machine folds (phase 3, RecFolds) ---------------------
+    ar("graft_psar_k", 6)(es =>
+      RecFolds.PsarFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        dblLit(es(3), "graft_psar_k"), dblLit(es(4), "graft_psar_k"), dblLit(es(5), "graft_psar_k"))),
+    ar("graft_supertrend_k", 5)(es =>
+      RecFolds.SupertrendFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_supertrend_k"), dblLit(es(4), "graft_supertrend_k"))),
     // … and the canonical-window wrappers (no OVER needed, same contract
     // as graft_sma-class). The kernel call routes through the function
     // registry rather than wrapping the Expression directly — registry-
@@ -120,7 +132,9 @@ object TaSqlSurface {
     ar("graft_rsi", 2)(es => x(kernel("graft_rsi_k", es).over(P.cum))),
     ar("graft_macd", 4)(es => x(kernel("graft_macd_k", es).over(P.cum))),
     ar("graft_dema", 2)(es => x(kernel("graft_dema_k", es).over(P.cum))),
-    ar("graft_tema", 2)(es => x(kernel("graft_tema_k", es).over(P.cum)))
+    ar("graft_tema", 2)(es => x(kernel("graft_tema_k", es).over(P.cum))),
+    ar("graft_psar", 6)(es => x(kernel("graft_psar_k", es).over(P.cum))),
+    ar("graft_supertrend", 5)(es => x(kernel("graft_supertrend_k", es).over(P.cum)))
   )
 
   private def dblE(e: Expression): Expression =

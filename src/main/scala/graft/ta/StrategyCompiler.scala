@@ -243,6 +243,43 @@ private[ta] object StrategyCompiler {
           ),
           Seq(m)
         ))
+      case "psar" =>
+        // round-9: struct window fold (RecFolds.PsarFold) — shares the
+        // W-class Exchange instead of the mapPartitions re-repartition;
+        // compileRec's kernel lowering remains for the streaming path.
+        val af0 = dd(p, "af0", 0.02); val afP = dd(p, "af", 0.02); val maxAf = dd(p, "max_af", 0.2)
+        val t = "__psar"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_psar_k",
+              high.cast("double"), low.cast("double"), close.cast("double"),
+              lit(af0), lit(afP), lit(maxAf)).over(prim.cum)),
+            Seq(
+              "psar_long" -> col(s"$t.long"),
+              "psar_short" -> col(s"$t.short"),
+              "psar_af" -> col(s"$t.af"),
+              "psar_reversal" -> col(s"$t.rev")
+            )
+          ),
+          Seq(t)
+        ))
+      case "supertrend" =>
+        val n = i(p, "length", 7); val mult = dd(p, "multiplier", 3.0)
+        val t = s"__st_$n"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_supertrend_k",
+              high.cast("double"), low.cast("double"), close.cast("double"),
+              lit(n), lit(mult)).over(prim.cum)),
+            Seq(
+              s"supert_$n" -> col(s"$t.st"),
+              s"supertd_$n" -> col(s"$t.dir"),
+              s"supertl_$n" -> col(s"$t.long"),
+              s"superts_$n" -> col(s"$t.short")
+            )
+          ),
+          Seq(t)
+        ))
       case "mom" =>
         val n = i(p, "length", 10)
         Some(one(s"mom_$n", diff(close, n)))

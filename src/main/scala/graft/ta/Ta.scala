@@ -782,19 +782,41 @@ final class Ta(private val df: DataFrame) {
   import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField}
   private def dbl(name: String) = StructField(name, DoubleType, nullable = true)
 
-  /** Parabolic SAR — see rec.Psar for the declared state machine. */
-  def psar(af0: Double = 0.02, afStep: Double = 0.02, maxAf: Double = 0.2): DataFrame =
-    rec.perSeries(
-      df,
-      Seq(dbl("psar_long"), dbl("psar_short"), dbl("psar_af"), StructField("psar_reversal", IntegerType, nullable = true))
-    )(() => new rec.Psar(af0, afStep, maxAf))
+  /** Parabolic SAR — rec.Psar for the declared state machine. Round-9:
+    * ONE struct-valued window fold (functions.RecFolds.PsarFold) — the
+    * branching trend/EP/AF recursion lives in the aggregation buffer, so
+    * psar shares the W-class Exchange instead of re-repartitioning
+    * through mapPartitions. The kernel spelling it bit-matches is the
+    * reference in RecFoldSpec (and stays on the streaming path). */
+  def psar(af0: Double = 0.02, afStep: Double = 0.02, maxAf: Double = 0.2): DataFrame = {
+    val s = call_function(
+      "graft_psar_k",
+      high.cast("double"), low.cast("double"), close.cast("double"),
+      lit(af0), lit(afStep), lit(maxAf)
+    ).over(prim.cum)
+    df.withColumn("__ps", s)
+      .withColumn("psar_long", col("__ps.long"))
+      .withColumn("psar_short", col("__ps.short"))
+      .withColumn("psar_af", col("__ps.af"))
+      .withColumn("psar_reversal", col("__ps.rev"))
+      .drop("__ps")
+  }
 
-  /** Supertrend — see rec.Supertrend. */
-  def supertrend(n: Int = 7, mult: Double = 3.0): DataFrame =
-    rec.perSeries(
-      df,
-      Seq(dbl(s"supert_$n"), StructField(s"supertd_$n", IntegerType, nullable = true), dbl(s"supertl_$n"), dbl(s"superts_$n"))
-    )(() => new rec.Supertrend(n, mult))
+  /** Supertrend — rec.Supertrend for the state machine; round-9 fold
+    * (functions.RecFolds.SupertrendFold), same rationale as psar. */
+  def supertrend(n: Int = 7, mult: Double = 3.0): DataFrame = {
+    val s = call_function(
+      "graft_supertrend_k",
+      high.cast("double"), low.cast("double"), close.cast("double"),
+      lit(n), lit(mult)
+    ).over(prim.cum)
+    df.withColumn("__st", s)
+      .withColumn(s"supert_$n", col("__st.st"))
+      .withColumn(s"supertd_$n", col("__st.dir"))
+      .withColumn(s"supertl_$n", col("__st.long"))
+      .withColumn(s"superts_$n", col("__st.short"))
+      .drop("__st")
+  }
 
   /** Heikin-Ashi bars — see rec.HeikinAshi. */
   def ha: DataFrame =

@@ -36,7 +36,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr",
         // phase 2 (round 8): seeded-EW composite kernels + wrappers
         "graft_ema_k", "graft_rsi_k", "graft_macd_k", "graft_dema_k", "graft_tema_k",
-        "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema"
+        // phase 3 (round 9): REC state-machine folds
+        "graft_psar_k", "graft_supertrend_k",
+        "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema",
+        "graft_psar", "graft_supertrend"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -54,7 +57,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_dema(close, 3)", "graft_tema(close, 3)",
       "graft_ema_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_rsi_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
-      "graft_macd_k(close, 3, 6, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+      "graft_macd_k(close, 3, 6, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_psar(high, low, close, 0.02, 0.02, 0.2).long",
+      "graft_supertrend(high, low, close, 7, 3.0).st",
+      "graft_psar_k(high, low, close, 0.02, 0.02, 0.2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_supertrend_k(high, low, close, 7, 3.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

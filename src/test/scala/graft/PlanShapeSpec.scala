@@ -98,12 +98,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size <= 2, s"composite batch split into ${windows.size} WindowExec nodes")
   }
 
+  test("mixed W+REC strategy (sma + psar + supertrend) plans ONE Exchange") {
+    // round-9 gate: psar/supertrend lower to struct window folds
+    // (RecFolds), so a mixed batch no longer pays the mapPartitions
+    // re-repartition — the folds share the W-class (series_id, ts)
+    // exchange. This is the shuffle the round-8 verdict flagged.
+    import graft.ta.{registry, IndicatorSpec, Strategy}
+    val out = registry.strategy(
+      synthetic.repartition(col("series_id")),
+      Strategy("w-plus-rec", Seq(
+        IndicatorSpec("sma", Map("length" -> 10)),
+        IndicatorSpec("psar"),
+        IndicatorSpec("supertrend", Map("length" -> 7))
+      ))
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+  }
+
   test("every window-class registry indicator in ONE strategy = one shuffle") {
     import graft.ta.{registry, IndicatorSpec, Strategy}
     // REC kernels repartition internally (mapPartitions state machines);
-    // everything else must share the single (series_id, ts) exchange
+    // everything else must share the single (series_id, ts) exchange.
+    // psar/supertrend left this set in round 9 (RecFolds window folds).
     val kernelKinds = Set(
-      "psar", "supertrend", "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
+      "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
       "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma", "kalman",
       "cusum" // REC kernels (cusum adds a broadcast stats join) — not window ops
     )
