@@ -233,4 +233,240 @@ object SeededComposites {
     override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): MacdSeeded =
       copy(x = c0(0))
   }
+
+  // ==================================================================
+  // Phase 3 (round 9): the Wilder/rma-seeded composites. Same collapse
+  // — every stage is an O(1) per-row state update — with the Wilder
+  // accumulator's rmaOf gating (seed at first non-null, mask until n
+  // observations) carried by a (count, acc) buffer pair per smoothing.
+  // Arithmetic replicates the staged Ta spellings operation-for-
+  // operation (WilderFoldSpec proves bit-identity).
+  // ==================================================================
+
+  /** One sma-seeded ema level's buffer updates (the EmaSeeded/EmaCascade
+    * update, factored so chains with PER-LEVEL lengths — tsi's slow-then-
+    * fast — can reuse it): returns the (sum, cnt, acc) update expressions
+    * and the post-update accumulator for the next level's input. */
+  private def seededLevel(
+      pos: Expression, posN: Expression, n: Int,
+      s: Expression, cn: Expression, y: Expression, input: Expression
+  ): (Seq[Expression], Expression) = {
+    val alpha = 2.0 / (n + 1)
+    val nL = Literal(n.toLong)
+    val sN = If(LessThan(pos, nL), Coalesce(Seq(Add(Coalesce(Seq(s, Literal(0.0))), input), s)), s)
+    val cN = If(And(LessThan(pos, nL), IsNotNull(input)), Add(cn, Literal(1L)), cn)
+    val sd = Divide(sN, Cast(cN, DoubleType))
+    val z = If(LessThan(posN, nL), nullD, If(EqualTo(posN, nL), sd, input))
+    val yN = ewmStep(y, z, alpha)
+    (Seq(sN, cN, yN), yN)
+  }
+
+  /** Wilder rma stage: ewm(alpha=1/n) + a non-null observation count for
+    * the rmaOf mask (cumcount(x) ≥ n). Returns (cnt', acc') updates. */
+  private def wilderStep(cn: Expression, y: Expression, v: Expression, n: Int): Seq[Expression] =
+    Seq(
+      If(IsNotNull(v), Add(cn, Literal(1L)), cn),
+      ewmStep(y, v, 1.0 / n)
+    )
+
+  /** max(h−l, |h−pc|, |l−pc|), null while pc is (mirror Ta.trueRange). */
+  private def trOf(h: Expression, l: Expression, pc: Expression): Expression =
+    If(
+      IsNull(pc),
+      nullD,
+      Greatest(Seq(Subtract(h, l), Abs(Subtract(h, pc)), Abs(Subtract(l, pc))))
+    )
+
+  /** sdiv's exact null-on-zero/null denominator (a / when(b =!= 0, b)). */
+  private def sdivE(a: Expression, b: Expression): Expression =
+    Divide(a, If(Not(EqualTo(b, Literal(0.0))), b, nullD))
+
+  /** pandas-ta atr(n) = Wilder rma of true range, as ONE fold — the
+    * staged Ta.atr spelling (trueRange column + rmaOf) with the prev-
+    * close diff carried in a buffer slot. */
+  case class AtrFold(h: Expression, l: Expression, c: Expression, n: Int)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l, c)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_atr_k"
+
+    private lazy val pc = AttributeReference("atrPc", DoubleType, nullable = true)()
+    private lazy val cnt = AttributeReference("atrCnt", LongType, nullable = false)()
+    private lazy val y = AttributeReference("atrAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pc, cnt, y)
+    override val initialValues: Seq[Expression] = Seq(nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val tr = trOf(h, l, pc)
+      Seq(c) ++ wilderStep(cnt, y, tr, n)
+    }
+    override lazy val evaluateExpression: Expression =
+      If(GreaterThanOrEqual(cnt, Literal(n.toLong)), y, nullD)
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): AtrFold =
+      copy(h = c0(0), l = c0(1), c = c0(2))
+  }
+
+  /** pandas-ta trix(n) = 100·pctChange(ema³(src, n)) as one fold: the
+    * EmaCascade(3) machinery plus a previous-e3 buffer slot standing in
+    * for lag(e3, 1). */
+  case class TrixFold(x: Expression, n: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_trix_k"
+
+    private lazy val pos = AttributeReference("trixPos", LongType, nullable = false)()
+    private lazy val ss =
+      (1 to 3).map(i => AttributeReference(s"trixSum$i", DoubleType, nullable = true)())
+    private lazy val cs =
+      (1 to 3).map(i => AttributeReference(s"trixCnt$i", LongType, nullable = false)())
+    private lazy val ys =
+      (1 to 3).map(i => AttributeReference(s"trixAcc$i", DoubleType, nullable = true)())
+    private lazy val p3 = AttributeReference("trixPrev", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      pos +: (0 until 3).flatMap(i => Seq(ss(i), cs(i), ys(i))) :+ p3
+    override val initialValues: Seq[Expression] =
+      (Literal(0L): Expression) +: (1 to 3).flatMap(_ => Seq(nullD, Literal(0L), nullD)) :+ nullD
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      var input: Expression = x
+      val per = (0 until 3).flatMap { i =>
+        val (ups, yN) = seededLevel(pos, posN, n, ss(i), cs(i), ys(i), input)
+        input = yN
+        ups
+      }
+      // p3 := previous row's e3 (the old accumulator) ≡ lag(e3, 1)
+      (posN +: per) :+ ys(2)
+    }
+    override lazy val evaluateExpression: Expression =
+      Multiply(Literal(100.0), Subtract(sdivE(ys(2), p3), Literal(1.0)))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): TrixFold =
+      copy(x = c0(0))
+  }
+
+  /** pandas-ta tsi(fast, slow) = 100·ema(ema(Δc,slow),fast) /
+    * ema(ema(|Δc|,slow),fast) on sma-seeded chains (Ta.tsi) — one fold:
+    * diff via a prev-value slot, then two 2-level seeded-ema chains
+    * with PER-LEVEL lengths (slow then fast, the seededLevel reuse). */
+  case class TsiFold(x: Expression, fast: Int, slow: Int)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_tsi_k"
+
+    private lazy val pos = AttributeReference("tsiPos", LongType, nullable = false)()
+    private lazy val prevX = AttributeReference("tsiPrev", DoubleType, nullable = true)()
+    private lazy val ss =
+      (1 to 4).map(i => AttributeReference(s"tsiSum$i", DoubleType, nullable = true)())
+    private lazy val cs =
+      (1 to 4).map(i => AttributeReference(s"tsiCnt$i", LongType, nullable = false)())
+    private lazy val ys =
+      (1 to 4).map(i => AttributeReference(s"tsiAcc$i", DoubleType, nullable = true)())
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(pos, prevX) ++ (0 until 4).flatMap(i => Seq(ss(i), cs(i), ys(i)))
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), nullD) ++ (1 to 4).flatMap(_ => Seq(nullD, Literal(0L), nullD))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val dd = Subtract(x, prevX)
+      val ad = Abs(Subtract(x, prevX))
+      // chain 1: ds = ema(dd, slow) → dss = ema(ds, fast)
+      val (u0, y0) = seededLevel(pos, posN, slow, ss(0), cs(0), ys(0), dd)
+      val (u1, _) = seededLevel(pos, posN, fast, ss(1), cs(1), ys(1), y0)
+      // chain 2: as = ema(|dd|, slow) → ass = ema(as, fast)
+      val (u2, y2) = seededLevel(pos, posN, slow, ss(2), cs(2), ys(2), ad)
+      val (u3, _) = seededLevel(pos, posN, fast, ss(3), cs(3), ys(3), y2)
+      Seq(posN, x) ++ u0 ++ u1 ++ u2 ++ u3
+    }
+    override lazy val evaluateExpression: Expression =
+      Multiply(Literal(100.0), sdivE(ys(1), ys(3)))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): TsiFold =
+      copy(x = c0(0))
+  }
+
+  /** pandas-ta adx(n, lensig) as ONE fold emitting STRUCT(dmp, dmn, dip,
+    * dim, adx): ±DM and true range feed three Wilder accumulators, DX is
+    * computed per row from the freshly-updated (and rmaOf-masked)
+    * values, and a fourth Wilder accumulator smooths DX — the staged
+    * Ta.adx chain (dm → trueRange → three rmaOf → dx → rmaOf) collapsed
+    * into eleven buffer slots. */
+  case class AdxFold(h: Expression, l: Expression, c: Expression, n: Int, lensig: Int)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l, c)
+    override def dataType: DataType = StructType(Seq(
+      StructField("dmp", DoubleType),
+      StructField("dmn", DoubleType),
+      StructField("dip", DoubleType),
+      StructField("dim", DoubleType),
+      StructField("adx", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_adx_k"
+
+    private lazy val ph = AttributeReference("adxPh", DoubleType, nullable = true)()
+    private lazy val pl = AttributeReference("adxPl", DoubleType, nullable = true)()
+    private lazy val pc = AttributeReference("adxPc", DoubleType, nullable = true)()
+    private lazy val cp = AttributeReference("adxCp", LongType, nullable = false)()
+    private lazy val yp = AttributeReference("adxYp", DoubleType, nullable = true)()
+    private lazy val cm = AttributeReference("adxCm", LongType, nullable = false)()
+    private lazy val ym = AttributeReference("adxYm", DoubleType, nullable = true)()
+    private lazy val ct = AttributeReference("adxCt", LongType, nullable = false)()
+    private lazy val yt = AttributeReference("adxYt", DoubleType, nullable = true)()
+    private lazy val c4 = AttributeReference("adxC4", LongType, nullable = false)()
+    private lazy val y4 = AttributeReference("adxY4", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(ph, pl, pc, cp, yp, cm, ym, ct, yt, c4, y4)
+    override val initialValues: Seq[Expression] = Seq(
+      nullD, nullD, nullD,
+      Literal(0L), nullD, Literal(0L), nullD, Literal(0L), nullD, Literal(0L), nullD
+    )
+
+    /** rmaOf mask + dip/dim/dx from a given set of (cnt, acc) values —
+      * shared between the update (fresh values) and evaluate (buffers). */
+    private def dxParts(
+        cpE: Expression, ypE: Expression, cmE: Expression, ymE: Expression,
+        ctE: Expression, ytE: Expression
+    ): (Expression, Expression, Expression, Expression, Expression, Expression) = {
+      val nL = Literal(n.toLong)
+      val dmp = If(GreaterThanOrEqual(cpE, nL), ypE, nullD)
+      val dmn = If(GreaterThanOrEqual(cmE, nL), ymE, nullD)
+      val atr = If(GreaterThanOrEqual(ctE, nL), ytE, nullD)
+      val dip = Multiply(Literal(100.0), sdivE(dmp, atr))
+      val dim = Multiply(Literal(100.0), sdivE(dmn, atr))
+      val dx = Multiply(Literal(100.0), sdivE(Abs(Subtract(dip, dim)), Add(dip, dim)))
+      (dmp, dmn, dip, dim, atr, dx)
+    }
+
+    override lazy val updateExpressions: Seq[Expression] = {
+      val up = Subtract(h, ph)
+      val dn = UnaryMinus(Subtract(l, pl))
+      val nullEither = Or(IsNull(up), IsNull(dn))
+      val pdm = If(And(GreaterThan(up, dn), GreaterThan(up, Literal(0.0))), up,
+        If(nullEither, nullD, Literal(0.0)))
+      val mdm = If(And(GreaterThan(dn, up), GreaterThan(dn, Literal(0.0))), dn,
+        If(nullEither, nullD, Literal(0.0)))
+      val tr = trOf(h, l, pc)
+      val Seq(cpN, ypN) = wilderStep(cp, yp, pdm, n)
+      val Seq(cmN, ymN) = wilderStep(cm, ym, mdm, n)
+      val Seq(ctN, ytN) = wilderStep(ct, yt, tr, n)
+      val (_, _, _, _, _, dx) = dxParts(cpN, ypN, cmN, ymN, ctN, ytN)
+      val Seq(c4N, y4N) = wilderStep(c4, y4, dx, lensig)
+      Seq(h, l, c, cpN, ypN, cmN, ymN, ctN, ytN, c4N, y4N)
+    }
+
+    override lazy val evaluateExpression: Expression = {
+      val (dmp, dmn, dip, dim, _, _) = dxParts(cp, yp, cm, ym, ct, yt)
+      val adx = If(GreaterThanOrEqual(c4, Literal(lensig.toLong)), y4, nullD)
+      CreateNamedStruct(Seq(
+        Literal("dmp"), dmp,
+        Literal("dmn"), dmn,
+        Literal("dip"), dip,
+        Literal("dim"), dim,
+        Literal("adx"), adx
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): AdxFold =
+      copy(h = c0(0), l = c0(1), c = c0(2))
+  }
 }

@@ -123,6 +123,17 @@ object TaSqlSurface {
     ar("graft_supertrend_k", 5)(es =>
       RecFolds.SupertrendFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
         intLit(es(3), "graft_supertrend_k"), dblLit(es(4), "graft_supertrend_k"))),
+    // ---- Wilder/rma-seeded composite folds (phase 3) ---------------------
+    ar("graft_atr_k", 4)(es =>
+      SeededComposites.AtrFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_atr_k"))),
+    ar("graft_trix_k", 2)(es =>
+      SeededComposites.TrixFold(dblE(es(0)), intLit(es(1), "graft_trix_k"))),
+    ar("graft_tsi_k", 3)(es =>
+      SeededComposites.TsiFold(dblE(es(0)),
+        intLit(es(1), "graft_tsi_k"), intLit(es(2), "graft_tsi_k"))),
+    ar("graft_adx_k", 5)(es =>
+      SeededComposites.AdxFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_adx_k"), intLit(es(4), "graft_adx_k"))),
     // … and the canonical-window wrappers (no OVER needed, same contract
     // as graft_sma-class). The kernel call routes through the function
     // registry rather than wrapping the Expression directly — registry-
@@ -134,8 +145,60 @@ object TaSqlSurface {
     ar("graft_dema", 2)(es => x(kernel("graft_dema_k", es).over(P.cum))),
     ar("graft_tema", 2)(es => x(kernel("graft_tema_k", es).over(P.cum))),
     ar("graft_psar", 6)(es => x(kernel("graft_psar_k", es).over(P.cum))),
-    ar("graft_supertrend", 5)(es => x(kernel("graft_supertrend_k", es).over(P.cum)))
+    ar("graft_supertrend", 5)(es => x(kernel("graft_supertrend_k", es).over(P.cum))),
+    ar("graft_atr", 4)(es => x(kernel("graft_atr_k", es).over(P.cum))),
+    ar("graft_natr", 4)(es => {
+      // Ta.natr: 100 · sdiv(atr(n), close) — scalar arithmetic wrapping
+      // the fold's window expression (extraction handles mixed trees)
+      val atr = kernel("graft_atr_k", es).over(P.cum)
+      x(org.apache.spark.sql.functions.lit(100.0) * P.sdiv(atr, c(es(2))))
+    }),
+    ar("graft_trix", 2)(es => x(kernel("graft_trix_k", es).over(P.cum))),
+    ar("graft_tsi", 3)(es => x(kernel("graft_tsi_k", es).over(P.cum))),
+    ar("graft_adx", 5)(es => x(kernel("graft_adx_k", es).over(P.cum))),
+    ar("graft_bbands", 3)(es => {
+      // Ta.bbands — pure single-level W class, struct-valued
+      import org.apache.spark.sql.functions.{lit, struct}
+      val src = c(es(0)); val n = intLit(es(1), "graft_bbands")
+      val k = dblLit(es(2), "graft_bbands")
+      val mid = P.rmean(src, n)
+      val dev = P.rstd(src, n) * k
+      x(struct(
+        mid.as("bbm"),
+        (mid - dev).as("bbl"),
+        (mid + dev).as("bbu"),
+        (lit(100.0) * P.sdiv(lit(2.0) * dev, mid)).as("bbb"),
+        P.sdiv(src - (mid - dev), lit(2.0) * dev).as("bbp")
+      ))
+    }),
+    ar("graft_stoch", 6)(es =>
+      x(stochStruct(c(es(0)), c(es(1)), c(es(2)),
+        intLit(es(3), "graft_stoch"), intLit(es(4), "graft_stoch"), intLit(es(5), "graft_stoch"))))
   )
+
+  /** stoch(n, k, d) as ONE projection: the smoothing stages can't nest a
+    * window inside a window, so the k- and d-means unroll into SHIFTED
+    * copies of fast %K — lag(close, j) against min/max over the j-shifted
+    * n-frame (same partition/order, so one Exchange; k·d is tiny and
+    * literal). Gating matches the staged rmean chain: a null anywhere in
+    * the k (resp. k+d−1) shifted values nulls the mean, exactly the
+    * count≥n gate's effect. Struct(stoch_k, stoch_d). */
+  private def stochStruct(h: Column, l: Column, cl: Column, n: Int, k: Int, dN: Int): Column = {
+    import org.apache.spark.sql.functions._
+    def frj(j: Int) = P.w.rowsBetween(-(n - 1) - j, -j)
+    def fastk(j: Int): Column = {
+      val ll = when(count(l).over(frj(j)) >= n, min(l).over(frj(j)))
+      val hh = when(count(h).over(frj(j)) >= n, max(h).over(frj(j)))
+      val cj = if (j == 0) cl else lag(cl, j).over(P.w)
+      lit(100.0) * P.sdiv(cj - ll, hh - ll)
+    }
+    // mean of fast %K over shifts i..i+k-1, summed oldest-first
+    def kAt(i: Int): Column =
+      ((i + k - 1) to i by -1).map(fastk).reduce(_ + _) / k.toDouble
+    val sk = kAt(0)
+    val sd = ((dN - 1) to 0 by -1).map(kAt).reduce(_ + _) / dN.toDouble
+    struct(sk.as("stoch_k"), sd.as("stoch_d"))
+  }
 
   private def dblE(e: Expression): Expression =
     if (e.dataType == DoubleType) e else org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)

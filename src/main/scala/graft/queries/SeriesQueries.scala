@@ -394,6 +394,103 @@ object SeriesQueries {
     }
   )
 
+  /** SQL surface PHASE 3 — the Wilder/rma-seeded composites and the
+    * multi-input W-class structs from pure SQL text: `graft_atr`/
+    * `graft_natr` (true-range fold + Wilder accumulator with rmaOf's
+    * count mask), `graft_stoch` (struct, the k/d smoothing unrolled into
+    * shifted frames — no window-in-window), `graft_bbands` (struct, pure
+    * single-level W class), `graft_trix`/`graft_tsi` (seeded-ema chains
+    * with per-level lengths in one buffer), `graft_adx` (struct: ±DM,
+    * TR and DX Wilder accumulators chained in one fold). Oracle = the
+    * staged-arithmetic mirrors already proven for the accessor queries
+    * (qAtr/qStoch/qBbands/qTrixTsi/qAdx spellings) over the same bars,
+    * so fold ≡ staged at 6 dp; WilderFoldSpec proves bit-identity at
+    * full precision against the staged Ta accessors. */
+  private val sqlSurface3Outs = Seq(
+    "s_atr", "s_natr", "s_stk", "s_std",
+    "s_bbm", "s_bbl", "s_bbu", "s_bbb", "s_bbp",
+    "s_trix", "s_tsi", "s_dip", "s_dim", "s_adx"
+  )
+
+  val qSqlSurface3 = Q(
+    "x_sql_surface3",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars")
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  s_atr, s_natr,
+            |  st.stoch_k AS s_stk, st.stoch_d AS s_std,
+            |  bb.bbm AS s_bbm, bb.bbl AS s_bbl, bb.bbu AS s_bbu,
+            |  bb.bbb AS s_bbb, bb.bbp AS s_bbp,
+            |  s_trix, s_tsi,
+            |  ax.dip AS s_dip, ax.dim AS s_dim, ax.adx AS s_adx
+            |FROM (
+            |  SELECT series_id, ts,
+            |    graft_atr(high, low, close, 10) AS s_atr,
+            |    graft_natr(high, low, close, 10) AS s_natr,
+            |    graft_stoch(high, low, close, 10, 3, 3) AS st,
+            |    graft_bbands(close, 5, 2.0) AS bb,
+            |    graft_trix(close, 10) AS s_trix,
+            |    graft_tsi(close, 13, 25) AS s_tsi,
+            |    graft_adx(high, low, close, 14, 14) AS ax
+            |  FROM graft_bars
+            |)""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +: sqlSurface3Outs.map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val trSql =
+        s"CASE WHEN lag(close, 1) $ov IS NULL THEN NULL ELSE " +
+          s"greatest(high - low, abs(high - lag(close, 1) $ov), abs(low - lag(close, 1) $ov)) END"
+      val b0 = new Cte("bars", sqlgen.barsCte)
+        // atr / natr
+        .addSel("w1", s"$trSql AS tr_")
+        .addSel("w2", s"${rma("tr_", 10)} AS s_atr")
+        .addSel("w3", s"100e0 * ${sdiv("s_atr", "close")} AS s_natr")
+        // stoch 10/3/3
+        .addSel("w4", s"${rmin("low", 10)} AS ll_, ${rmax("high", 10)} AS hh_")
+        .addSel("w5", s"100e0 * ${sdiv("(close - ll_)", "(hh_ - ll_)")} AS fk_")
+        .addSel("w6", s"${rmean("fk_", 3)} AS s_stk")
+        .addSel("w7", s"${rmean("s_stk", 3)} AS s_std")
+        // bbands 5/2
+        .addSel("w8", s"${rmean("close", 5)} AS bbmid_, ${rstd("close", 5)} * 2e0 AS bbdev_")
+        .addSel(
+          "w9",
+          "bbmid_ AS s_bbm, bbmid_ - bbdev_ AS s_bbl, bbmid_ + bbdev_ AS s_bbu, " +
+            s"100e0 * ${sdiv("(2e0 * bbdev_)", "bbmid_")} AS s_bbb, " +
+            s"${sdiv("(close - (bbmid_ - bbdev_))", "(2e0 * bbdev_)")} AS s_bbp"
+        )
+      // trix / tsi chains (the qTrixTsi spellings)
+      val b1 = emaSql(emaSql(emaSql(b0, "close", "xte1", 10), "xte1", "xte2", 10), "xte2", "xte3", 10)
+        .addSel("w10", s"100e0 * (${sdiv("xte3", s"lag(xte3, 1) $ov")} - 1e0) AS s_trix, " +
+          s"close - lag(close, 1) $ov AS xdd, abs(close - lag(close, 1) $ov) AS xad")
+      val b2 = emaSql(emaSql(b1, "xdd", "xds", 25), "xds", "xdss", 13)
+      val b3 = emaSql(emaSql(b2, "xad", "xas", 25), "xas", "xass", 13)
+        .addSel("w11", s"100e0 * ${sdiv("xdss", "xass")} AS s_tsi")
+        // adx (the qAdx spellings)
+        .addSel("w12", s"high - lag(high, 1) $ov AS xup, lag(low, 1) $ov - low AS xdn")
+        .addSel(
+          "w13",
+          "CASE WHEN xup IS NULL OR xdn IS NULL THEN NULL WHEN xup > xdn AND xup > 0 THEN xup ELSE 0e0 END AS xpdm, " +
+            "CASE WHEN xup IS NULL OR xdn IS NULL THEN NULL WHEN xdn > xup AND xdn > 0 THEN xdn ELSE 0e0 END AS xmdm"
+        )
+        .addSel("w14", s"${rma("xpdm", 14)} AS xdmp, ${rma("xmdm", 14)} AS xdmn, ${rma("tr_", 14)} AS xatr")
+        .addSel("w15", s"100e0 * ${sdiv("xdmp", "xatr")} AS s_dip, 100e0 * ${sdiv("xdmn", "xatr")} AS s_dim")
+        .addSel("w16", s"100e0 * ${sdiv("abs(s_dip - s_dim)", "(s_dip + s_dim)")} AS xdx")
+        .addSel("w17", s"${rma("xdx", 14)} AS s_adx")
+      b3.result(
+        "SELECT series_id, ts, " +
+          sqlSurface3Outs.map(o => s"${normd(o)} AS $o").mkString(", ") +
+          s" FROM ${b3.top}$orderTail"
+      )
+    }
+  )
+
   /** wma oracle fragment (normalized 1..n weights in lag order). */
   private def wmaSqlOf(x: String, n: Int): String = {
     val ws = (1 to n).map(_.toDouble)
@@ -403,6 +500,6 @@ object SeriesQueries {
 
   def all: Seq[Q] = Seq(
     qSma, qEma, qWma, qRma, qDema, qTema, qTrima, qHma, qRsi, qMacd, qMomRoc,
-    qStats, qStats2, qReturns, qDrawdown, qSqlSurface, qSqlSurface2
+    qStats, qStats2, qReturns, qDrawdown, qSqlSurface, qSqlSurface2, qSqlSurface3
   )
 }

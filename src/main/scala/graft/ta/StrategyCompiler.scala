@@ -365,20 +365,14 @@ private[ta] object StrategyCompiler {
           Seq(gt)
         ))
       case "trix" =>
+        // cascade fold: three seeded-ema levels + the lag-1 slot in one buffer
         val n = i(p, "length", 10)
-        val (l, t) = emaChain(close, s"__trix${n}_e", n, 3)
-        Some(ColPlan(l :+ Seq(s"trix_$n" -> (lit(100.0) * pctChange(col(s"__trix${n}_e3"), 1))), t))
+        Some(one(s"trix_$n", call_function("graft_trix_k", close.cast("double"), lit(n)).over(prim.cum)))
       case "tsi" =>
         val fast = i(p, "fast", 13); val slow = i(p, "slow", 25)
-        val d0 = s"__tsi_d"; val ad = s"__tsi_ad"
-        val (l1, t1) = emaLv(col(d0), "__tsi_ds", slow)
-        val (l2, t2) = emaLv(col("__tsi_ds"), "__tsi_dss", fast)
-        val (l3, t3) = emaLv(col(ad), "__tsi_as", slow)
-        val (l4, t4) = emaLv(col("__tsi_as"), "__tsi_ass", fast)
-        Some(ColPlan(
-          Seq(Seq(d0 -> diff(close), ad -> abs(diff(close)))) ++ l1 ++ l2 ++ l3 ++ l4 :+
-            Seq(s"tsi_${fast}_$slow" -> (lit(100.0) * sdiv(col("__tsi_dss"), col("__tsi_ass")))),
-          Seq(d0, ad, "__tsi_ds", "__tsi_dss", "__tsi_as", "__tsi_ass") ++ t1 ++ t2 ++ t3 ++ t4
+        Some(one(
+          s"tsi_${fast}_$slow",
+          call_function("graft_tsi_k", close.cast("double"), lit(fast), lit(slow)).over(prim.cum)
         ))
       case "stdev" =>
         val n = i(p, "length", 30)
@@ -749,24 +743,23 @@ private[ta] object StrategyCompiler {
           Nil
         ))
       case "adx" =>
+        // struct fold: ±DM/TR/DX Wilder accumulators chained in one buffer
         val n = i(p, "length", 14); val lensig = i(p, "lensig", 14)
-        val up = diff(high)
-        val dn = -diff(low)
-        val pdm = when(up > dn && up > 0, up).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
-        val mdm = when(dn > up && dn > 0, dn).otherwise(when(up.isNull || dn.isNull, lit(null)).otherwise(0.0))
-        val atr0 = "__adx_atr"; val dx = "__adx_dx"
+        val t = s"__adx_$n"
         Some(ColPlan(
           Seq(
-            Seq(s"dmp_$n" -> rmaOf(pdm, n), s"dmn_$n" -> rmaOf(mdm, n), "true_range" -> trExpr),
-            Seq(atr0 -> rmaOf(col("true_range"), n)),
+            Seq(t -> call_function("graft_adx_k",
+              high.cast("double"), low.cast("double"), close.cast("double"),
+              lit(n), lit(lensig)).over(prim.cum)),
             Seq(
-              s"dip_$n" -> (lit(100.0) * sdiv(col(s"dmp_$n"), col(atr0))),
-              s"dim_$n" -> (lit(100.0) * sdiv(col(s"dmn_$n"), col(atr0)))
-            ),
-            Seq(dx -> (lit(100.0) * sdiv(abs(col(s"dip_$n") - col(s"dim_$n")), col(s"dip_$n") + col(s"dim_$n")))),
-            Seq(s"adx_$lensig" -> rmaOf(col(dx), lensig))
+              s"dmp_$n" -> col(s"$t.dmp"),
+              s"dmn_$n" -> col(s"$t.dmn"),
+              s"dip_$n" -> col(s"$t.dip"),
+              s"dim_$n" -> col(s"$t.dim"),
+              s"adx_$lensig" -> col(s"$t.adx")
+            )
           ),
-          Seq(atr0, dx, "true_range")
+          Seq(t)
         ))
       case "kc" =>
         val n = i(p, "length", 20); val scalar = dd(p, "scalar", 2.0)

@@ -356,25 +356,25 @@ final class Ta(private val df: DataFrame) {
   }
 
   /** Trix: 100·pct_change of triple sma-seeded ema. */
-  def trix(n: Int = 10, src: String = "close"): DataFrame = {
-    val d1 = stage.ema(df, src, "__te1", n)
-    val d2 = stage.ema(d1, "__te1", "__te2", n)
-    val d3 = stage.ema(d2, "__te2", "__te3", n)
-    d3.withColumn(s"trix_$n", lit(100.0) * pctChange(col("__te3"), 1))
-      .drop("__te1", "__te2", "__te3")
-  }
+  /** TRIX = 100·pctChange(ema³). Round-9: one cascaded fold
+    * (SeededComposites.TrixFold) — three seeded-ema levels plus the
+    * lag-1 slot in a single aggregation buffer; the staged chain it
+    * bit-matches is the WilderFoldSpec reference. */
+  def trix(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(
+      s"trix_$n",
+      call_function("graft_trix_k", c(src).cast("double"), lit(n)).over(prim.cum)
+    )
 
   /** True strength index: 100·ema(ema(Δc,slow),fast)/ema(ema(|Δc|,slow),fast)
     * (sma-seeded ema chains per the declared spec). */
-  def tsi(fast: Int = 13, slow: Int = 25, src: String = "close"): DataFrame = {
-    val tmp = df
-      .withColumn("__d", diff(c(src)))
-      .withColumn("__ad", abs(diff(c(src))))
-    val e1 = stage.ema(stage.ema(tmp, "__d", "__ds", slow), "__ds", "__dss", fast)
-    val e2 = stage.ema(stage.ema(e1, "__ad", "__as", slow), "__as", "__ass", fast)
-    e2.withColumn(s"tsi_${fast}_$slow", lit(100.0) * sdiv(col("__dss"), col("__ass")))
-      .drop("__d", "__ad", "__ds", "__dss", "__as", "__ass")
-  }
+  def tsi(fast: Int = 13, slow: Int = 25, src: String = "close"): DataFrame =
+    // round-9 fold (SeededComposites.TsiFold): diff slot + two seeded-ema
+    // chains with per-level lengths in one buffer (was 6 staged levels)
+    df.withColumn(
+      s"tsi_${fast}_$slow",
+      call_function("graft_tsi_k", c(src).cast("double"), lit(fast), lit(slow)).over(prim.cum)
+    )
 
   /** StochRSI: stoch range position of rsi(n), smoothed k and d. */
   def stochrsi(n: Int = 10, k: Int = 3, d: Int = 3, src: String = "close"): DataFrame = {
@@ -987,15 +987,20 @@ final class Ta(private val df: DataFrame) {
   /** ADX (reference trend/adx.py, declared): DI± = 100·rma(±DM,n)/atr(n);
     * DX = 100·|DI+−DI−|/(DI++DI−); ADX = rma(DX, lensig). */
   def adx(n: Int = 14, lensig: Int = 14): DataFrame = {
-    val d0 = new Ta(new Ta(dm(n)).trueRange).rmaAs("__atr", "true_range", n)
-    val dip = lit(100.0) * sdiv(col(s"dmp_$n"), col("__atr"))
-    val dim = lit(100.0) * sdiv(col(s"dmn_$n"), col("__atr"))
-    val d1 = d0.withColumn(s"dip_$n", dip).withColumn(s"dim_$n", dim)
-    val dx = lit(100.0) * sdiv(abs(col(s"dip_$n") - col(s"dim_$n")), col(s"dip_$n") + col(s"dim_$n"))
-    val d2 = d1.withColumn("__dx", dx)
-    new Ta(d2)
-      .rmaAs(s"adx_$lensig", "__dx", lensig)
-      .drop("__atr", "__dx", "true_range")
+    // round-9 struct fold (SeededComposites.AdxFold): ±DM/TR/DX Wilder
+    // accumulators chained in one buffer (was a 5-stage rmaOf chain)
+    val a = call_function(
+      "graft_adx_k",
+      high.cast("double"), low.cast("double"), close.cast("double"),
+      lit(n), lit(lensig)
+    ).over(prim.cum)
+    df.withColumn("__adx", a)
+      .withColumn(s"dmp_$n", col("__adx.dmp"))
+      .withColumn(s"dmn_$n", col("__adx.dmn"))
+      .withColumn(s"dip_$n", col("__adx.dip"))
+      .withColumn(s"dim_$n", col("__adx.dim"))
+      .withColumn(s"adx_$lensig", col("__adx.adx"))
+      .drop("__adx")
   }
 
   /** Keltner channel (reference volatility/kc.py, declared sma-seeded ema

@@ -36,10 +36,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_hl2", "graft_hlc3", "graft_ohlc4", "graft_wcp", "graft_tr",
         // phase 2 (round 8): seeded-EW composite kernels + wrappers
         "graft_ema_k", "graft_rsi_k", "graft_macd_k", "graft_dema_k", "graft_tema_k",
-        // phase 3 (round 9): REC state-machine folds
+        // phase 3 (round 9): REC state-machine + Wilder composite folds
         "graft_psar_k", "graft_supertrend_k",
+        "graft_atr_k", "graft_trix_k", "graft_tsi_k", "graft_adx_k",
         "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema",
-        "graft_psar", "graft_supertrend"
+        "graft_psar", "graft_supertrend",
+        "graft_atr", "graft_natr", "graft_trix", "graft_tsi", "graft_adx",
+        "graft_bbands", "graft_stoch"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -61,7 +64,15 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_psar(high, low, close, 0.02, 0.02, 0.2).long",
       "graft_supertrend(high, low, close, 7, 3.0).st",
       "graft_psar_k(high, low, close, 0.02, 0.02, 0.2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
-      "graft_supertrend_k(high, low, close, 7, 3.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+      "graft_supertrend_k(high, low, close, 7, 3.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_atr(high, low, close, 3)", "graft_natr(high, low, close, 3)",
+      "graft_trix(close, 3)", "graft_tsi(close, 3, 5)",
+      "graft_adx(high, low, close, 3, 3).adx",
+      "graft_bbands(close, 3, 2.0).bbm", "graft_stoch(high, low, close, 3, 2, 2).stoch_k",
+      "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_tsi_k(close, 3, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_adx_k(high, low, close, 3, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

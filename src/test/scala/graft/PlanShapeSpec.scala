@@ -98,6 +98,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size <= 2, s"composite batch split into ${windows.size} WindowExec nodes")
   }
 
+  test("SQL-surface phase 3 (Wilder composites + REC folds + stoch unroll) = one shuffle") {
+    // atr/trix/tsi/adx folds, the psar/supertrend state machines and the
+    // shifted-frame stoch unroll all share the canonical partition/order —
+    // a batch touching every phase-3 entry point must still plan ONE
+    // Exchange (frames differ, but frames don't shuffle)
+    Graft.init(spark)
+    synthetic.repartition(col("series_id")).createOrReplaceTempView("ps_sql3_bars")
+    val out = spark.sql(
+      "SELECT series_id, ts, graft_atr(high, low, close, 10) AS a, " +
+        "graft_natr(high, low, close, 10) AS b, graft_trix(close, 10) AS c, " +
+        "graft_tsi(close, 13, 25) AS d, graft_adx(high, low, close, 14, 14) AS e, " +
+        "graft_bbands(close, 5, 2.0) AS f, graft_stoch(high, low, close, 10, 3, 3) AS g, " +
+        "graft_psar(high, low, close, 0.02, 0.02, 0.2) AS h, " +
+        "graft_supertrend(high, low, close, 7, 3.0) AS i " +
+        "FROM ps_sql3_bars"
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+  }
+
   test("mixed W+REC strategy (sma + psar + supertrend) plans ONE Exchange") {
     // round-9 gate: psar/supertrend lower to struct window folds
     // (RecFolds), so a mixed batch no longer pays the mapPartitions
