@@ -196,7 +196,11 @@ object Bench {
                 anyChildContaminated ||= cont.toBoolean
                 ccUsedMax = math.max(ccUsedMax, ccUsed.toLong)
                 ccWorstMax = math.max(ccWorstMax, ccWorst.toDouble)
-                loadEnd = lEnd.toDouble; jvmsEnd = jEnd.toInt
+                // MAX across shards, not last-shard-wins: a load spike or
+                // foreign JVM during an EARLY shard must survive into the
+                // artifact's end-condition fields (ADVICE round 8)
+                loadEnd = math.max(loadEnd, lEnd.toDouble)
+                jvmsEnd = math.max(jvmsEnd, jEnd.toInt)
               case _ => ()
             }
           }

@@ -435,6 +435,44 @@ object ScaleProbe {
         256L * l,
         timed(force(df.selectExpr("series_id", "ts", "graft_dema(close, 20) AS dema_20"), "dema_20"))
       )
+      // round 9: the production-critical folds the round-8 curve did not
+      // measure — rsi (4 buffer slots incl. the diff slot) and macd (the
+      // STRUCT case: 3 accumulators, one expression serving 3 columns).
+      // Staged references = the pre-round-8 accessor spellings.
+      val rsiStaged = {
+        import graft.ta.{prim => P}
+        val dd = P.diff(col("close"))
+        df.withColumn("up_", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
+          .withColumn("dn_", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
+          .withColumn(
+            "rsi_14",
+            lit(100.0) * P.sdiv(P.rmaOf(col("up_"), 14), P.rmaOf(col("up_"), 14) + P.rmaOf(col("dn_"), 14))
+          )
+      }
+      emit("rsi14_staged", 256L * l, timed(force(rsiStaged, "rsi_14")))
+      emit(
+        "rsi14_fold",
+        256L * l,
+        timed(force(df.selectExpr("series_id", "ts", "graft_rsi(close, 14) AS rsi_14"), "rsi_14"))
+      )
+      val macdStaged = {
+        import graft.ta.{prim => P}
+        df.withColumn("mf_", P.ewm(col("close"), 2.0 / 13))
+          .withColumn("ms_", P.ewm(col("close"), 2.0 / 27))
+          .withColumn("macd", col("mf_") - col("ms_"))
+          .withColumn("macds", P.ewm(col("macd"), 2.0 / 10))
+          .withColumn("macdh", col("macd") - col("macds"))
+      }
+      emit("macd_staged", 256L * l, timed(force(macdStaged, "macdh")))
+      emit(
+        "macd_fold",
+        256L * l,
+        timed(force(
+          df.selectExpr("series_id", "ts", "graft_macd(close, 12, 26, 9) AS m")
+            .selectExpr("series_id", "ts", "m.macdh AS macdh"),
+          "macdh"
+        ))
+      )
       graft.CacheRegistry.releaseTransients(spark)
     }
 
@@ -470,6 +508,42 @@ object ScaleProbe {
           qn,
           timed(graft.extensions.Similarity.topkIvfLarge(idx, q, 5, 64, 4).count())
         )
+        graft.CacheRegistry.releaseTransients(spark)
+      }
+      graft.CacheRegistry.release(spark)
+    }
+
+    // ---- chunked-broadcast middle route (round 9): past the broadcast
+    // ceiling, iterate ≤chunkMax-query chunks through the broadcast
+    // prober (one live broadcast at a time, sequential jobs) instead of
+    // co-partition-shuffling the index. The claim under test: per-query
+    // cost stays on the broadcast curve from 100k to 1M queries, vs the
+    // shuffle prober's flat-but-higher cost. Same fixture as `ivflarge`.
+    if (want("ivfchunk")) {
+      val n = 80000
+      val v = graft.CacheRegistry.track(vecs(spark, n))
+      v.count()
+      val idx = graft.extensions.Similarity.ivfIndex(v, 64)
+      idx.count()
+      // single-run timings (minutes-scale points; JIT noise is <1%) and
+      // no 1M co-partition re-run — round 8's ivflarge row (1084 s)
+      // stands as the comparison anchor
+      for (qn <- Seq(100000, 300000, 1000000)) {
+        val q = graft.CacheRegistry.track(
+          vecs(spark, qn).select((col("vec_id") + 500000000L).as("vec_id"), col("embedding"))
+        )
+        q.count()
+        emit(
+          "ivf_chunked_probe",
+          qn,
+          time(graft.extensions.Similarity.topkIvfChunked(idx, q, 5, 64, 4).count())
+        )
+        if (qn == 300000)
+          emit(
+            "ivf_copart_probe2",
+            qn,
+            time(graft.extensions.Similarity.topkIvfLarge(idx, q, 5, 64, 4).count())
+          )
         graft.CacheRegistry.releaseTransients(spark)
       }
       graft.CacheRegistry.release(spark)

@@ -725,6 +725,46 @@ object Similarity {
     heapRank(scored, k)
   }
 
+  /** Chunked-broadcast IVF probing — the MIDDLE route between the
+    * broadcast prober ([[topkIvf]]: ~2.4× cheaper per query, but the
+    * probe broadcast grows with the query count and becomes executor-
+    * unsafe past `broadcastQueriesMax`) and the co-partitioned shuffle
+    * prober ([[topkIvfLarge]]: memory-flat but pays the two-sided cell
+    * shuffle + candidate ser/de). Queries split into ⌈n/chunkMax⌉
+    * deterministic hash chunks; each chunk runs the broadcast prober
+    * UNDER the memory ceiling and its (queries×k)-sized result is
+    * localCheckpoint'ed so chunks execute as SEQUENTIAL jobs — exactly
+    * one probe broadcast is live at a time (a single union-of-broadcasts
+    * plan would hold all C broadcasts on every executor at once, which
+    * is the failure mode the ceiling exists to prevent).
+    *
+    * EAGER operator (each chunk materializes at call time — the pagerank
+    * localCheckpoint contract): right for batch serving where the result
+    * is consumed immediately; use [[topkIvfLarge]] when the output must
+    * stay a lazy plan. Result-identical to [[topkIvf]] on the same
+    * queries (chunking partitions q_ids exactly; per-query results are
+    * independent). SCALING.md `ivfchunk` measures the per-query cost
+    * staying on the broadcast curve from 100k to 1M queries. */
+  def topkIvfChunked(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nprobe: Int,
+      chunkMax: Long = 100000L
+  ): DataFrame = {
+    val cents = kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
+    val qn = queries.count()
+    val chunks = math.max(1L, (qn + chunkMax - 1) / chunkMax).toInt
+    if (chunks == 1) return topkIvfWithCents(index, cents, queries, k, nprobe)
+    (0 until chunks)
+      .map { i =>
+        val sub = queries.where(pmod(xxhash64(col("vec_id")), lit(chunks)) === i)
+        topkIvfWithCents(index, cents, sub, k, nprobe).localCheckpoint()
+      }
+      .reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------------ PQ
   /** Product-quantization codebooks, TRAINED per subspace (round-5
     * upgrade from sample-as-centroid): the embedding splits into `m`
@@ -1113,6 +1153,16 @@ object Similarity {
     * before it becomes slow, while the co-partitioned route completes
     * the 1M-query point (5G candidates) in one shuffle-bound pass. */
   val BroadcastQueriesMaxKey = "spark.graft.ann.broadcastQueriesMax" // default 100000
+  /** Route above the broadcast ceiling (round 9): true (default) →
+    * [[topkIvfChunked]] — sequential broadcast chunks, ~3× cheaper per
+    * query than the co-partitioned shuffle at every measured size
+    * (SCALING.md `ivfchunk`: 100 s vs 296 s at 300k queries) but EAGER
+    * (chunks materialize at call time) and wall-clock-linear in chunk
+    * count; false → [[topkIvfLarge]] — one lazy shuffle-bound pass, the
+    * right shape when the result must stay a plan (streaming joins,
+    * further pushdown) or when a real cluster's scan cost makes
+    * C index scans dearer than one co-partition shuffle. */
+  val ChunkedBroadcastKey = "spark.graft.ann.chunkedBroadcast" // default true
   /** Written after every [[topk]] call: which plan the dispatch chose —
     * observable by monitoring/specs without re-deriving the decision. */
   val ChoiceKey = "spark.graft.ann.lastChoice"
@@ -1193,14 +1243,20 @@ object Similarity {
     // queries×nprobe rows to every task — above the ceiling, switch to
     // the shuffle-co-partitioned prober (one memo'd count on the query
     // frame, only paid when the corpus route is IVF)
+    val chunked = spark.conf.get(ChunkedBroadcastKey, "true").toBoolean
     val choice =
-      if (choice0 == "ivf" && corpusStats(queries)._1 > qMax) "ivf_large" else choice0
+      if (choice0 == "ivf" && corpusStats(queries)._1 > qMax)
+        (if (chunked) "ivf_chunked" else "ivf_large")
+      else choice0
     spark.conf.set(ChoiceKey, choice)
     choice match {
       case "brute" => topkBrute(corpus, queries, k)
       case "ivf" =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
         topkIvf(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)
+      case "ivf_chunked" =>
+        val (nCells, nprobe) = ivfParams(n, recallTarget)
+        topkIvfChunked(ivfIndex(corpus, nCells), queries, k, nCells, nprobe, chunkMax = qMax)
       case "ivf_large" =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
         topkIvfLarge(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)

