@@ -200,4 +200,437 @@ object RecFolds {
     override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): SupertrendFold =
       copy(h = c0(0), l = c0(1), c = c0(2))
   }
+
+  // ==================================================================
+  // Round-9 wave 2: every remaining FIXED-SLOT REC kernel lowers to a
+  // fold (ha, mcgd, ssf, hwma, kalman, ebsw, hwc, td_seq, rsx — even
+  // rsx's 12-filter cascade is twelve named doubles, not a ring).
+  // Only jma (11- and 65-entry volatility rings) stays on
+  // mapPartitions. Arithmetic replicates each kernel spelling
+  // operation-for-operation (RecFoldSpec proves bit-identity); the
+  // kernels remain the streaming path and the spec references.
+  // ==================================================================
+
+  /** Heikin-Ashi bars (rec.HeikinAshi) — STRUCT(ha_open, ha_high,
+    * ha_low, ha_close). The current bar's high/low ride buffer slots so
+    * evaluate sees them (evaluate reads only the buffer). */
+  case class HaFold(o: Expression, h: Expression, l: Expression, c: Expression)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(o, h, l, c)
+    override def dataType: DataType = StructType(Seq(
+      StructField("ha_open", DoubleType),
+      StructField("ha_high", DoubleType),
+      StructField("ha_low", DoubleType),
+      StructField("ha_close", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_ha_k"
+
+    private lazy val pos = AttributeReference("haPos", LongType, nullable = false)()
+    private lazy val ho = AttributeReference("haOpen", DoubleType, nullable = false)()
+    private lazy val hc = AttributeReference("haClose", DoubleType, nullable = false)()
+    private lazy val bh = AttributeReference("haBarH", DoubleType, nullable = false)()
+    private lazy val bl = AttributeReference("haBarL", DoubleType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pos, ho, hc, bh, bl)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), Literal(0.0), Literal(0.0), Literal(0.0), Literal(0.0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val haClose = Divide(Add(Add(Add(o, h), l), c), Literal(4.0))
+      val haOpen = If(EqualTo(posN, Literal(1L)),
+        Divide(Add(o, c), Literal(2.0)),
+        Divide(Add(ho, hc), Literal(2.0)))
+      Seq(posN, haOpen, haClose, h, l)
+    }
+    override lazy val evaluateExpression: Expression =
+      CreateNamedStruct(Seq(
+        Literal("ha_open"), ho,
+        Literal("ha_high"), Greatest(Seq(bh, Greatest(Seq(ho, hc)))),
+        Literal("ha_low"), Least(Seq(bl, Least(Seq(ho, hc)))),
+        Literal("ha_close"), hc
+      ))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): HaFold =
+      copy(o = c0(0), h = c0(1), l = c0(2), c = c0(3))
+  }
+
+  /** McGinley Dynamic (rec.Mcgd): y₀ = x₀; y += (x−y)/(n·(x/y)⁴),
+    * y = 0 and null inputs hold state (null output until seeded). */
+  case class McgdFold(x: Expression, n: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_mcgd_k"
+
+    private lazy val started = AttributeReference("mcgdStarted", BooleanType, nullable = false)()
+    private lazy val y = AttributeReference("mcgdY", DoubleType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(started, y)
+    override val initialValues: Seq[Expression] = Seq(Literal(false), Literal(0.0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val r = Divide(x, y)
+      // kernel: y + (x − y) / (n·r·r·r·r), left-assoc products
+      val den = Multiply(Multiply(Multiply(Multiply(Literal(n.toDouble), r), r), r), r)
+      val d0 = Subtract(x, y)
+      // the kernel divides Scala doubles, where d/0 is ±Inf and 0/0 is
+      // NaN; Catalyst's ANSI Divide would throw instead, so the
+      // zero-denominator case replicates IEEE explicitly (den ≥ 0 —
+      // it is n·r⁴ — so only the +0 signs arise; x = 0 prices hit this)
+      val q = If(EqualTo(den, Literal(0.0)),
+        If(GreaterThan(d0, Literal(0.0)), Literal(Double.PositiveInfinity),
+          If(LessThan(d0, Literal(0.0)), Literal(Double.NegativeInfinity), Literal(Double.NaN))),
+        Divide(d0, den))
+      val stepped = Add(y, q)
+      val yN = If(IsNull(x), y,
+        If(Not(started), x, If(Not(EqualTo(y, Literal(0.0))), stepped, y)))
+      Seq(Or(started, IsNotNull(x)), yN)
+    }
+    override lazy val evaluateExpression: Expression = If(started, y, nullD)
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): McgdFold =
+      copy(x = c0(0))
+  }
+
+  /** Ehlers 2-pole super smoother (rec.Ssf): y = c1·x + c2·y' + c3·y'',
+    * seeds y₀=x₀, y₁=x₁; null inputs emit the running value. */
+  case class SsfFold(x: Expression, n: Int) extends AggregateWindowFunction {
+    private val a = math.exp(-math.sqrt(2.0) * math.Pi / n)
+    private val b = 2.0 * a * math.cos(math.sqrt(2.0) * math.Pi / n)
+    private val c2 = b
+    private val c3 = -a * a
+    private val c1 = 1.0 - c2 - c3
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_ssf_k"
+
+    private lazy val cnt = AttributeReference("ssfCnt", LongType, nullable = false)()
+    private lazy val y1 = AttributeReference("ssfY1", DoubleType, nullable = false)()
+    private lazy val y2 = AttributeReference("ssfY2", DoubleType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(cnt, y1, y2)
+    override val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0.0), Literal(0.0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val cN = Add(cnt, Literal(1L))
+      val yNew = If(LessThanOrEqual(cN, Literal(2L)), x,
+        Add(Add(Multiply(Literal(c1), x), Multiply(Literal(c2), y1)), Multiply(Literal(c3), y2)))
+      Seq(
+        If(IsNull(x), cnt, cN),
+        If(IsNull(x), y1, yNew),
+        If(IsNull(x), y2, y1)
+      )
+    }
+    override lazy val evaluateExpression: Expression =
+      If(GreaterThan(cnt, Literal(0L)), y1, nullD)
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): SsfFold =
+      copy(x = c0(0))
+  }
+
+  /** Holt-Winter MA (rec.Hwma): F/V/A recursion, F₀ = x₀. */
+  case class HwmaFold(x: Expression, na: Double, nb: Double, nc: Double)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_hwma_k"
+
+    private lazy val started = AttributeReference("hwmaStarted", BooleanType, nullable = false)()
+    private lazy val fS = AttributeReference("hwmaF", DoubleType, nullable = false)()
+    private lazy val vS = AttributeReference("hwmaV", DoubleType, nullable = false)()
+    private lazy val aS = AttributeReference("hwmaA", DoubleType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(started, fS, vS, aS)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(false), Literal(0.0), Literal(0.0), Literal(0.0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val fN = Add(
+        Multiply(Literal(1.0 - na), Add(Add(fS, vS), Multiply(Literal(0.5), aS))),
+        Multiply(Literal(na), x))
+      val vN = Add(
+        Multiply(Literal(1.0 - nb), Add(vS, aS)),
+        Multiply(Literal(nb), Subtract(fN, fS)))
+      val aN = Add(
+        Multiply(Literal(1.0 - nc), aS),
+        Multiply(Literal(nc), Subtract(vN, vS)))
+      val skip = IsNull(x)
+      Seq(
+        Or(started, IsNotNull(x)),
+        If(skip, fS, If(Not(started), x, fN)),
+        If(skip, vS, If(Not(started), Literal(0.0), vN)),
+        If(skip, aS, If(Not(started), Literal(0.0), aN))
+      )
+    }
+    override lazy val evaluateExpression: Expression =
+      If(started, Add(Add(fS, vS), Multiply(Literal(0.5), aS)), nullD)
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): HwmaFold =
+      copy(x = c0(0))
+  }
+
+  /** 1-D local-level Kalman filter (rec.Kalman) — STRUCT(kf, kf_gain).
+    * Seed x₀ = z₀, P₀ = 1 (gain null on the seed row); null z emits the
+    * running level with null gain, state unchanged. */
+  case class KalmanFold(z: Expression, q: Double, rNoise: Double)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(z)
+    override def dataType: DataType = StructType(Seq(
+      StructField("kf", DoubleType),
+      StructField("kf_gain", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kalman_k"
+
+    private lazy val started = AttributeReference("kfStarted", BooleanType, nullable = false)()
+    private lazy val xS = AttributeReference("kfX", DoubleType, nullable = false)()
+    private lazy val pS = AttributeReference("kfP", DoubleType, nullable = false)()
+    private lazy val gS = AttributeReference("kfG", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(started, xS, pS, gS)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(false), Literal(0.0), Literal(0.0), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val pp = Add(pS, Literal(q))
+      val k0 = Divide(pp, Add(pp, Literal(rNoise)))
+      val xN = Add(xS, Multiply(k0, Subtract(z, xS)))
+      val pN = Multiply(Subtract(Literal(1.0), k0), pp)
+      val skip = IsNull(z)
+      Seq(
+        Or(started, IsNotNull(z)),
+        If(skip, xS, If(Not(started), z, xN)),
+        If(skip, pS, If(Not(started), Literal(1.0), pN)),
+        If(skip, nullD, If(Not(started), nullD, k0))
+      )
+    }
+    override lazy val evaluateExpression: Expression =
+      CreateNamedStruct(Seq(
+        Literal("kf"), If(started, xS, nullD),
+        Literal("kf_gain"), gS
+      ))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): KalmanFold =
+      copy(z = c0(0))
+  }
+
+  /** Ehlers Even Better SineWave (rec.Ebsw): 1-pole HP → 2-pole super
+    * smoother → 3-bar wave/power normalization; the per-row output uses
+    * the PRE-shift filter history, so it rides its own buffer slot. */
+  case class EbswFold(c: Expression, n: Int, bars: Int) extends AggregateWindowFunction {
+    private val alpha1 = (1.0 - math.sin(2.0 * math.Pi / n)) / math.cos(2.0 * math.Pi / n)
+    private val a1 = math.exp(-math.sqrt(2.0) * math.Pi / bars)
+    private val b1 = 2.0 * a1 * math.cos(math.sqrt(2.0) * math.Pi / bars)
+    private val c2 = b1
+    private val c3 = -a1 * a1
+    private val c1 = 1.0 - c2 - c3
+    override def children: Seq[Expression] = Seq(c)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_ebsw_k"
+
+    private lazy val cnt = AttributeReference("ebswCnt", LongType, nullable = false)()
+    private lazy val pc = AttributeReference("ebswPc", DoubleType, nullable = false)()
+    private lazy val hp1 = AttributeReference("ebswHp1", DoubleType, nullable = false)()
+    private lazy val f1 = AttributeReference("ebswF1", DoubleType, nullable = false)()
+    private lazy val f2 = AttributeReference("ebswF2", DoubleType, nullable = false)()
+    private lazy val out = AttributeReference("ebswOut", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(cnt, pc, hp1, f1, f2, out)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), Literal(0.0), Literal(0.0), Literal(0.0), Literal(0.0), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val cN = Add(cnt, Literal(1L))
+      val isRow1 = EqualTo(cN, Literal(1L))
+      val hp = Add(
+        Multiply(Multiply(Literal(0.5), Literal(1.0 + alpha1)), Subtract(c, pc)),
+        Multiply(Literal(alpha1), hp1))
+      // kernel: c1 * (hp + hp1) / 2.0 + … — left-assoc: (c1·(hp+hp1))/2
+      val filt = Add(
+        Add(Divide(Multiply(Literal(c1), Add(hp, hp1)), Literal(2.0)), Multiply(Literal(c2), f1)),
+        Multiply(Literal(c3), f2))
+      val wave = Divide(Add(Add(filt, f1), f2), Literal(3.0))
+      val pwr = Divide(
+        Add(Add(Multiply(filt, filt), Multiply(f1, f1)), Multiply(f2, f2)),
+        Literal(3.0))
+      val outN = If(LessThanOrEqual(cN, Literal(3L)), nullD,
+        If(GreaterThan(pwr, Literal(0.0)), Divide(wave, Sqrt(pwr)), nullD))
+      Seq(
+        cN,
+        c,
+        If(isRow1, hp1, hp),
+        If(isRow1, f1, filt),
+        If(isRow1, f2, f1),
+        If(isRow1, nullD, outN)
+      )
+    }
+    override lazy val evaluateExpression: Expression = out
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): EbswFold =
+      copy(c = c0(0))
+  }
+
+  /** Holt-Winter channel (rec.Hwc) — STRUCT(hwc_mid, hwc_upper,
+    * hwc_lower): the hwma F/V/A recursion plus the variance recursion
+    * var = (1−nd)·var' + nd·(x − hwma')²; after the update prevHwma IS
+    * the current mid, so evaluate reads straight from the buffer. */
+  case class HwcFold(x: Expression, na: Double, nb: Double, nc: Double,
+      nd: Double, k: Double)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = StructType(Seq(
+      StructField("hwc_mid", DoubleType),
+      StructField("hwc_upper", DoubleType),
+      StructField("hwc_lower", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_hwc_k"
+
+    private lazy val started = AttributeReference("hwcStarted", BooleanType, nullable = false)()
+    private lazy val fS = AttributeReference("hwcF", DoubleType, nullable = false)()
+    private lazy val vS = AttributeReference("hwcV", DoubleType, nullable = false)()
+    private lazy val aS = AttributeReference("hwcA", DoubleType, nullable = false)()
+    private lazy val varS = AttributeReference("hwcVar", DoubleType, nullable = false)()
+    private lazy val ph = AttributeReference("hwcPrevH", DoubleType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(started, fS, vS, aS, varS, ph)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(false), Literal(0.0), Literal(0.0), Literal(0.0), Literal(0.0), Literal(0.0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val fN = Add(
+        Multiply(Literal(1.0 - na), Add(Add(fS, vS), Multiply(Literal(0.5), aS))),
+        Multiply(Literal(na), x))
+      val vN = Add(
+        Multiply(Literal(1.0 - nb), Add(vS, aS)),
+        Multiply(Literal(nb), Subtract(fN, fS)))
+      val aN = Add(
+        Multiply(Literal(1.0 - nc), aS),
+        Multiply(Literal(nc), Subtract(vN, vS)))
+      val hwma = Add(Add(fN, vN), Multiply(Literal(0.5), aN))
+      // kernel: nd * (x − ph) * (x − ph) — left-assoc: ((nd·d)·d)
+      val varN = Add(
+        Multiply(Literal(1.0 - nd), varS),
+        Multiply(Multiply(Literal(nd), Subtract(x, ph)), Subtract(x, ph)))
+      Seq(
+        Literal(true),
+        If(Not(started), x, fN),
+        If(Not(started), Literal(0.0), vN),
+        If(Not(started), Literal(0.0), aN),
+        If(Not(started), Literal(0.0), varN),
+        // first row: prevHwma = f + v + 0.5a = x
+        If(Not(started), x, hwma)
+      )
+    }
+    override lazy val evaluateExpression: Expression = {
+      val sd = Sqrt(varS)
+      CreateNamedStruct(Seq(
+        Literal("hwc_mid"), ph,
+        Literal("hwc_upper"), Add(ph, Multiply(Literal(k), sd)),
+        Literal("hwc_lower"), Subtract(ph, Multiply(Literal(k), sd))
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): HwcFold =
+      copy(x = c0(0))
+  }
+
+  /** TD Sequential setup counters (rec.TdSeq) — STRUCT(td_seq_up,
+    * td_seq_dn). Self-contained: the close[4] lag rides four shift
+    * slots instead of a staged column, so the fold needs only `close`. */
+  case class TdSeqFold(c: Expression) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c)
+    override def dataType: DataType = StructType(Seq(
+      StructField("td_seq_up", LongType),
+      StructField("td_seq_dn", LongType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_td_seq_k"
+
+    private lazy val p1 = AttributeReference("tdP1", DoubleType, nullable = true)()
+    private lazy val p2 = AttributeReference("tdP2", DoubleType, nullable = true)()
+    private lazy val p3 = AttributeReference("tdP3", DoubleType, nullable = true)()
+    private lazy val p4 = AttributeReference("tdP4", DoubleType, nullable = true)()
+    private lazy val up = AttributeReference("tdUp", LongType, nullable = false)()
+    private lazy val dn = AttributeReference("tdDn", LongType, nullable = false)()
+    private lazy val valid = AttributeReference("tdValid", BooleanType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(p1, p2, p3, p4, up, dn, valid)
+    override val initialValues: Seq[Expression] =
+      Seq(nullD, nullD, nullD, nullD, Literal(0L), Literal(0L), Literal(false))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val c4 = p4 // lag(close, 4) at this row
+      val skip = IsNull(c4)
+      val upN = If(GreaterThan(c, c4),
+        If(EqualTo(up, Literal(9L)), Literal(1L), Add(up, Literal(1L))), Literal(0L))
+      val dnN = If(LessThan(c, c4),
+        If(EqualTo(dn, Literal(9L)), Literal(1L), Add(dn, Literal(1L))), Literal(0L))
+      Seq(
+        c, p1, p2, p3,
+        If(skip, up, upN),
+        If(skip, dn, dnN),
+        Not(skip)
+      )
+    }
+    override lazy val evaluateExpression: Expression = {
+      val nullL = Literal.create(null, LongType)
+      CreateNamedStruct(Seq(
+        Literal("td_seq_up"), If(valid, up, nullL),
+        Literal("td_seq_dn"), If(valid, dn, nullL)
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): TdSeqFold =
+      copy(c = c0(0))
+  }
+
+  /** Jurik RSX (rec.Rsx): not a ring buffer after all — the three-stage
+    * cascade is twelve NAMED filter slots plus the prev-momentum slot,
+    * all O(1), so it folds like everything else. v14/v20 derive from the
+    * post-update slots at evaluate. */
+  case class RsxFold(c: Expression, n: Int) extends AggregateWindowFunction {
+    private val f18 = 3.0 / (n + 2.0)
+    private val f20 = 1.0 - f18
+    override def children: Seq[Expression] = Seq(c)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_rsx_k"
+
+    private lazy val cnt = AttributeReference("rsxCnt", LongType, nullable = false)()
+    private lazy val f8p = AttributeReference("rsxF8p", DoubleType, nullable = false)()
+    private lazy val fs =
+      Seq("f28", "f30", "f38", "f40", "f48", "f50", "f58", "f60", "f68", "f70", "f78", "f80")
+        .map(s => AttributeReference(s"rsx${s.capitalize}", DoubleType, nullable = false)())
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(cnt, f8p) ++ fs
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), Literal(0.0)) ++ fs.map(_ => Literal(0.0): Expression)
+    private def lp(prev: Expression, in: Expression): Expression =
+      Add(Multiply(Literal(f20), prev), Multiply(Literal(f18), in))
+    private def hp(stage1: Expression, prev: Expression): Expression =
+      Add(Multiply(Literal(f18), stage1), Multiply(Literal(f20), prev))
+    private def mix(a: Expression, b: Expression): Expression =
+      Subtract(Multiply(Literal(1.5), a), Multiply(Literal(0.5), b))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val Seq(f28, f30, f38, f40, f48, f50, f58, f60, f68, f70, f78, f80) =
+        fs.map(a => a: Expression)
+      val f8 = Multiply(Literal(100.0), c)
+      val cN = Add(cnt, Literal(1L))
+      val isRow1 = EqualTo(cN, Literal(1L))
+      val v8 = Subtract(f8, f8p)
+      val f28N = lp(f28, v8); val f30N = hp(f28N, f30)
+      val vC = mix(f28N, f30N)
+      val f38N = lp(f38, vC); val f40N = hp(f38N, f40)
+      val v10 = mix(f38N, f40N)
+      val f48N = lp(f48, v10); val f50N = hp(f48N, f50)
+      val a8 = Abs(v8)
+      val f58N = lp(f58, a8); val f60N = hp(f58N, f60)
+      val vD = mix(f58N, f60N)
+      val f68N = lp(f68, vD); val f70N = hp(f68N, f70)
+      val v18 = mix(f68N, f70N)
+      val f78N = lp(f78, v18); val f80N = hp(f78N, f80)
+      def g(e: Expression, old: Expression) = If(isRow1, old, e)
+      Seq(cN, f8) ++ Seq(
+        g(f28N, f28), g(f30N, f30), g(f38N, f38), g(f40N, f40), g(f48N, f48), g(f50N, f50),
+        g(f58N, f58), g(f60N, f60), g(f68N, f68), g(f70N, f70), g(f78N, f78), g(f80N, f80)
+      )
+    }
+    override lazy val evaluateExpression: Expression = {
+      val Seq(_, _, _, _, f48, f50, _, _, _, _, f78, f80) = fs.map(a => a: Expression)
+      val v14 = mix(f48, f50)
+      val v20 = mix(f78, f80)
+      // kernel: 100.0 * (v14 / v20 + 1.0) / 2.0 — left-assoc: (100·x)/2
+      val raw = Divide(
+        Multiply(Literal(100.0), Add(Divide(v14, v20), Literal(1.0))), Literal(2.0))
+      val clamped = Greatest(Seq(Literal(0.0), Least(Seq(Literal(100.0), raw))))
+      If(LessThanOrEqual(cnt, Literal((n + 1).toLong)), nullD,
+        If(EqualTo(v20, Literal(0.0)), Literal(50.0), clamped))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): RsxFold =
+      copy(c = c0(0))
+  }
 }

@@ -123,6 +123,28 @@ object TaSqlSurface {
     ar("graft_supertrend_k", 5)(es =>
       RecFolds.SupertrendFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
         intLit(es(3), "graft_supertrend_k"), dblLit(es(4), "graft_supertrend_k"))),
+    ar("graft_ha_k", 4)(es =>
+      RecFolds.HaFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), dblE(es(3)))),
+    ar("graft_mcgd_k", 2)(es =>
+      RecFolds.McgdFold(dblE(es(0)), intLit(es(1), "graft_mcgd_k"))),
+    ar("graft_ssf_k", 2)(es =>
+      RecFolds.SsfFold(dblE(es(0)), intLit(es(1), "graft_ssf_k"))),
+    ar("graft_hwma_k", 4)(es =>
+      RecFolds.HwmaFold(dblE(es(0)),
+        dblLit(es(1), "graft_hwma_k"), dblLit(es(2), "graft_hwma_k"), dblLit(es(3), "graft_hwma_k"))),
+    ar("graft_kalman_k", 3)(es =>
+      RecFolds.KalmanFold(dblE(es(0)),
+        dblLit(es(1), "graft_kalman_k"), dblLit(es(2), "graft_kalman_k"))),
+    ar("graft_ebsw_k", 3)(es =>
+      RecFolds.EbswFold(dblE(es(0)),
+        intLit(es(1), "graft_ebsw_k"), intLit(es(2), "graft_ebsw_k"))),
+    ar("graft_hwc_k", 6)(es =>
+      RecFolds.HwcFold(dblE(es(0)),
+        dblLit(es(1), "graft_hwc_k"), dblLit(es(2), "graft_hwc_k"), dblLit(es(3), "graft_hwc_k"),
+        dblLit(es(4), "graft_hwc_k"), dblLit(es(5), "graft_hwc_k"))),
+    ar("graft_td_seq_k", 1)(es => RecFolds.TdSeqFold(dblE(es(0)))),
+    ar("graft_rsx_k", 2)(es =>
+      RecFolds.RsxFold(dblE(es(0)), intLit(es(1), "graft_rsx_k"))),
     // ---- Wilder/rma-seeded composite folds (phase 3) ---------------------
     ar("graft_atr_k", 4)(es =>
       SeededComposites.AtrFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_atr_k"))),
@@ -146,6 +168,15 @@ object TaSqlSurface {
     ar("graft_tema", 2)(es => x(kernel("graft_tema_k", es).over(P.cum))),
     ar("graft_psar", 6)(es => x(kernel("graft_psar_k", es).over(P.cum))),
     ar("graft_supertrend", 5)(es => x(kernel("graft_supertrend_k", es).over(P.cum))),
+    ar("graft_ha", 4)(es => x(kernel("graft_ha_k", es).over(P.cum))),
+    ar("graft_mcgd", 2)(es => x(kernel("graft_mcgd_k", es).over(P.cum))),
+    ar("graft_ssf", 2)(es => x(kernel("graft_ssf_k", es).over(P.cum))),
+    ar("graft_hwma", 4)(es => x(kernel("graft_hwma_k", es).over(P.cum))),
+    ar("graft_kalman", 3)(es => x(kernel("graft_kalman_k", es).over(P.cum))),
+    ar("graft_ebsw", 3)(es => x(kernel("graft_ebsw_k", es).over(P.cum))),
+    ar("graft_hwc", 6)(es => x(kernel("graft_hwc_k", es).over(P.cum))),
+    ar("graft_td_seq", 1)(es => x(kernel("graft_td_seq_k", es).over(P.cum))),
+    ar("graft_rsx", 2)(es => x(kernel("graft_rsx_k", es).over(P.cum))),
     ar("graft_atr", 4)(es => x(kernel("graft_atr_k", es).over(P.cum))),
     ar("graft_natr", 4)(es => {
       // Ta.natr: 100 · sdiv(atr(n), close) — scalar arithmetic wrapping

@@ -280,6 +280,73 @@ private[ta] object StrategyCompiler {
           ),
           Seq(t)
         ))
+      case "ha" =>
+        val t = "__ha"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_ha_k",
+              open.cast("double"), high.cast("double"), low.cast("double"), close.cast("double"))
+              .over(prim.cum)),
+            Seq(
+              "ha_open" -> col(s"$t.ha_open"),
+              "ha_high" -> col(s"$t.ha_high"),
+              "ha_low" -> col(s"$t.ha_low"),
+              "ha_close" -> col(s"$t.ha_close")
+            )
+          ),
+          Seq(t)
+        ))
+      case "mcgd" =>
+        val n = i(p, "length", 10)
+        Some(one(s"mcgd_$n", call_function("graft_mcgd_k", close.cast("double"), lit(n)).over(prim.cum)))
+      case "ssf" =>
+        val n = i(p, "length", 10)
+        Some(one(s"ssf_$n", call_function("graft_ssf_k", close.cast("double"), lit(n)).over(prim.cum)))
+      case "hwma" =>
+        val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        Some(one("hwma",
+          call_function("graft_hwma_k", close.cast("double"), lit(na), lit(nb), lit(nc)).over(prim.cum)))
+      case "kalman" =>
+        val q = dd(p, "q", 0.01); val r = dd(p, "r", 1.0)
+        val t = "__kf"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_kalman_k", close.cast("double"), lit(q), lit(r)).over(prim.cum)),
+            Seq("kf" -> col(s"$t.kf"), "kf_gain" -> col(s"$t.kf_gain"))
+          ),
+          Seq(t)
+        ))
+      case "ebsw" =>
+        val n = i(p, "length", 40); val bars = i(p, "bars", 10)
+        Some(one(s"ebsw_$n",
+          call_function("graft_ebsw_k", close.cast("double"), lit(n), lit(bars)).over(prim.cum)))
+      case "hwc" =>
+        val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        val t = "__hwc"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_hwc_k",
+              close.cast("double"), lit(na), lit(nb), lit(nc), lit(0.1), lit(1.0)).over(prim.cum)),
+            Seq(
+              "hwc_mid" -> col(s"$t.hwc_mid"),
+              "hwc_upper" -> col(s"$t.hwc_upper"),
+              "hwc_lower" -> col(s"$t.hwc_lower")
+            )
+          ),
+          Seq(t)
+        ))
+      case "td_seq" =>
+        val t = "__td"
+        Some(ColPlan(
+          Seq(
+            Seq(t -> call_function("graft_td_seq_k", close.cast("double")).over(prim.cum)),
+            Seq("td_seq_up" -> col(s"$t.td_seq_up"), "td_seq_dn" -> col(s"$t.td_seq_dn"))
+          ),
+          Seq(t)
+        ))
+      case "rsx" =>
+        val n = i(p, "length", 14)
+        Some(one(s"rsx_$n", call_function("graft_rsx_k", close.cast("double"), lit(n)).over(prim.cum)))
       case "mom" =>
         val n = i(p, "length", 10)
         Some(one(s"mom_$n", diff(close, n)))

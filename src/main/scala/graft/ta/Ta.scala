@@ -819,18 +819,38 @@ final class Ta(private val df: DataFrame) {
   }
 
   /** Heikin-Ashi bars — see rec.HeikinAshi. */
-  def ha: DataFrame =
-    rec.perSeries(df, Seq(dbl("ha_open"), dbl("ha_high"), dbl("ha_low"), dbl("ha_close")))(
-      () => new rec.HeikinAshi
+  def ha: DataFrame = {
+    // round-9 struct fold (RecFolds.HaFold); rec.HeikinAshi stays as the
+    // spec reference and the streaming kernel — same for every fold
+    // reroute below
+    val s = call_function(
+      "graft_ha_k",
+      open.cast("double"), high.cast("double"), low.cast("double"), close.cast("double")
+    ).over(prim.cum)
+    df.withColumn("__ha", s)
+      .withColumn("ha_open", col("__ha.ha_open"))
+      .withColumn("ha_high", col("__ha.ha_high"))
+      .withColumn("ha_low", col("__ha.ha_low"))
+      .withColumn("ha_close", col("__ha.ha_close"))
+      .drop("__ha")
+  }
+
+  /** McGinley Dynamic — rec.Mcgd; round-9 fold (RecFolds.McgdFold). */
+  def mcgd(n: Int = 10, src: String = "close"): DataFrame =
+    df.withColumn(
+      s"mcgd_$n",
+      call_function("graft_mcgd_k", c(src).cast("double"), lit(n)).over(prim.cum)
     )
 
-  /** McGinley Dynamic — see rec.Mcgd. */
-  def mcgd(n: Int = 10, src: String = "close"): DataFrame =
-    rec.perSeries(df, Seq(dbl(s"mcgd_$n")))(() => new rec.Mcgd(n, src))
-
-  /** 1-D Kalman local-level filter — see rec.Kalman. */
-  def kalman(q: Double = 0.01, r: Double = 1.0, src: String = "close"): DataFrame =
-    rec.perSeries(df, Seq(dbl("kf"), dbl("kf_gain")))(() => new rec.Kalman(q, r, src))
+  /** 1-D Kalman local-level filter — rec.Kalman; round-9 struct fold
+    * (RecFolds.KalmanFold). */
+  def kalman(q: Double = 0.01, r: Double = 1.0, src: String = "close"): DataFrame = {
+    val s = call_function("graft_kalman_k", c(src).cast("double"), lit(q), lit(r)).over(prim.cum)
+    df.withColumn("__kf", s)
+      .withColumn("kf", col("__kf.kf"))
+      .withColumn("kf_gain", col("__kf.kf_gain"))
+      .drop("__kf")
+  }
 
   /** Two-sided CUSUM changepoint detection — see rec.Cusum. Two modes:
     * with explicit `mu`/`sd` (a trained reference distribution) the
@@ -869,11 +889,17 @@ final class Ta(private val df: DataFrame) {
 
   /** Ehlers 2-pole super smoother — see rec.Ssf. */
   def ssf(n: Int = 10, src: String = "close"): DataFrame =
-    rec.perSeries(df, Seq(dbl(s"ssf_$n")))(() => new rec.Ssf(n, src))
+    df.withColumn(
+      s"ssf_$n",
+      call_function("graft_ssf_k", c(src).cast("double"), lit(n)).over(prim.cum)
+    )
 
-  /** Holt-Winter MA — see rec.Hwma. */
+  /** Holt-Winter MA — rec.Hwma; round-9 fold (RecFolds.HwmaFold). */
   def hwma(na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1, src: String = "close"): DataFrame =
-    rec.perSeries(df, Seq(dbl("hwma")))(() => new rec.Hwma(na, nb, nc, src))
+    df.withColumn(
+      "hwma",
+      call_function("graft_hwma_k", c(src).cast("double"), lit(na), lit(nb), lit(nc)).over(prim.cum)
+    )
 
   /** Fisher transform (reference momentum/fisher.py): rolling position in
     * the HH/LL range feeds the v/fisher recursion (rec.Fisher). */
@@ -891,13 +917,13 @@ final class Ta(private val df: DataFrame) {
 
   /** TD Sequential setup counts — see rec.TdSeq. */
   def tdSeq: DataFrame = {
-    val staged = df.withColumn("__c4", shift(close, 4))
-    rec
-      .perSeries(
-        staged,
-        Seq(StructField("td_seq_up", LongType, nullable = true), StructField("td_seq_dn", LongType, nullable = true))
-      )(() => new rec.TdSeq)
-      .drop("__c4")
+    // round-9 struct fold (RecFolds.TdSeqFold — the close[4] lag rides
+    // four shift slots, so no staged column is needed)
+    val s = call_function("graft_td_seq_k", close.cast("double")).over(prim.cum)
+    df.withColumn("__td", s)
+      .withColumn("td_seq_up", col("__td.td_seq_up"))
+      .withColumn("td_seq_dn", col("__td.td_seq_dn"))
+      .drop("__td")
   }
 
   /** QQE (reference momentum/qqe.py): RSI → ema smooth → double-Wilder
@@ -919,17 +945,32 @@ final class Ta(private val df: DataFrame) {
 
   /** Jurik RSX — see rec.Rsx. */
   def rsx(n: Int = 14): DataFrame =
-    rec.perSeries(df, Seq(dbl(s"rsx_$n")))(() => new rec.Rsx(n))
-
-  /** Ehlers Even Better SineWave — see rec.Ebsw. */
-  def ebsw(n: Int = 40, bars: Int = 10): DataFrame =
-    rec.perSeries(df, Seq(dbl(s"ebsw_$n")))(() => new rec.Ebsw(n, bars))
-
-  /** Holt-Winter channel — see rec.Hwc. */
-  def hwc(na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1, nd: Double = 0.1, k: Double = 1.0): DataFrame =
-    rec.perSeries(df, Seq(dbl("hwc_mid"), dbl("hwc_upper"), dbl("hwc_lower")))(
-      () => new rec.Hwc(na, nb, nc, nd, k)
+    // round-9 fold (RecFolds.RsxFold — twelve named filter slots, no ring)
+    df.withColumn(
+      s"rsx_$n",
+      call_function("graft_rsx_k", close.cast("double"), lit(n)).over(prim.cum)
     )
+
+  /** Ehlers Even Better SineWave — rec.Ebsw; round-9 fold
+    * (RecFolds.EbswFold). */
+  def ebsw(n: Int = 40, bars: Int = 10): DataFrame =
+    df.withColumn(
+      s"ebsw_$n",
+      call_function("graft_ebsw_k", close.cast("double"), lit(n), lit(bars)).over(prim.cum)
+    )
+
+  /** Holt-Winter channel — rec.Hwc; round-9 struct fold
+    * (RecFolds.HwcFold). */
+  def hwc(na: Double = 0.2, nb: Double = 0.1, nc: Double = 0.1, nd: Double = 0.1, k: Double = 1.0): DataFrame = {
+    val s = call_function(
+      "graft_hwc_k", close.cast("double"), lit(na), lit(nb), lit(nc), lit(nd), lit(k)
+    ).over(prim.cum)
+    df.withColumn("__hwc", s)
+      .withColumn("hwc_mid", col("__hwc.hwc_mid"))
+      .withColumn("hwc_upper", col("__hwc.hwc_upper"))
+      .withColumn("hwc_lower", col("__hwc.hwc_lower"))
+      .drop("__hwc")
+  }
 
   /** Jurik MA — see rec.Jma (rows-only oracle; ring-buffer state). */
   def jma(n: Int = 7, phase: Double = 0.0): DataFrame =

@@ -38,9 +38,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_ema_k", "graft_rsi_k", "graft_macd_k", "graft_dema_k", "graft_tema_k",
         // phase 3 (round 9): REC state-machine + Wilder composite folds
         "graft_psar_k", "graft_supertrend_k",
+        "graft_ha_k", "graft_mcgd_k", "graft_ssf_k", "graft_hwma_k",
+        "graft_kalman_k", "graft_ebsw_k", "graft_hwc_k", "graft_td_seq_k", "graft_rsx_k",
         "graft_atr_k", "graft_trix_k", "graft_tsi_k", "graft_adx_k",
         "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema",
         "graft_psar", "graft_supertrend",
+        "graft_ha", "graft_mcgd", "graft_ssf", "graft_hwma",
+        "graft_kalman", "graft_ebsw", "graft_hwc", "graft_td_seq", "graft_rsx",
         "graft_atr", "graft_natr", "graft_trix", "graft_tsi", "graft_adx",
         "graft_bbands", "graft_stoch"
       ),
@@ -68,6 +72,20 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_atr(high, low, close, 3)", "graft_natr(high, low, close, 3)",
       "graft_trix(close, 3)", "graft_tsi(close, 3, 5)",
       "graft_adx(high, low, close, 3, 3).adx",
+      "graft_ha(open, high, low, close).ha_close", "graft_mcgd(close, 3)",
+      "graft_ssf(close, 3)", "graft_hwma(close, 0.2, 0.1, 0.1)",
+      "graft_kalman(close, 0.01, 1.0).kf", "graft_ebsw(close, 20, 10)",
+      "graft_hwc(close, 0.2, 0.1, 0.1, 0.1, 1.0).hwc_mid",
+      "graft_td_seq(close).td_seq_up", "graft_rsx(close, 5)",
+      "graft_ha_k(open, high, low, close) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_mcgd_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_ssf_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_hwma_k(close, 0.2, 0.1, 0.1) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_kalman_k(close, 0.01, 1.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_ebsw_k(close, 20, 10) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_hwc_k(close, 0.2, 0.1, 0.1, 0.1, 1.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_td_seq_k(close) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_rsx_k(close, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_bbands(close, 3, 2.0).bbm", "graft_stoch(high, low, close, 3, 2, 2).stoch_k",
       "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",

@@ -150,11 +150,13 @@ class PlanShapeSpec extends AnyFunSuite {
     import graft.ta.{registry, IndicatorSpec, Strategy}
     // REC kernels repartition internally (mapPartitions state machines);
     // everything else must share the single (series_id, ts) exchange.
-    // psar/supertrend left this set in round 9 (RecFolds window folds).
+    // Round 9 moved every FIXED-SLOT kernel to RecFolds window folds —
+    // only the staged-input state machines (hilo/fisher/qqe), the
+    // genuinely ring-buffered jma, and cusum (broadcast stats join)
+    // still repartition.
     val kernelKinds = Set(
-      "ha", "mcgd", "ssf", "hwma", "hilo", "fisher",
-      "qqe", "rsx", "ebsw", "hwc", "td_seq", "jma", "kalman",
-      "cusum" // REC kernels (cusum adds a broadcast stats join) — not window ops
+      "hilo", "fisher", "qqe", "jma",
+      "cusum" // adds a broadcast stats join — not a window op
     )
     val kinds = registry.indicators.filterNot(kernelKinds)
     assert(kinds.size >= 80, s"registry smaller than expected: ${kinds.size}")

@@ -87,6 +87,63 @@ class RecFoldSpec extends AnyFunSuite {
     assert(dirs == Set(1, -1), s"fixture too tame: directions seen = $dirs")
   }
 
+  /** Close-only frame with nulls for the null-threading kernels. */
+  private def nullClose = {
+    import spark.implicits._
+    val a = (1 to 80).map(t => ("A", t.toLong, Some(100.0 + 10 * math.sin(t / 5.0) + (t % 7))))
+    val b = (1 to 80).map { t =>
+      val v =
+        if (t <= 3 || t == 10 || t == 25 || t == 40) None
+        else Some(50.0 + 5 * math.cos(t / 3.0) + (t % 5))
+      ("B", t.toLong, v)
+    }
+    (a ++ b).toDF("series_id", "ts", "close")
+  }
+
+  test("wave-2 folds == their kernels, bit-exact: ha, td_seq, ebsw, hwc, rsx (bars)") {
+    Graft.init(spark)
+    // ha (struct, 4 outputs)
+    val haCols = Seq("ha_open", "ha_high", "ha_low", "ha_close")
+    val haKernel = rec.perSeries(bars, haCols.map(dbl))(() => new rec.HeikinAshi)
+    assertSame(collectCols(haKernel, haCols), collectCols(bars.ta.ha, haCols), haCols)
+    // td_seq (struct, long outputs; kernel consumes staged __c4)
+    val tdCols = Seq("td_seq_up", "td_seq_dn")
+    val tdKernel = rec.perSeries(
+      bars.withColumn("__c4", graft.ta.prim.shift(col("close"), 4)),
+      tdCols.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType, nullable = true))
+    )(() => new rec.TdSeq).drop("__c4")
+    assertSame(collectCols(tdKernel, tdCols), collectCols(bars.ta.tdSeq, tdCols), tdCols)
+    // ebsw
+    val ebKernel = rec.perSeries(bars, Seq(dbl("ebsw_20")))(() => new rec.Ebsw(20, 10))
+    assertSame(
+      collectCols(ebKernel, Seq("ebsw_20")), collectCols(bars.ta.ebsw(20, 10), Seq("ebsw_20")), Seq("ebsw_20"))
+    // hwc (struct)
+    val hwcCols = Seq("hwc_mid", "hwc_upper", "hwc_lower")
+    val hwcKernel = rec.perSeries(bars, hwcCols.map(dbl))(() => new rec.Hwc(0.2, 0.1, 0.1, 0.1, 1.0))
+    assertSame(collectCols(hwcKernel, hwcCols), collectCols(bars.ta.hwc(), hwcCols), hwcCols)
+    // rsx — twelve named filter slots, the "ring buffer" that wasn't
+    val rsxKernel = rec.perSeries(bars, Seq(dbl("rsx_10")))(() => new rec.Rsx(10))
+    assertSame(
+      collectCols(rsxKernel, Seq("rsx_10")), collectCols(bars.ta.rsx(10), Seq("rsx_10")), Seq("rsx_10"))
+  }
+
+  test("wave-2 folds == their kernels, bit-exact with nulls: mcgd, ssf, hwma, kalman") {
+    Graft.init(spark)
+    val nf = nullClose
+    val mKernel = rec.perSeries(nf, Seq(dbl("mcgd_10")))(() => new rec.Mcgd(10, "close"))
+    assertSame(
+      collectCols(mKernel, Seq("mcgd_10")), collectCols(nf.ta.mcgd(10), Seq("mcgd_10")), Seq("mcgd_10"))
+    val sKernel = rec.perSeries(nf, Seq(dbl("ssf_10")))(() => new rec.Ssf(10, "close"))
+    assertSame(
+      collectCols(sKernel, Seq("ssf_10")), collectCols(nf.ta.ssf(10), Seq("ssf_10")), Seq("ssf_10"))
+    val hKernel = rec.perSeries(nf, Seq(dbl("hwma")))(() => new rec.Hwma(0.2, 0.1, 0.1, "close"))
+    assertSame(
+      collectCols(hKernel, Seq("hwma")), collectCols(nf.ta.hwma(), Seq("hwma")), Seq("hwma"))
+    val kCols = Seq("kf", "kf_gain")
+    val kKernel = rec.perSeries(nf, kCols.map(dbl))(() => new rec.Kalman(0.01, 1.0, "close"))
+    assertSame(collectCols(kKernel, kCols), collectCols(nf.ta.kalman(), kCols), kCols)
+  }
+
   test("SQL surface: graft_psar / graft_supertrend callable from pure SQL text") {
     Graft.init(spark)
     bars.createOrReplaceTempView("rf_bars")
