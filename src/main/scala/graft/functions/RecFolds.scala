@@ -633,4 +633,159 @@ object RecFolds {
     override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): RsxFold =
       copy(c = c0(0))
   }
+
+  // ==================================================================
+  // Round-9 wave 3: the STAGED-INPUT state machines (hilo, fisher,
+  // qqe). Their window-derived inputs (rolling means, the fisher range
+  // position, qqe's smoothed-RSI/DAR chain) stay as staged columns —
+  // a window expression can't nest inside another window expression —
+  // but the per-row recursion consuming them folds like everything
+  // else, so the mapPartitions pass (and its re-repartition) goes
+  // away. After this wave only jma (ring buffers) and cusum
+  // (broadcast stats join) use rec.perSeries.
+  // ==================================================================
+
+  /** Gann HiLo activator (rec.Hilo) — STRUCT(hilo, hilo_long,
+    * hilo_short). Children: close + the staged sma(high,hn)/sma(low,ln)
+    * columns. Trend flips on the PREVIOUS row's bands; output uses the
+    * CURRENT bands, which after the update are exactly the pmh/pml
+    * slots. */
+  case class HiloFold(c: Expression, mh: Expression, ml: Expression)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c, mh, ml)
+    override def dataType: DataType = StructType(Seq(
+      StructField("hilo", DoubleType),
+      StructField("hilo_long", DoubleType),
+      StructField("hilo_short", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_hilo_k"
+
+    private lazy val trend = AttributeReference("hiloTrend", IntegerType, nullable = false)()
+    private lazy val pmh = AttributeReference("hiloPmh", DoubleType, nullable = true)()
+    private lazy val pml = AttributeReference("hiloPml", DoubleType, nullable = true)()
+    private lazy val valid = AttributeReference("hiloValid", BooleanType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(trend, pmh, pml, valid)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0), nullD, nullD, Literal(false))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val prevNull = Or(IsNull(pmh), IsNull(pml))
+      val trendN = If(prevNull, trend,
+        If(GreaterThan(c, pmh), Literal(1),
+          If(LessThan(c, pml), Literal(-1), trend)))
+      Seq(trendN, mh, ml, Not(prevNull))
+    }
+    override lazy val evaluateExpression: Expression = {
+      val isUp = EqualTo(trend, Literal(1))
+      val isDn = EqualTo(trend, Literal(-1))
+      val live = And(valid, Not(EqualTo(trend, Literal(0))))
+      CreateNamedStruct(Seq(
+        Literal("hilo"), If(live, If(isUp, pml, pmh), nullD),
+        Literal("hilo_long"), If(And(valid, isUp), pml, nullD),
+        Literal("hilo_short"), If(And(valid, isDn), pmh, nullD)
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): HiloFold =
+      copy(c = c0(0), mh = c0(1), ml = c0(2))
+  }
+
+  /** Fisher transform recursion (rec.Fisher) — STRUCT(fisher, signal).
+    * Child: the staged range-position column (null during warm-up holds
+    * state and emits nulls). Outputs ride buffer slots because the
+    * signal is the PRE-update fisher value. */
+  case class FisherFold(pos: Expression) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(pos)
+    override def dataType: DataType = StructType(Seq(
+      StructField("fisher", DoubleType),
+      StructField("signal", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_fisher_k"
+
+    private lazy val v = AttributeReference("fishV", DoubleType, nullable = false)()
+    private lazy val fish = AttributeReference("fishF", DoubleType, nullable = false)()
+    private lazy val have = AttributeReference("fishHave", BooleanType, nullable = false)()
+    private lazy val outF = AttributeReference("fishOutF", DoubleType, nullable = true)()
+    private lazy val outS = AttributeReference("fishOutS", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(v, fish, have, outF, outS)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0.0), Literal(0.0), Literal(false), nullD, nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val nvRaw = Add(Multiply(Literal(0.66), pos), Multiply(Literal(0.67), v))
+      val nv = If(GreaterThan(nvRaw, Literal(0.999)), Literal(0.999),
+        If(LessThan(nvRaw, Literal(-0.999)), Literal(-0.999), nvRaw))
+      val nf = Add(
+        Multiply(Literal(0.5),
+          Log(Divide(Add(Literal(1.0), nv), Subtract(Literal(1.0), nv)))),
+        Multiply(Literal(0.5), fish))
+      val skip = IsNull(pos)
+      Seq(
+        If(skip, v, nv),
+        If(skip, fish, nf),
+        Or(have, IsNotNull(pos)),
+        If(skip, nullD, nf),
+        If(skip, nullD, If(have, fish, nullD))
+      )
+    }
+    override lazy val evaluateExpression: Expression =
+      CreateNamedStruct(Seq(Literal("fisher"), outF, Literal("signal"), outS))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): FisherFold =
+      copy(pos = c0(0))
+  }
+
+  /** QQE trailing bands (rec.Qqe) — STRUCT(qqe, trend, long, short).
+    * Children: the staged smoothed-RSI (__rsima) and DAR (__dar)
+    * columns. Band carry and trend flip read the PREVIOUS state; the
+    * outputs are exactly the post-update slots. */
+  case class QqeFold(r: Expression, dar: Expression) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(r, dar)
+    override def dataType: DataType = StructType(Seq(
+      StructField("qqe", DoubleType),
+      StructField("trend", IntegerType),
+      StructField("long", DoubleType),
+      StructField("short", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_qqe_k"
+
+    private lazy val have = AttributeReference("qqeHave", BooleanType, nullable = false)()
+    private lazy val pr = AttributeReference("qqePr", DoubleType, nullable = false)()
+    private lazy val plb = AttributeReference("qqePlb", DoubleType, nullable = false)()
+    private lazy val psb = AttributeReference("qqePsb", DoubleType, nullable = false)()
+    private lazy val trend = AttributeReference("qqeTrend", IntegerType, nullable = false)()
+    private lazy val valid = AttributeReference("qqeValid", BooleanType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(have, pr, plb, psb, trend, valid)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(false), Literal(0.0), Literal(0.0), Literal(0.0), Literal(1), Literal(false))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val skip = Or(IsNull(r), IsNull(dar))
+      val nl = Subtract(r, dar)
+      val ns = Add(r, dar)
+      val lb = If(And(GreaterThan(pr, plb), GreaterThan(r, plb)), Greatest(Seq(plb, nl)), nl)
+      val sb = If(And(LessThan(pr, psb), LessThan(r, psb)), Least(Seq(psb, ns)), ns)
+      val trendN = If(And(GreaterThan(r, psb), LessThanOrEqual(pr, psb)), Literal(1),
+        If(And(LessThan(r, plb), GreaterThanOrEqual(pr, plb)), Literal(-1), trend))
+      Seq(
+        Or(have, Not(skip)),
+        If(skip, pr, r),
+        If(skip, plb, If(Not(have), nl, lb)),
+        If(skip, psb, If(Not(have), ns, sb)),
+        If(skip, trend, If(Not(have), Literal(1), trendN)),
+        Not(skip)
+      )
+    }
+    override lazy val evaluateExpression: Expression = {
+      val nullI = Literal.create(null, IntegerType)
+      val isUp = EqualTo(trend, Literal(1))
+      CreateNamedStruct(Seq(
+        Literal("qqe"), If(valid, If(isUp, plb, psb), nullD),
+        Literal("trend"), If(valid, trend, nullI),
+        Literal("long"), If(valid, plb, nullD),
+        Literal("short"), If(valid, psb, nullD)
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): QqeFold =
+      copy(r = c0(0), dar = c0(1))
+  }
 }

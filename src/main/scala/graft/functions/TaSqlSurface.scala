@@ -145,6 +145,12 @@ object TaSqlSurface {
     ar("graft_td_seq_k", 1)(es => RecFolds.TdSeqFold(dblE(es(0)))),
     ar("graft_rsx_k", 2)(es =>
       RecFolds.RsxFold(dblE(es(0)), intLit(es(1), "graft_rsx_k"))),
+    // staged-input state machines — bare kernels only (their windowed
+    // inputs can't nest inside the same expression; SQL users stage
+    // them in a subquery exactly as the accessor stages columns)
+    ar("graft_hilo_k", 3)(es => RecFolds.HiloFold(dblE(es(0)), dblE(es(1)), dblE(es(2)))),
+    ar("graft_fisher_k", 1)(es => RecFolds.FisherFold(dblE(es(0)))),
+    ar("graft_qqe_k", 2)(es => RecFolds.QqeFold(dblE(es(0)), dblE(es(1)))),
     // ---- Wilder/rma-seeded composite folds (phase 3) ---------------------
     ar("graft_atr_k", 4)(es =>
       SeededComposites.AtrFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_atr_k"))),

@@ -347,6 +347,63 @@ private[ta] object StrategyCompiler {
       case "rsx" =>
         val n = i(p, "length", 14)
         Some(one(s"rsx_$n", call_function("graft_rsx_k", close.cast("double"), lit(n)).over(prim.cum)))
+      case "fisher" =>
+        // staged range position + the FisherFold recursion
+        val n = i(p, "length", 9)
+        val m = (high + low) / 2.0
+        val hh = rmax(m, n); val ll = rmin(m, n)
+        val t = "__fish"
+        Some(ColPlan(
+          Seq(
+            Seq("__pos" -> (lit(2.0) * (sdiv(m - ll, hh - ll) - 0.5))),
+            Seq(t -> call_function("graft_fisher_k", col("__pos").cast("double")).over(prim.cum)),
+            Seq(
+              s"fisher_$n" -> col(s"$t.fisher"),
+              s"fisher_signal_$n" -> col(s"$t.signal")
+            )
+          ),
+          Seq("__pos", t)
+        ))
+      case "hilo" =>
+        val hn = i(p, "high_length", 13); val ln = i(p, "low_length", 21)
+        val t = "__hilo"
+        Some(ColPlan(
+          Seq(
+            Seq("__mh" -> rmean(high, hn), "__ml" -> rmean(low, ln)),
+            Seq(t -> call_function("graft_hilo_k",
+              close.cast("double"), col("__mh").cast("double"), col("__ml").cast("double"))
+              .over(prim.cum)),
+            Seq(
+              "hilo" -> col(s"$t.hilo"),
+              "hilo_long" -> col(s"$t.hilo_long"),
+              "hilo_short" -> col(s"$t.hilo_short")
+            )
+          ),
+          Seq("__mh", "__ml", t)
+        ))
+      case "qqe" =>
+        val n = i(p, "length", 14); val smooth = i(p, "smooth", 5); val factor = dd(p, "factor", 4.236)
+        val wilders = n * 2 - 1
+        val (lEma, tEma) = emaLv(col("__qrsi"), "__rsima", smooth)
+        val t = "__qqe"
+        Some(ColPlan(
+          Seq(
+            Seq("__qrsi" -> call_function("graft_rsi_k", close.cast("double"), lit(n)).over(prim.cum))
+          ) ++ lEma ++ Seq(
+            Seq("__adr" -> abs(diff(col("__rsima")))),
+            Seq("__matr" -> ewm(col("__adr"), 1.0 / wilders)),
+            Seq("__dar" -> (ewm(col("__matr"), 1.0 / wilders) * factor)),
+            Seq(t -> call_function("graft_qqe_k",
+              col("__rsima").cast("double"), col("__dar").cast("double")).over(prim.cum)),
+            Seq(
+              s"qqe_$n" -> col(s"$t.qqe"),
+              s"qqe_trend_$n" -> col(s"$t.trend"),
+              s"qqe_long_$n" -> col(s"$t.long"),
+              s"qqe_short_$n" -> col(s"$t.short")
+            )
+          ),
+          Seq("__qrsi", "__rsima", "__adr", "__matr", "__dar", t) ++ tEma
+        ))
       case "mom" =>
         val n = i(p, "length", 10)
         Some(one(s"mom_$n", diff(close, n)))

@@ -904,15 +904,19 @@ final class Ta(private val df: DataFrame) {
   /** Fisher transform (reference momentum/fisher.py): rolling position in
     * the HH/LL range feeds the v/fisher recursion (rec.Fisher). */
   def fisher(n: Int = 9): DataFrame = {
+    // round-9 struct fold (RecFolds.FisherFold) over the staged range
+    // position — the windowed input stays a column, the recursion folds
     val m = (high + low) / 2.0
     val hh = rmax(m, n); val ll = rmin(m, n)
     val staged = df.withColumn(
       "__pos",
       lit(2.0) * (sdiv(m - ll, hh - ll) - 0.5)
     )
-    rec
-      .perSeries(staged, Seq(dbl(s"fisher_$n"), dbl(s"fisher_signal_$n")))(() => new rec.Fisher)
-      .drop("__pos")
+    staged
+      .withColumn("__fish", call_function("graft_fisher_k", col("__pos").cast("double")).over(prim.cum))
+      .withColumn(s"fisher_$n", col("__fish.fisher"))
+      .withColumn(s"fisher_signal_$n", col("__fish.signal"))
+      .drop("__pos", "__fish")
   }
 
   /** TD Sequential setup counts — see rec.TdSeq. */
@@ -929,18 +933,24 @@ final class Ta(private val df: DataFrame) {
   /** QQE (reference momentum/qqe.py): RSI → ema smooth → double-Wilder
     * DAR bands → trailing state machine (rec.Qqe). */
   def qqe(n: Int = 14, smooth: Int = 5, factor: Double = 4.236): DataFrame = {
+    // round-9 struct fold (RecFolds.QqeFold) over the staged
+    // smoothed-RSI / DAR chain
     val wilders = n * 2 - 1
     val d0 = rsiAs(df, "close", "__qrsi", n)
     val d1 = stage.ema(d0, "__qrsi", "__rsima", smooth)
     val d2 = d1.withColumn("__adr", abs(diff(col("__rsima"))))
     val d3 = d2.withColumn("__matr", prim.ewm(col("__adr"), 1.0 / wilders))
     val d4 = d3.withColumn("__dar", prim.ewm(col("__matr"), 1.0 / wilders) * factor)
-    rec
-      .perSeries(
-        d4,
-        Seq(dbl(s"qqe_$n"), StructField(s"qqe_trend_$n", IntegerType, nullable = true), dbl(s"qqe_long_$n"), dbl(s"qqe_short_$n"))
-      )(() => new rec.Qqe)
-      .drop("__qrsi", "__rsima", "__adr", "__matr", "__dar")
+    d4.withColumn(
+        "__qqe",
+        call_function("graft_qqe_k", col("__rsima").cast("double"), col("__dar").cast("double"))
+          .over(prim.cum)
+      )
+      .withColumn(s"qqe_$n", col("__qqe.qqe"))
+      .withColumn(s"qqe_trend_$n", col("__qqe.trend"))
+      .withColumn(s"qqe_long_$n", col("__qqe.long"))
+      .withColumn(s"qqe_short_$n", col("__qqe.short"))
+      .drop("__qrsi", "__rsima", "__adr", "__matr", "__dar", "__qqe")
   }
 
   /** Jurik RSX — see rec.Rsx. */
@@ -979,14 +989,22 @@ final class Ta(private val df: DataFrame) {
   /** Gann HiLo activator (reference overlap/hilo.py): sma(high,hn) /
     * sma(low,ln) bands + trend state machine (rec.Hilo). */
   def hilo(hn: Int = 13, ln: Int = 21): DataFrame = {
+    // round-9 struct fold (RecFolds.HiloFold) over the staged MA bands
     val staged = df
       .withColumn("__mh", rmean(high, hn))
       .withColumn("__ml", rmean(low, ln))
-    rec
-      .perSeries(staged, Seq(dbl("hilo"), dbl("hilo_long"), dbl("hilo_short")))(
-        () => new rec.Hilo
+    staged
+      .withColumn(
+        "__hilo",
+        call_function(
+          "graft_hilo_k",
+          close.cast("double"), col("__mh").cast("double"), col("__ml").cast("double")
+        ).over(prim.cum)
       )
-      .drop("__mh", "__ml")
+      .withColumn("hilo", col("__hilo.hilo"))
+      .withColumn("hilo_long", col("__hilo.hilo_long"))
+      .withColumn("hilo_short", col("__hilo.hilo_short"))
+      .drop("__mh", "__ml", "__hilo")
   }
 
   // ============================================== more compositions =====

@@ -40,6 +40,7 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_psar_k", "graft_supertrend_k",
         "graft_ha_k", "graft_mcgd_k", "graft_ssf_k", "graft_hwma_k",
         "graft_kalman_k", "graft_ebsw_k", "graft_hwc_k", "graft_td_seq_k", "graft_rsx_k",
+        "graft_hilo_k", "graft_fisher_k", "graft_qqe_k",
         "graft_atr_k", "graft_trix_k", "graft_tsi_k", "graft_adx_k",
         "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema",
         "graft_psar", "graft_supertrend",
@@ -86,6 +87,9 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_hwc_k(close, 0.2, 0.1, 0.1, 0.1, 1.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_td_seq_k(close) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_rsx_k(close, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_hilo_k(close, high, low) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_fisher_k(close) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_qqe_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_bbands(close, 3, 2.0).bbm", "graft_stoch(high, low, close, 3, 2, 2).stoch_k",
       "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",

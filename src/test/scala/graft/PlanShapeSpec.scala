@@ -150,12 +150,12 @@ class PlanShapeSpec extends AnyFunSuite {
     import graft.ta.{registry, IndicatorSpec, Strategy}
     // REC kernels repartition internally (mapPartitions state machines);
     // everything else must share the single (series_id, ts) exchange.
-    // Round 9 moved every FIXED-SLOT kernel to RecFolds window folds —
-    // only the staged-input state machines (hilo/fisher/qqe), the
-    // genuinely ring-buffered jma, and cusum (broadcast stats join)
-    // still repartition.
+    // Round 9 moved every O(1)-state kernel to RecFolds window folds —
+    // including the staged-input machines (hilo/fisher/qqe, whose
+    // windowed inputs stay as staged columns). Only the genuinely
+    // ring-buffered jma and cusum (broadcast stats join) repartition.
     val kernelKinds = Set(
-      "hilo", "fisher", "qqe", "jma",
+      "jma",
       "cusum" // adds a broadcast stats join — not a window op
     )
     val kinds = registry.indicators.filterNot(kernelKinds)

@@ -144,6 +144,41 @@ class RecFoldSpec extends AnyFunSuite {
     assertSame(collectCols(kKernel, kCols), collectCols(nf.ta.kalman(), kCols), kCols)
   }
 
+  test("wave-3 folds == their kernels, bit-exact: hilo, fisher, qqe (staged inputs)") {
+    import graft.ta.{prim => P, stage}
+    Graft.init(spark)
+    // hilo: staged MA bands + the HiloFold state machine
+    val hiloCols = Seq("hilo", "hilo_long", "hilo_short")
+    val hiloStaged = bars
+      .withColumn("__mh", P.rmean(col("high"), 13))
+      .withColumn("__ml", P.rmean(col("low"), 21))
+    val hiloKernel = rec.perSeries(hiloStaged, hiloCols.map(dbl))(() => new rec.Hilo)
+    assertSame(collectCols(hiloKernel, hiloCols), collectCols(bars.ta.hilo(13, 21), hiloCols), hiloCols)
+    // fisher: staged range position + FisherFold
+    val fishCols = Seq("fisher_9", "fisher_signal_9")
+    val m = (col("high") + col("low")) / 2.0
+    val hh = P.rmax(m, 9); val ll = P.rmin(m, 9)
+    val fishStaged = bars.withColumn("__pos", lit(2.0) * (P.sdiv(m - ll, hh - ll) - 0.5))
+    val fishKernel = rec.perSeries(fishStaged, fishCols.map(dbl))(() => new rec.Fisher)
+    assertSame(collectCols(fishKernel, fishCols), collectCols(bars.ta.fisher(9), fishCols), fishCols)
+    // qqe: the full staged chain + QqeFold
+    val qqeCols = Seq("qqe_6", "qqe_trend_6", "qqe_long_6", "qqe_short_6")
+    val wilders = 6 * 2 - 1
+    val q0 = bars.withColumn(
+      "__qrsi",
+      org.apache.spark.sql.functions.call_function("graft_rsi_k", col("close").cast("double"), lit(6))
+        .over(P.cum))
+    val q1 = stage.ema(q0, "__qrsi", "__rsima", 3)
+      .withColumn("__adr", abs(P.diff(col("__rsima"))))
+    val q2 = q1.withColumn("__matr", P.ewm(col("__adr"), 1.0 / wilders))
+      .withColumn("__dar", P.ewm(col("__matr"), 1.0 / wilders) * 4.236)
+    val qqeKernel = rec.perSeries(
+      q2,
+      Seq(dbl("qqe_6"), intF("qqe_trend_6"), dbl("qqe_long_6"), dbl("qqe_short_6"))
+    )(() => new rec.Qqe)
+    assertSame(collectCols(qqeKernel, qqeCols), collectCols(bars.ta.qqe(6, 3), qqeCols), qqeCols)
+  }
+
   test("SQL surface: graft_psar / graft_supertrend callable from pure SQL text") {
     Graft.init(spark)
     bars.createOrReplaceTempView("rf_bars")
