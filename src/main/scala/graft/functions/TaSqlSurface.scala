@@ -210,7 +210,82 @@ object TaSqlSurface {
     }),
     ar("graft_stoch", 6)(es =>
       x(stochStruct(c(es(0)), c(es(1)), c(es(2)),
-        intLit(es(3), "graft_stoch"), intLit(es(4), "graft_stoch"), intLit(es(5), "graft_stoch"))))
+        intLit(es(3), "graft_stoch"), intLit(es(4), "graft_stoch"), intLit(es(5), "graft_stoch")))),
+    // ---- phase-4 W/ELEM wrappers (round 9): every remaining kind whose
+    // staged spelling is a SINGLE window level over base columns — no
+    // window-in-window, so a plain prim composition suffices. Each
+    // mirrors the Ta accessor expression-for-expression.
+    ar("graft_willr", 4)(es => {
+      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2))); val n = intLit(es(3), "graft_willr")
+      val ll = P.rmin(l, n); val hh = P.rmax(h, n)
+      x(org.apache.spark.sql.functions.lit(100.0) * P.sdiv(cl - hh, hh - ll))
+    }),
+    ar("graft_mom", 2)(es => x(P.diff(c(es(0)), intLit(es(1), "graft_mom")))),
+    ar("graft_slope", 2)(es => {
+      val n = intLit(es(1), "graft_slope")
+      x(P.diff(c(es(0)), n) / n.toDouble)
+    }),
+    ar("graft_midpoint", 2)(es => {
+      val s = c(es(0)); val n = intLit(es(1), "graft_midpoint")
+      x((P.rmax(s, n) + P.rmin(s, n)) / 2.0)
+    }),
+    ar("graft_midprice", 3)(es => {
+      val n = intLit(es(2), "graft_midprice")
+      x((P.rmax(c(es(0)), n) + P.rmin(c(es(1)), n)) / 2.0)
+    }),
+    ar("graft_bop", 4)(es =>
+      x(P.sdiv(c(es(3)) - c(es(0)), c(es(1)) - c(es(2))))),
+    ar("graft_ao", 4)(es => {
+      val hl2 = (c(es(0)) + c(es(1))) / 2.0
+      x(P.rmean(hl2, intLit(es(2), "graft_ao")) - P.rmean(hl2, intLit(es(3), "graft_ao")))
+    }),
+    ar("graft_cci", 5)(es => {
+      val tp = (c(es(0)) + c(es(1)) + c(es(2))) / 3.0
+      val n = intLit(es(3), "graft_cci"); val scalar = dblLit(es(4), "graft_cci")
+      x(P.sdiv(tp - P.rmean(tp, n), org.apache.spark.sql.functions.lit(scalar) * P.rmad(tp, n)))
+    }),
+    ar("graft_vwma", 3)(es => {
+      val (cl, v) = (c(es(0)), c(es(1))); val n = intLit(es(2), "graft_vwma")
+      x(P.sdiv(P.rmean(cl * v, n), P.rmean(v, n)))
+    }),
+    ar("graft_donchian", 3)(es => {
+      import org.apache.spark.sql.functions.struct
+      val n = intLit(es(2), "graft_donchian")
+      val dcl = P.rmin(c(es(1)), n); val dcu = P.rmax(c(es(0)), n)
+      x(struct(dcl.as("dcl"), ((dcl + dcu) / 2.0).as("dcm"), dcu.as("dcu")))
+    }),
+    ar("graft_accbands", 4)(es => {
+      import org.apache.spark.sql.functions.{lit, struct}
+      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2))); val n = intLit(es(3), "graft_accbands")
+      val ratio = lit(4.0) * P.sdiv(h - l, h + l)
+      x(struct(
+        P.rmean(l * (lit(1.0) - ratio), n).as("accbl"),
+        P.rmean(cl, n).as("accbm"),
+        P.rmean(h * (lit(1.0) + ratio), n).as("accbu")
+      ))
+    }),
+    ar("graft_eri", 4)(es => {
+      // elder ray: scalar arithmetic around the seeded-ema FOLD
+      import org.apache.spark.sql.functions.struct
+      val eline = kernel("graft_ema_k", Seq(es(2), es(3))).over(P.cum)
+      x(struct((c(es(0)) - eline).as("bull"), (c(es(1)) - eline).as("bear")))
+    }),
+    ar("graft_aroon", 3)(es => {
+      import org.apache.spark.sql.functions._
+      val n = intLit(es(2), "graft_aroon")
+      val hs = collect_list(c(es(0))).over(P.f(n + 1))
+      val ls = collect_list(c(es(1))).over(P.f(n + 1))
+      def pick(xs: Column, best: Column => Column): Column =
+        when(
+          size(xs) === n + 1,
+          lit(100.0) * (lit(n.toDouble) -
+            (array_position(reverse(xs), best(xs)) - 1.0)) / n.toDouble
+        )
+      x(struct(
+        pick(hs, array_max).as("aroon_u"),
+        pick(ls, array_min).as("aroon_d")
+      ))
+    })
   )
 
   /** stoch(n, k, d) as ONE projection: the smoothing stages can't nest a

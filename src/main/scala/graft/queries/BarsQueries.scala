@@ -300,9 +300,77 @@ object BarsQueries {
     mk("candles_10", outs, fin(b, outs))(_.ta.cdlInside.ta.cdlZ(10))
   }
 
+  /** SQL surface PHASE 4b — the single-window-level W/ELEM wrappers
+    * (round 9): willr/cci/ao/bop/donchian/accbands/eri/aroon/midprice/
+    * vwma/mom/slope/midpoint as one-call graft_* functions over pure
+    * SQL text. Oracle = composeJoin of the per-indicator oracles the
+    * accessor queries already pass, plus an inline part for the three
+    * kinds (mom/slope/midpoint) whose accessor oracles live on the
+    * user-series fixture. */
+  val qSqlSurface5 = Q(
+    "x_sql_surface5",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars5")
+      val outs = Seq(
+        "willr_10", "cci_10", "ao_5_20", "bop",
+        "dcl_10", "dcm_10", "dcu_10", "accbl_10", "accbm_10", "accbu_10",
+        "bull_10", "bear_10", "aroon_u_10", "aroon_d_10",
+        "midprice_10", "vwma_10", "mom_10", "slope_10", "midpoint_10"
+      )
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  graft_willr(high, low, close, 10) AS willr_10,
+            |  graft_cci(high, low, close, 10, 0.015) AS cci_10,
+            |  graft_ao(high, low, 5, 20) AS ao_5_20,
+            |  graft_bop(open, high, low, close) AS bop,
+            |  dc.dcl AS dcl_10, dc.dcm AS dcm_10, dc.dcu AS dcu_10,
+            |  ab.accbl AS accbl_10, ab.accbm AS accbm_10, ab.accbu AS accbu_10,
+            |  er.bull AS bull_10, er.bear AS bear_10,
+            |  ar.aroon_u AS aroon_u_10, ar.aroon_d AS aroon_d_10,
+            |  graft_midprice(high, low, 10) AS midprice_10,
+            |  graft_vwma(close, volume, 10) AS vwma_10,
+            |  graft_mom(close, 10) AS mom_10,
+            |  graft_slope(close, 10) AS slope_10,
+            |  graft_midpoint(close, 10) AS midpoint_10
+            |FROM (
+            |  SELECT *,
+            |    graft_donchian(high, low, 10) AS dc,
+            |    graft_accbands(high, low, close, 10) AS ab,
+            |    graft_eri(high, low, close, 10) AS er,
+            |    graft_aroon(high, low, 10) AS ar
+            |  FROM graft_bars5
+            |)""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val inlinePart =
+        s"WITH bars AS ($barsCte) SELECT series_id, ts, " +
+          s"round(close - lag(close, 10) $ov, 6) AS mom_10, " +
+          s"round((close - lag(close, 10) $ov) / 10e0, 6) AS slope_10, " +
+          s"round((${rmax("close", 10)} + ${rmin("close", 10)}) / 2e0, 6) AS midpoint_10 " +
+          s"FROM bars$orderTail"
+      composeJoin(Seq(
+        qWillrCci.sql.get -> Seq("willr_10", "cci_10"),
+        qAoBopUo.sql.get -> Seq("ao_5_20", "bop"),
+        qChannels.sql.get -> Seq("dcl_10", "dcm_10", "dcu_10", "accbl_10", "accbm_10", "accbu_10"),
+        qEri.sql.get -> Seq("bull_10", "bear_10"),
+        qAroon.sql.get -> Seq("aroon_u_10", "aroon_d_10"),
+        qPriceTransforms.sql.get -> Seq("midprice_10"),
+        qVwap.sql.get -> Seq("vwma_10"),
+        inlinePart -> Seq("mom_10", "slope_10", "midpoint_10")
+      ))
+    }
+  )
+
   def all: Seq[Q] = Seq(
     qAtr, qStoch, qWillrCci, qAoBopUo, qEri, qBbands, qChannels, qUiPdist,
     qVolCum, qVolWindow, qPriceTransforms, qVwap, qAroon, qTrendStats,
-    qSignals, qCandles
+    qSignals, qCandles, qSqlSurface5
   )
 }

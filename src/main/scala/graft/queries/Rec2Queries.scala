@@ -411,5 +411,82 @@ object Rec2Queries {
     )
   }
 
-  val all: Seq[Q] = Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum, qKalman, qKalmanCusum)
+  /** SQL surface PHASE 4 — the wave-2/3 REC folds from pure SQL text
+    * (round 9): the self-contained wrappers (graft_ha/mcgd/ssf/hwma/
+    * ebsw/hwc/td_seq/rsx, canonical window baked in) plus the
+    * staged-input bare kernels (graft_hilo_k/graft_fisher_k) consumed
+    * the way a SQL user would — staging columns in a subquery level and
+    * an explicit OVER on the running frame. Oracle = composeJoin of the
+    * per-indicator recursive-CTE oracles already proven against the
+    * accessor queries, so SQL text ≡ fold ≡ kernel at 6 dp. */
+  val qSqlSurface4 = Q(
+    "x_sql_surface4",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars4")
+      val outs = Seq(
+        "ha_open", "ha_high", "ha_low", "ha_close", "mcgd_10", "ssf_10", "hwma",
+        "ebsw_20", "hwc_mid", "hwc_upper", "hwc_lower", "td_seq_up", "td_seq_dn",
+        "rsx_10", "hilo", "hilo_long", "hilo_short", "fisher_9", "fisher_signal_9"
+      )
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  ha.ha_open AS ha_open, ha.ha_high AS ha_high,
+            |  ha.ha_low AS ha_low, ha.ha_close AS ha_close,
+            |  mcgd_10, ssf_10, hwma, ebsw_20,
+            |  hwc.hwc_mid AS hwc_mid, hwc.hwc_upper AS hwc_upper, hwc.hwc_lower AS hwc_lower,
+            |  CAST(td.td_seq_up AS DOUBLE) AS td_seq_up, CAST(td.td_seq_dn AS DOUBLE) AS td_seq_dn,
+            |  rsx_10,
+            |  hl.hilo AS hilo, hl.hilo_long AS hilo_long, hl.hilo_short AS hilo_short,
+            |  fi.fisher AS fisher_9, fi.signal AS fisher_signal_9
+            |FROM (
+            |  SELECT series_id, ts,
+            |    graft_ha(open, high, low, close) AS ha,
+            |    graft_mcgd(close, 10) AS mcgd_10,
+            |    graft_ssf(close, 10) AS ssf_10,
+            |    graft_hwma(close, 0.2, 0.1, 0.1) AS hwma,
+            |    graft_ebsw(close, 20, 10) AS ebsw_20,
+            |    graft_hwc(close, 0.2, 0.1, 0.1, 0.1, 1.0) AS hwc,
+            |    graft_td_seq(close) AS td,
+            |    graft_rsx(close, 10) AS rsx_10,
+            |    graft_hilo_k(close, mh, ml) OVER cw AS hl,
+            |    graft_fisher_k(pos) OVER cw AS fi
+            |  FROM (
+            |    SELECT *,
+            |      CASE WHEN count(high) OVER f13 >= 13 THEN avg(high) OVER f13 END AS mh,
+            |      CASE WHEN count(low) OVER f21 >= 21 THEN avg(low) OVER f21 END AS ml,
+            |      2.0D * (((mid2 - (CASE WHEN count(mid2) OVER f9 >= 9 THEN min(mid2) OVER f9 END)) /
+            |        nullif((CASE WHEN count(mid2) OVER f9 >= 9 THEN max(mid2) OVER f9 END) -
+            |               (CASE WHEN count(mid2) OVER f9 >= 9 THEN min(mid2) OVER f9 END), 0)) - 0.5D) AS pos
+            |    FROM (SELECT *, (high + low) / 2.0D AS mid2 FROM graft_bars4)
+            |    WINDOW
+            |      f13 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
+            |      f21 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+            |      f9 AS (PARTITION BY series_id ORDER BY ts ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+            |  )
+            |  WINDOW cw AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+            |)""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +: outs.map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some(composeJoin(Seq(
+      RecQueries.qHa.sql.get -> Seq("ha_open", "ha_high", "ha_low", "ha_close"),
+      RecQueries.qMcgd.sql.get -> Seq("mcgd_10"),
+      RecQueries.qSsf.sql.get -> Seq("ssf_10"),
+      RecQueries.qHwma.sql.get -> Seq("hwma"),
+      qEbsw.sql.get -> Seq("ebsw_20"),
+      qHwc.sql.get -> Seq("hwc_mid", "hwc_upper", "hwc_lower"),
+      qTdSeq.sql.get -> Seq("td_seq_up", "td_seq_dn"),
+      qRsx.sql.get -> Seq("rsx_10"),
+      RecQueries.qHilo.sql.get -> Seq("hilo", "hilo_long", "hilo_short"),
+      RecQueries.qFisher.sql.get -> Seq("fisher_9", "fisher_signal_9")
+    )))
+  )
+
+  val all: Seq[Q] =
+    Seq(qTdSeq, qEbsw, qHwc, qRsx, qQqe, qJma, qCusum, qKalman, qKalmanCusum, qSqlSurface4)
 }

@@ -47,7 +47,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_ha", "graft_mcgd", "graft_ssf", "graft_hwma",
         "graft_kalman", "graft_ebsw", "graft_hwc", "graft_td_seq", "graft_rsx",
         "graft_atr", "graft_natr", "graft_trix", "graft_tsi", "graft_adx",
-        "graft_bbands", "graft_stoch"
+        "graft_bbands", "graft_stoch",
+        // phase 4b (round 9): single-window-level W/ELEM wrappers
+        "graft_willr", "graft_mom", "graft_slope", "graft_midpoint", "graft_midprice",
+        "graft_bop", "graft_ao", "graft_cci", "graft_vwma",
+        "graft_donchian", "graft_accbands", "graft_eri", "graft_aroon"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -91,6 +95,12 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_fisher_k(close) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_qqe_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_bbands(close, 3, 2.0).bbm", "graft_stoch(high, low, close, 3, 2, 2).stoch_k",
+      "graft_willr(high, low, close, 3)", "graft_mom(close, 3)", "graft_slope(close, 3)",
+      "graft_midpoint(close, 3)", "graft_midprice(high, low, 3)",
+      "graft_bop(open, high, low, close)", "graft_ao(high, low, 2, 4)",
+      "graft_cci(high, low, close, 3, 0.015)", "graft_vwma(close, volume, 3)",
+      "graft_donchian(high, low, 3).dcm", "graft_accbands(high, low, close, 3).accbm",
+      "graft_eri(high, low, close, 3).bull", "graft_aroon(high, low, 3).aroon_u",
       "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_tsi_k(close, 3, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
