@@ -513,6 +513,41 @@ object ScaleProbe {
       graft.CacheRegistry.release(spark)
     }
 
+    // ---- REC fold vs mapPartitions kernel (round 9): the same state
+    // machine as a window-buffer fold (accessor path) vs the retained
+    // rec.perSeries kernel spelling — measures what the fold lowering
+    // buys at scale (no Row boxing, no second Exchange when composed,
+    // same O(n) sequential dependency).
+    if (want("recfold")) for (l <- Seq(50000, 200000)) {
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField}
+      def dblF(s0: String) = StructField(s0, DoubleType, nullable = true)
+      val bars = graft.CacheRegistry.track(
+        series(spark, 256, l).select(
+          col("series_id"), col("ts"),
+          col("close"), (col("close") + 1.5).as("high"), (col("close") - 1.5).as("low"),
+          col("close").as("open"), lit(1000.0).as("volume")
+        )
+      )
+      bars.count()
+      emit("psar_kernel", 256L * l, timed(force(
+        graft.ta.rec.perSeries(bars,
+          Seq(dblF("psar_long"), dblF("psar_short"), dblF("psar_af"),
+            StructField("psar_reversal", IntegerType, nullable = true)))(
+          () => new graft.ta.rec.Psar()), "psar_af")))
+      emit("psar_fold", 256L * l, timed(force(bars.ta.psar(), "psar_af")))
+      emit("supertrend_kernel", 256L * l, timed(force(
+        graft.ta.rec.perSeries(bars,
+          Seq(dblF("supert_7"), StructField("supertd_7", IntegerType, nullable = true),
+            dblF("supertl_7"), dblF("superts_7")))(
+          () => new graft.ta.rec.Supertrend(7, 3.0)), "supert_7")))
+      emit("supertrend_fold", 256L * l, timed(force(bars.ta.supertrend(7, 3.0), "supert_7")))
+      emit("rsx_kernel", 256L * l, timed(force(
+        graft.ta.rec.perSeries(bars, Seq(dblF("rsx_14")))(
+          () => new graft.ta.rec.Rsx(14)), "rsx_14")))
+      emit("rsx_fold", 256L * l, timed(force(bars.ta.rsx(14), "rsx_14")))
+      graft.CacheRegistry.release(spark)
+    }
+
     // ---- chunked-broadcast middle route (round 9): past the broadcast
     // ceiling, iterate ≤chunkMax-query chunks through the broadcast
     // prober (one live broadcast at a time, sequential jobs) instead of

@@ -123,6 +123,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
   }
 
+  test("full REC-kind strategy batch plans ONE Exchange total (jma's collapses)") {
+    // every O(1)-state REC kind folds (round 9), and the one remaining
+    // kernel (jma, ring buffers) repartitions on the SAME key the
+    // window Exchange already established — Catalyst elides the
+    // redundant shuffle, so a batch of ALL fifteen formerly-kernel
+    // kinds plans a single Exchange end-to-end
+    import graft.ta.{registry, IndicatorSpec, Strategy}
+    val out = registry.strategy(
+      synthetic.repartition(col("series_id")),
+      Strategy("rec-all", Seq(
+        IndicatorSpec("psar"), IndicatorSpec("supertrend", Map("length" -> 7)),
+        IndicatorSpec("ha"), IndicatorSpec("mcgd", Map("length" -> 10)),
+        IndicatorSpec("ssf", Map("length" -> 10)), IndicatorSpec("hwma"),
+        IndicatorSpec("kalman"), IndicatorSpec("ebsw", Map("length" -> 20)),
+        IndicatorSpec("hwc"), IndicatorSpec("td_seq"), IndicatorSpec("rsx", Map("length" -> 10)),
+        IndicatorSpec("hilo"), IndicatorSpec("fisher", Map("length" -> 9)),
+        IndicatorSpec("qqe", Map("length" -> 6, "smooth" -> 3)),
+        IndicatorSpec("jma", Map("length" -> 7))
+      ))
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+  }
+
   test("mixed W+REC strategy (sma + psar + supertrend) plans ONE Exchange") {
     // round-9 gate: psar/supertrend lower to struct window folds
     // (RecFolds), so a mixed batch no longer pays the mapPartitions
