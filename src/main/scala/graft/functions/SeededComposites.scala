@@ -469,4 +469,48 @@ object SeededComposites {
     override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): AdxFold =
       copy(h = c0(0), l = c0(1), c = c0(2))
   }
+
+  /** Keltner channel (Ta.kc: sma-seeded ema basis over close + sma-seeded
+    * ema band over the true range) as ONE fold emitting STRUCT(kcb, kcl,
+    * kcu) — the true range derives from a prev-close slot, so the whole
+    * two-chain composite needs no staged columns. */
+  case class KcFold(h: Expression, l: Expression, c: Expression, n: Int, scalar: Double)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l, c)
+    override def dataType: DataType = StructType(Seq(
+      StructField("kcb", DoubleType),
+      StructField("kcl", DoubleType),
+      StructField("kcu", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kc_k"
+
+    private lazy val pos = AttributeReference("kcPos", LongType, nullable = false)()
+    private lazy val pc = AttributeReference("kcPc", DoubleType, nullable = true)()
+    private lazy val s1 = AttributeReference("kcSum1", DoubleType, nullable = true)()
+    private lazy val c1 = AttributeReference("kcCnt1", LongType, nullable = false)()
+    private lazy val y1 = AttributeReference("kcAcc1", DoubleType, nullable = true)()
+    private lazy val s2 = AttributeReference("kcSum2", DoubleType, nullable = true)()
+    private lazy val c2 = AttributeReference("kcCnt2", LongType, nullable = false)()
+    private lazy val y2 = AttributeReference("kcAcc2", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(pos, pc, s1, c1, y1, s2, c2, y2)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), nullD, nullD, Literal(0L), nullD, nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val tr = trOf(h, l, pc)
+      val (u1, _) = seededLevel(pos, posN, n, s1, c1, y1, c)
+      val (u2, _) = seededLevel(pos, posN, n, s2, c2, y2, tr)
+      Seq(posN, c) ++ u1 ++ u2
+    }
+    override lazy val evaluateExpression: Expression =
+      CreateNamedStruct(Seq(
+        Literal("kcb"), y1,
+        Literal("kcl"), Subtract(y1, Multiply(Literal(scalar), y2)),
+        Literal("kcu"), Add(y1, Multiply(Literal(scalar), y2))
+      ))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): KcFold =
+      copy(h = c0(0), l = c0(1), c = c0(2))
+  }
 }

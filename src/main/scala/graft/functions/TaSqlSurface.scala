@@ -162,6 +162,9 @@ object TaSqlSurface {
     ar("graft_adx_k", 5)(es =>
       SeededComposites.AdxFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
         intLit(es(3), "graft_adx_k"), intLit(es(4), "graft_adx_k"))),
+    ar("graft_kc_k", 5)(es =>
+      SeededComposites.KcFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_kc_k"), dblLit(es(4), "graft_kc_k"))),
     // … and the canonical-window wrappers (no OVER needed, same contract
     // as graft_sma-class). The kernel call routes through the function
     // registry rather than wrapping the Expression directly — registry-
@@ -193,6 +196,7 @@ object TaSqlSurface {
     ar("graft_trix", 2)(es => x(kernel("graft_trix_k", es).over(P.cum))),
     ar("graft_tsi", 3)(es => x(kernel("graft_tsi_k", es).over(P.cum))),
     ar("graft_adx", 5)(es => x(kernel("graft_adx_k", es).over(P.cum))),
+    ar("graft_kc", 5)(es => x(kernel("graft_kc_k", es).over(P.cum))),
     ar("graft_bbands", 3)(es => {
       // Ta.bbands — pure single-level W class, struct-valued
       import org.apache.spark.sql.functions.{lit, struct}
@@ -269,6 +273,19 @@ object TaSqlSurface {
       import org.apache.spark.sql.functions.struct
       val eline = kernel("graft_ema_k", Seq(es(2), es(3))).over(P.cum)
       x(struct((c(es(0)) - eline).as("bull"), (c(es(1)) - eline).as("bear")))
+    }),
+    ar("graft_apo", 3)(es => {
+      val s = c(es(0))
+      x(P.rmean(s, intLit(es(1), "graft_apo")) - P.rmean(s, intLit(es(2), "graft_apo")))
+    }),
+    ar("graft_ppo", 3)(es => {
+      val s = c(es(0))
+      val f = P.rmean(s, intLit(es(1), "graft_ppo")); val sl = P.rmean(s, intLit(es(2), "graft_ppo"))
+      x(org.apache.spark.sql.functions.lit(100.0) * P.sdiv(f - sl, sl))
+    }),
+    ar("graft_bias", 2)(es => {
+      val s = c(es(0))
+      x(org.apache.spark.sql.functions.lit(100.0) * (P.sdiv(s, P.rmean(s, intLit(es(1), "graft_bias"))) - 1.0))
     }),
     ar("graft_aroon", 3)(es => {
       import org.apache.spark.sql.functions._

@@ -316,7 +316,8 @@ object BarsQueries {
         "willr_10", "cci_10", "ao_5_20", "bop",
         "dcl_10", "dcm_10", "dcu_10", "accbl_10", "accbm_10", "accbu_10",
         "bull_10", "bear_10", "aroon_u_10", "aroon_d_10",
-        "midprice_10", "vwma_10", "mom_10", "slope_10", "midpoint_10"
+        "midprice_10", "vwma_10", "mom_10", "slope_10", "midpoint_10",
+        "kcb_20", "kcl_20", "kcu_20", "apo_12_26", "ppo_12_26", "bias_26"
       )
       spark
         .sql(
@@ -333,13 +334,18 @@ object BarsQueries {
             |  graft_vwma(close, volume, 10) AS vwma_10,
             |  graft_mom(close, 10) AS mom_10,
             |  graft_slope(close, 10) AS slope_10,
-            |  graft_midpoint(close, 10) AS midpoint_10
+            |  graft_midpoint(close, 10) AS midpoint_10,
+            |  kc.kcb AS kcb_20, kc.kcl AS kcl_20, kc.kcu AS kcu_20,
+            |  graft_apo(close, 12, 26) AS apo_12_26,
+            |  graft_ppo(close, 12, 26) AS ppo_12_26,
+            |  graft_bias(close, 26) AS bias_26
             |FROM (
             |  SELECT *,
             |    graft_donchian(high, low, 10) AS dc,
             |    graft_accbands(high, low, close, 10) AS ab,
             |    graft_eri(high, low, close, 10) AS er,
-            |    graft_aroon(high, low, 10) AS ar
+            |    graft_aroon(high, low, 10) AS ar,
+            |    graft_kc(high, low, close, 20, 2.0) AS kc
             |  FROM graft_bars5
             |)""".stripMargin
         )
@@ -353,7 +359,10 @@ object BarsQueries {
         s"WITH bars AS ($barsCte) SELECT series_id, ts, " +
           s"round(close - lag(close, 10) $ov, 6) AS mom_10, " +
           s"round((close - lag(close, 10) $ov) / 10e0, 6) AS slope_10, " +
-          s"round((${rmax("close", 10)} + ${rmin("close", 10)}) / 2e0, 6) AS midpoint_10 " +
+          s"round((${rmax("close", 10)} + ${rmin("close", 10)}) / 2e0, 6) AS midpoint_10, " +
+          s"round(${rmean("close", 12)} - ${rmean("close", 26)}, 6) AS apo_12_26, " +
+          s"round(100e0 * ${sdiv(s"(${rmean("close", 12)} - ${rmean("close", 26)})", rmean("close", 26))}, 6) AS ppo_12_26, " +
+          s"round(100e0 * (${sdiv("close", rmean("close", 26))} - 1e0), 6) AS bias_26 " +
           s"FROM bars$orderTail"
       composeJoin(Seq(
         qWillrCci.sql.get -> Seq("willr_10", "cci_10"),
@@ -363,7 +372,8 @@ object BarsQueries {
         qAroon.sql.get -> Seq("aroon_u_10", "aroon_d_10"),
         qPriceTransforms.sql.get -> Seq("midprice_10"),
         qVwap.sql.get -> Seq("vwma_10"),
-        inlinePart -> Seq("mom_10", "slope_10", "midpoint_10")
+        CompositeQueries.qKc.sql.get -> Seq("kcb_20", "kcl_20", "kcu_20"),
+        inlinePart -> Seq("mom_10", "slope_10", "midpoint_10", "apo_12_26", "ppo_12_26", "bias_26")
       ))
     }
   )

@@ -886,16 +886,21 @@ private[ta] object StrategyCompiler {
           Seq(t)
         ))
       case "kc" =>
+        // struct fold: basis + band seeded-ema chains in one buffer
         val n = i(p, "length", 20); val scalar = dd(p, "scalar", 2.0)
-        val (lb, tb) = emaLv(close, "__kc_basis", n)
-        val (lb2, tb2) = emaLv(col("true_range"), "__kc_band", n)
+        val t = s"__kc_$n"
         Some(ColPlan(
-          (Seq(Seq("true_range" -> trExpr)) ++ lb ++ lb2) :+ Seq(
-            s"kcb_$n" -> col("__kc_basis"),
-            s"kcl_$n" -> (col("__kc_basis") - lit(scalar) * col("__kc_band")),
-            s"kcu_$n" -> (col("__kc_basis") + lit(scalar) * col("__kc_band"))
+          Seq(
+            Seq(t -> call_function("graft_kc_k",
+              high.cast("double"), low.cast("double"), close.cast("double"),
+              lit(n), lit(scalar)).over(prim.cum)),
+            Seq(
+              s"kcb_$n" -> col(s"$t.kcb"),
+              s"kcl_$n" -> col(s"$t.kcl"),
+              s"kcu_$n" -> col(s"$t.kcu")
+            )
           ),
-          Seq("__kc_basis", "__kc_band", "true_range") ++ tb ++ tb2
+          Seq(t)
         ))
       case "massi" =>
         val fast = i(p, "fast", 9); val slow = i(p, "slow", 25)

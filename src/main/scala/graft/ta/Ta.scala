@@ -1065,12 +1065,17 @@ final class Ta(private val df: DataFrame) {
   /** Keltner channel (reference volatility/kc.py, declared sma-seeded ema
     * basis + ema of true range). */
   def kc(n: Int = 20, scalar: Double = 2.0): DataFrame = {
-    val d0 = stage.ema(new Ta(df).trueRange, "close", "__basis", n)
-    val d1 = stage.ema(d0, "true_range", "__band", n)
-    d1.withColumn(s"kcb_$n", col("__basis"))
-      .withColumn(s"kcl_$n", col("__basis") - lit(scalar) * col("__band"))
-      .withColumn(s"kcu_$n", col("__basis") + lit(scalar) * col("__band"))
-      .drop("__basis", "__band", "true_range")
+    // round-9 struct fold (SeededComposites.KcFold): basis + band
+    // seeded-ema chains and the true-range prev-close slot in one buffer
+    val s = call_function(
+      "graft_kc_k",
+      high.cast("double"), low.cast("double"), close.cast("double"), lit(n), lit(scalar)
+    ).over(prim.cum)
+    df.withColumn("__kc", s)
+      .withColumn(s"kcb_$n", col("__kc.kcb"))
+      .withColumn(s"kcl_$n", col("__kc.kcl"))
+      .withColumn(s"kcu_$n", col("__kc.kcu"))
+      .drop("__kc")
   }
 
   /** Mass index (reference volatility/massi.py): Σ₍slow₎ ema(h−l,fast)/

@@ -41,17 +41,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_ha_k", "graft_mcgd_k", "graft_ssf_k", "graft_hwma_k",
         "graft_kalman_k", "graft_ebsw_k", "graft_hwc_k", "graft_td_seq_k", "graft_rsx_k",
         "graft_hilo_k", "graft_fisher_k", "graft_qqe_k",
-        "graft_atr_k", "graft_trix_k", "graft_tsi_k", "graft_adx_k",
+        "graft_atr_k", "graft_trix_k", "graft_tsi_k", "graft_adx_k", "graft_kc_k",
         "graft_ema", "graft_rsi", "graft_macd", "graft_dema", "graft_tema",
         "graft_psar", "graft_supertrend",
         "graft_ha", "graft_mcgd", "graft_ssf", "graft_hwma",
         "graft_kalman", "graft_ebsw", "graft_hwc", "graft_td_seq", "graft_rsx",
-        "graft_atr", "graft_natr", "graft_trix", "graft_tsi", "graft_adx",
+        "graft_atr", "graft_natr", "graft_trix", "graft_tsi", "graft_adx", "graft_kc",
         "graft_bbands", "graft_stoch",
         // phase 4b (round 9): single-window-level W/ELEM wrappers
         "graft_willr", "graft_mom", "graft_slope", "graft_midpoint", "graft_midprice",
         "graft_bop", "graft_ao", "graft_cci", "graft_vwma",
-        "graft_donchian", "graft_accbands", "graft_eri", "graft_aroon"
+        "graft_donchian", "graft_accbands", "graft_eri",
+        "graft_apo", "graft_ppo", "graft_bias", "graft_aroon"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -101,6 +102,9 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_cci(high, low, close, 3, 0.015)", "graft_vwma(close, volume, 3)",
       "graft_donchian(high, low, 3).dcm", "graft_accbands(high, low, close, 3).accbm",
       "graft_eri(high, low, close, 3).bull", "graft_aroon(high, low, 3).aroon_u",
+      "graft_kc(high, low, close, 3, 2.0).kcb", "graft_apo(close, 2, 4)",
+      "graft_ppo(close, 2, 4)", "graft_bias(close, 3)",
+      "graft_kc_k(high, low, close, 3, 2.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_tsi_k(close, 3, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",

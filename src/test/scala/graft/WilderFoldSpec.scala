@@ -131,6 +131,28 @@ class WilderFoldSpec extends AnyFunSuite {
       collectCols(staged, Seq("tsi_13_25")), collectCols(fold, Seq("tsi_13_25")), Seq("tsi_13_25"))
   }
 
+  test("graft_kc == staged emaStaged-chain reference, bit-exact, all three struct fields") {
+    import graft.ta.{prim => P, stage}
+    Graft.init(spark)
+    bars.createOrReplaceTempView("wf_bars")
+    val fold = spark.sql(
+      """SELECT series_id, ts, k.kcb, k.kcl, k.kcu
+        |FROM (SELECT series_id, ts, graft_kc(high, low, close, 20, 2.0) AS k FROM wf_bars)""".stripMargin)
+    // pre-round-9 Ta.kc chain over emaStaged (the retained reference)
+    val pc = P.shift(col("close"), 1)
+    val tr = when(pc.isNull, lit(null))
+      .otherwise(greatest(col("high") - col("low"), abs(col("high") - pc), abs(col("low") - pc)))
+    val d0 = stage.emaStaged(bars.withColumn("true_range", tr), "close", "basis", 20)
+    val d1 = stage.emaStaged(d0, "true_range", "band", 20)
+    val staged = d1
+      .withColumn("kcb", col("basis"))
+      .withColumn("kcl", col("basis") - lit(2.0) * col("band"))
+      .withColumn("kcu", col("basis") + lit(2.0) * col("band"))
+      .select("series_id", "ts", "kcb", "kcl", "kcu")
+    val cols = Seq("kcb", "kcl", "kcu")
+    assertSame(collectCols(staged, cols), collectCols(fold, cols), cols)
+  }
+
   test("graft_adx == staged rmaOf-chain reference, bit-exact, all five struct fields") {
     import graft.ta.{prim => P}
     Graft.init(spark)
