@@ -5,15 +5,27 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** REC-class kernels (SURVEY.md §2.A REC / §4.3 tier 4): non-linear or
-  * branching per-series recursions that no window aggregate expresses.
+  * branching per-series recursions as single-pass state machines.
+  *
+  * Since round 9 every O(1)-state kernel here ALSO exists as a
+  * DeclarativeAggregate window fold (functions.RecFolds /
+  * SeededComposites) and the batch accessor/strategy paths run the
+  * folds; these kernels remain as (1) the STREAMING twins —
+  * kernelBatchStream replays them tick-by-tick, (2) the bit-identity
+  * spec references the folds are proven against (RecFoldSpec — the
+  * emaStaged pattern), and (3) the batch path for the kinds a fold
+  * cannot express: jma (11/65-entry ring buffers) and retrospective
+  * cusum (whole-series stats join).
   *
   * Execution shape: `repartition(series_id)` + `sortWithinPartitions
   * (series_id, ts)` + `mapPartitions` — ONE shuffle (same key as every
-  * window indicator, so Catalyst reuses the exchange when composed), then
-  * a single streaming pass per partition with O(1) state per key. At
-  * 100 TB this is I/O-bound sequential scan per series; the inherently
-  * serial dependency chain is documented in SURVEY §4.3 (psar-class
-  * recursions cannot be prefix-scanned).
+  * window indicator, so Catalyst elides it entirely when composed after
+  * the window Exchange — PlanShapeSpec), then a single streaming pass
+  * per partition with O(1) state per key. At 100 TB this is I/O-bound
+  * sequential scan per series; the inherently serial dependency chain is
+  * documented in SURVEY §4.3 (psar-class recursions cannot be
+  * prefix-scanned — true for the folds as well, which run inside the
+  * same sorted window pass).
   *
   * Kernels read input fields by index resolved once per partition
   * (`init`), emit a fixed-arity Array[Any] per row, and are reset at every
