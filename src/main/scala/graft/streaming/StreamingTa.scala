@@ -489,12 +489,13 @@ object StreamingTa {
     * null-on-zero denominator. */
   final class EwStage(kind: String, n: Int) extends StreamStage {
     val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"${kind}_$n"))
-    // ema slots
+    // cascade depth: ema = 1 seeded level, dema = 2, tema = 3
+    private val levels = kind match { case "tema" => 3; case "dema" => 2; case _ => 1 }
     private val alphaE = 2.0 / (n + 1)
     private var pos = 0L
-    private var seedSum = 0.0
-    private var seedCnt = 0L
-    private var y: java.lang.Double = null
+    private val sums = new Array[Double](levels)
+    private val cnts = new Array[Long](levels)
+    private val accs = new Array[java.lang.Double](levels)
     // rsi slots
     private val alphaR = 1.0 / n
     private var havePrev = false
@@ -504,16 +505,39 @@ object StreamingTa {
     private var yDn: java.lang.Double = null
     private def ewm(acc: java.lang.Double, v: Double, a: Double): java.lang.Double =
       if (acc == null) Double.box(v) else Double.box((1.0 - a) * acc.doubleValue() + a * v)
+    /** One row through the seeded-ema cascade (EmaCascade slot-for-slot:
+      * each level seeds on the nulls-skipped mean of ITS input's first n
+      * rows, then runs adjust=False over it). */
+    private def cascade(x: Double): Unit = {
+      pos += 1
+      var input: java.lang.Double = Double.box(x)
+      var i = 0
+      while (i < levels) {
+        if (pos <= n && input != null) { sums(i) += input.doubleValue(); cnts(i) += 1 }
+        val z: java.lang.Double =
+          if (pos < n) null
+          else if (pos == n) (if (cnts(i) > 0) Double.box(sums(i) / cnts(i)) else null)
+          else input
+        if (z != null) accs(i) = ewm(accs(i), z.doubleValue(), alphaE)
+        input = accs(i)
+        i += 1
+      }
+    }
     def update(t: BarTick): Array[Any] = kind match {
       case "ema" =>
-        pos += 1
-        if (pos <= n) { seedSum += t.close; seedCnt += 1 }
-        if (pos < n) Array(null)
-        else {
-          val z = if (pos == n) seedSum / seedCnt else t.close
-          y = ewm(y, z, alphaE)
-          Array(y)
-        }
+        cascade(t.close)
+        Array(accs(0))
+      case "dema" =>
+        cascade(t.close)
+        Array(
+          if (accs(0) == null || accs(1) == null) null
+          else Double.box(2.0 * accs(0).doubleValue() - accs(1).doubleValue()))
+      case "tema" =>
+        cascade(t.close)
+        Array(
+          if (accs(0) == null || accs(1) == null || accs(2) == null) null
+          else Double.box(
+            3.0 * accs(0).doubleValue() - 3.0 * accs(1).doubleValue() + accs(2).doubleValue()))
       case "rsi" =>
         if (!havePrev) { havePrev = true; prev = t.close; return Array(null) }
         val dd = t.close - prev
@@ -528,6 +552,29 @@ object StreamingTa {
         }
       case other =>
         throw new IllegalArgumentException(s"EwStage: unsupported kind '$other'")
+    }
+  }
+
+  /** Streaming twin of the MacdSeeded struct fold: two unseeded
+    * adjust=False ewms, the line, and the signal ewm of the line —
+    * emitted as the batch column triple (macd, macds, macdh). */
+  final class MacdStage(fast: Int, slow: Int, sig: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      Seq(dblField("macd"), dblField("macds"), dblField("macdh"))
+    private val aF = 2.0 / (fast + 1)
+    private val aS = 2.0 / (slow + 1)
+    private val aG = 2.0 / (sig + 1)
+    private var yF: java.lang.Double = null
+    private var yS: java.lang.Double = null
+    private var yG: java.lang.Double = null
+    private def ewm(acc: java.lang.Double, v: Double, a: Double): java.lang.Double =
+      if (acc == null) Double.box(v) else Double.box((1.0 - a) * acc.doubleValue() + a * v)
+    def update(t: BarTick): Array[Any] = {
+      yF = ewm(yF, t.close, aF)
+      yS = ewm(yS, t.close, aS)
+      val line = yF.doubleValue() - yS.doubleValue()
+      yG = ewm(yG, line, aG)
+      Array(Double.box(line), yG, Double.box(line - yG.doubleValue()))
     }
   }
 
@@ -546,8 +593,8 @@ object StreamingTa {
   val windowStreamKinds: Set[String] =
     Set("sma", "wma", "stdev", "zscore", "mom", "roc", "midpoint", "midprice", "willr", "linreg")
 
-  /** Streamable kinds covered by [[EwStage]] (fold-kernel twins). */
-  val ewStreamKinds: Set[String] = Set("ema", "rsi")
+  /** Streamable kinds covered by [[EwStage]]/[[MacdStage]] (fold-kernel twins). */
+  val ewStreamKinds: Set[String] = Set("ema", "rsi", "dema", "tema", "macd")
 
   /** Streamable form of the top W-class rolling kinds (sma, wma, stdev,
     * zscore, mom, roc, midpoint, midprice, willr, linreg) plus the
@@ -555,8 +602,13 @@ object StreamingTa {
     * spec-asserted; compose with [[recStream]] specs in one
     * [[kernelBatchStream]] pass. Defaults mirror the registry builders. */
   def windowStream(spec: graft.ta.IndicatorSpec): Option[StreamKernel] = {
-    if (ewStreamKinds(spec.kind)) {
-      val n = spec.params.get("length").map(_.toString.toDouble.toInt).getOrElse(10)
+    def ip(k: String, dflt: Int) = spec.params.get(k).map(_.toString.toDouble.toInt).getOrElse(dflt)
+    if (spec.kind == "macd") {
+      val st = () => new MacdStage(ip("fast", 12), ip("slow", 26), ip("signal", 9))
+      val names = st().fields
+      Some(StreamKernel(names, () => new StagePass(names.map(_.name)), st))
+    } else if (ewStreamKinds(spec.kind)) {
+      val n = ip("length", 10)
       val names = new EwStage(spec.kind, n).fields
       Some(StreamKernel(names, () => new StagePass(names.map(_.name)), () => new EwStage(spec.kind, n)))
     } else if (!windowStreamKinds(spec.kind)) None

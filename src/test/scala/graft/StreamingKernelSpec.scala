@@ -195,7 +195,10 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("willr", Map("length" -> 10)),
       IndicatorSpec("linreg", Map("length" -> 10)),
       IndicatorSpec("ema", Map("length" -> 10)),
-      IndicatorSpec("rsi", Map("length" -> 10))
+      IndicatorSpec("rsi", Map("length" -> 10)),
+      IndicatorSpec("dema", Map("length" -> 10)),
+      IndicatorSpec("tema", Map("length" -> 10)),
+      IndicatorSpec("macd", Map("fast" -> 12, "slow" -> 26, "signal" -> 9))
     )
     val sks = wSpecs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}"))) :+
       StreamingTa.recStream(IndicatorSpec("ssf", Map("length" -> 10))).get
@@ -227,7 +230,7 @@ class StreamingKernelSpec extends AnyFunSuite {
       "sma_10", "wma_10", "stdev_10", "zscore_10", "mom_10", "roc_10",
       "midpoint_10", "midprice_10", "willr_10",
       "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r",
-      "ema_10", "rsi_10"
+      "ema_10", "rsi_10", "dema_10", "tema_10", "macd", "macds", "macdh"
     )
     batch.foreach { br =>
       val sr = streamed(br.getAs[Long]("ts"))
