@@ -744,19 +744,43 @@ object Similarity {
     * stay a lazy plan. Result-identical to [[topkIvf]] on the same
     * queries (chunking partitions q_ids exactly; per-query results are
     * independent). SCALING.md `ivfchunk` measures the per-query cost
-    * staying on the broadcast curve from 100k to 1M queries. */
+    * staying on the broadcast curve from 100k to 1M queries.
+    *
+    * The ceiling is ENFORCED, not assumed: hash chunking makes chunk
+    * sizes Binomial(n, 1/C) — tight for distinct vec_ids, but duplicate
+    * or hash-skewed ids can push one chunk past chunkMax. One cheap
+    * max-per-chunk aggregate verifies every chunk fits; on overflow the
+    * chunk count doubles (two retries), and if a single hot vec_id still
+    * exceeds the ceiling the route falls back to the memory-flat
+    * [[topkIvfLarge]] prober rather than ever shipping an over-ceiling
+    * broadcast. `knownCount` skips the cardinality pass when the caller
+    * (the [[topk]] dispatcher) already has the query count memo'd. */
   def topkIvfChunked(
       index: DataFrame,
       queries: DataFrame,
       k: Int,
       nCells: Int,
       nprobe: Int,
-      chunkMax: Long = 100000L
+      chunkMax: Long = 100000L,
+      knownCount: Option[Long] = None
   ): DataFrame = {
     val cents = kmeansCentroids(index.select(col("vec_id"), col("embedding")), nCells)
-    val qn = queries.count()
-    val chunks = math.max(1L, (qn + chunkMax - 1) / chunkMax).toInt
+    val qn = knownCount.getOrElse(queries.count())
+    var chunks = math.max(1L, (qn + chunkMax - 1) / chunkMax).toInt
     if (chunks == 1) return topkIvfWithCents(index, cents, queries, k, nprobe)
+    // exact ceiling check: max chunk size under the current chunk count
+    def maxChunk(c: Int): Long =
+      queries
+        .groupBy(pmod(xxhash64(col("vec_id")), lit(c)))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")))
+        .head()
+        .getLong(0)
+    var tries = 0
+    var worst = maxChunk(chunks)
+    while (worst > chunkMax && tries < 2) { chunks *= 2; tries += 1; worst = maxChunk(chunks) }
+    if (worst > chunkMax)
+      return topkIvfLarge(index, queries, k, nCells, nprobe)
     (0 until chunks)
       .map { i =>
         val sub = queries.where(pmod(xxhash64(col("vec_id")), lit(chunks)) === i)
@@ -1227,7 +1251,16 @@ object Similarity {
     * miss, bounded by the spec-asserted recall floors. The chosen plan
     * lands in [[ChoiceKey]]; `spark.graft.ann.auto=false` pins brute.
     * Dispatch overhead is the one memo'd count+dim aggregate —
-    * SCALING.md measures it. */
+    * SCALING.md measures it.
+    *
+    * EAGERNESS CAVEAT: every route returns a lazy plan EXCEPT
+    * `ivf_chunked` (IVF corpus + queries above `broadcastQueriesMax`,
+    * the default for that regime) — [[topkIvfChunked]] counts and
+    * localCheckpoints chunk results at CALL time, because sequential
+    * materialization is what keeps exactly one probe broadcast live.
+    * Callers that need `topk` to stay a lazy plan in that regime should
+    * pin `spark.graft.ann.chunkedBroadcast=false`, which routes to the
+    * memory-flat (and lazy) [[topkIvfLarge]] instead. */
   def topk(corpus: DataFrame, queries: DataFrame, k: Int, recallTarget: Double = 0.9): DataFrame = {
     val spark = corpus.sparkSession
     if (!spark.conf.get(AutoKey, "true").toBoolean) {
@@ -1256,7 +1289,9 @@ object Similarity {
         topkIvf(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)
       case "ivf_chunked" =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
-        topkIvfChunked(ivfIndex(corpus, nCells), queries, k, nCells, nprobe, chunkMax = qMax)
+        topkIvfChunked(
+          ivfIndex(corpus, nCells), queries, k, nCells, nprobe,
+          chunkMax = qMax, knownCount = Some(corpusStats(queries)._1))
       case "ivf_large" =>
         val (nCells, nprobe) = ivfParams(n, recallTarget)
         topkIvfLarge(ivfIndex(corpus, nCells), queries, k, nCells, nprobe)

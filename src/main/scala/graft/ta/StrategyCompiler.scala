@@ -322,11 +322,12 @@ private[ta] object StrategyCompiler {
           call_function("graft_ebsw_k", close.cast("double"), lit(n), lit(bars)).over(prim.cum)))
       case "hwc" =>
         val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        val nd = dd(p, "nd", 0.1); val k = dd(p, "k", 1.0)
         val t = "__hwc"
         Some(ColPlan(
           Seq(
             Seq(t -> call_function("graft_hwc_k",
-              close.cast("double"), lit(na), lit(nb), lit(nc), lit(0.1), lit(1.0)).over(prim.cum)),
+              close.cast("double"), lit(na), lit(nb), lit(nc), lit(nd), lit(k)).over(prim.cum)),
             Seq(
               "hwc_mid" -> col(s"$t.hwc_mid"),
               "hwc_upper" -> col(s"$t.hwc_upper"),
@@ -1538,10 +1539,11 @@ private[ta] object StrategyCompiler {
         Some(RecPlan(Nil, Seq(dbl(s"ebsw_$n")), () => new rec.Ebsw(n, bars), Nil))
       case "hwc" =>
         val na = dd(p, "na", 0.2); val nb = dd(p, "nb", 0.1); val nc = dd(p, "nc", 0.1)
+        val nd = dd(p, "nd", 0.1); val k = dd(p, "k", 1.0)
         Some(RecPlan(
           Nil,
           Seq(dbl("hwc_mid"), dbl("hwc_upper"), dbl("hwc_lower")),
-          () => new rec.Hwc(na, nb, nc, 0.1, 1.0),
+          () => new rec.Hwc(na, nb, nc, nd, k),
           Nil
         ))
       case "jma" =>

@@ -127,6 +127,20 @@ class RecFoldSpec extends AnyFunSuite {
       collectCols(rsxKernel, Seq("rsx_10")), collectCols(bars.ta.rsx(10), Seq("rsx_10")), Seq("rsx_10"))
   }
 
+  test("hwc strategy lowering honors user nd/k params (ADVICE round-9)") {
+    Graft.init(spark)
+    import graft.ta.{registry, IndicatorSpec, Strategy}
+    val hwcCols = Seq("hwc_mid", "hwc_upper", "hwc_lower")
+    // non-default nd/k must reach the fold — before the fix these were
+    // hard-coded 0.1/1.0 and the channel width ignored the spec params
+    val want = collectCols(bars.ta.hwc(0.2, 0.1, 0.1, 0.05, 1.65), hwcCols)
+    val got = registry.strategy(
+      bars,
+      Strategy("hwc-params", Seq(IndicatorSpec("hwc", Map("nd" -> 0.05, "k" -> 1.65))))
+    )
+    assertSame(want, collectCols(got, hwcCols), hwcCols)
+  }
+
   test("wave-2 folds == their kernels, bit-exact with nulls: mcgd, ssf, hwma, kalman") {
     Graft.init(spark)
     val nf = nullClose
