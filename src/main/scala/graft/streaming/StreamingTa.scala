@@ -578,6 +578,290 @@ object StreamingTa {
     }
   }
 
+  // --------------------------------------- Wilder-composite streaming
+  // Round 10: streaming twins of the SeededComposites Wilder/struct
+  // folds (AtrFold, TrixFold, TsiFold, AdxFold, KcFold) plus the W-class
+  // composites stoch and bbands — closes the round-9 verdict gap where a
+  // streaming TA user could not compute ATR (the canonical streaming
+  // risk input). Each stage mirrors its fold's buffer slots operation-
+  // for-operation; parity is asserted DIRECTLY against the fold
+  // accessors in StreamingKernelSpec (batch reference built through
+  // registry → the graft_*_k window folds).
+
+  /** Streaming twin of SeededComposites.seededLevel: one sma-seeded
+    * ema level with a SHARED row position (pos counts every row; the
+    * seed sum/count accumulate non-null inputs over the first n rows by
+    * position; the ewm seeds at the first non-null staged value). */
+  private final class SeededLevel(n: Int) extends Serializable {
+    private val alpha = 2.0 / (n + 1)
+    private var sum: java.lang.Double = null
+    private var cnt = 0L
+    private var acc: java.lang.Double = null
+    /** pos = pre-increment row count, posN = pos + 1; returns the
+      * post-update accumulator (the next level's input). */
+    def step(pos: Long, posN: Long, input: java.lang.Double): java.lang.Double = {
+      if (pos < n && input != null) {
+        sum = if (sum == null) input else Double.box(sum.doubleValue() + input.doubleValue())
+        cnt += 1
+      }
+      val z: java.lang.Double =
+        if (posN < n) null
+        else if (posN == n) (if (sum == null) null else Double.box(sum.doubleValue() / cnt))
+        else input
+      if (z != null)
+        acc =
+          if (acc == null) z
+          else Double.box((1.0 - alpha) * acc.doubleValue() + alpha * z.doubleValue())
+      acc
+    }
+    def value: java.lang.Double = acc
+  }
+
+  /** Streaming twin of SeededComposites.wilderStep + its rmaOf gate:
+    * ewm(alpha = 1/n) seeded at the first non-null input, masked until n
+    * non-null observations. */
+  private final class WilderAcc(n: Int) extends Serializable {
+    private val alpha = 1.0 / n
+    private var cnt = 0L
+    private var acc: java.lang.Double = null
+    def step(v: java.lang.Double): Unit =
+      if (v != null) {
+        cnt += 1
+        acc =
+          if (acc == null) v
+          else Double.box((1.0 - alpha) * acc.doubleValue() + alpha * v.doubleValue())
+      }
+    def gated: java.lang.Double = if (cnt >= n) acc else null
+  }
+
+  /** trOf: max(h−l, |h−pc|, |l−pc|), null while pc is. */
+  private def trOrNull(h: Double, l: Double, pc: java.lang.Double): java.lang.Double =
+    if (pc == null) null
+    else {
+      val p = pc.doubleValue()
+      Double.box(math.max(h - l, math.max(math.abs(h - p), math.abs(l - p))))
+    }
+
+  /** sdivE: a/b with null on null/zero denominator (and null numerator). */
+  private def sdivJ(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+    if (a == null || b == null || b.doubleValue() == 0.0) null
+    else Double.box(a.doubleValue() / b.doubleValue())
+
+  /** atr(n): Wilder rma of true range (AtrFold twin). */
+  final class AtrStage(n: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"atr_$n"))
+    private var pc: java.lang.Double = null
+    private val w = new WilderAcc(n)
+    def update(t: BarTick): Array[Any] = {
+      val tr = trOrNull(t.high, t.low, pc)
+      pc = Double.box(t.close)
+      w.step(tr)
+      Array(w.gated)
+    }
+  }
+
+  /** natr(n) = 100·sdiv(atr(n), close). Emits ONLY natr_n (the batch
+    * builder also materializes atr_n; stream atr separately — the two
+    * stages compose in one kernelBatchStream pass without column
+    * collisions). */
+  final class NatrStage(n: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"natr_$n"))
+    private var pc: java.lang.Double = null
+    private val w = new WilderAcc(n)
+    def update(t: BarTick): Array[Any] = {
+      val tr = trOrNull(t.high, t.low, pc)
+      pc = Double.box(t.close)
+      w.step(tr)
+      val q = sdivJ(w.gated, Double.box(t.close))
+      Array(if (q == null) null else Double.box(100.0 * q.doubleValue()))
+    }
+  }
+
+  /** trix(n) = 100·pctChange(ema³(src, n)) — TrixFold twin: three seeded
+    * levels plus the previous-e3 slot standing in for lag(e3, 1). */
+  final class TrixStage(n: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"trix_$n"))
+    private var pos = 0L
+    private val lv = Array.fill(3)(new SeededLevel(n))
+    private var p3: java.lang.Double = null
+    def update(t: BarTick): Array[Any] = {
+      val posN = pos + 1
+      var input: java.lang.Double = Double.box(t.close)
+      var i = 0
+      while (i < 3) { input = lv(i).step(pos, posN, input); i += 1 }
+      val e3 = lv(2).value
+      val q = sdivJ(e3, p3)
+      p3 = e3
+      pos = posN
+      Array(if (q == null) null else Double.box(100.0 * (q.doubleValue() - 1.0)))
+    }
+  }
+
+  /** tsi(fast, slow) — TsiFold twin: diff via a prev-close slot, two
+    * 2-level seeded-ema chains with per-level lengths (slow then fast). */
+  final class TsiStage(fast: Int, slow: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"tsi_${fast}_$slow"))
+    private var pos = 0L
+    private var prevX: java.lang.Double = null
+    private val l0 = new SeededLevel(slow)
+    private val l1 = new SeededLevel(fast)
+    private val l2 = new SeededLevel(slow)
+    private val l3 = new SeededLevel(fast)
+    def update(t: BarTick): Array[Any] = {
+      val posN = pos + 1
+      val dd: java.lang.Double =
+        if (prevX == null) null else Double.box(t.close - prevX.doubleValue())
+      val ad: java.lang.Double =
+        if (prevX == null) null else Double.box(math.abs(t.close - prevX.doubleValue()))
+      val y0 = l0.step(pos, posN, dd)
+      val y1 = l1.step(pos, posN, y0)
+      val y2 = l2.step(pos, posN, ad)
+      val y3 = l3.step(pos, posN, y2)
+      prevX = Double.box(t.close)
+      pos = posN
+      val q = sdivJ(y1, y3)
+      Array(if (q == null) null else Double.box(100.0 * q.doubleValue()))
+    }
+  }
+
+  /** adx(n, lensig) — AdxFold twin: ±DM and TR feed three Wilder
+    * accumulators; DX derives per row from the freshly-updated gated
+    * values; a fourth Wilder accumulator smooths DX. Emits the batch
+    * column quintet (dmp_n, dmn_n, dip_n, dim_n, adx_lensig). */
+  final class AdxStage(n: Int, lensig: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      Seq(dblField(s"dmp_$n"), dblField(s"dmn_$n"), dblField(s"dip_$n"),
+        dblField(s"dim_$n"), dblField(s"adx_$lensig"))
+    private var ph: java.lang.Double = null
+    private var pl: java.lang.Double = null
+    private var pc: java.lang.Double = null
+    private val wp = new WilderAcc(n)
+    private val wm = new WilderAcc(n)
+    private val wt = new WilderAcc(n)
+    private val w4 = new WilderAcc(lensig)
+    private def mul100(v: java.lang.Double): java.lang.Double =
+      if (v == null) null else Double.box(100.0 * v.doubleValue())
+    def update(t: BarTick): Array[Any] = {
+      val up: java.lang.Double = if (ph == null) null else Double.box(t.high - ph.doubleValue())
+      val dn: java.lang.Double = if (pl == null) null else Double.box(-(t.low - pl.doubleValue()))
+      val nullEither = up == null || dn == null
+      val pdm: java.lang.Double =
+        if (nullEither) null
+        else if (up.doubleValue() > dn.doubleValue() && up.doubleValue() > 0.0) up
+        else Double.box(0.0)
+      val mdm: java.lang.Double =
+        if (nullEither) null
+        else if (dn.doubleValue() > up.doubleValue() && dn.doubleValue() > 0.0) dn
+        else Double.box(0.0)
+      val tr = trOrNull(t.high, t.low, pc)
+      ph = Double.box(t.high); pl = Double.box(t.low); pc = Double.box(t.close)
+      wp.step(pdm); wm.step(mdm); wt.step(tr)
+      val dmp = wp.gated; val dmn = wm.gated; val atr = wt.gated
+      val dip = mul100(sdivJ(dmp, atr))
+      val dim = mul100(sdivJ(dmn, atr))
+      val dx =
+        if (dip == null || dim == null) null
+        else mul100(sdivJ(
+          Double.box(math.abs(dip.doubleValue() - dim.doubleValue())),
+          Double.box(dip.doubleValue() + dim.doubleValue())))
+      w4.step(dx)
+      Array(dmp, dmn, dip, dim, w4.gated)
+    }
+  }
+
+  /** kc(n, scalar) — KcFold twin: seeded-ema basis over close + seeded-
+    * ema band over true range. Emits (kcb_n, kcl_n, kcu_n). */
+  final class KcStage(n: Int, scalar: Double) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      Seq(dblField(s"kcb_$n"), dblField(s"kcl_$n"), dblField(s"kcu_$n"))
+    private var pos = 0L
+    private var pc: java.lang.Double = null
+    private val l1 = new SeededLevel(n)
+    private val l2 = new SeededLevel(n)
+    def update(t: BarTick): Array[Any] = {
+      val posN = pos + 1
+      val tr = trOrNull(t.high, t.low, pc)
+      val y1 = l1.step(pos, posN, Double.box(t.close))
+      val y2 = l2.step(pos, posN, tr)
+      pc = Double.box(t.close)
+      pos = posN
+      val band =
+        if (y1 == null || y2 == null) (null, null)
+        else (
+          Double.box(y1.doubleValue() - scalar * y2.doubleValue()),
+          Double.box(y1.doubleValue() + scalar * y2.doubleValue())
+        )
+      Array(y1, band._1, band._2)
+    }
+  }
+
+  /** Rolling mean with prim.gated's min_periods semantics over a
+    * NULLABLE input: emit Σ/n only when the last n rows all hold
+    * non-null values (count(x) OVER frame ≥ n), summed in frame order —
+    * Average's exact fold. */
+  private final class GatedMeanRing(n: Int) extends Serializable {
+    private val buf = new Array[Option[Double]](n)
+    java.util.Arrays.fill(buf.asInstanceOf[Array[AnyRef]], None)
+    private var rows = 0L
+    private var pos = 0
+    def push(x: Option[Double]): Option[Double] = {
+      buf(pos) = x; pos = (pos + 1) % n; rows += 1
+      if (rows < n || buf.exists(_.isEmpty)) None
+      else {
+        var s = 0.0; var i = 0
+        while (i < n) { s += buf((pos + i) % n).get; i += 1 }
+        Some(s / n)
+      }
+    }
+  }
+
+  /** stoch(n, smoothK, dN): fastk = 100·sdiv(close − ll, hh − ll) over
+    * gated rolling extrema, then two chained gated rolling means — the
+    * batch Ta.stoch spelling column-for-column (stoch_k, stoch_d). */
+  final class StochStage(n: Int, smoothK: Int, dN: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      Seq(dblField("stoch_k"), dblField("stoch_d"))
+    private val rh = new ORing(n)
+    private val rl = new ORing(n)
+    private val mk = new GatedMeanRing(smoothK)
+    private val md = new GatedMeanRing(dN)
+    def update(t: BarTick): Array[Any] = {
+      rh.push(t.high); rl.push(t.low)
+      val fastk: Option[Double] =
+        if (!rh.full) None
+        else {
+          val hh = rh.maxv; val ll = rl.minv
+          if (hh - ll == 0.0) None else Some(100.0 * ((t.close - ll) / (hh - ll)))
+        }
+      val sk = mk.push(fastk)
+      val sd = md.push(sk)
+      Array(sk.map(Double.box).orNull, sd.map(Double.box).orNull)
+    }
+  }
+
+  /** bbands(n, k): rolling mean ± k·stddev_samp over close, plus
+    * bandwidth and percent columns — Ta.bbands spelling (and its
+    * k-suffix naming) column-for-column. */
+  final class BbandsStage(n: Int, k: Double) extends StreamStage {
+    private val ks = if (k == k.floor) k.toInt.toString else k.toString.replace('.', '_')
+    val fields: Seq[org.apache.spark.sql.types.StructField] =
+      Seq("bbm", "bbl", "bbu", "bbb", "bbp").map(s => dblField(s"${s}_${n}_$ks"))
+    private val rc = new ORing(n)
+    def update(t: BarTick): Array[Any] = {
+      rc.push(t.close)
+      if (!rc.full) Array(null, null, null, null, null)
+      else {
+        val mid = rc.sum / n
+        val dev = rc.stddevSamp * k
+        val bbl = mid - dev
+        val bbu = mid + dev
+        val bbb = if (mid == 0.0) null else Double.box(100.0 * (2.0 * dev / mid))
+        val bbp = if (2.0 * dev == 0.0) null else Double.box((t.close - bbl) / (2.0 * dev))
+        Array(Double.box(mid), Double.box(bbl), Double.box(bbu), bbb, bbp)
+      }
+    }
+  }
+
   /** Pass-through kernel: re-emits its staged columns as outputs, so a
     * pure ring-buffer WStage rides kernelBatchStream exactly like a REC
     * kernel. */
@@ -596,14 +880,53 @@ object StreamingTa {
   /** Streamable kinds covered by [[EwStage]]/[[MacdStage]] (fold-kernel twins). */
   val ewStreamKinds: Set[String] = Set("ema", "rsi", "dema", "tema", "macd")
 
+  /** Streamable kinds covered by the Wilder-composite stages (round 10 —
+    * twins of the SeededComposites folds + the stoch/bbands W-class
+    * composites). */
+  val wilderStreamKinds: Set[String] =
+    Set("atr", "natr", "trix", "tsi", "adx", "stoch", "bbands", "kc")
+
+  /** The EXACT set of registry kinds with a streaming twin, computed
+    * from the live dispatchers ([[windowStream]] for the W/EW/Wilder
+    * stages, [[recStream]] for the REC kernel lowerings — cusum probed
+    * with trained μ/σ since only its fixed-reference mode is causal).
+    * This is the coverage CONTRACT: StreamingCoverageSpec pins it to a
+    * declared list, so a future registry kind that silently doesn't
+    * stream — or a new stream path that forgets to declare itself —
+    * fails the gate. The README streaming table is this same set. */
+  def streamableKinds: Set[String] =
+    graft.ta.registry.indicators.filter { k =>
+      val spec =
+        if (k == "cusum") graft.ta.IndicatorSpec(k, Map("mu" -> 0.0, "sd" -> 1.0))
+        else graft.ta.IndicatorSpec(k)
+      windowStream(spec).isDefined || recStream(spec).isDefined
+    }.toSet
+
   /** Streamable form of the top W-class rolling kinds (sma, wma, stdev,
-    * zscore, mom, roc, midpoint, midprice, willr, linreg) plus the
-    * seeded-EW fold kinds (ema, rsi via [[EwStage]]) — batch parity
-    * spec-asserted; compose with [[recStream]] specs in one
-    * [[kernelBatchStream]] pass. Defaults mirror the registry builders. */
+    * zscore, mom, roc, midpoint, midprice, willr, linreg), the seeded-EW
+    * fold kinds (ema/rsi/dema/tema/macd via [[EwStage]]/[[MacdStage]])
+    * and the Wilder composites (atr/natr/trix/tsi/adx/stoch/bbands/kc,
+    * round 10) — batch parity spec-asserted; compose with [[recStream]]
+    * specs in one [[kernelBatchStream]] pass. Defaults mirror the
+    * registry builders. */
   def windowStream(spec: graft.ta.IndicatorSpec): Option[StreamKernel] = {
     def ip(k: String, dflt: Int) = spec.params.get(k).map(_.toString.toDouble.toInt).getOrElse(dflt)
-    if (spec.kind == "macd") {
+    def dp(k: String, dflt: Double) = spec.params.get(k).map(_.toString.toDouble).getOrElse(dflt)
+    if (wilderStreamKinds(spec.kind)) {
+      // defaults mirror the registry builders (Strategy.scala)
+      val st: () => StreamStage = spec.kind match {
+        case "atr" => () => new AtrStage(ip("length", 10))
+        case "natr" => () => new NatrStage(ip("length", 10))
+        case "trix" => () => new TrixStage(ip("length", 10))
+        case "tsi" => () => new TsiStage(ip("fast", 13), ip("slow", 25))
+        case "adx" => () => new AdxStage(ip("length", 14), ip("lensig", 14))
+        case "stoch" => () => new StochStage(ip("k", 10), ip("smooth_k", 3), ip("d", 3))
+        case "bbands" => () => new BbandsStage(ip("length", 5), dp("std", 2.0))
+        case _ => () => new KcStage(ip("length", 20), dp("scalar", 2.0))
+      }
+      val names = st().fields
+      Some(StreamKernel(names, () => new StagePass(names.map(_.name)), st))
+    } else if (spec.kind == "macd") {
       val st = () => new MacdStage(ip("fast", 12), ip("slow", 26), ip("signal", 9))
       val names = st().fields
       Some(StreamKernel(names, () => new StagePass(names.map(_.name)), st))

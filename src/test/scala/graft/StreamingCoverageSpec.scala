@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingTa
+import graft.ta.{registry, IndicatorSpec}
+
+/** The streaming coverage CONTRACT (round-10 verdict item #3): which of
+  * the registry kinds stream is an asserted list, not archaeology. The
+  * set is computed from the live dispatchers (windowStream/recStream),
+  * so this spec fails when
+  *  - a new registry kind silently has no streaming twin (missing), or
+  *  - a new stream path forgets to update the declared list (undeclared).
+  * The README "streaming coverage" table is generated from the same
+  * declared list — keep the two in sync when this spec changes.
+  */
+class StreamingCoverageSpec extends AnyFunSuite {
+
+  /** The declared streamable set. Non-streamable registry kinds are the
+    * lookahead ops (ichimoku spans, centered dpo), the whole-frame /
+    * join-shaped ops (vp, tos_stdevall, broadcast-stats cusum mode), and
+    * the W/WW kinds that simply have no ring stage yet. */
+  private val declared: Set[String] = Set(
+    // W-class ring stages (WStage)
+    "sma", "wma", "stdev", "zscore", "mom", "roc",
+    "midpoint", "midprice", "willr", "linreg",
+    // seeded-EW fold twins (EwStage/MacdStage)
+    "ema", "rsi", "dema", "tema", "macd",
+    // Wilder-composite fold twins (round 10)
+    "atr", "natr", "trix", "tsi", "adx", "stoch", "bbands", "kc",
+    // REC kernel lowerings (recStream; cusum = fixed-reference mode)
+    "psar", "supertrend", "ha", "mcgd", "kalman", "cusum", "ssf", "hwma",
+    "rsx", "ebsw", "hwc", "jma", "fisher", "td_seq", "hilo", "qqe"
+  )
+
+  test("streamableKinds equals the declared contract, exactly") {
+    val actual = StreamingTa.streamableKinds
+    val missing = declared -- actual
+    val undeclared = actual -- declared
+    assert(
+      missing.isEmpty && undeclared.isEmpty,
+      s"streaming coverage drifted: missing=${missing.toSeq.sorted.mkString(",")} " +
+        s"undeclared=${undeclared.toSeq.sorted.mkString(",")}"
+    )
+  }
+
+  test("every declared kind dispatches to a kernel with a non-empty output schema") {
+    declared.foreach { k =>
+      val spec =
+        if (k == "cusum") IndicatorSpec(k, Map("mu" -> 0.0, "sd" -> 1.0))
+        else IndicatorSpec(k)
+      val sk = StreamingTa.windowStream(spec).orElse(StreamingTa.recStream(spec))
+      assert(sk.isDefined, s"$k declared streamable but neither dispatcher takes it")
+      assert(sk.get.outs.nonEmpty, s"$k streams but declares no output fields")
+    }
+  }
+
+  test("every declared kind is a registry kind (no phantom coverage)") {
+    val reg = registry.indicators.toSet
+    val phantom = declared -- reg
+    assert(phantom.isEmpty, s"declared streamable but not in the registry: $phantom")
+  }
+}

@@ -198,7 +198,18 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("rsi", Map("length" -> 10)),
       IndicatorSpec("dema", Map("length" -> 10)),
       IndicatorSpec("tema", Map("length" -> 10)),
-      IndicatorSpec("macd", Map("fast" -> 12, "slow" -> 26, "signal" -> 9))
+      IndicatorSpec("macd", Map("fast" -> 12, "slow" -> 26, "signal" -> 9)),
+      // round-10 Wilder-composite twins — batch reference goes through
+      // registry → the SeededComposites folds, so fold ≡ stream is
+      // asserted DIRECTLY for every Wilder composite
+      IndicatorSpec("atr", Map("length" -> 10)),
+      IndicatorSpec("natr", Map("length" -> 10)),
+      IndicatorSpec("trix", Map("length" -> 10)),
+      IndicatorSpec("tsi", Map("fast" -> 13, "slow" -> 25)),
+      IndicatorSpec("adx", Map("length" -> 14, "lensig" -> 14)),
+      IndicatorSpec("stoch", Map("k" -> 10, "smooth_k" -> 3, "d" -> 3)),
+      IndicatorSpec("bbands", Map("length" -> 5, "std" -> 2.0)),
+      IndicatorSpec("kc", Map("length" -> 20, "scalar" -> 2.0))
     )
     val sks = wSpecs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}"))) :+
       StreamingTa.recStream(IndicatorSpec("ssf", Map("length" -> 10))).get
@@ -230,7 +241,12 @@ class StreamingKernelSpec extends AnyFunSuite {
       "sma_10", "wma_10", "stdev_10", "zscore_10", "mom_10", "roc_10",
       "midpoint_10", "midprice_10", "willr_10",
       "linreg_10_slope", "linreg_10_intercept", "linreg_10_tsf", "linreg_10_r",
-      "ema_10", "rsi_10", "dema_10", "tema_10", "macd", "macds", "macdh"
+      "ema_10", "rsi_10", "dema_10", "tema_10", "macd", "macds", "macdh",
+      "atr_10", "natr_10", "trix_10", "tsi_13_25",
+      "dmp_14", "dmn_14", "dip_14", "dim_14", "adx_14",
+      "stoch_k", "stoch_d",
+      "bbm_5_2", "bbl_5_2", "bbu_5_2", "bbb_5_2", "bbp_5_2",
+      "kcb_20", "kcl_20", "kcu_20"
     )
     batch.foreach { br =>
       val sr = streamed(br.getAs[Long]("ts"))
