@@ -470,6 +470,98 @@ object SeededComposites {
       copy(h = c0(0), l = c0(1), c = c0(2))
   }
 
+  // ==================================================================
+  // Phase 5 (round 10): the cumulative volume composites whose staged
+  // spellings put a window expression (diff / pctChange) INSIDE cumsum —
+  // the same window-in-window exclusion the seeded composites had. Each
+  // collapses into one fold with a prev-close buffer slot; arithmetic
+  // replicates the Ta accessor operation-for-operation, including Sum's
+  // exact coalesce update for the running total.
+  // ==================================================================
+
+  /** Sum's window-aggregate update: acc := coalesce(coalesce(acc,0)+v, acc)
+    * — accumulates non-null v, stays null until the first one. */
+  private def sumStep(acc: Expression, v: Expression): Expression =
+    Coalesce(Seq(Add(Coalesce(Seq(acc, Literal(0.0))), v), acc))
+
+  /** pandas-ta obv = cumsum(sign(Δclose)·volume), first row +volume —
+    * Ta.obv's when-chain (null Δ counts 0) over a prev-close slot. */
+  case class ObvFold(c: Expression, v: Expression) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c, v)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_obv_k"
+
+    private lazy val pos = AttributeReference("obvPos", LongType, nullable = false)()
+    private lazy val pc = AttributeReference("obvPc", DoubleType, nullable = true)()
+    private lazy val acc = AttributeReference("obvAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pos, pc, acc)
+    override val initialValues: Seq[Expression] = Seq(Literal(0L), nullD, nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val dc = Subtract(c, pc)
+      val sgn = If(
+        EqualTo(pos, Literal(0L)),
+        Literal(1.0),
+        If(GreaterThan(dc, Literal(0.0)), Literal(1.0),
+          If(LessThan(dc, Literal(0.0)), Literal(-1.0), Literal(0.0)))
+      )
+      Seq(Add(pos, Literal(1L)), c, sumStep(acc, Multiply(sgn, v)))
+    }
+    override lazy val evaluateExpression: Expression = acc
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): ObvFold =
+      copy(c = c0(0), v = c0(1))
+  }
+
+  /** pandas-ta pvt = cumsum(coalesce(pctChange(close)·volume, 0)) —
+    * Ta.pvt with the 1-lag carried in a buffer slot. */
+  case class PvtFold(c: Expression, v: Expression) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c, v)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pvt_k"
+
+    private lazy val pc = AttributeReference("pvtPc", DoubleType, nullable = true)()
+    private lazy val acc = AttributeReference("pvtAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pc, acc)
+    override val initialValues: Seq[Expression] = Seq(nullD, nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val pct = Subtract(sdivE(c, pc), Literal(1.0))
+      val r = Coalesce(Seq(Multiply(pct, v), Literal(0.0)))
+      Seq(c, sumStep(acc, r))
+    }
+    override lazy val evaluateExpression: Expression = acc
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): PvtFold =
+      copy(c = c0(0), v = c0(1))
+  }
+
+  /** pandas-ta efi(n) = sma-seeded ema of Δclose·volume — Ta.efi's
+    * staged chain (diff column + stage.ema) as one fold: a prev-close
+    * slot feeds the EmaSeeded machinery. */
+  case class EfiFold(c: Expression, v: Expression, n: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c, v)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_efi_k"
+
+    private lazy val pc = AttributeReference("efiPc", DoubleType, nullable = true)()
+    private lazy val pos = AttributeReference("efiPos", LongType, nullable = false)()
+    private lazy val s = AttributeReference("efiSeedSum", DoubleType, nullable = true)()
+    private lazy val cn = AttributeReference("efiSeedCnt", LongType, nullable = false)()
+    private lazy val y = AttributeReference("efiAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pc, pos, s, cn, y)
+    override val initialValues: Seq[Expression] =
+      Seq(nullD, Literal(0L), nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val f = Multiply(Subtract(c, pc), v)
+      val (ups, _) = seededLevel(pos, posN, n, s, cn, y, f)
+      Seq(c, posN) ++ ups
+    }
+    override lazy val evaluateExpression: Expression = y
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): EfiFold =
+      copy(c = c0(0), v = c0(1))
+  }
+
   /** Keltner channel (Ta.kc: sma-seeded ema basis over close + sma-seeded
     * ema band over the true range) as ONE fold emitting STRUCT(kcb, kcl,
     * kcu) — the true range derives from a prev-close slot, so the whole

@@ -302,8 +302,237 @@ object TaSqlSurface {
         pick(hs, array_max).as("aroon_u"),
         pick(ls, array_min).as("aroon_d")
       ))
+    }),
+    // ---- phase-5 (round 10): weighted/adaptive MA families, volume ops,
+    // returns/drawdown, remaining rolling stats. Weighted MAs mirror
+    // Ta.wdotMa (gated, normalized, lag-ordered); the two-level kinds
+    // (hma, trima) FLATTEN the outer level into shifted copies of the
+    // inner expression (the stochStruct technique), so no window nests
+    // inside a window and the whole kind stays one projection.
+    ar("graft_alma", 4)(es => {
+      val n = intLit(es(1), "graft_alma")
+      val sigma = dblLit(es(2), "graft_alma"); val offset = dblLit(es(3), "graft_alma")
+      val m = offset * (n - 1); val sg = n / sigma
+      x(wdotMaE(c(es(0)), (0 until n).map(i => math.exp(-(i - m) * (i - m) / (2 * sg * sg)))))
+    }),
+    ar("graft_fwma", 2)(es => {
+      val n = intLit(es(1), "graft_fwma")
+      val fib = Iterator.iterate((1.0, 1.0)) { case (a, b) => (b, a + b) }.map(_._1).take(n).toSeq
+      x(wdotMaE(c(es(0)), fib))
+    }),
+    ar("graft_pwma", 2)(es => {
+      val n = intLit(es(1), "graft_pwma")
+      val row = (0 until n).scanLeft(1.0) { case (acc, k) => acc * (n - 1 - k) / (k + 1) }.take(n)
+      x(wdotMaE(c(es(0)), row))
+    }),
+    ar("graft_swma", 2)(es => {
+      val n = intLit(es(1), "graft_swma")
+      val half = (n + 1) / 2
+      val tri = (1 to half) ++ (if (n % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1))
+      x(wdotMaE(c(es(0)), tri.map(_.toDouble)))
+    }),
+    ar("graft_sinwma", 2)(es => {
+      val n = intLit(es(1), "graft_sinwma")
+      x(wdotMaE(c(es(0)), (0 until n).map(i => math.sin((i + 1) * math.Pi / (n + 1)))))
+    }),
+    ar("graft_hma", 2)(es => {
+      // hma(n) = wma(2·wma(n/2) − wma(n), ⌊√n⌋): outer wma's lag(h, i)
+      // flattens to the inner tree on i-shifted lags of the source —
+      // FP-identical to the staged Ta.hma (same tree, shifted rows)
+      import org.apache.spark.sql.functions.{lag, lit}
+      val src = c(es(0)); val n = intLit(es(1), "graft_hma")
+      val half = n / 2; val sq = math.sqrt(n.toDouble).toInt
+      def wmaNorm(len: Int): Seq[Double] = {
+        val ws = (1 to len).map(_.toDouble); val d0 = ws.sum; ws.reverse.map(_ / d0)
+      }
+      def wdotShift(wts: Seq[Double], off: Int): Column =
+        wts.zipWithIndex.map { case (wi, j) => lag(src, off + j).over(P.w) * lit(wi) }.reduce(_ + _)
+      x(wmaNorm(sq).zipWithIndex.map { case (wi, i) =>
+        (lit(2.0) * wdotShift(wmaNorm(half), i) - wdotShift(wmaNorm(n), i)) * lit(wi)
+      }.reduce(_ + _))
+    }),
+    ar("graft_trima", 2)(es => {
+      // trima(n) = sma(sma(x, ⌈(n+1)/2⌉), ⌊n/2⌋+1): outer mean flattens
+      // to `second` shifted copies of the inner gated frame mean, summed
+      // oldest-first (Average's fold order), gated on all copies defined
+      import org.apache.spark.sql.functions.{avg, count, when}
+      val src = c(es(0)); val n = intLit(es(1), "graft_trima")
+      val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
+      val second = n / 2 + 1
+      def meanShift(j: Int): Column = {
+        val frj = P.w.rowsBetween(-(half - 1) - j, -j)
+        when(count(src).over(frj) >= half, avg(src).over(frj))
+      }
+      val t1s = (0 until second).map(meanShift)
+      x(when(
+        t1s.map(_.isNotNull).reduce(_ && _),
+        ((second - 1) to 0 by -1).map(meanShift).reduce(_ + _) / second.toDouble
+      ))
+    }),
+    // kama/vidya: LinRecur folds over a STAGED per-row coefficient (the
+    // hilo staged-input shape — the coefficient is itself windowed, so
+    // it can't nest inside the fold's window; SQL users stage it in a
+    // subquery via graft_kama_sc / graft_vidya_al, then apply the fold)
+    ar("graft_kama_k", 2)(es => adaptiveLinRecur(dblE(es(0)), dblE(es(1)))),
+    ar("graft_vidya_k", 2)(es => adaptiveLinRecur(dblE(es(0)), dblE(es(1)))),
+    ar("graft_kama", 2)(es => x(kernel("graft_kama_k", es).over(P.cum))),
+    ar("graft_vidya", 2)(es => x(kernel("graft_vidya_k", es).over(P.cum))),
+    ar("graft_kama_sc", 4)(es => {
+      // Ta.kama's staged coefficient: sc = (ER·(2/(f+1)−2/(s+1)) + 2/(s+1))²,
+      // ER = |Δₙx| / Σₙ|Δx| — the rolling sum's lag-bearing argument
+      // unrolls to shifted diffs (oldest-first, Sum's fold order)
+      import org.apache.spark.sql.functions.{abs, lag, lit, pow, when}
+      val x0 = c(es(0)); val n = intLit(es(1), "graft_kama_sc")
+      val fast = intLit(es(2), "graft_kama_sc"); val slow = intLit(es(3), "graft_kama_sc")
+      val fsc = 2.0 / (fast + 1); val ssc = 2.0 / (slow + 1)
+      def adTerm(j: Int) = abs(lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w))
+      val terms = ((n - 1) to 0 by -1).map(adTerm)
+      val sumd = when(terms.map(_.isNotNull).reduce(_ && _), terms.reduce(_ + _))
+      val er = P.sdiv(abs(x0 - lag(x0, n).over(P.w)), sumd)
+      x(pow(er * (fsc - ssc) + ssc, 2.0))
+    }),
+    ar("graft_vidya_al", 2)(es => {
+      // Ta.vidya's staged alpha: |CMOₙ|/100 · 2/(n+1) with CMO in
+      // rolling-sum mode; up/dn are never null, so the min_periods gate
+      // is exactly row_number ≥ n
+      import org.apache.spark.sql.functions.{abs, lag, lit, when}
+      val x0 = c(es(0)); val n = intLit(es(1), "graft_vidya_al")
+      def d1(j: Int) = lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w)
+      def upT(j: Int) = when(d1(j) > 0, d1(j)).otherwise(0.0)
+      def dnT(j: Int) = when(d1(j) < 0, -d1(j)).otherwise(0.0)
+      val su = when(P.rn >= n, ((n - 1) to 0 by -1).map(upT).reduce(_ + _))
+      val sd = when(P.rn >= n, ((n - 1) to 0 by -1).map(dnT).reduce(_ + _))
+      val cmoAbs = P.sdiv(abs(su - sd), su + sd)
+      x(cmoAbs * (2.0 / (n + 1)))
+    }),
+    // volume family
+    ar("graft_obv_k", 2)(es => SeededComposites.ObvFold(dblE(es(0)), dblE(es(1)))),
+    ar("graft_pvt_k", 2)(es => SeededComposites.PvtFold(dblE(es(0)), dblE(es(1)))),
+    ar("graft_efi_k", 3)(es =>
+      SeededComposites.EfiFold(dblE(es(0)), dblE(es(1)), intLit(es(2), "graft_efi_k"))),
+    ar("graft_obv", 2)(es => x(kernel("graft_obv_k", es).over(P.cum))),
+    ar("graft_pvt", 2)(es => x(kernel("graft_pvt_k", es).over(P.cum))),
+    ar("graft_efi", 3)(es => x(kernel("graft_efi_k", es).over(P.cum))),
+    ar("graft_ad", 4)(es => {
+      val (h, l, cl, v) = (c(es(0)), c(es(1)), c(es(2)), c(es(3)))
+      x(P.cumsum(clvE(h, l, cl) * v))
+    }),
+    ar("graft_cmf", 5)(es => {
+      val (h, l, cl, v) = (c(es(0)), c(es(1)), c(es(2)), c(es(3)))
+      val n = intLit(es(4), "graft_cmf")
+      x(P.sdiv(P.rsum(clvE(h, l, cl) * v, n), P.rsum(v, n)))
+    }),
+    ar("graft_eom", 5)(es => {
+      // Ta.eom: rmean(divisor·Δhl2·sdiv(h−l, v), n) — the lag-bearing
+      // raw unrolls to shifted copies, summed oldest-first / n
+      import org.apache.spark.sql.functions.{lag, lit, when}
+      val (h, l, v) = (c(es(0)), c(es(1)), c(es(2)))
+      val n = intLit(es(3), "graft_eom"); val divisor = dblLit(es(4), "graft_eom")
+      val hl2 = (h + l) / 2.0
+      def rawAt(j: Int): Column =
+        lit(divisor) * (lag(hl2, j).over(P.w) - lag(hl2, j + 1).over(P.w)) *
+          P.sdiv(lag(h - l, j).over(P.w), lag(v, j).over(P.w))
+      val terms = (0 until n).map(rawAt)
+      x(when(
+        terms.map(_.isNotNull).reduce(_ && _),
+        ((n - 1) to 0 by -1).map(rawAt).reduce(_ + _) / n.toDouble
+      ))
+    }),
+    ar("graft_mfi", 5)(es => {
+      // Ta.mfi: 100·sdiv(Σpos, Σpos+Σneg) over typical-price flows; the
+      // flows are never null (null Δtp counts 0), so the gate is rn ≥ n
+      import org.apache.spark.sql.functions.{lag, lit, when}
+      val (h, l, cl, v) = (c(es(0)), c(es(1)), c(es(2)), c(es(3)))
+      val n = intLit(es(4), "graft_mfi")
+      val tp = (h + l + cl) / 3.0
+      def dtp(j: Int) = lag(tp, j).over(P.w) - lag(tp, j + 1).over(P.w)
+      def posT(j: Int) = when(dtp(j) > 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
+      def negT(j: Int) = when(dtp(j) < 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
+      val sp = when(P.rn >= n, ((n - 1) to 0 by -1).map(posT).reduce(_ + _))
+      val sn = when(P.rn >= n, ((n - 1) to 0 by -1).map(negT).reduce(_ + _))
+      x(lit(100.0) * P.sdiv(sp, sp + sn))
+    }),
+    // returns / drawdown
+    ar("graft_log_return", 2)(es => {
+      val x0 = c(es(0)); val n = intLit(es(1), "graft_log_return")
+      x(P.sln(P.sdiv(x0, P.shift(x0, n))))
+    }),
+    ar("graft_percent_return", 2)(es => {
+      val x0 = c(es(0)); val n = intLit(es(1), "graft_percent_return")
+      x(P.sdiv(x0, P.shift(x0, n)) - 1.0)
+    }),
+    ar("graft_log_return_cum", 1)(es => {
+      import org.apache.spark.sql.functions.first
+      val x0 = c(es(0))
+      x(P.sln(P.sdiv(x0, first(x0, ignoreNulls = true).over(P.cum))))
+    }),
+    ar("graft_percent_return_cum", 1)(es => {
+      import org.apache.spark.sql.functions.first
+      val x0 = c(es(0))
+      x(P.sdiv(x0, first(x0, ignoreNulls = true).over(P.cum)) - 1.0)
+    }),
+    ar("graft_drawdown", 1)(es => {
+      import org.apache.spark.sql.functions.struct
+      val cl = c(es(0))
+      val mx = P.cummax(cl)
+      x(struct(
+        (mx - cl).as("dd"),
+        (org.apache.spark.sql.functions.lit(1.0) - P.sdiv(cl, mx)).as("dd_pct"),
+        (P.sln(mx) - P.sln(cl)).as("dd_log")
+      ))
+    }),
+    // remaining rolling stats
+    ar("graft_mad", 2)(es => x(P.rmad(c(es(0)), intLit(es(1), "graft_mad")))),
+    ar("graft_skew", 2)(es => x(P.rskew(c(es(0)), intLit(es(1), "graft_skew")))),
+    ar("graft_kurtosis", 2)(es => x(P.rkurt(c(es(0)), intLit(es(1), "graft_kurtosis")))),
+    ar("graft_quantile", 3)(es =>
+      x(P.rquantile(c(es(0)), dblLit(es(2), "graft_quantile"), intLit(es(1), "graft_quantile")))),
+    ar("graft_entropy", 3)(es => {
+      // Ta.entropy: −Σ p·log_b(p) over the window share p = x/Σₙx; the
+      // share's rolling sum shifts per unroll position (stochStruct's
+      // shifted-frame technique), term gate = all n terms defined
+      import org.apache.spark.sql.functions.{count, lag, log, sum, when}
+      val x0 = c(es(0)); val n = intLit(es(1), "graft_entropy")
+      val base = dblLit(es(2), "graft_entropy")
+      val lnB = math.log(base)
+      def etAt(j: Int): Column = {
+        val frj = P.w.rowsBetween(-(n - 1) - j, -j)
+        val rs = when(count(x0).over(frj) >= n, sum(x0).over(frj))
+        val p = P.sdiv(lag(x0, j).over(P.w), rs)
+        when(p > 0, -p * log(p) / lnB)
+      }
+      val terms = (0 until n).map(etAt)
+      x(when(
+        terms.map(_.isNotNull).reduce(_ && _),
+        ((n - 1) to 0 by -1).map(etAt).reduce(_ + _)
+      ))
     })
   )
+
+  /** kama/vidya recursion: y = (1−α)·y' + α·x, seeded at the first row
+    * with a defined coefficient — Ta.kama/Ta.vidya's wf.linrec call
+    * expression-for-expression. */
+  private def adaptiveLinRecur(x0: Expression, al: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNotNull, Multiply, Subtract}
+    LinRecur(
+      Subtract(Literal(1.0), al),
+      Multiply(al, x0),
+      If(IsNotNull(al), x0, Literal.create(null, DoubleType))
+    )
+  }
+
+  /** Ta.wdotMa mirror: normalized window-ordered weights → gated
+    * lag-unrolled dot (reverse to lag order, divide by Σw). */
+  private def wdotMaE(x0: Column, weights: Seq[Double]): Column = {
+    val s = weights.sum
+    P.gated(x0, weights.size)(P.wdot(x0, weights.reverse.map(_ / s)))
+  }
+
+  /** Ta.clv: ((c−l)−(h−c))/(h−l), 0 when h = l. */
+  private def clvE(h: Column, l: Column, cl: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    when(h =!= l, ((cl - l) - (h - cl)) / (h - l)).otherwise(0.0)
+  }
 
   /** stoch(n, k, d) as ONE projection: the smoothing stages can't nest a
     * window inside a window, so the k- and d-means unroll into SHIFTED

@@ -498,8 +498,217 @@ object SeriesQueries {
     gate(x, n, wdot(x, ws.reverse.map(_ / s)))
   }
 
+  /** Ta.wdotMa oracle fragment (window-ordered weights → lag order). */
+  private def wdotMaSql(x: String, weights: Seq[Double]): String = {
+    val s = weights.sum
+    gate(x, weights.size, wdot(x, weights.reverse.map(_ / s)))
+  }
+
+  /** SQL surface PHASE 5a (round 10) — the weighted-MA family, returns/
+    * drawdown, and the remaining rolling stats from pure SQL text. The
+    * two-level kinds (graft_hma, graft_trima) and the share-window kind
+    * (graft_entropy) flatten their outer level into shifted copies of
+    * the inner expression (TaSqlSurface), so each stays ONE projection;
+    * the oracle is the staged mirror already proven for the accessor
+    * queries (alma_10…sinwma_10, hma_10, trima_10, returns, drawdown,
+    * stats2_10 spellings) over the same bars. */
+  private val sqlSurface6Outs = Seq(
+    "s_alma", "s_fwma", "s_pwma", "s_swma", "s_sinwma", "s_hma", "s_trima",
+    "s_lr", "s_pr", "s_lrc", "s_prc", "s_dd", "s_ddp", "s_ddl",
+    "s_mad", "s_skew", "s_kurt", "s_q", "s_ent"
+  )
+
+  val qSqlSurface6 = Q(
+    "x_sql_surface6",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars6")
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  graft_alma(close, 10, 6.0, 0.85) AS s_alma,
+            |  graft_fwma(close, 10) AS s_fwma,
+            |  graft_pwma(close, 10) AS s_pwma,
+            |  graft_swma(close, 10) AS s_swma,
+            |  graft_sinwma(close, 10) AS s_sinwma,
+            |  graft_hma(close, 10) AS s_hma,
+            |  graft_trima(close, 10) AS s_trima,
+            |  graft_log_return(close, 1) AS s_lr,
+            |  graft_percent_return(close, 1) AS s_pr,
+            |  graft_log_return_cum(close) AS s_lrc,
+            |  graft_percent_return_cum(close) AS s_prc,
+            |  dd.dd AS s_dd, dd.dd_pct AS s_ddp, dd.dd_log AS s_ddl,
+            |  graft_mad(close, 10) AS s_mad,
+            |  graft_skew(close, 10) AS s_skew,
+            |  graft_kurtosis(close, 10) AS s_kurt,
+            |  graft_quantile(close, 10, 0.75) AS s_q,
+            |  graft_entropy(close, 10, 2.0) AS s_ent
+            |FROM (SELECT *, graft_drawdown(close) AS dd FROM graft_bars6)""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +: sqlSurface6Outs.map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val ln2 = math.log(2.0)
+      // weighted MAs (the MaQueries weight formulas, n = 10)
+      val n = 10
+      val mAl = 0.85 * (n - 1); val sAl = n / 6.0
+      val almaW = (0 until n).map(i => math.exp(-(i - mAl) * (i - mAl) / (2 * sAl * sAl)))
+      val fibW = Iterator.iterate((1.0, 1.0)) { case (a, b) => (b, a + b) }.map(_._1).take(n).toSeq
+      val pwmaW = (0 until n).scanLeft(1.0) { case (acc, k) => acc * (n - 1 - k) / (k + 1) }.take(n)
+      val swmaW = ((1 to 5) ++ (5 to 1 by -1)).map(_.toDouble)
+      val sinW = (0 until n).map(i => math.sin((i + 1) * math.Pi / (n + 1)))
+      val b0 = new Cte("bars", barsCte)
+        .addSel(
+          "p1",
+          s"${wdotMaSql("close", almaW)} AS s_alma, ${wdotMaSql("close", fibW)} AS s_fwma, " +
+            s"${wdotMaSql("close", pwmaW)} AS s_pwma, ${wdotMaSql("close", swmaW)} AS s_swma, " +
+            s"${wdotMaSql("close", sinW)} AS s_sinwma, " +
+            s"${wma("close", 5)} AS hw5, ${wma("close", 10)} AS hw10, " +
+            s"${rmean("close", 6)} AS tt1, " +
+            // returns
+            s"CASE WHEN ${sdiv("close", s"lag(close, 1) $ov")} > 0 THEN ln(${sdiv("close", s"lag(close, 1) $ov")}) END AS s_lr, " +
+            s"${sdiv("close", s"lag(close, 1) $ov")} - 1e0 AS s_pr, " +
+            s"CASE WHEN ${sdiv("close", s"first_value(close) $cum")} > 0 THEN ln(${sdiv("close", s"first_value(close) $cum")}) END AS s_lrc, " +
+            s"${sdiv("close", s"first_value(close) $cum")} - 1e0 AS s_prc, " +
+            // drawdown
+            s"max(close) $cum AS cmax, " +
+            // stats
+            s"${rquantile("close", 0.75, 10)} AS s_q"
+        )
+        .addSel(
+          "p2",
+          "2e0*hw5 - hw10 AS hraw, " +
+            s"${rmean("tt1", 6)} AS s_trima, " +
+            s"cmax - close AS s_dd, 1e0 - ${sdiv("close", "cmax")} AS s_ddp, " +
+            "CASE WHEN cmax > 0 THEN ln(cmax) END - CASE WHEN close > 0 THEN ln(close) END AS s_ddl"
+        )
+        .addSel("p3", s"${wma("hraw", 3)} AS s_hma")
+        // skew / kurt (the stats2_10 moment spellings, n = 10)
+        .addSel("sk_p", s"sum(close) ${fr(10)} AS s1, sum(close*close) ${fr(10)} AS s2, " +
+          s"sum(close*close*close) ${fr(10)} AS s3, sum(close*close*close*close) ${fr(10)} AS s4, " +
+          s"count(close) ${fr(10)} AS cnt, ${rsum("close", 10)} AS rs10")
+        .addSel("sk_m", "s1/10e0 AS m, s2/10e0 - (s1/10e0)*(s1/10e0) AS m2, " +
+          "s3/10e0 - 3e0*(s1/10e0)*(s2/10e0) + 2e0*(s1/10e0)*(s1/10e0)*(s1/10e0) AS m3, " +
+          "s4/10e0 - 4e0*(s1/10e0)*(s3/10e0) + 6e0*(s1/10e0)*(s1/10e0)*(s2/10e0) - 3e0*(s1/10e0)*(s1/10e0)*(s1/10e0)*(s1/10e0) AS m4")
+        .addSel("sk_c",
+          s"CASE WHEN cnt >= 10 AND m2 > 0 THEN (${sdiv("m3", "sqrt(m2*m2*m2)")}) * sqrt(10e0*9e0) / 8e0 END AS s_skew, " +
+          s"CASE WHEN cnt >= 10 AND m2 > 0 THEN ((11e0)*((${sdiv("m4", "(m2*m2)")}) - 3e0) + 6e0) * 9e0 / (8e0*7e0) END AS s_kurt")
+        // entropy (the stats2_10 share spellings)
+        .addSel("en_p", s"${sdiv("close", "rs10")} AS p")
+        .addSel("en_t", s"CASE WHEN p > 0 THEN -p * ln(p) / (${d(ln2)}) END AS ent_term")
+        .addSel("en_c", s"${rsum("ent_term", 10)} AS s_ent")
+      val b = madSql(b0, "close", "s_mad", 10)
+      b.result(
+        "SELECT series_id, ts, " +
+          sqlSurface6Outs.map(o => s"${normd(o)} AS $o").mkString(", ") +
+          s" FROM ${b.top}$orderTail"
+      )
+    }
+  )
+
+  /** SQL surface PHASE 5b (round 10) — the volume family from pure SQL
+    * text: the cumulative kinds whose staged spellings nest a diff
+    * inside cumsum (obv/pvt/efi) route through the phase-5 folds
+    * (SeededComposites.ObvFold/PvtFold/EfiFold); ad/cmf are single-level
+    * compositions; eom/mfi flatten their lag-bearing rolling means into
+    * shifted copies. Oracle = the qVolCum/qVolWindow spellings. */
+  private val sqlSurface7Outs =
+    Seq("s_obv", "s_ad", "s_cmf", "s_efi", "s_eom", "s_mfi", "s_pvt")
+
+  val qSqlSurface7 = Q(
+    "x_sql_surface7",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.bars(spark, dir).createOrReplaceTempView("graft_bars7")
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  graft_obv(close, volume) AS s_obv,
+            |  graft_ad(high, low, close, volume) AS s_ad,
+            |  graft_cmf(high, low, close, volume, 10) AS s_cmf,
+            |  graft_efi(close, volume, 10) AS s_efi,
+            |  graft_eom(high, low, volume, 14, 1e8) AS s_eom,
+            |  graft_mfi(high, low, close, volume, 10) AS s_mfi,
+            |  graft_pvt(close, volume) AS s_pvt
+            |FROM graft_bars7""".stripMargin
+        )
+        .select(
+          col("series_id") +: col("ts") +: sqlSurface7Outs.map(o => P.normd(col(o)).as(o)): _*
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some {
+      val b0 = new Cte("bars", barsCte)
+        .addSel("v1", s"row_number() $ov AS rnn, close - lag(close, 1) $ov AS dc, " +
+          s"(close - lag(close, 1) $ov) * volume AS fraw, " +
+          s"${sdiv("close", s"lag(close, 1) $ov")} - 1e0 AS r1, " +
+          s"(high + low) / 2e0 - lag((high + low) / 2e0, 1) $ov AS dhl2, " +
+          "(high + low + close) / 3e0 AS tp")
+        .addSel("v2",
+          "CASE WHEN rnn = 1 THEN 1e0 WHEN dc > 0 THEN 1e0 WHEN dc < 0 THEN -1e0 ELSE 0e0 END * volume AS sgnv, " +
+            "CASE WHEN high != low THEN ((close - low) - (high - close)) / (high - low) ELSE 0e0 END * volume AS clvv, " +
+            "coalesce(r1 * volume, 0e0) AS pvtr, " +
+            s"1e8 * dhl2 * ${sdiv("(high - low)", "volume")} AS eomraw, " +
+            s"tp - lag(tp, 1) $ov AS dtp")
+        .addSel("v3",
+          s"sum(sgnv) $cum AS s_obv, sum(clvv) $cum AS s_ad, sum(pvtr) $cum AS s_pvt, " +
+            s"${sdiv(rsum("clvv", 10), rsum("volume", 10))} AS s_cmf, " +
+            s"${rmean("eomraw", 14)} AS s_eom, " +
+            "CASE WHEN dtp > 0 THEN tp * volume ELSE 0e0 END AS posf, " +
+            "CASE WHEN dtp < 0 THEN tp * volume ELSE 0e0 END AS negf")
+        .addSel("v4", s"100e0 * ${sdiv(rsum("posf", 10), s"(${rsum("posf", 10)} + ${rsum("negf", 10)})")} AS s_mfi")
+      val b = emaSql(b0, "fraw", "s_efi", 10)
+      b.result(
+        "SELECT series_id, ts, " +
+          sqlSurface7Outs.map(o => s"${normd(o)} AS $o").mkString(", ") +
+          s" FROM ${b.top}$orderTail"
+      )
+    }
+  )
+
+  /** SQL surface PHASE 5c (round 10) — the adaptive recursions kama and
+    * vidya from pure SQL text, staged exactly as a SQL user would: the
+    * per-row coefficient (graft_kama_sc / graft_vidya_al — single-level
+    * window unrolls) computes in a subquery, and the outer projection
+    * applies the LinRecur fold (graft_kama / graft_vidya) over the plain
+    * staged column — the graft_hilo_k staged-input shape. Oracle = the
+    * proven qKama/qVidya recursive-CTE spellings, composed. */
+  val qSqlSurface8 = Q(
+    "x_sql_surface8",
+    (spark: SparkSession, dir: String) => {
+      Graft.init(spark)
+      Graft.userSeries(spark, dir).createOrReplaceTempView("graft_series8")
+      spark
+        .sql(
+          """SELECT series_id, ts,
+            |  graft_kama(close, sc) AS kama_10,
+            |  graft_vidya(close, al) AS vidya_10
+            |FROM (SELECT *,
+            |  graft_kama_sc(close, 10, 2, 30) AS sc,
+            |  graft_vidya_al(close, 10) AS al
+            |  FROM graft_series8)""".stripMargin
+        )
+        .select(
+          col("series_id"), col("ts"),
+          P.normd(col("kama_10")).as("kama_10"),
+          P.normd(col("vidya_10")).as("vidya_10")
+        )
+        .orderBy("series_id", "ts")
+    },
+    Some(
+      composeJoin(Seq(
+        RecQueries.qKama.sql.get -> Seq("kama_10"),
+        RecQueries.qVidya.sql.get -> Seq("vidya_10")
+      ))
+    )
+  )
+
   def all: Seq[Q] = Seq(
     qSma, qEma, qWma, qRma, qDema, qTema, qTrima, qHma, qRsi, qMacd, qMomRoc,
-    qStats, qStats2, qReturns, qDrawdown, qSqlSurface, qSqlSurface2, qSqlSurface3
+    qStats, qStats2, qReturns, qDrawdown, qSqlSurface, qSqlSurface2, qSqlSurface3,
+    qSqlSurface6, qSqlSurface7, qSqlSurface8
   )
 }

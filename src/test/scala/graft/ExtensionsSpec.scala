@@ -52,7 +52,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_willr", "graft_mom", "graft_slope", "graft_midpoint", "graft_midprice",
         "graft_bop", "graft_ao", "graft_cci", "graft_vwma",
         "graft_donchian", "graft_accbands", "graft_eri",
-        "graft_apo", "graft_ppo", "graft_bias", "graft_aroon"
+        "graft_apo", "graft_ppo", "graft_bias", "graft_aroon",
+        // phase 5 (round 10): weighted/adaptive MAs, volume, returns, stats
+        "graft_alma", "graft_fwma", "graft_pwma", "graft_swma", "graft_sinwma",
+        "graft_hma", "graft_trima",
+        "graft_kama_k", "graft_vidya_k", "graft_kama", "graft_vidya",
+        "graft_kama_sc", "graft_vidya_al",
+        "graft_obv_k", "graft_pvt_k", "graft_efi_k",
+        "graft_obv", "graft_pvt", "graft_efi",
+        "graft_ad", "graft_cmf", "graft_eom", "graft_mfi",
+        "graft_log_return", "graft_percent_return",
+        "graft_log_return_cum", "graft_percent_return_cum", "graft_drawdown",
+        "graft_mad", "graft_skew", "graft_kurtosis", "graft_quantile", "graft_entropy"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -108,7 +119,27 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_atr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_trix_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_tsi_k(close, 3, 5) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
-      "graft_adx_k(high, low, close, 3, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+      "graft_adx_k(high, low, close, 3, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      // phase 5
+      "graft_alma(close, 3, 6.0, 0.85)", "graft_fwma(close, 3)", "graft_pwma(close, 3)",
+      "graft_swma(close, 3)", "graft_sinwma(close, 3)", "graft_hma(close, 4)",
+      "graft_trima(close, 4)",
+      "graft_kama_sc(close, 3, 2, 5)", "graft_vidya_al(close, 3)",
+      "graft_kama(close, 0.5)", "graft_vidya(close, 0.5)",
+      "graft_kama_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_vidya_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_obv(close, volume)", "graft_ad(high, low, close, volume)",
+      "graft_cmf(high, low, close, volume, 3)", "graft_efi(close, volume, 3)",
+      "graft_eom(high, low, volume, 3, 1e8)", "graft_mfi(high, low, close, volume, 3)",
+      "graft_pvt(close, volume)",
+      "graft_obv_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_pvt_k(close, volume) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_efi_k(close, volume, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_log_return(close, 1)", "graft_percent_return(close, 1)",
+      "graft_log_return_cum(close)", "graft_percent_return_cum(close)",
+      "graft_drawdown(close).dd_pct",
+      "graft_mad(close, 3)", "graft_skew(close, 3)", "graft_kurtosis(close, 4)",
+      "graft_quantile(close, 3, 0.75)", "graft_entropy(close, 3, 2.0)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

@@ -123,6 +123,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
   }
 
+  test("SQL-surface phase 5 (weighted MAs, volume, returns, stats, staged kama) = one shuffle") {
+    // the flattened two-level kinds (hma/trima/entropy/eom/mfi), the
+    // volume folds (obv/pvt/efi), the cumulative returns/drawdown, and
+    // the SUBQUERY-STAGED kama/vidya (coefficient inner, fold outer) all
+    // ride the canonical partition/order — the staging subquery adds a
+    // projection level, not a shuffle, so the whole batch still plans
+    // ONE Exchange
+    Graft.init(spark)
+    synthetic.repartition(col("series_id")).createOrReplaceTempView("ps_sql5_bars")
+    val out = spark.sql(
+      "SELECT series_id, ts, graft_hma(close, 10) AS a, graft_trima(close, 10) AS b, " +
+        "graft_alma(close, 10, 6.0, 0.85) AS c, graft_obv(close, volume) AS d, " +
+        "graft_efi(close, volume, 10) AS e, graft_eom(high, low, volume, 14, 1e8) AS f, " +
+        "graft_mfi(high, low, close, volume, 10) AS g, graft_pvt(close, volume) AS h, " +
+        "graft_drawdown(close) AS i, graft_entropy(close, 10, 2.0) AS j, " +
+        "graft_kama(close, sc) AS k, graft_vidya(close, al) AS l " +
+        "FROM (SELECT *, graft_kama_sc(close, 10, 2, 30) AS sc, graft_vidya_al(close, 10) AS al " +
+        "FROM ps_sql5_bars)"
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+  }
+
   test("full REC-kind strategy batch plans ONE Exchange total (jma's collapses)") {
     // every O(1)-state REC kind folds (round 9), and the one remaining
     // kernel (jma, ring buffers) repartitions on the SAME key the
