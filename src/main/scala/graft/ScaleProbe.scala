@@ -407,6 +407,54 @@ object ScaleProbe {
         graft.CacheRegistry.release(spark)
       }
 
+    // ---- PageRank edge-layout experiment (round 10, verdict item #4):
+    // does a src-bucketed co-located edge layout (Layout.writeBucketedBy)
+    // remove the per-round edges exchange? Hypothesis to test: it CANNOT
+    // — pagerank's internal `ew` (edges ⋈ out-degrees, localCheckpoint'ed)
+    // already carries HashPartitioning(src) into every round's rank join
+    // (Dataset.localCheckpoint preserves the physical outputPartitioning
+    // in the LogicalRDD leaf), so bucketing can only save the two SETUP
+    // shuffles of the edge-sized table (outd groupBy + the ew join).
+    // Measured via total shuffle-write bytes per variant: a per-round
+    // win would show ~rounds× lower bytes, a setup-only win shows one
+    // edge-sized shuffle's difference. Co-partition regime forced
+    // (broadcastMax=0) so the per-round rank join actually shuffles.
+    if (want("prbucket")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      def withShuffleBytes(f: => Unit): (Double, Long) = {
+        val acc = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new SparkListener {
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+            acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t = time { f; 0L }
+        Thread.sleep(2000) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        (t, acc.get())
+      }
+      spark.conf.set("spark.graft.pagerank.broadcastMax", "0")
+      val nE = 20000000L; val nN = 4000000L
+      def mkEdges = spark
+        .range(nE)
+        .select(
+          pmod(col("id") * 2654435761L, lit(nN)).as("src"),
+          pmod(col("id") * 40503L + 7L, lit(nN)).as("dst"),
+          (pmod(col("id"), lit(3)) + 1L).as("w")
+        )
+      val rounds = sys.env.get("SCALE_PROBE_PR_ROUNDS").map(_.toInt).getOrElse(3)
+      val (tPlain, bPlain) =
+        withShuffleBytes(graft.extensions.Graphs.pagerank(mkEdges, 0.85, rounds).count())
+      println(s"""{"op":"pr${rounds}_layout_plain","n":$nE,"sec":$tPlain,"shuffle_mb":${bPlain / 1048576}}""")
+      graft.sources.Layout.writeBucketedBy(mkEdges, "pr_edges_src", "src", 32)
+      val eb = spark.table("pr_edges_src")
+      val (tBuck, bBuck) =
+        withShuffleBytes(graft.extensions.Graphs.pagerank(eb, 0.85, rounds).count())
+      println(s"""{"op":"pr${rounds}_layout_bucketed","n":$nE,"sec":$tBuck,"shuffle_mb":${bBuck / 1048576}}""")
+      spark.conf.unset("spark.graft.pagerank.broadcastMax")
+      spark.sql("DROP TABLE IF EXISTS pr_edges_src")
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single

@@ -110,9 +110,12 @@ object Graphs {
         // The rank table is node-sized: up to ~10M nodes it broadcasts
         // (explicit hint skips AQE's per-round probe stage); beyond that
         // the plain join shuffle-co-partitions ranks with the cached
-        // edges — the web-scale Pregel shape.
+        // edges — the web-scale Pregel shape. The threshold is conf-
+        // pinnable so the ScaleProbe layout experiment (prbucket) can
+        // force the co-partition regime at test scale.
+        val bMax = spark.conf.get("spark.graft.pagerank.broadcastMax", "10000000").toLong
         val hintRanks: DataFrame => DataFrame =
-          if (n <= 10000000L) broadcast(_) else identity
+          if (n <= bMax) broadcast(_) else identity
         // One rank-update round. dm rides RefDouble (reference-carried
         // scalar): an inlined double literal would change the generated
         // source every round and defeat the codegen cache.
