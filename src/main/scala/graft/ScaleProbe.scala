@@ -129,6 +129,12 @@ object ScaleProbe {
         l,
         timed(force(graft.plans.Halo.chunked(one, 20, 32)(_.ta.sma(20)), "sma_20"))
       )
+      // round-10: the SEEDED-ema fold vs its segmented scan on the same
+      // 1-series giant (ta.ema auto-routes through chunkedEmaSeeded)
+      spark.conf.set(graft.plans.Halo.AutoKey, "false")
+      emit("emaseed20_single_global", l, timed(force(one.ta.ema(20), "ema_20")))
+      spark.conf.set(graft.plans.Halo.AutoKey, "true")
+      emit("emaseed20_single_auto", l, timed(force(one.ta.ema(20), "ema_20")))
       graft.CacheRegistry.releaseTransients(spark)
     }
 

@@ -64,21 +64,11 @@ object Halo {
     * run — it returns `build(df)` untouched. Results are bitwise equal
     * either way: every ≤ n frame sees exactly the global-window rows.
     * Set `spark.graft.halo.auto=false` to pin the plain path. */
-  def auto(df: DataFrame, n: Int)(build: DataFrame => DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    if (df.isStreaming || !spark.conf.get(AutoKey, "true").toBoolean) return build(df)
-    // inside an explicit chunked build already — never nest
-    if (!df.columns.contains("series_id") || df.columns.contains("__halo")) return build(df)
-    val cores = spark.sparkContext.defaultParallelism
-    val threshold = spark.conf.get(AutoThresholdKey, cores.toString).toInt
-    val minRows = spark.conf.get(AutoMinRowsKey, "100000").toLong
-    val (nSeries, nRows) = seriesStats(df)
-    if (nSeries == 0L || nSeries >= threshold) return build(df)
-    val perSeries = nRows / nSeries
-    if (perSeries < minRows) return build(df)
-    val chunks = math.min(cores.toLong, perSeries / math.max(4L * n, 64L)).toInt
-    if (chunks < 2) build(df) else chunked(df, n, chunks)(build)
-  }
+  def auto(df: DataFrame, n: Int)(build: DataFrame => DataFrame): DataFrame =
+    autoChunks(df, 4L * n) match {
+      case Some(chunks) => chunked(df, n, chunks)(build)
+      case None => build(df)
+    }
 
   /** AUTO-dispatch for the EW class: plain `ewm(alpha, adjust=False)` of
     * `src` appended as `out`. Same gates as [[auto]]; the routed path is
@@ -86,21 +76,48 @@ object Halo {
     * at the oracle's 6 dp; the (a,b) composition reorders float ops, so
     * bit-exactness is NOT guaranteed, same contract as the halo_ewm
     * gate). */
-  def autoEwm(df: DataFrame, src: String, out: String, alpha: Double): DataFrame = {
+  def autoEwm(df: DataFrame, src: String, out: String, alpha: Double): DataFrame =
+    autoChunks(df, 64L) match {
+      case Some(chunks) => chunkedEwm(df, src, out, alpha, chunks)
+      case None => df.withColumn(out, graft.ta.prim.ewm(col(src), alpha))
+    }
+
+  /** Shared auto-dispatch gate: Some(chunks) when chunking can win, None
+    * for the plain path. `minChunkRows` keeps chunks large enough that
+    * the per-chunk fixed cost amortizes. */
+  private def autoChunks(df: DataFrame, minChunkRows: Long): Option[Int] = {
     val spark = df.sparkSession
-    def plain = df.withColumn(out, graft.ta.prim.ewm(col(src), alpha))
-    if (df.isStreaming || !spark.conf.get(AutoKey, "true").toBoolean) return plain
-    if (!df.columns.contains("series_id") || df.columns.contains("__halo")) return plain
+    if (df.isStreaming || !spark.conf.get(AutoKey, "true").toBoolean) return None
+    if (!df.columns.contains("series_id") || df.columns.contains("__halo")) return None
     val cores = spark.sparkContext.defaultParallelism
     val threshold = spark.conf.get(AutoThresholdKey, cores.toString).toInt
     val minRows = spark.conf.get(AutoMinRowsKey, "100000").toLong
     val (nSeries, nRows) = seriesStats(df)
-    if (nSeries == 0L || nSeries >= threshold) return plain
+    if (nSeries == 0L || nSeries >= threshold) return None
     val perSeries = nRows / nSeries
-    if (perSeries < minRows) return plain
-    val chunks = math.min(cores.toLong, perSeries / 64L).toInt
-    if (chunks < 2) plain else chunkedEwm(df, src, out, alpha, chunks)
+    if (perSeries < minRows) return None
+    val chunks = math.min(cores.toLong, perSeries / math.max(minChunkRows, 64L)).toInt
+    if (chunks < 2) None else Some(chunks)
   }
+
+  /** AUTO-dispatch for the SEEDED-ema fold (stage.ema / EmaSeeded:
+    * positions 1..n−1 null, position n = nulls-skipped mean of the first
+    * n values, then the adjust=False recursion). Same gates as
+    * [[autoEwm]]; the routed path is [[chunkedEmaSeeded]]. Closes the
+    * round-9 verdict gap where a 100 TB single-instrument `ta.ema`
+    * serialized one task on the fold path — the plain ewm recursion had
+    * a segmented scan but the SEEDED fold did not. `plain` is the
+    * caller's fold spelling (stage.ema passes graft_ema_k over the
+    * canonical frame). Routed results match the fold at the oracle's
+    * 6 dp — the cross-chunk (a,b) composition reorders float ops, the
+    * same contract as [[chunkedEwm]]. */
+  def autoEmaSeeded(df: DataFrame, src: String, out: String, n: Int)(
+      plain: => DataFrame
+  ): DataFrame =
+    autoChunks(df, 4L * n) match {
+      case Some(chunks) => chunkedEmaSeeded(df, src, out, n, chunks)
+      case None => plain
+    }
 
   /** Range-partition the series into `chunks` contiguous pieces, tag each
     * row with its chunk id, and append duplicated halo rows (the last
@@ -163,6 +180,147 @@ object Halo {
       .where(!col("__halo"))
       .withColumn("series_id", col("__sid0"))
       .select((originalCols ++ added).map(col): _*)
+  }
+
+  /** Seeded ema (EmaSeeded semantics: rows 1..n−1 null, row n = the
+    * nulls-skipped mean of the first n values, then the adjust=False
+    * recursion) over arbitrarily long series with two parallel passes —
+    * the segmented scan extended to the POSITIONAL seed:
+    *
+    *  - pass 1 folds, per (series, chunk), the raw values of the chunk's
+    *    first min(n, rows) rows (the only rows whose behavior can depend
+    *    on the unknown global position) plus the ewm composable
+    *    (a, b, seedY, any) of everything after them — rows past a
+    *    chunk's own first n are ALWAYS past the global seed row;
+    *  - the driver scans chunks in order: it replays each chunk's ≤ n
+    *    prefix values through the exact per-row EmaSeeded updates
+    *    (position counter, seed sum/count, recursion), then applies the
+    *    suffix composable — O(n) doubles per chunk, so the scan is tiny;
+    *  - pass 2 re-emits per row from the broadcast entry states with the
+    *    same exact per-row updates.
+    *
+    * Within-chunk arithmetic (and the whole seed mean) is the fold's
+    * exact sequence; only the cross-chunk (a, b) composition reorders
+    * float ops — the [[chunkedEwm]] 6 dp contract. */
+  def chunkedEmaSeeded(df: DataFrame, src: String, out: String, n: Int, chunks: Int): DataFrame = {
+    val alpha = 2.0 / (n + 1)
+    val inSchema = df.schema
+    val enc1 = Encoders.row(
+      StructType(inSchema.fields :+ StructField("__chunk", IntegerType, false))
+    )
+    val sidIdx = inSchema.fieldIndex("series_id")
+    val srcIdx = inSchema.fieldIndex(src)
+
+    val parts0 = df
+      .repartitionByRange(chunks, col("series_id"), col("ts"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map(r => Row.fromSeq(r.toSeq :+ pid))
+      }(enc1)
+    val parts = graft.CacheRegistry.track(parts0)
+
+    // pass 1: (sid, chunk, m, prefix[≤n], a, b, seedY, any)
+    val folds = parts
+      .mapPartitions { it =>
+        var key: (Any, Int) = null
+        var m = 0L
+        val prefix = scala.collection.mutable.ArrayBuffer[Any]()
+        var a = 1.0; var b = 0.0; var seedY = 0.0; var any = false
+        val outRows = scala.collection.mutable.ArrayBuffer[Row]()
+        def flush(): Unit =
+          if (key != null) outRows += Row(key._1, key._2, m, prefix.toSeq, a, b, seedY, any)
+        it.foreach { r =>
+          val k = (r.get(sidIdx), r.getInt(inSchema.size))
+          if (k != key) {
+            flush(); key = k; m = 0L; prefix.clear(); a = 1.0; b = 0.0; seedY = 0.0; any = false
+          }
+          m += 1
+          if (m <= n) prefix += (if (r.isNullAt(srcIdx)) null else Double.box(r.getDouble(srcIdx)))
+          else if (!r.isNullAt(srcIdx)) {
+            val x = r.getDouble(srcIdx)
+            if (!any) { seedY = x; any = true }
+            else seedY = (1.0 - alpha) * seedY + alpha * x
+            a *= (1.0 - alpha)
+            b = (1.0 - alpha) * b + alpha * x
+          }
+        }
+        flush()
+        outRows.iterator
+      }(Encoders.row(StructType(Seq(
+        StructField("sid", inSchema(sidIdx).dataType, true),
+        StructField("chunk", IntegerType, false),
+        StructField("m", LongType, false),
+        StructField("prefix", ArrayType(DoubleType, true), false),
+        StructField("a", DoubleType, false),
+        StructField("b", DoubleType, false),
+        StructField("seedY", DoubleType, false),
+        StructField("any", BooleanType, false)
+      ))))
+      .collect()
+
+    // driver prefix-scan → entry state (pos, seedSum, seedCnt, acc) per chunk
+    val entry = scala.collection.mutable.Map[(Any, Int), (Long, Double, Long, java.lang.Double)]()
+    folds.groupBy(_.get(0)).foreach { case (sid, rows) =>
+      var pos = 0L; var s = 0.0; var c = 0L; var acc: java.lang.Double = null
+      rows.sortBy(_.getInt(1)).foreach { r =>
+        entry((sid, r.getInt(1))) = (pos, s, c, acc)
+        r.getSeq[java.lang.Double](3).foreach { x =>
+          pos += 1
+          if (pos < n) { if (x != null) { s += x.doubleValue(); c += 1 } }
+          else if (pos == n) {
+            if (x != null) { s += x.doubleValue(); c += 1 }
+            if (c > 0) acc = Double.box(s / c)
+          } else if (x != null) {
+            acc =
+              if (acc == null) x
+              else Double.box((1.0 - alpha) * acc.doubleValue() + alpha * x.doubleValue())
+          }
+        }
+        // suffix composable (rows after the chunk's first n — always
+        // past the global seed row since pos ≥ n by here when they exist)
+        if (r.getBoolean(7))
+          acc =
+            if (acc == null) Double.box(r.getDouble(6))
+            else Double.box(r.getDouble(4) * acc.doubleValue() + r.getDouble(5))
+        pos += r.getLong(2) - r.getSeq[java.lang.Double](3).size
+      }
+    }
+    val entryB = parts.sparkSession.sparkContext.broadcast(entry.toMap)
+
+    // pass 2: per-row emit with the exact EmaSeeded updates
+    val enc2 = Encoders.row(
+      StructType(inSchema.fields :+ StructField(out, DoubleType, true))
+    )
+    parts
+      .mapPartitions { it =>
+        var key: (Any, Int) = null
+        var pos = 0L; var s = 0.0; var c = 0L; var acc: java.lang.Double = null
+        it.map { r =>
+          val k = (r.get(sidIdx), r.getInt(inSchema.size))
+          if (k != key) {
+            key = k
+            val e = entryB.value.getOrElse(k, (0L, 0.0, 0L, null: java.lang.Double))
+            pos = e._1; s = e._2; c = e._3; acc = e._4
+          }
+          pos += 1
+          val x: java.lang.Double = if (r.isNullAt(srcIdx)) null else Double.box(r.getDouble(srcIdx))
+          val emit: java.lang.Double =
+            if (pos < n) { if (x != null) { s += x.doubleValue(); c += 1 }; null }
+            else if (pos == n) {
+              if (x != null) { s += x.doubleValue(); c += 1 }
+              if (c > 0) acc = Double.box(s / c)
+              acc
+            } else {
+              if (x != null)
+                acc =
+                  if (acc == null) x
+                  else Double.box((1.0 - alpha) * acc.doubleValue() + alpha * x.doubleValue())
+              acc
+            }
+          Row.fromSeq(r.toSeq.dropRight(1) :+ emit)
+        }
+      }(enc2)
   }
 
   /** ewm(alpha, adjust=False) — y₀ = x₀, y = (1−α)y' + αx, null-skipping —

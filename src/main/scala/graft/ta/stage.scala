@@ -26,9 +26,14 @@ object stage {
     * gap growing per chained level. Resolves through the session
     * function registry like every graft window kernel (Graft.init). */
   def ema(df: DataFrame, src: String, out: String, n: Int): DataFrame =
-    df.withColumn(
-      out,
-      call_function("graft_ema_k", col(src).cast("double"), lit(n)).over(prim.cum)
+    // round-10: the single-series-giant shape auto-routes to the halo
+    // segmented scan (Halo.chunkedEmaSeeded) instead of a 1-task fold;
+    // every other input (all test fixtures) keeps the fold untouched
+    graft.plans.Halo.autoEmaSeeded(df, src, out, n)(
+      df.withColumn(
+        out,
+        call_function("graft_ema_k", col(src).cast("double"), lit(n)).over(prim.cum)
+      )
     )
 
   /** The staged multi-projection ema spelling — the REFERENCE

@@ -61,6 +61,53 @@ class HaloSpec extends AnyFunSuite {
     assert(scanned == global)
   }
 
+  test("segmented-scan SEEDED ema equals the fold (multi-key + one giant series)") {
+    // round-10: stage.ema's positional seed (rows 1..n−1 null, row n =
+    // nulls-skipped first-n mean, then the recursion) through
+    // chunkedEmaSeeded — chunk boundaries land both inside and after the
+    // seed window across the two shapes
+    val ser = Graft.userSeries(spark, TestSpark.sfDir)
+    val globalM = collect6(graft.ta.stage.ema(ser, "close", "e", 10), Seq("e"))
+    val scannedM = collect6(Halo.chunkedEmaSeeded(ser, "close", "e", 10, 8), Seq("e"))
+    assert(scannedM == globalM)
+
+    val one = Graft.userSeries(spark, TestSpark.sfDir).withColumn("series_id", lit("ONE"))
+    val globalO = collect6(graft.ta.stage.ema(one, "close", "e", 10), Seq("e"))
+    val scannedO = collect6(Halo.chunkedEmaSeeded(one, "close", "e", 10, 16), Seq("e"))
+    assert(scannedO == globalO)
+    // a seed window WIDER than a chunk (n=40 over tiny chunks): the seed
+    // must still assemble across chunk boundaries
+    val globalW = collect6(graft.ta.stage.ema(one, "close", "e", 40), Seq("e"))
+    val scannedW = collect6(Halo.chunkedEmaSeeded(one, "close", "e", 40, 16), Seq("e"))
+    assert(scannedW == globalW)
+  }
+
+  test("autoEmaSeeded routes the 1-series frame; auto=false pins the fold") {
+    val one = Graft
+      .userSeries(spark, TestSpark.sfDir)
+      .withColumn("series_id", lit("ONE"))
+      .where(col("ts").isNotNull)
+    try {
+      spark.conf.set(Halo.AutoMinRowsKey, "200")
+      val routed = one.ta.ema(10)
+      assert(
+        routed.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "ta.ema did not route through the seeded segmented scan"
+      )
+      spark.conf.set(Halo.AutoKey, "false")
+      val plain = one.ta.ema(10)
+      assert(
+        !plain.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "auto=false must pin the fold path"
+      )
+      spark.conf.set(Halo.AutoKey, "true")
+      assert(collect6(routed, Seq("ema_10")) == collect6(plain, Seq("ema_10")))
+    } finally {
+      spark.conf.unset(Halo.AutoMinRowsKey)
+      spark.conf.unset(Halo.AutoKey)
+    }
+  }
+
   test("auto-dispatch routes a long 1-series frame through halo chunks") {
     // round-5 usability fix: df.ta.sma on a low-cardinality/long-series
     // frame must lower through Halo.chunked WITHOUT the caller knowing
