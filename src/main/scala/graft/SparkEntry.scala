@@ -33,7 +33,7 @@ object SparkEntry {
   ) ++ SeriesQueries.all ++ BarsQueries.all ++ MomentumQueries.all ++
     ExtensionQueries.all ++ RelationalQueries.all ++ RecQueries.all ++
     CompositeQueries.all ++ MaQueries.all ++ JoinQueries.all ++ Rec2Queries.all ++
-    HaloQueries.all ++ SketchQueries.all ++
+    HaloQueries.all ++ SketchQueries.all ++ SqlSurface6Queries.all ++
     Seq(Strategy50Queries.q, StrategyOhlcvQueries.q, StrategyOhlcvQueries.qCandles, StrategyDupQueries.q)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the Strategy

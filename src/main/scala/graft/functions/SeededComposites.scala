@@ -562,6 +562,295 @@ object SeededComposites {
       copy(c = c0(0), v = c0(1))
   }
 
+  // ==================================================================
+  // Phase 6 (round 10): the remaining window-in-window composites —
+  // Wilder DM, the decay recursion, NVI/PVI log-compounding, the
+  // seeded-ema-of-derived-series family (true-range ema for pgo, A/D
+  // oscillator, T3's six-level cascade, PVO). Same replication
+  // discipline: If trees and literal orders mirror the Ta accessors.
+  // ==================================================================
+
+  /** Ta.dm: ±DM Wilder-smoothed (rmaOf gate at n non-null observations),
+    * STRUCT(dmp, dmn) — AdxFold's first two accumulators standalone. */
+  case class DmFold(h: Expression, l: Expression, n: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l)
+    override def dataType: DataType = StructType(Seq(
+      StructField("dmp", DoubleType),
+      StructField("dmn", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_dm_k"
+
+    private lazy val ph = AttributeReference("dmPh", DoubleType, nullable = true)()
+    private lazy val pl = AttributeReference("dmPl", DoubleType, nullable = true)()
+    private lazy val cp = AttributeReference("dmCp", LongType, nullable = false)()
+    private lazy val yp = AttributeReference("dmYp", DoubleType, nullable = true)()
+    private lazy val cm = AttributeReference("dmCm", LongType, nullable = false)()
+    private lazy val ym = AttributeReference("dmYm", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(ph, pl, cp, yp, cm, ym)
+    override val initialValues: Seq[Expression] =
+      Seq(nullD, nullD, Literal(0L), nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val up = Subtract(h, ph)
+      val dn = UnaryMinus(Subtract(l, pl))
+      val nullEither = Or(IsNull(up), IsNull(dn))
+      val pdm = If(And(GreaterThan(up, dn), GreaterThan(up, Literal(0.0))), up,
+        If(nullEither, nullD, Literal(0.0)))
+      val mdm = If(And(GreaterThan(dn, up), GreaterThan(dn, Literal(0.0))), dn,
+        If(nullEither, nullD, Literal(0.0)))
+      Seq(h, l) ++ wilderStep(cp, yp, pdm, n) ++ wilderStep(cm, ym, mdm, n)
+    }
+    override lazy val evaluateExpression: Expression = {
+      val nL = Literal(n.toLong)
+      CreateNamedStruct(Seq(
+        Literal("dmp"), If(GreaterThanOrEqual(cp, nL), yp, nullD),
+        Literal("dmn"), If(GreaterThanOrEqual(cm, nL), ym, nullD)
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): DmFold =
+      copy(h = c0(0), l = c0(1))
+  }
+
+  /** Ta.decay's recursion y = max(x, y'−1/n, 0) as a direct fold (the
+    * accessor uses the associative closed form — equal values, FP order
+    * differs within the 6 dp contract; Greatest's null-skip reproduces
+    * the closed form's null handling: leading null x emits 0). */
+  case class DecayFold(x: Expression, n: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_decay_k"
+
+    private lazy val y = AttributeReference("decayAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(y)
+    override val initialValues: Seq[Expression] = Seq(nullD)
+    override lazy val updateExpressions: Seq[Expression] =
+      Seq(Greatest(Seq(x, Subtract(y, Literal(1.0 / n)), Literal(0.0))))
+    override lazy val evaluateExpression: Expression = y
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): DecayFold =
+      copy(x = c0(0))
+  }
+
+  /** Ta.nvi/pvi: initial·exp(Σ log1p(pctChange(close)·1{Δvolume ≶ 0})) —
+    * the lag-bearing term folds over prev-close/prev-volume slots. */
+  case class NviFold(c: Expression, v: Expression, onDown: Boolean, initial: Double)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(c, v)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = if (onDown) "graft_nvi_k" else "graft_pvi_k"
+
+    private lazy val pc = AttributeReference("nviPc", DoubleType, nullable = true)()
+    private lazy val pv = AttributeReference("nviPv", DoubleType, nullable = true)()
+    private lazy val acc = AttributeReference("nviAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pc, pv, acc)
+    override val initialValues: Seq[Expression] = Seq(nullD, nullD, nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val ret = Subtract(sdivE(c, pc), Literal(1.0))
+      val dv = Subtract(v, pv)
+      val gate =
+        if (onDown) LessThan(dv, Literal(0.0)) else GreaterThan(dv, Literal(0.0))
+      val term = If(
+        And(gate, IsNotNull(ret)),
+        Log(Add(Literal(1.0), ret)),
+        Literal(0.0)
+      )
+      Seq(c, v, sumStep(acc, term))
+    }
+    override lazy val evaluateExpression: Expression =
+      Multiply(Literal(initial), Exp(acc))
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): NviFold =
+      copy(c = c0(0), v = c0(1))
+  }
+
+  /** sma-seeded ema of the TRUE RANGE (pgo's denominator, Ta.pgo's
+    * stage.ema over the trueRange column) as one fold. */
+  case class EtrFold(h: Expression, l: Expression, c: Expression, n: Int)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l, c)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_etr_k"
+
+    private lazy val pc = AttributeReference("etrPc", DoubleType, nullable = true)()
+    private lazy val pos = AttributeReference("etrPos", LongType, nullable = false)()
+    private lazy val s = AttributeReference("etrSum", DoubleType, nullable = true)()
+    private lazy val cn = AttributeReference("etrCnt", LongType, nullable = false)()
+    private lazy val y = AttributeReference("etrAcc", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pc, pos, s, cn, y)
+    override val initialValues: Seq[Expression] =
+      Seq(nullD, Literal(0L), nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val (ups, _) = seededLevel(pos, posN, n, s, cn, y, trOf(h, l, pc))
+      Seq(c, posN) ++ ups
+    }
+    override lazy val evaluateExpression: Expression = y
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): EtrFold =
+      copy(h = c0(0), l = c0(1), c = c0(2))
+  }
+
+  /** Ta.adosc: ema(ad, fast) − ema(ad, slow) over the running A/D line —
+    * the cumulative ad accumulator feeds two seeded-ema levels in the
+    * same buffer. */
+  case class AdoscFold(h: Expression, l: Expression, c: Expression, v: Expression,
+      fast: Int, slow: Int) extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(h, l, c, v)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_adosc_k"
+
+    private lazy val pos = AttributeReference("adoPos", LongType, nullable = false)()
+    private lazy val ad = AttributeReference("adoAd", DoubleType, nullable = true)()
+    private lazy val sF = AttributeReference("adoSumF", DoubleType, nullable = true)()
+    private lazy val cF = AttributeReference("adoCntF", LongType, nullable = false)()
+    private lazy val yF = AttributeReference("adoAccF", DoubleType, nullable = true)()
+    private lazy val sS = AttributeReference("adoSumS", DoubleType, nullable = true)()
+    private lazy val cS = AttributeReference("adoCntS", LongType, nullable = false)()
+    private lazy val yS = AttributeReference("adoAccS", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(pos, ad, sF, cF, yF, sS, cS, yS)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), nullD, nullD, Literal(0L), nullD, nullD, Literal(0L), nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val clv = If(
+        Not(EqualTo(h, l)),
+        Divide(Subtract(Subtract(c, l), Subtract(h, c)), Subtract(h, l)),
+        Literal(0.0)
+      )
+      val adN = sumStep(ad, Multiply(clv, v))
+      val (uF, _) = seededLevel(pos, posN, fast, sF, cF, yF, adN)
+      val (uS, _) = seededLevel(pos, posN, slow, sS, cS, yS, adN)
+      Seq(posN, adN) ++ uF ++ uS
+    }
+    override lazy val evaluateExpression: Expression = Subtract(yF, yS)
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): AdoscFold =
+      copy(h = c0(0), l = c0(1), c = c0(2), v = c0(3))
+  }
+
+  /** Ta.t3: six chained sma-seeded emas with the Tillson coefficients on
+    * e3..e6.
+    *
+    * NOT EmaCascade(6): the cascade's per-level update embeds the
+    * previous level's full tree ~7× (seed sum + count + z + ewmStep
+    * references), so six levels explode to ~7⁶ nodes — subexpression
+    * elimination then hangs hashing the tree (measured: a 30-row query
+    * never finished). The SHARED-n cascade admits a flat spelling:
+    * every level's input is null until row n and equals sd₁ (the x seed
+    * mean) AT row n — level i ≥ 2's seed sum therefore holds exactly one
+    * value, sd₁, so sdᵢ = sd₁/1 = sd₁ bit-exactly and the per-level
+    * (sum, cnt) buffers are redundant. One (s, c) pair for x plus the
+    * shared z-gate keeps each level's tree referencing the previous
+    * level ~3× on a SMALL z node — ~3⁶ small copies, evaluable.
+    * Bit-equality vs the staged six-ema chain is spec-gated
+    * (WilderFoldSpec / x_sql_surface11's qT3 oracle). */
+  case class T3Fold(x: Expression, n: Int, a: Double) extends AggregateWindowFunction {
+    private val alpha = 2.0 / (n + 1)
+    override def children: Seq[Expression] = Seq(x)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_t3_k"
+
+    private lazy val pos = AttributeReference("t3Pos", LongType, nullable = false)()
+    private lazy val s = AttributeReference("t3SeedSum", DoubleType, nullable = true)()
+    private lazy val cn = AttributeReference("t3SeedCnt", LongType, nullable = false)()
+    private lazy val ys =
+      (1 to 6).map(i => AttributeReference(s"t3Acc$i", DoubleType, nullable = true)())
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(pos, s, cn) ++ ys
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L), nullD, Literal(0L)) ++ (1 to 6).map(_ => nullD)
+    override lazy val updateExpressions: Seq[Expression] = {
+      val nL = Literal(n.toLong)
+      val posN = Add(pos, Literal(1L))
+      val sN = If(LessThan(pos, nL), Coalesce(Seq(Add(Coalesce(Seq(s, Literal(0.0))), x), s)), s)
+      val cN = If(And(LessThan(pos, nL), IsNotNull(x)), Add(cn, Literal(1L)), cn)
+      val sd = Divide(sN, Cast(cN, DoubleType))
+      def zOf(input: Expression): Expression =
+        If(LessThan(posN, nL), nullD, If(EqualTo(posN, nL), sd, input))
+      var input: Expression = x
+      val yNs = (0 until 6).map { i =>
+        val yN = ewmStep(ys(i), zOf(input))
+        input = yN
+        yN
+      }
+      Seq(posN, sN, cN) ++ yNs
+    }
+    private def ewmStep(acc: Expression, z: Expression): Expression =
+      If(
+        IsNull(acc),
+        z,
+        If(
+          IsNull(z),
+          acc,
+          Add(Multiply(Literal(1.0 - alpha), acc), Multiply(Literal(alpha), z))
+        )
+      )
+    override lazy val evaluateExpression: Expression = {
+      val c1 = -a * a * a
+      val c2 = 3.0 * a * a + 3.0 * a * a * a
+      val c3 = -6.0 * a * a - 3.0 * a - 3.0 * a * a * a
+      val c4 = 1.0 + 3.0 * a + a * a * a + 3.0 * a * a
+      Add(
+        Add(
+          Add(Multiply(Literal(c1), ys(5)), Multiply(Literal(c2), ys(4))),
+          Multiply(Literal(c3), ys(3))
+        ),
+        Multiply(Literal(c4), ys(2))
+      )
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): T3Fold =
+      copy(x = c0(0))
+  }
+
+  /** Ta.pvo: sma-seeded emas over volume, the oscillator, and a third
+    * seeded ema of the oscillator — STRUCT(pvo, pvos, pvoh). */
+  case class PvoFold(v: Expression, fast: Int, slow: Int, sig: Int)
+      extends AggregateWindowFunction {
+    override def children: Seq[Expression] = Seq(v)
+    override def dataType: DataType = StructType(Seq(
+      StructField("pvo", DoubleType),
+      StructField("pvos", DoubleType),
+      StructField("pvoh", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_pvo_k"
+
+    private lazy val pos = AttributeReference("pvoPos", LongType, nullable = false)()
+    private lazy val sF = AttributeReference("pvoSumF", DoubleType, nullable = true)()
+    private lazy val cF = AttributeReference("pvoCntF", LongType, nullable = false)()
+    private lazy val yF = AttributeReference("pvoAccF", DoubleType, nullable = true)()
+    private lazy val sS = AttributeReference("pvoSumS", DoubleType, nullable = true)()
+    private lazy val cS = AttributeReference("pvoCntS", LongType, nullable = false)()
+    private lazy val yS = AttributeReference("pvoAccS", DoubleType, nullable = true)()
+    private lazy val sG = AttributeReference("pvoSumG", DoubleType, nullable = true)()
+    private lazy val cG = AttributeReference("pvoCntG", LongType, nullable = false)()
+    private lazy val yG = AttributeReference("pvoAccG", DoubleType, nullable = true)()
+    override def aggBufferAttributes: Seq[AttributeReference] =
+      Seq(pos, sF, cF, yF, sS, cS, yS, sG, cG, yG)
+    override val initialValues: Seq[Expression] =
+      Seq(Literal(0L)) ++ (1 to 3).flatMap(_ => Seq(nullD, Literal(0L), nullD))
+    private def pvoOf(f: Expression, s0: Expression): Expression =
+      Multiply(Literal(100.0), sdivE(Subtract(f, s0), s0))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val posN = Add(pos, Literal(1L))
+      val (uF, yFN) = seededLevel(pos, posN, fast, sF, cF, yF, v)
+      val (uS, ySN) = seededLevel(pos, posN, slow, sS, cS, yS, v)
+      val (uG, _) = seededLevel(pos, posN, sig, sG, cG, yG, pvoOf(yFN, ySN))
+      Seq(posN) ++ uF ++ uS ++ uG
+    }
+    override lazy val evaluateExpression: Expression = {
+      val p = pvoOf(yF, yS)
+      CreateNamedStruct(Seq(
+        Literal("pvo"), p,
+        Literal("pvos"), yG,
+        Literal("pvoh"), Subtract(p, yG)
+      ))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): PvoFold =
+      copy(v = c0(0))
+  }
+
   /** Keltner channel (Ta.kc: sma-seeded ema basis over close + sma-seeded
     * ema band over the true range) as ONE fold emitting STRUCT(kcb, kcl,
     * kcu) — the true range derives from a prev-close slot, so the whole

@@ -507,7 +507,7 @@ object TaSqlSurface {
         ((n - 1) to 0 by -1).map(etAt).reduce(_ + _)
       ))
     })
-  )
+  ) ++ TaSqlSurface2.builders // phase 6 (round 10) — see TaSqlSurface2
 
   /** kama/vidya recursion: y = (1−α)·y' + α·x, seeded at the first row
     * with a defined coefficient — Ta.kama/Ta.vidya's wf.linrec call

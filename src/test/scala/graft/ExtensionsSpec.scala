@@ -63,7 +63,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_ad", "graft_cmf", "graft_eom", "graft_mfi",
         "graft_log_return", "graft_percent_return",
         "graft_log_return_cum", "graft_percent_return_cum", "graft_drawdown",
-        "graft_mad", "graft_skew", "graft_kurtosis", "graft_quantile", "graft_entropy"
+        "graft_mad", "graft_skew", "graft_kurtosis", "graft_quantile", "graft_entropy",
+        // phase 6 (round 10): remaining registry kinds
+        "graft_vwap", "graft_pvol", "graft_pvr", "graft_qstick", "graft_pdist",
+        "graft_increasing", "graft_decreasing", "graft_ttm_trend",
+        "graft_cmo", "graft_er", "graft_psl", "graft_vhf", "graft_cg", "graft_geomean",
+        "graft_chop", "graft_vortex", "graft_ui", "graft_uo", "graft_brar",
+        "graft_linreg", "graft_cfo", "graft_cti",
+        "graft_dpo", "graft_coppock", "graft_ichimoku", "graft_aberration",
+        "graft_dm_k", "graft_dm", "graft_decay_k", "graft_decay",
+        "graft_nvi_k", "graft_nvi", "graft_pvi_k", "graft_pvi",
+        "graft_etr_k", "graft_pgo", "graft_adosc_k", "graft_adosc",
+        "graft_t3_k", "graft_t3", "graft_pvo_k", "graft_pvo"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -139,7 +150,35 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_log_return_cum(close)", "graft_percent_return_cum(close)",
       "graft_drawdown(close).dd_pct",
       "graft_mad(close, 3)", "graft_skew(close, 3)", "graft_kurtosis(close, 4)",
-      "graft_quantile(close, 3, 0.75)", "graft_entropy(close, 3, 2.0)"
+      "graft_quantile(close, 3, 0.75)", "graft_entropy(close, 3, 2.0)",
+      // phase 6
+      "graft_vwap(high, low, close, volume)", "graft_pvol(close, volume)",
+      "graft_pvr(close, volume)", "graft_qstick(open, close, 3)",
+      "graft_pdist(open, high, low, close, 1)",
+      "graft_increasing(close, 1)", "graft_decreasing(close, 1)",
+      "graft_ttm_trend(high, low, close, 3)",
+      "graft_cmo(close, 3)", "graft_er(close, 3)", "graft_psl(close, 3)",
+      "graft_vhf(close, 3)", "graft_cg(close, 3)", "graft_geomean(close, 3)",
+      "graft_chop(high, low, close, 3)", "graft_vortex(high, low, close, 3).vtxp",
+      "graft_ui(close, 3)", "graft_uo(high, low, close, 2, 3, 4)",
+      "graft_brar(open, high, low, close, 3).ar",
+      "graft_linreg(close, 3).slope", "graft_cfo(close, 3)", "graft_cti(close, 3)",
+      "graft_dpo(close, 4, 1)", "graft_coppock(close, 3, 2, 4)",
+      "graft_ichimoku(high, low, close, 2, 3, 4, 2).its",
+      "graft_aberration(high, low, close, 3, 4).zg",
+      "graft_dm(high, low, 3).dmp", "graft_decay(close, 3)",
+      "graft_nvi(close, volume, 1000.0)", "graft_pvi(close, volume, 1000.0)",
+      "graft_pgo(high, low, close, 3)",
+      "graft_adosc(high, low, close, volume, 2, 4)",
+      "graft_t3(close, 3, 0.7)", "graft_pvo(volume, 2, 4, 2).pvo",
+      "graft_dm_k(high, low, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_decay_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_nvi_k(close, volume, 1000.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_pvi_k(close, volume, 1000.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_etr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_adosc_k(high, low, close, volume, 2, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_t3_k(close, 3, 0.7) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_pvo_k(volume, 2, 4, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

@@ -151,6 +151,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
   }
 
+  test("SQL-surface phase 6 (lag-unrolled composites, shifted frames, new folds) = one shuffle") {
+    // the unrolled rolling sums (cmo/uo/chop), the shifted-frame kinds
+    // (ui, ichimoku spans, centered dpo), the linreg closed forms, and
+    // the phase-6 folds (dm/decay/nvi/adosc/t3/pvo) all ride the
+    // canonical partition/order — lag offsets and frame bounds differ,
+    // but frames never shuffle, so the whole batch plans ONE Exchange
+    Graft.init(spark)
+    synthetic.repartition(col("series_id")).createOrReplaceTempView("ps_sql6_bars")
+    val out = spark.sql(
+      "SELECT series_id, ts, graft_cmo(close, 10) AS a, " +
+        "graft_uo(high, low, close, 7, 14, 28) AS b, graft_chop(high, low, close, 10) AS c, " +
+        "graft_ui(close, 10) AS d, graft_ichimoku(high, low, close, 3, 5, 8, 5) AS e, " +
+        "graft_dpo(close, 20, 1) AS f, graft_linreg(close, 10) AS g, " +
+        "graft_dm(high, low, 14) AS h, graft_decay(close, 5) AS i, " +
+        "graft_nvi(close, volume, 1000.0) AS j, " +
+        "graft_adosc(high, low, close, volume, 3, 10) AS k, " +
+        "graft_t3(close, 10, 0.7) AS l, graft_pvo(volume, 12, 26, 9) AS m " +
+        "FROM ps_sql6_bars"
+    )
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1, s"expected 1 shuffle, got ${exchanges.size}:\n$plan")
+  }
+
   test("full REC-kind strategy batch plans ONE Exchange total (jma's collapses)") {
     // every O(1)-state REC kind folds (round 9), and the one remaining
     // kernel (jma, ring buffers) repartitions on the SAME key the
