@@ -862,6 +862,790 @@ object StreamingTa {
     }
   }
 
+  // ------------------------------------------- extended streaming (r10)
+  // Streaming twins for the remaining W/WW/ELEM/CUM registry kinds — the
+  // weighted-MA, volume, momentum, trend/volatility and rolling-stats
+  // families. Same discipline as WStage: ring state reproducing the
+  // batch window expressions' fold orders and min_periods gates
+  // value-for-value; parity asserted against the batch accessors in
+  // StreamingKernelSpec.
+
+  /** Nullable ring over the last `cap` values with frame-order folds:
+    * `at(i)` is the i-th newest (lag order), folds run oldest→newest —
+    * WindowExec's frame order — and the min_periods gate counts
+    * non-null among the last k like prim.gated. */
+  private final class NRing(cap: Int) extends Serializable {
+    private val buf = new Array[java.lang.Double](cap)
+    private var rows = 0L
+    private var pos = 0
+    def push(x: java.lang.Double): Unit = { buf(pos) = x; pos = (pos + 1) % cap; rows += 1 }
+    def pushed: Long = rows
+    /** lag-i value (0 = newest); null beyond the pushed history. */
+    def at(i: Int): java.lang.Double =
+      if (i >= math.min(rows, cap.toLong)) null else buf(((pos - 1 - i) % cap + cap) % cap)
+    private def frameLen(k: Int): Int = math.min(rows, k.toLong).toInt
+    def cntLast(k: Int): Int = {
+      var c = 0; var i = 0; val lim = frameLen(k)
+      while (i < lim) { if (at(i) != null) c += 1; i += 1 }
+      c
+    }
+    def gated(k: Int): Boolean = cntLast(k) >= k
+    /** Sum's oldest→newest null-skipping fold over the last k. */
+    def sumLast(k: Int): Double = {
+      var s = 0.0; var i = frameLen(k) - 1
+      while (i >= 0) { val v = at(i); if (v != null) s += v.doubleValue(); i -= 1 }
+      s
+    }
+    def gatedSumLast(k: Int): java.lang.Double =
+      if (gated(k)) Double.box(sumLast(k)) else null
+    def gatedMeanLast(k: Int): java.lang.Double =
+      if (gated(k)) Double.box(sumLast(k) / k) else null
+    def maxLast(k: Int): Double = {
+      var m = Double.NegativeInfinity; var i = frameLen(k) - 1
+      while (i >= 0) { val v = at(i); if (v != null && v.doubleValue() > m) m = v.doubleValue(); i -= 1 }
+      m
+    }
+    def minLast(k: Int): Double = {
+      var m = Double.PositiveInfinity; var i = frameLen(k) - 1
+      while (i >= 0) { val v = at(i); if (v != null && v.doubleValue() < m) m = v.doubleValue(); i -= 1 }
+      m
+    }
+    /** stddev_samp via CentralMomentAgg's exact frame-order recurrence. */
+    def moments2Last(k: Int): (Double, Double, Double) = {
+      var nn = 0.0; var avg = 0.0; var m2 = 0.0
+      var i = frameLen(k) - 1
+      while (i >= 0) {
+        val v = at(i)
+        if (v != null) {
+          nn += 1.0
+          val delta = v.doubleValue() - avg
+          val deltaN = delta / nn
+          avg += deltaN
+          m2 += delta * (delta - deltaN)
+        }
+        i -= 1
+      }
+      (nn, avg, m2)
+    }
+    /** Spark Percentile: sorted values, rank = q·(n−1), linear interp. */
+    def percentileLast(k: Int, q: Double): Double = {
+      val lim = frameLen(k)
+      val xs = new Array[Double](k)
+      var i = lim - 1; var j = 0
+      while (i >= 0) { val v = at(i); if (v != null) { xs(j) = v.doubleValue(); j += 1 }; i -= 1 }
+      val s = xs.take(j).sorted
+      val rank = q * (s.length - 1)
+      val lo = rank.toInt
+      val hi = math.ceil(rank).toInt
+      if (lo == hi) s(lo) else s(lo) + (rank - lo) * (s(hi) - s(lo))
+    }
+    /** Σ weights(i)·at(i), i = 0 newest — prim.wdot's lag-order fold
+      * (ascending i), null-prop if any referenced value is missing. */
+    def wdotLast(weights: Seq[Double]): java.lang.Double = {
+      var s = 0.0; var i = 0
+      while (i < weights.length) {
+        val v = at(i)
+        if (v == null) return null
+        s += v.doubleValue() * weights(i)
+        i += 1
+      }
+      Double.box(s)
+    }
+  }
+
+  private def jD(v: Double): java.lang.Double = Double.box(v)
+
+  /** ELEM / 1-lag kinds: stateless bar arithmetic (+ prev-bar slots). */
+  final class ElemStage(kind: String, n: Int) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "hl2" | "hlc3" | "ohlc4" | "wcp" | "bop" | "true_range" |
+           "pvol" | "pvr" | "pdist" => Seq(dblField(kind))
+      case "slope" => Seq(dblField(s"slope_$n"))
+      case "log_return" => Seq(dblField(s"log_return_$n"))
+      case "percent_return" => Seq(dblField(s"percent_return_$n"))
+      case k => Seq(dblField(s"${k}_$n")) // increasing / decreasing
+    }
+    private val lagC = new NRing(math.max(n, 1) + 1)
+    private val lagV = new NRing(2)
+    private def sdivL(a: Double, b: Double): java.lang.Double =
+      if (b == 0.0) null else jD(a / b)
+    def update(t: BarTick): Array[Any] = {
+      lagC.push(jD(t.close)); lagV.push(jD(t.volume))
+      val pcN = lagC.at(n) // close n rows back (pushed already: lag n)
+      val pc1 = lagC.at(1)
+      kind match {
+        case "hl2" => Array(jD((t.high + t.low) / 2.0))
+        case "hlc3" => Array(jD((t.high + t.low + t.close) / 3.0))
+        case "ohlc4" => Array(jD((t.open + t.high + t.low + t.close) / 4.0))
+        case "wcp" => Array(jD((t.high + t.low + 2.0 * t.close) / 4.0))
+        case "bop" => Array(sdivL(t.close - t.open, t.high - t.low))
+        case "true_range" => Array(trOrNull(t.high, t.low, pc1))
+        case "pvol" => Array(jD(t.volume * t.close))
+        case "pvr" =>
+          val pv = lagV.at(1)
+          if (pc1 == null || pv == null) Array(null)
+          else {
+            val dc = t.close - pc1.doubleValue(); val dv = t.volume - pv.doubleValue()
+            Array(jD(
+              if (dc >= 0 && dv >= 0) 1.0
+              else if (dc >= 0 && dv < 0) 2.0
+              else if (dc < 0 && dv >= 0) 3.0
+              else 4.0))
+          }
+        case "pdist" =>
+          Array(if (pc1 == null) null
+          else jD(2.0 * (t.high - t.low) - math.abs(t.close - t.open) +
+            math.abs(t.open - pc1.doubleValue())))
+        case "slope" =>
+          Array(if (pcN == null) null else jD((t.close - pcN.doubleValue()) / n.toDouble))
+        case "log_return" =>
+          if (pcN == null || pcN.doubleValue() == 0.0) Array(null)
+          else {
+            val r = t.close / pcN.doubleValue()
+            Array(if (r > 0.0) jD(math.log(r)) else null)
+          }
+        case "percent_return" =>
+          Array(if (pcN == null || pcN.doubleValue() == 0.0) null
+          else jD(t.close / pcN.doubleValue() - 1.0))
+        case "increasing" =>
+          Array(jD(if (pcN != null && t.close - pcN.doubleValue() > 0) 1.0 else 0.0))
+        case "decreasing" =>
+          Array(jD(if (pcN != null && t.close - pcN.doubleValue() < 0) 1.0 else 0.0))
+        case other => throw new IllegalArgumentException(s"ElemStage: '$other'")
+      }
+    }
+  }
+
+  /** CUM kinds: running accumulators (vwap, obv, ad, pvt, drawdown,
+    * nvi/pvi, cumulative returns). */
+  final class CumStage(kind: String) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "drawdown" => Seq(dblField("dd"), dblField("dd_pct"), dblField("dd_log"))
+      case "log_return_cum" => Seq(dblField("log_return_cum"))
+      case "percent_return_cum" => Seq(dblField("percent_return_cum"))
+      case k => Seq(dblField(k))
+    }
+    private var pos = 0L
+    private var pc: java.lang.Double = null
+    private var pv: java.lang.Double = null
+    private var acc = 0.0 // running sum (vwap num / obv / ad / pvt / nvi log-mass)
+    private var acc2 = 0.0 // vwap denominator
+    private var cmax = Double.NegativeInfinity
+    private var first: java.lang.Double = null
+    private def sdivL(a: Double, b: Double): java.lang.Double =
+      if (b == 0.0) null else jD(a / b)
+    def update(t: BarTick): Array[Any] = {
+      pos += 1
+      val out: Array[Any] = kind match {
+        case "vwap" =>
+          val tp = (t.high + t.low + t.close) / 3.0
+          acc += tp * t.volume; acc2 += t.volume
+          Array(sdivL(acc, acc2))
+        case "obv" =>
+          val sgn =
+            if (pos == 1) 1.0
+            else if (pc == null) 0.0
+            else { val dc = t.close - pc.doubleValue(); if (dc > 0) 1.0 else if (dc < 0) -1.0 else 0.0 }
+          acc += sgn * t.volume
+          Array(jD(acc))
+        case "ad" =>
+          val clv = if (t.high != t.low) ((t.close - t.low) - (t.high - t.close)) / (t.high - t.low) else 0.0
+          acc += clv * t.volume
+          Array(jD(acc))
+        case "pvt" =>
+          val r =
+            if (pc == null || pc.doubleValue() == 0.0) 0.0
+            else (t.close / pc.doubleValue() - 1.0) * t.volume
+          acc += r
+          Array(jD(acc))
+        case "nvi" | "pvi" =>
+          if (pc != null && pv != null) {
+            val dv = t.volume - pv.doubleValue()
+            val gate = if (kind == "nvi") dv < 0 else dv > 0
+            if (gate && pc.doubleValue() != 0.0)
+              acc += math.log(1.0 + (t.close / pc.doubleValue() - 1.0))
+          }
+          Array(jD(1000.0 * math.exp(acc)))
+        case "drawdown" =>
+          if (t.close > cmax) cmax = t.close
+          val ddl =
+            if (cmax > 0.0 && t.close > 0.0) jD(math.log(cmax) - math.log(t.close))
+            else null
+          val ddp = if (cmax == 0.0) null else jD(1.0 - t.close / cmax)
+          Array(jD(cmax - t.close), ddp, ddl)
+        case "log_return_cum" =>
+          if (first == null) first = jD(t.close)
+          if (first.doubleValue() == 0.0) Array(null)
+          else { val r = t.close / first.doubleValue(); Array(if (r > 0) jD(math.log(r)) else null) }
+        case "percent_return_cum" =>
+          if (first == null) first = jD(t.close)
+          Array(if (first.doubleValue() == 0.0) null else jD(t.close / first.doubleValue() - 1.0))
+        case other => throw new IllegalArgumentException(s"CumStage: '$other'")
+      }
+      pc = jD(t.close); pv = jD(t.volume)
+      out
+    }
+  }
+
+  /** Rolling (W/WW-class) kinds over OHLCV rings: weighted MAs, rolling
+    * stats, and the frame composites. Each branch mirrors the batch
+    * expression's arithmetic and gates value-for-value. */
+  final class RollStage(kind: String, p: Map[String, Any]) extends StreamStage {
+    private def ip(k: String, d: Int) = p.get(k).map(_.toString.toDouble.toInt).getOrElse(d)
+    private def dp(k: String, d: Double) = p.get(k).map(_.toString.toDouble).getOrElse(d)
+    private val n = kind match {
+      case "alma" | "fwma" | "pwma" | "swma" | "sinwma" | "hma" | "trima" | "cmo" |
+           "er" | "cg" | "cfo" | "vhf" | "geometric_mean" | "cci" | "vwma" | "donchian" |
+           "accbands" | "chop" | "vortex" | "ui" | "qstick" | "ttm_trend" | "aroon" |
+           "entropy" | "coppock" => ip("length", 10)
+      case "cti" => ip("length", 12)
+      case "psl" => ip("length", 12)
+      case "bias" => ip("length", 26)
+      case "brar" => ip("length", 26)
+      case "eom" => ip("length", 14)
+      case "mfi" | "cmf" => ip("length", 10)
+      case "variance" | "median" | "quantile" | "mad" | "skew" | "kurtosis" => ip("length", 30)
+      case _ => ip("length", 10)
+    }
+    private val fast = ip("fast", kind match { case "ao" => 5; case "coppock" => 11; case _ => 12 })
+    private val slow = ip("slow", kind match { case "ao" => 20; case "coppock" => 14; case _ => 26 })
+    private val medium = ip("medium", 14)
+    private val uoF = ip("fast", 7); private val uoS = ip("slow", 28)
+    private val q = dp("q", 0.5)
+
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "donchian" => Seq(s"dcl_$n", s"dcu_$n", s"dcm_$n").map(dblField)
+      case "accbands" => Seq(s"accbl_$n", s"accbm_$n", s"accbu_$n").map(dblField)
+      case "vortex" => Seq(s"vtxp_$n", s"vtxm_$n").map(dblField)
+      case "aroon" => Seq(s"aroon_u_$n", s"aroon_d_$n").map(dblField)
+      case "brar" => Seq(s"ar_$n", s"br_$n").map(dblField)
+      case "ao" => Seq(dblField(s"ao_${fast}_$slow"))
+      case "apo" => Seq(dblField(s"apo_${fast}_$slow"))
+      case "ppo" => Seq(dblField(s"ppo_${fast}_$slow"))
+      case "uo" => Seq(dblField(s"uo_${uoF}_${medium}_$uoS"))
+      case "coppock" => Seq(dblField(s"coppock_${n}_${fast}_$slow"))
+      case "quantile" => Seq(dblField(s"quantile_$n"))
+      case "geometric_mean" => Seq(dblField(s"geomean_$n"))
+      case k => Seq(dblField(s"${k}_$n"))
+    }
+
+    // shared rings sized to the largest window any branch reads
+    private val cap = math.max(
+      Seq(n + 1, slow + 1, uoS + 1, fast + slow + n + 2).max, 4)
+    private val rc = new NRing(cap) // close
+    private val rh = new NRing(cap) // high
+    private val rl = new NRing(cap) // low
+    private val rAux = new NRing(cap) // per-kind staged column
+    private val rAux2 = new NRing(cap)
+    private val rAux3 = new NRing(cap)
+
+    private def sdivL(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+      if (a == null || b == null || b.doubleValue() == 0.0) null
+      else jD(a.doubleValue() / b.doubleValue())
+
+    /** Ta.wdotMa weights → normalized lag order. */
+    private val maW: Seq[Double] = kind match {
+      case "alma" =>
+        val sigma = dp("sigma", 6.0); val offset = dp("dist_offset", 0.85)
+        val m = offset * (n - 1); val sg = n / sigma
+        (0 until n).map(i => math.exp(-(i - m) * (i - m) / (2 * sg * sg)))
+      case "fwma" =>
+        Iterator.iterate((1.0, 1.0)) { case (a, b) => (b, a + b) }.map(_._1).take(n).toSeq
+      case "pwma" =>
+        (0 until n).scanLeft(1.0) { case (acc, k) => acc * (n - 1 - k) / (k + 1) }.take(n).toSeq
+      case "swma" =>
+        val half = (n + 1) / 2
+        ((1 to half) ++ (if (n % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1)))
+          .map(_.toDouble)
+      case "sinwma" => (0 until n).map(i => math.sin((i + 1) * math.Pi / (n + 1)))
+      case _ => Nil
+    }
+    private val maWLag: Seq[Double] =
+      if (maW.isEmpty) Nil else { val s = maW.sum; maW.reverse.map(_ / s) }
+    private def wmaW(len: Int): Seq[Double] = {
+      val ws = (1 to len).map(_.toDouble); val d0 = ws.sum; ws.reverse.map(_ / d0)
+    }
+
+    def update(t: BarTick): Array[Any] = {
+      rc.push(jD(t.close)); rh.push(jD(t.high)); rl.push(jD(t.low))
+      kind match {
+        case "alma" | "fwma" | "pwma" | "swma" | "sinwma" =>
+          Array(if (rc.gated(n)) rc.wdotLast(maWLag) else null)
+        case "hma" =>
+          val half = n / 2; val sq = math.sqrt(n.toDouble).toInt
+          val h0 =
+            if (rc.pushed < n) null
+            else {
+              val a = rc.wdotLast(wmaW(half)); val b = rc.wdotLast(wmaW(n))
+              if (a == null || b == null) null else jD(2.0 * a.doubleValue() - b.doubleValue())
+            }
+          rAux.push(h0)
+          Array(rAux.wdotLast(wmaW(sq)))
+        case "trima" =>
+          val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
+          val second = n / 2 + 1
+          rAux.push(rc.gatedMeanLast(half))
+          Array(rAux.gatedMeanLast(second))
+        case "variance" =>
+          if (!rc.gated(n)) Array(null)
+          else { val (nn, _, m2) = rc.moments2Last(n); Array(jD(m2 / (nn - 1.0))) }
+        case "median" => Array(if (rc.gated(n)) jD(rc.percentileLast(n, 0.5)) else null)
+        case "quantile" => Array(if (rc.gated(n)) jD(rc.percentileLast(n, q)) else null)
+        case "mad" =>
+          if (!rc.gated(n)) Array(null)
+          else {
+            val m = rc.sumLast(n) / n
+            var s = 0.0; var i = n - 1
+            while (i >= 0) { s += math.abs(rc.at(i).doubleValue() - m); i -= 1 }
+            Array(jD(s / n))
+          }
+        case "skew" | "kurtosis" =>
+          // prim.rskew/rkurt moment formulas (sums in frame order)
+          if (!rc.gated(n)) Array(null)
+          else {
+            var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+            var i = n - 1
+            while (i >= 0) {
+              val v = rc.at(i).doubleValue()
+              s1 += v; s2 += v * v; s3 += v * v * v; s4 += v * v * v * v
+              i -= 1
+            }
+            val nn = n.toDouble
+            val m = s1 / nn
+            val m2 = s2 / nn - m * m
+            if (m2 <= 0.0) Array(null)
+            else if (kind == "skew") {
+              val m3 = s3 / nn - 3.0 * m * (s2 / nn) + 2.0 * m * m * m
+              val d0 = math.sqrt(m2 * m2 * m2)
+              Array(if (d0 == 0.0) null
+              else jD(m3 / d0 * math.sqrt(nn * (nn - 1.0)) / (nn - 2.0)))
+            } else {
+              val m4 = s4 / nn - 4.0 * m * (s3 / nn) + 6.0 * m * m * (s2 / nn) - 3.0 * m * m * m * m
+              val g2 = if (m2 * m2 == 0.0) return Array(null) else m4 / (m2 * m2) - 3.0
+              Array(jD(((nn + 1.0) * g2 + 6.0) * (nn - 1.0) / ((nn - 2.0) * (nn - 3.0))))
+            }
+          }
+        case "geometric_mean" =>
+          rAux.push(if (t.close > 0) jD(math.log(t.close)) else null)
+          val m = rAux.gatedMeanLast(n)
+          Array(if (m == null) null else jD(math.exp(m.doubleValue())))
+        case "entropy" =>
+          val rs = rc.gatedSumLast(n)
+          val pV = sdivL(jD(t.close), rs)
+          rAux.push(
+            if (pV != null && pV.doubleValue() > 0)
+              jD(-pV.doubleValue() * math.log(pV.doubleValue()) / math.log(2.0))
+            else null)
+          Array(rAux.gatedSumLast(n))
+        case "cmo" =>
+          val d1 = if (rc.at(1) == null) null else jD(t.close - rc.at(1).doubleValue())
+          rAux.push(if (d1 == null) null else if (d1.doubleValue() > 0) d1 else jD(0.0))
+          rAux2.push(if (d1 == null) null else if (d1.doubleValue() < 0) jD(-d1.doubleValue()) else jD(0.0))
+          val su = rAux.gatedSumLast(n); val sd = rAux2.gatedSumLast(n)
+          if (su == null || sd == null) Array(null)
+          else Array(sdivL(jD(su.doubleValue() - sd.doubleValue()),
+            jD(su.doubleValue() + sd.doubleValue())) match {
+            case null => null
+            case v => jD(100.0 * v.doubleValue())
+          })
+        case "er" =>
+          val d1 = if (rc.at(1) == null) null else jD(math.abs(t.close - rc.at(1).doubleValue()))
+          rAux.push(d1)
+          val den = rAux.gatedSumLast(n)
+          val pcN = rc.at(n)
+          Array(if (pcN == null) null
+          else sdivL(jD(math.abs(t.close - pcN.doubleValue())), den))
+        case "psl" =>
+          val d1 = rc.at(1)
+          rAux.push(jD(if (d1 != null && t.close - d1.doubleValue() > 0) 1.0 else 0.0))
+          val s0 = rAux.gatedSumLast(n)
+          Array(if (s0 == null) null else jD(100.0 * s0.doubleValue() / n.toDouble))
+        case "vhf" =>
+          val d1 = if (rc.at(1) == null) null else jD(math.abs(t.close - rc.at(1).doubleValue()))
+          rAux.push(d1)
+          val den = rAux.gatedSumLast(n)
+          Array(if (!rc.gated(n)) null
+          else sdivL(jD(math.abs(rc.maxLast(n) - rc.minLast(n))), den))
+        case "cg" =>
+          // −sdiv(wdot(x, 1..n lag-order), rsum(x, n))
+          if (!rc.gated(n)) Array(null)
+          else {
+            val num = rc.wdotLast((1 to n).map(_.toDouble))
+            val den = rc.gatedSumLast(n)
+            val v = sdivL(num, den)
+            Array(if (v == null) null else jD(-v.doubleValue()))
+          }
+        case "cfo" | "cti" =>
+          // stage.linreg closed form over the close ring
+          if (!rc.gated(n)) Array(null)
+          else {
+            val nn = n.toDouble
+            val sx = (0 until n).map(_.toDouble).sum
+            val sxx = (0 until n).map(i => i.toDouble * i).sum
+            val dx = nn * sxx - sx * sx
+            var sxy = 0.0; var sy = 0.0; var syy = 0.0
+            var i = 0
+            while (i < n) {
+              val v = rc.at(i).doubleValue()
+              sxy += v * (n - 1 - i).toDouble
+              i += 1
+            }
+            i = n - 1
+            while (i >= 0) { val v = rc.at(i).doubleValue(); sy += v; syy += v * v; i -= 1 }
+            if (kind == "cfo") {
+              val slope = (nn * sxy - sx * sy) / dx
+              val intercept = (sy - slope * sx) / nn
+              val tsf = intercept + slope * (nn - 1.0)
+              Array(if (t.close == 0.0) null else jD(100.0 * ((t.close - tsf) / t.close)))
+            } else {
+              val den2 = (nn * syy - sy * sy) * dx
+              Array(if (den2 > 0.0) {
+                val d0 = math.sqrt(den2)
+                if (d0 == 0.0) null else jD((nn * sxy - sx * sy) / d0)
+              } else null)
+            }
+          }
+        case "coppock" =>
+          val lf = rc.at(fast); val ls = rc.at(slow)
+          val r2 =
+            if (lf == null || ls == null || lf.doubleValue() == 0.0 || ls.doubleValue() == 0.0) null
+            else jD(100.0 * (t.close / lf.doubleValue() - 1.0) +
+              100.0 * (t.close / ls.doubleValue() - 1.0))
+          rAux.push(r2)
+          Array(rAux.wdotLast(wmaW(n)))
+        case "qstick" =>
+          rAux.push(jD(t.close - t.open))
+          Array(rAux.gatedMeanLast(n))
+        case "ttm_trend" =>
+          rAux.push(jD((t.high + t.low) / 2.0))
+          val m = rAux.gatedMeanLast(n)
+          Array(if (m == null) null else jD(if (t.close > m.doubleValue()) 1.0 else -1.0))
+        case "cci" =>
+          rAux.push(jD((t.high + t.low + t.close) / 3.0))
+          if (!rAux.gated(n)) Array(null)
+          else {
+            val m = rAux.sumLast(n) / n
+            var s = 0.0; var i = n - 1
+            while (i >= 0) { s += math.abs(rAux.at(i).doubleValue() - m); i -= 1 }
+            val madV = s / n
+            val tp = rAux.at(0).doubleValue()
+            val den = 0.015 * madV
+            Array(if (den == 0.0) null else jD((tp - m) / den))
+          }
+        case "ao" =>
+          rAux.push(jD((t.high + t.low) / 2.0))
+          val f0 = rAux.gatedMeanLast(fast); val s0 = rAux.gatedMeanLast(slow)
+          Array(if (f0 == null || s0 == null) null else jD(f0.doubleValue() - s0.doubleValue()))
+        case "apo" =>
+          val f0 = rc.gatedMeanLast(fast); val s0 = rc.gatedMeanLast(slow)
+          Array(if (f0 == null || s0 == null) null else jD(f0.doubleValue() - s0.doubleValue()))
+        case "ppo" =>
+          val f0 = rc.gatedMeanLast(fast); val s0 = rc.gatedMeanLast(slow)
+          Array(if (f0 == null || s0 == null) null
+          else {
+            val v = sdivL(jD(f0.doubleValue() - s0.doubleValue()), s0)
+            if (v == null) null else jD(100.0 * v.doubleValue())
+          })
+        case "bias" =>
+          val m = rc.gatedMeanLast(n)
+          val v = sdivL(jD(t.close), m)
+          Array(if (v == null) null else jD(100.0 * (v.doubleValue() - 1.0)))
+        case "vwma" =>
+          rAux.push(jD(t.close * t.volume)); rAux2.push(jD(t.volume))
+          Array(sdivL(rAux.gatedMeanLast(n), rAux2.gatedMeanLast(n)))
+        case "donchian" =>
+          if (!rl.gated(n)) Array(null, null, null)
+          else {
+            val dcl = rl.minLast(n); val dcu = rh.maxLast(n)
+            Array(jD(dcl), jD(dcu), jD((dcl + dcu) / 2.0))
+          }
+        case "accbands" =>
+          val hpl = t.high + t.low
+          val ratio: java.lang.Double =
+            if (hpl == 0.0) null else jD(4.0 * ((t.high - t.low) / hpl))
+          rAux.push(if (ratio == null) null else jD(t.high * (1.0 + ratio.doubleValue())))
+          rAux2.push(if (ratio == null) null else jD(t.low * (1.0 - ratio.doubleValue())))
+          Array(rAux2.gatedMeanLast(n), rc.gatedMeanLast(n), rAux.gatedMeanLast(n))
+        case "chop" =>
+          rAux.push(trOrNull(t.high, t.low, rc.at(1)))
+          val trS = rAux.gatedSumLast(n)
+          if (trS == null || !rh.gated(n)) Array(null)
+          else {
+            val ratio = sdivL(trS, jD(rh.maxLast(n) - rl.minLast(n)))
+            Array(if (ratio == null || ratio.doubleValue() <= 0.0) null
+            else jD(100.0 * math.log(ratio.doubleValue()) / math.log(n.toDouble)))
+          }
+        case "vortex" =>
+          val pl = rl.at(1); val ph = rh.at(1)
+          rAux.push(trOrNull(t.high, t.low, rc.at(1)))
+          rAux2.push(if (pl == null) null else jD(math.abs(t.high - pl.doubleValue())))
+          rAux3.push(if (ph == null) null else jD(math.abs(t.low - ph.doubleValue())))
+          val trS = rAux.gatedSumLast(n)
+          Array(sdivL(rAux2.gatedSumLast(n), trS), sdivL(rAux3.gatedSumLast(n), trS))
+        case "ui" =>
+          val hh: java.lang.Double = if (rc.gated(n)) jD(rc.maxLast(n)) else null
+          val dpct = if (hh == null) null else sdivL(jD(t.close - hh.doubleValue()), hh)
+          rAux.push(if (dpct == null) null
+          else jD(100.0 * dpct.doubleValue() * (100.0 * dpct.doubleValue())))
+          val m = rAux.gatedMeanLast(n)
+          Array(if (m == null || m.doubleValue() < 0.0) null else jD(math.sqrt(m.doubleValue())))
+        case "uo" =>
+          val pcV = rc.at(1)
+          rAux.push(if (pcV == null) null
+          else jD(t.close - math.min(t.low, pcV.doubleValue())))
+          rAux2.push(if (pcV == null) null
+          else jD(math.max(t.high, pcV.doubleValue()) - math.min(t.low, pcV.doubleValue())))
+          def avgN(k: Int) = sdivL(rAux.gatedSumLast(k), rAux2.gatedSumLast(k))
+          val a7 = avgN(uoF); val a14 = avgN(medium); val a28 = avgN(uoS)
+          Array(if (a7 == null || a14 == null || a28 == null) null
+          else jD(100.0 * (4.0 * a7.doubleValue() + 2.0 * a14.doubleValue() + a28.doubleValue()) / 7.0))
+        case "brar" =>
+          val pcV = rc.at(1)
+          rAux.push(jD(t.high - t.open)); rAux2.push(jD(t.open - t.low))
+          rAux3.push(if (pcV == null) null else jD(math.max(0.0, t.high - pcV.doubleValue())))
+          rAuxB.push(if (pcV == null) null else jD(math.max(0.0, pcV.doubleValue() - t.low)))
+          val ar = sdivL(rAux.gatedSumLast(n), rAux2.gatedSumLast(n))
+          val br = sdivL(rAux3.gatedSumLast(n), rAuxB.gatedSumLast(n))
+          Array(
+            if (ar == null) null else jD(100.0 * ar.doubleValue()),
+            if (br == null) null else jD(100.0 * br.doubleValue()))
+        case "aroon" =>
+          // batch: position of the extremum in the REVERSED (newest-first)
+          // n+1 frame, first match wins
+          if (rh.pushed < n + 1) Array(null, null)
+          else {
+            def pick(r: NRing, best: (Double, Double) => Boolean): Double = {
+              var bi = 0; var bv = r.at(0).doubleValue()
+              var i = 1
+              while (i <= n) {
+                val v = r.at(i).doubleValue()
+                if (best(v, bv)) { bv = v; bi = i }
+                i += 1
+              }
+              100.0 * (n.toDouble - bi) / n.toDouble
+            }
+            Array(jD(pick(rh, _ > _)), jD(pick(rl, _ < _)))
+          }
+        case "eom" =>
+          val hl2p = if (rh.at(1) == null) null
+          else jD((rh.at(1).doubleValue() + rl.at(1).doubleValue()) / 2.0)
+          val raw =
+            if (hl2p == null || t.volume == 0.0) null
+            else jD(1e8 * ((t.high + t.low) / 2.0 - hl2p.doubleValue()) *
+              ((t.high - t.low) / t.volume))
+          rAux.push(raw)
+          Array(rAux.gatedMeanLast(n))
+        case "mfi" =>
+          val tp = (t.high + t.low + t.close) / 3.0
+          val ptp = if (rh.at(1) == null) null
+          else jD((rh.at(1).doubleValue() + rl.at(1).doubleValue() + rc.at(1).doubleValue()) / 3.0)
+          val dtp = if (ptp == null) null else jD(tp - ptp.doubleValue())
+          rAux.push(jD(if (dtp != null && dtp.doubleValue() > 0) tp * t.volume else 0.0))
+          rAux2.push(jD(if (dtp != null && dtp.doubleValue() < 0) tp * t.volume else 0.0))
+          val sp = rAux.gatedSumLast(n); val sn = rAux2.gatedSumLast(n)
+          Array(if (sp == null || sn == null) null
+          else {
+            val v = sdivL(sp, jD(sp.doubleValue() + sn.doubleValue()))
+            if (v == null) null else jD(100.0 * v.doubleValue())
+          })
+        case "cmf" =>
+          val clv =
+            if (t.high != t.low) ((t.close - t.low) - (t.high - t.close)) / (t.high - t.low) else 0.0
+          rAux.push(jD(clv * t.volume)); rAux2.push(jD(t.volume))
+          Array(sdivL(rAux.gatedSumLast(n), rAux2.gatedSumLast(n)))
+        case other => throw new IllegalArgumentException(s"RollStage: '$other'")
+      }
+    }
+    private val rAuxB = new NRing(cap)
+  }
+
+  /** Recursive (seeded-ema / LinRecur) kinds: zlma, t3, pvo, adosc, efi,
+    * pgo, kama, vidya, dm, decay. Each mirrors its batch fold/kernel. */
+  final class RecurStage(kind: String, p: Map[String, Any]) extends StreamStage {
+    private def ip(k: String, d: Int) = p.get(k).map(_.toString.toDouble.toInt).getOrElse(d)
+    private def dp(k: String, d: Double) = p.get(k).map(_.toString.toDouble).getOrElse(d)
+    private val n = ip("length", kind match {
+      case "dm" => 14; case "pgo" => 14; case "decay" => 5; case _ => 10
+    })
+    private val fast = ip("fast", kind match { case "adosc" => 3; case "kama" => 2; case _ => 12 })
+    private val slow = ip("slow", kind match { case "adosc" => 10; case "kama" => 30; case _ => 26 })
+    private val sig = ip("signal", 9)
+    private val aT3 = dp("a", 0.7)
+
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "dm" => Seq(s"dmp_$n", s"dmn_$n").map(dblField)
+      case "pvo" => Seq(s"pvo_${fast}_$slow", s"pvos_${fast}_$slow", s"pvoh_${fast}_$slow").map(dblField)
+      case "adosc" => Seq(dblField(s"adosc_${fast}_$slow"))
+      case k => Seq(dblField(s"${k}_$n"))
+    }
+
+    // seeded-ema levels (position-shared) + misc state
+    private var pos = 0L
+    private def mkLv(len: Int) = new SeededLvl(2.0 / (len + 1), len)
+    /** streaming twin of SeededComposites.seededLevel (same spelling as
+      * the fold stages' SeededLevel, duplicated here with an explicit
+      * alpha so per-level lengths can differ). */
+    private final class SeededLvl(alpha: Double, len: Int) extends Serializable {
+      private var sum: java.lang.Double = null
+      private var cnt = 0L
+      private var acc: java.lang.Double = null
+      def step(pos0: Long, posN: Long, input: java.lang.Double): java.lang.Double = {
+        if (pos0 < len && input != null) {
+          sum = if (sum == null) input else jD(sum.doubleValue() + input.doubleValue())
+          cnt += 1
+        }
+        val z: java.lang.Double =
+          if (posN < len) null
+          else if (posN == len) (if (sum == null) null else jD(sum.doubleValue() / cnt))
+          else input
+        if (z != null)
+          acc =
+            if (acc == null) z
+            else jD((1.0 - alpha) * acc.doubleValue() + alpha * z.doubleValue())
+        acc
+      }
+    }
+    private val lv1 = mkLv(kind match { case "adosc" | "pvo" | "kama" => fast; case _ => n })
+    private val lv2 = mkLv(kind match { case "adosc" | "pvo" => slow; case _ => n })
+    private val lv3 = mkLv(kind match { case "pvo" => sig; case _ => n })
+    private val lv4 = mkLv(n); private val lv5 = mkLv(n); private val lv6 = mkLv(n)
+    private val rc = new NRing(math.max(n, (n - 1) / 2) + 2)
+    private val wp = new WilderAcc(n); private val wm = new WilderAcc(n)
+    private var ph: java.lang.Double = null
+    private var pl: java.lang.Double = null
+    private var pc: java.lang.Double = null
+    private var pv: java.lang.Double = null
+    private var adAcc: java.lang.Double = null
+    private var linAcc: java.lang.Double = null // kama/vidya LinRecur
+    private var decayY: java.lang.Double = null
+
+    private def sdivL(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+      if (a == null || b == null || b.doubleValue() == 0.0) null
+      else jD(a.doubleValue() / b.doubleValue())
+
+    def update(t: BarTick): Array[Any] = {
+      val posN = pos + 1
+      rc.push(jD(t.close))
+      val out: Array[Any] = kind match {
+        case "zlma" =>
+          val lagN = (n - 1) / 2
+          val lagV = rc.at(lagN)
+          val zl = if (lagV == null) null else jD(2.0 * t.close - lagV.doubleValue())
+          Array(lv1.step(pos, posN, zl))
+        case "t3" =>
+          // the shared-n cascade (T3Fold): every level's input is null
+          // until row n and equals the x-seed mean AT row n
+          var input: java.lang.Double = jD(t.close)
+          val ys = new Array[java.lang.Double](6)
+          var i = 0
+          val lvs = Seq(lv1, lv2, lv3, lv4, lv5, lv6)
+          while (i < 6) { input = lvs(i).step(pos, posN, input); ys(i) = input; i += 1 }
+          val c1 = -aT3 * aT3 * aT3
+          val c2 = 3.0 * aT3 * aT3 + 3.0 * aT3 * aT3 * aT3
+          val c3 = -6.0 * aT3 * aT3 - 3.0 * aT3 - 3.0 * aT3 * aT3 * aT3
+          val c4 = 1.0 + 3.0 * aT3 + aT3 * aT3 * aT3 + 3.0 * aT3 * aT3
+          Array(
+            if (ys(5) == null || ys(4) == null || ys(3) == null || ys(2) == null) null
+            else jD(c1 * ys(5).doubleValue() + c2 * ys(4).doubleValue() +
+              c3 * ys(3).doubleValue() + c4 * ys(2).doubleValue()))
+        case "pvo" =>
+          val yF = lv1.step(pos, posN, jD(t.volume))
+          val yS = lv2.step(pos, posN, jD(t.volume))
+          val pvoV =
+            if (yF == null || yS == null) null
+            else {
+              val v = sdivL(jD(yF.doubleValue() - yS.doubleValue()), yS)
+              if (v == null) null else jD(100.0 * v.doubleValue())
+            }
+          val yG = lv3.step(pos, posN, pvoV)
+          Array(pvoV, yG,
+            if (pvoV == null || yG == null) null
+            else jD(pvoV.doubleValue() - yG.doubleValue()))
+        case "adosc" =>
+          val clv =
+            if (t.high != t.low) ((t.close - t.low) - (t.high - t.close)) / (t.high - t.low) else 0.0
+          val clvv = clv * t.volume
+          adAcc = if (adAcc == null) jD(clvv) else jD(adAcc.doubleValue() + clvv)
+          val yF = lv1.step(pos, posN, adAcc)
+          val yS = lv2.step(pos, posN, adAcc)
+          Array(if (yF == null || yS == null) null else jD(yF.doubleValue() - yS.doubleValue()))
+        case "efi" =>
+          val f = if (pc == null) null else jD((t.close - pc.doubleValue()) * t.volume)
+          Array(lv1.step(pos, posN, f))
+        case "pgo" =>
+          val tr = trOrNull(t.high, t.low, pc)
+          val etr = lv1.step(pos, posN, tr)
+          val m = rc.gatedMeanLast(n)
+          Array(if (m == null) null
+          else sdivL(jD(t.close - m.doubleValue()), etr))
+        case "kama" =>
+          // staged sc: er = |Δₙc| / Σₙ|Δc|; sc = (er·(fsc−ssc)+ssc)²
+          val fsc = 2.0 / (fast + 1); val ssc = 2.0 / (slow + 1)
+          val d1 = if (rc.at(1) == null) null else jD(math.abs(t.close - rc.at(1).doubleValue()))
+          adRing.push(d1)
+          val sumd = adRing.gatedSumLast(n)
+          val lagN = rc.at(n)
+          val er =
+            if (lagN == null) null
+            else sdivL(jD(math.abs(t.close - lagN.doubleValue())), sumd)
+          val sc =
+            if (er == null) null
+            else { val b = er.doubleValue() * (fsc - ssc) + ssc; jD(b * b) }
+          Array(linrecStep(sc, t.close))
+        case "vidya" =>
+          val d1 = if (rc.at(1) == null) null else jD(t.close - rc.at(1).doubleValue())
+          adRing.push(jD(if (d1 != null && d1.doubleValue() > 0) d1.doubleValue() else 0.0))
+          adRing2.push(jD(if (d1 != null && d1.doubleValue() < 0) -d1.doubleValue() else 0.0))
+          val su = adRing.gatedSumLast(n); val sd = adRing2.gatedSumLast(n)
+          val alphaV =
+            if (su == null || sd == null) null
+            else {
+              val cmoAbs = sdivL(jD(math.abs(su.doubleValue() - sd.doubleValue())),
+                jD(su.doubleValue() + sd.doubleValue()))
+              if (cmoAbs == null) null else jD(cmoAbs.doubleValue() * (2.0 / (n + 1)))
+            }
+          Array(linrecStep(alphaV, t.close))
+        case "dm" =>
+          val up = if (ph == null) null else jD(t.high - ph.doubleValue())
+          val dn = if (pl == null) null else jD(-(t.low - pl.doubleValue()))
+          val nullEither = up == null || dn == null
+          val pdm =
+            if (nullEither) null
+            else if (up.doubleValue() > dn.doubleValue() && up.doubleValue() > 0) up
+            else jD(0.0)
+          val mdm =
+            if (nullEither) null
+            else if (dn.doubleValue() > up.doubleValue() && dn.doubleValue() > 0) dn
+            else jD(0.0)
+          wp.step(pdm); wm.step(mdm)
+          Array(wp.gated, wm.gated)
+        case "decay" =>
+          // fold form y = max(x, y'−1/n, 0); Greatest-style null skip
+          val cands = Seq(
+            Some(t.close),
+            Option(decayY).map(_.doubleValue() - 1.0 / n),
+            Some(0.0)
+          ).flatten
+          decayY = jD(cands.max)
+          Array(decayY)
+        case other => throw new IllegalArgumentException(s"RecurStage: '$other'")
+      }
+      pos = posN
+      ph = jD(t.high); pl = jD(t.low); pc = jD(t.close); pv = jD(t.volume)
+      out
+    }
+    /** LinRecur's exact update with the kama/vidya seed. */
+    private def linrecStep(alphaV: java.lang.Double, x0: Double): java.lang.Double = {
+      if (linAcc == null) { if (alphaV != null) linAcc = jD(x0) }
+      else if (alphaV != null)
+        linAcc = jD((1.0 - alphaV.doubleValue()) * linAcc.doubleValue() +
+          alphaV.doubleValue() * x0)
+      linAcc
+    }
+    private val adRing = new NRing(math.max(n, 2) + 1)
+    private val adRing2 = new NRing(math.max(n, 2) + 1)
+  }
+
   /** Pass-through kernel: re-emits its staged columns as outputs, so a
     * pure ring-buffer WStage rides kernelBatchStream exactly like a REC
     * kernel. */
@@ -885,6 +1669,27 @@ object StreamingTa {
     * composites). */
   val wilderStreamKinds: Set[String] =
     Set("atr", "natr", "trix", "tsi", "adx", "stoch", "bbands", "kc")
+
+  /** Streamable ELEM / 1-lag kinds ([[ElemStage]], round 10). */
+  val elemStreamKinds: Set[String] = Set(
+    "hl2", "hlc3", "ohlc4", "wcp", "bop", "true_range", "pvol", "pvr",
+    "pdist", "slope", "log_return", "percent_return", "increasing", "decreasing")
+
+  /** Streamable CUM kinds ([[CumStage]], round 10). */
+  val cumStreamKinds: Set[String] = Set("vwap", "obv", "ad", "pvt", "nvi", "pvi", "drawdown")
+
+  /** Streamable rolling-window kinds ([[RollStage]], round 10). */
+  val rollStreamKinds: Set[String] = Set(
+    "alma", "fwma", "pwma", "swma", "sinwma", "hma", "trima",
+    "variance", "median", "quantile", "mad", "skew", "kurtosis", "geometric_mean", "entropy",
+    "cmo", "er", "psl", "vhf", "cg", "cfo", "cti", "coppock",
+    "qstick", "ttm_trend", "cci", "ao", "apo", "ppo", "bias", "vwma",
+    "donchian", "accbands", "chop", "vortex", "ui", "uo", "brar", "aroon",
+    "eom", "mfi", "cmf")
+
+  /** Streamable recursive kinds ([[RecurStage]], round 10). */
+  val recurStreamKinds: Set[String] = Set(
+    "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay")
 
   /** The EXACT set of registry kinds with a streaming twin, computed
     * from the live dispatchers ([[windowStream]] for the W/EW/Wilder
@@ -912,7 +1717,23 @@ object StreamingTa {
   def windowStream(spec: graft.ta.IndicatorSpec): Option[StreamKernel] = {
     def ip(k: String, dflt: Int) = spec.params.get(k).map(_.toString.toDouble.toInt).getOrElse(dflt)
     def dp(k: String, dflt: Double) = spec.params.get(k).map(_.toString.toDouble).getOrElse(dflt)
-    if (wilderStreamKinds(spec.kind)) {
+    def wrap(st: () => StreamStage): Option[StreamKernel] = {
+      val names = st().fields
+      Some(StreamKernel(names, () => new StagePass(names.map(_.name)), st))
+    }
+    val cumulative = spec.params.get("cumulative").exists(_.toString.toBoolean)
+    if (elemStreamKinds(spec.kind) && !cumulative) {
+      val n = ip("length", 1)
+      wrap(() => new ElemStage(spec.kind, n))
+    } else if (cumStreamKinds(spec.kind) ||
+        ((spec.kind == "log_return" || spec.kind == "percent_return") && cumulative)) {
+      val k = if (cumulative) s"${spec.kind}_cum" else spec.kind
+      wrap(() => new CumStage(k))
+    } else if (rollStreamKinds(spec.kind)) {
+      wrap(() => new RollStage(spec.kind, spec.params))
+    } else if (recurStreamKinds(spec.kind)) {
+      wrap(() => new RecurStage(spec.kind, spec.params))
+    } else if (wilderStreamKinds(spec.kind)) {
       // defaults mirror the registry builders (Strategy.scala)
       val st: () => StreamStage = spec.kind match {
         case "atr" => () => new AtrStage(ip("length", 10))

@@ -16,9 +16,11 @@ import graft.ta.{registry, IndicatorSpec}
 class StreamingCoverageSpec extends AnyFunSuite {
 
   /** The declared streamable set. Non-streamable registry kinds are the
-    * lookahead ops (ichimoku spans, centered dpo), the whole-frame /
-    * join-shaped ops (vp, tos_stdevall, broadcast-stats cusum mode), and
-    * the W/WW kinds that simply have no ring stage yet. */
+    * lookahead ops (ichimoku forward spans, centered dpo), the
+    * whole-frame / join-shaped ops (tos_stdevall, candle batch utils),
+    * and the deep multi-stage ema-chain composites not yet given stages
+    * (massi, thermo, rvi, stc, smi, kdj, squeeze, rvgi, inertia, amat,
+    * aobv, kvo, stochrsi, cksp, dpo). */
   private val declared: Set[String] = Set(
     // W-class ring stages (WStage)
     "sma", "wma", "stdev", "zscore", "mom", "roc",
@@ -29,7 +31,22 @@ class StreamingCoverageSpec extends AnyFunSuite {
     "atr", "natr", "trix", "tsi", "adx", "stoch", "bbands", "kc",
     // REC kernel lowerings (recStream; cusum = fixed-reference mode)
     "psar", "supertrend", "ha", "mcgd", "kalman", "cusum", "ssf", "hwma",
-    "rsx", "ebsw", "hwc", "jma", "fisher", "td_seq", "hilo", "qqe"
+    "rsx", "ebsw", "hwc", "jma", "fisher", "td_seq", "hilo", "qqe",
+    // ELEM / 1-lag stages (round 10)
+    "hl2", "hlc3", "ohlc4", "wcp", "bop", "true_range", "pvol", "pvr",
+    "pdist", "slope", "log_return", "percent_return", "increasing", "decreasing",
+    // CUM stages (round 10)
+    "vwap", "obv", "ad", "pvt", "nvi", "pvi", "drawdown",
+    // rolling-window stages (round 10)
+    "alma", "fwma", "pwma", "swma", "sinwma", "hma", "trima",
+    "variance", "median", "quantile", "mad", "skew", "kurtosis",
+    "geometric_mean", "entropy",
+    "cmo", "er", "psl", "vhf", "cg", "cfo", "cti", "coppock",
+    "qstick", "ttm_trend", "cci", "ao", "apo", "ppo", "bias", "vwma",
+    "donchian", "accbands", "chop", "vortex", "ui", "uo", "brar", "aroon",
+    "eom", "mfi", "cmf",
+    // recursive stages (round 10)
+    "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay"
   )
 
   test("streamableKinds equals the declared contract, exactly") {

@@ -258,4 +258,139 @@ class StreamingKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("extended streaming families (ELEM/CUM/rolling/recursive) equal batch") {
+    // round-10 coverage expansion: every new Elem/Cum/Roll/Recur stage
+    // vs the batch registry builder on the same bars — one
+    // kernelBatchStream pass carrying all ~70 stages at once, so the
+    // composition is exercised along with each kind's arithmetic
+    import spark.implicits._
+    import graft.ta.{registry, IndicatorSpec}
+    val bars = Graft
+      .bars(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        unix_date(col("ts")).cast("long").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+    val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
+
+    val srcDir = Files.createTempDirectory("graft_extstream").toFile
+    ticks.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk.toSeq).coalesce(1).write.parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"e$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("series_id STRING, ts BIGINT, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, volume DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .as[StreamingTa.BarTick]
+
+    // pgo internally drops the true_range column, so it precedes the
+    // true_range spec in the BATCH fold (stream stages are independent)
+    val specs = Seq(
+      IndicatorSpec("pgo", Map("length" -> 14)),
+      // elem
+      IndicatorSpec("hl2"), IndicatorSpec("hlc3"), IndicatorSpec("ohlc4"), IndicatorSpec("wcp"),
+      IndicatorSpec("bop"), IndicatorSpec("true_range"), IndicatorSpec("pvol"), IndicatorSpec("pvr"),
+      IndicatorSpec("pdist"), IndicatorSpec("slope", Map("length" -> 1)),
+      IndicatorSpec("log_return", Map("length" -> 1)),
+      IndicatorSpec("percent_return", Map("length" -> 1)),
+      IndicatorSpec("increasing", Map("length" -> 1)), IndicatorSpec("decreasing", Map("length" -> 1)),
+      // cum
+      IndicatorSpec("vwap"), IndicatorSpec("obv"), IndicatorSpec("ad"), IndicatorSpec("pvt"),
+      IndicatorSpec("nvi"), IndicatorSpec("pvi"), IndicatorSpec("drawdown"),
+      // rolling
+      IndicatorSpec("alma", Map("length" -> 10)), IndicatorSpec("fwma", Map("length" -> 10)),
+      IndicatorSpec("pwma", Map("length" -> 10)), IndicatorSpec("swma", Map("length" -> 10)),
+      IndicatorSpec("sinwma", Map("length" -> 10)), IndicatorSpec("hma", Map("length" -> 10)),
+      IndicatorSpec("trima", Map("length" -> 10)),
+      IndicatorSpec("variance", Map("length" -> 10)), IndicatorSpec("median", Map("length" -> 10)),
+      IndicatorSpec("quantile", Map("length" -> 10, "q" -> 0.75)),
+      IndicatorSpec("mad", Map("length" -> 10)), IndicatorSpec("skew", Map("length" -> 10)),
+      IndicatorSpec("kurtosis", Map("length" -> 10)),
+      IndicatorSpec("geometric_mean", Map("length" -> 10)),
+      IndicatorSpec("entropy", Map("length" -> 10)),
+      IndicatorSpec("cmo", Map("length" -> 10)), IndicatorSpec("er", Map("length" -> 10)),
+      IndicatorSpec("psl", Map("length" -> 10)), IndicatorSpec("vhf", Map("length" -> 10)),
+      IndicatorSpec("cg", Map("length" -> 10)), IndicatorSpec("cfo", Map("length" -> 10)),
+      IndicatorSpec("cti", Map("length" -> 10)),
+      IndicatorSpec("coppock", Map("length" -> 10, "fast" -> 11, "slow" -> 14)),
+      IndicatorSpec("qstick", Map("length" -> 10)), IndicatorSpec("ttm_trend", Map("length" -> 6)),
+      IndicatorSpec("cci", Map("length" -> 10)),
+      IndicatorSpec("ao", Map("fast" -> 5, "slow" -> 20)),
+      IndicatorSpec("apo", Map("fast" -> 12, "slow" -> 26)),
+      IndicatorSpec("ppo", Map("fast" -> 12, "slow" -> 26)),
+      IndicatorSpec("bias", Map("length" -> 10)), IndicatorSpec("vwma", Map("length" -> 10)),
+      IndicatorSpec("donchian", Map("length" -> 10)), IndicatorSpec("accbands", Map("length" -> 10)),
+      IndicatorSpec("chop", Map("length" -> 10)), IndicatorSpec("vortex", Map("length" -> 10)),
+      IndicatorSpec("ui", Map("length" -> 10)),
+      IndicatorSpec("uo", Map("fast" -> 7, "medium" -> 14, "slow" -> 28)),
+      IndicatorSpec("brar", Map("length" -> 10)), IndicatorSpec("aroon", Map("length" -> 10)),
+      IndicatorSpec("eom", Map("length" -> 14)), IndicatorSpec("mfi", Map("length" -> 10)),
+      IndicatorSpec("cmf", Map("length" -> 10)),
+      // recursive
+      IndicatorSpec("zlma", Map("length" -> 10)), IndicatorSpec("t3", Map("length" -> 10)),
+      IndicatorSpec("pvo", Map("fast" -> 12, "slow" -> 26, "signal" -> 9)),
+      IndicatorSpec("adosc", Map("fast" -> 3, "slow" -> 10)),
+      IndicatorSpec("efi", Map("length" -> 10)),
+      IndicatorSpec("kama", Map("length" -> 10, "fast" -> 2, "slow" -> 30)),
+      IndicatorSpec("vidya", Map("length" -> 10)),
+      IndicatorSpec("dm", Map("length" -> 14)), IndicatorSpec("decay", Map("length" -> 5))
+    )
+    val sks = specs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}")))
+
+    val q = StreamingTa
+      .kernelBatchStream(stream, sks)
+      .writeStream
+      .format("memory")
+      .queryName("ext_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    def norm(v: Any): Any = v match {
+      case null => null
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case other => other
+    }
+    val streamed = spark.table("ext_stream").collect().map(r => r.getAs[Long]("ts") -> r).toMap
+    assert(streamed.size == ticks.length)
+
+    val batch = specs
+      .foldLeft(bars)((d, s) => registry(d, s))
+      .orderBy("ts")
+      .collect()
+    val outCols = Seq(
+      "pgo_14",
+      "hl2", "hlc3", "ohlc4", "wcp", "bop", "true_range", "pvol", "pvr", "pdist",
+      "slope_1", "log_return_1", "percent_return_1", "increasing_1", "decreasing_1",
+      "vwap", "obv", "ad", "pvt", "nvi", "pvi", "dd", "dd_pct", "dd_log",
+      "alma_10", "fwma_10", "pwma_10", "swma_10", "sinwma_10", "hma_10", "trima_10",
+      "variance_10", "median_10", "quantile_10", "mad_10", "skew_10", "kurtosis_10",
+      "geomean_10", "entropy_10",
+      "cmo_10", "er_10", "psl_10", "vhf_10", "cg_10", "cfo_10", "cti_10",
+      "coppock_10_11_14", "qstick_10", "ttm_trend_6", "cci_10",
+      "ao_5_20", "apo_12_26", "ppo_12_26", "bias_10", "vwma_10",
+      "dcl_10", "dcu_10", "dcm_10", "accbl_10", "accbm_10", "accbu_10",
+      "chop_10", "vtxp_10", "vtxm_10", "ui_10", "uo_7_14_28",
+      "ar_10", "br_10", "aroon_u_10", "aroon_d_10",
+      "eom_14", "mfi_10", "cmf_10",
+      "zlma_10", "t3_10", "pvo_12_26", "pvos_12_26", "pvoh_12_26",
+      "adosc_3_10", "efi_10", "kama_10", "vidya_10",
+      "dmp_14", "dmn_14", "decay_5"
+    )
+    batch.foreach { br =>
+      val sr = streamed(br.getAs[Long]("ts"))
+      outCols.foreach { c0 =>
+        assert(
+          norm(sr.getAs[Any](c0)) == norm(br.getAs[Any](c0)),
+          s"$c0 mismatch at ts=${br.getAs[Long]("ts")}"
+        )
+      }
+    }
+  }
 }
