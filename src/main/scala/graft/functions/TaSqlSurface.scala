@@ -363,11 +363,9 @@ object TaSqlSurface {
         val frj = P.w.rowsBetween(-(half - 1) - j, -j)
         when(count(src).over(frj) >= half, avg(src).over(frj))
       }
-      val t1s = (0 until second).map(meanShift)
-      x(when(
-        t1s.map(_.isNotNull).reduce(_ && _),
-        ((second - 1) to 0 by -1).map(meanShift).reduce(_ + _) / second.toDouble
-      ))
+      // min_periods gate by null propagation: the sum is null exactly
+      // when any shifted mean is (same contract as gatedSumU)
+      x(((second - 1) to 0 by -1).map(meanShift).reduce(_ + _) / second.toDouble)
     }),
     // kama/vidya: LinRecur folds over a STAGED per-row coefficient (the
     // hilo staged-input shape — the coefficient is itself windowed, so
@@ -386,8 +384,7 @@ object TaSqlSurface {
       val fast = intLit(es(2), "graft_kama_sc"); val slow = intLit(es(3), "graft_kama_sc")
       val fsc = 2.0 / (fast + 1); val ssc = 2.0 / (slow + 1)
       def adTerm(j: Int) = abs(lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w))
-      val terms = ((n - 1) to 0 by -1).map(adTerm)
-      val sumd = when(terms.map(_.isNotNull).reduce(_ && _), terms.reduce(_ + _))
+      val sumd = ((n - 1) to 0 by -1).map(adTerm).reduce(_ + _)
       val er = P.sdiv(abs(x0 - lag(x0, n).over(P.w)), sumd)
       x(pow(er * (fsc - ssc) + ssc, 2.0))
     }),
@@ -432,11 +429,7 @@ object TaSqlSurface {
       def rawAt(j: Int): Column =
         lit(divisor) * (lag(hl2, j).over(P.w) - lag(hl2, j + 1).over(P.w)) *
           P.sdiv(lag(h - l, j).over(P.w), lag(v, j).over(P.w))
-      val terms = (0 until n).map(rawAt)
-      x(when(
-        terms.map(_.isNotNull).reduce(_ && _),
-        ((n - 1) to 0 by -1).map(rawAt).reduce(_ + _) / n.toDouble
-      ))
+      x(((n - 1) to 0 by -1).map(rawAt).reduce(_ + _) / n.toDouble)
     }),
     ar("graft_mfi", 5)(es => {
       // Ta.mfi: 100·sdiv(Σpos, Σpos+Σneg) over typical-price flows; the
@@ -501,11 +494,7 @@ object TaSqlSurface {
         val p = P.sdiv(lag(x0, j).over(P.w), rs)
         when(p > 0, -p * log(p) / lnB)
       }
-      val terms = (0 until n).map(etAt)
-      x(when(
-        terms.map(_.isNotNull).reduce(_ && _),
-        ((n - 1) to 0 by -1).map(etAt).reduce(_ + _)
-      ))
+      x(((n - 1) to 0 by -1).map(etAt).reduce(_ + _))
     })
   ) ++ TaSqlSurface2.builders // phase 6 (round 10) — see TaSqlSurface2
 
