@@ -955,6 +955,30 @@ object StreamingTa {
 
   private def jD(v: Double): java.lang.Double = Double.box(v)
 
+  /** Streaming twin of SeededComposites.seededLevel — one sma-seeded ema
+    * level with a SHARED row position (explicit alpha so chained levels
+    * can carry per-level lengths). */
+  private final class SeededLvl(alpha: Double, len: Int) extends Serializable {
+    private var sum: java.lang.Double = null
+    private var cnt = 0L
+    private var acc: java.lang.Double = null
+    def step(pos0: Long, posN: Long, input: java.lang.Double): java.lang.Double = {
+      if (pos0 < len && input != null) {
+        sum = if (sum == null) input else jD(sum.doubleValue() + input.doubleValue())
+        cnt += 1
+      }
+      val z: java.lang.Double =
+        if (posN < len) null
+        else if (posN == len) (if (sum == null) null else jD(sum.doubleValue() / cnt))
+        else input
+      if (z != null)
+        acc =
+          if (acc == null) z
+          else jD((1.0 - alpha) * acc.doubleValue() + alpha * z.doubleValue())
+      acc
+    }
+  }
+
   /** ELEM / 1-lag kinds: stateless bar arithmetic (+ prev-bar slots). */
   final class ElemStage(kind: String, n: Int) extends StreamStage {
     val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
@@ -1482,29 +1506,6 @@ object StreamingTa {
     // seeded-ema levels (position-shared) + misc state
     private var pos = 0L
     private def mkLv(len: Int) = new SeededLvl(2.0 / (len + 1), len)
-    /** streaming twin of SeededComposites.seededLevel (same spelling as
-      * the fold stages' SeededLevel, duplicated here with an explicit
-      * alpha so per-level lengths can differ). */
-    private final class SeededLvl(alpha: Double, len: Int) extends Serializable {
-      private var sum: java.lang.Double = null
-      private var cnt = 0L
-      private var acc: java.lang.Double = null
-      def step(pos0: Long, posN: Long, input: java.lang.Double): java.lang.Double = {
-        if (pos0 < len && input != null) {
-          sum = if (sum == null) input else jD(sum.doubleValue() + input.doubleValue())
-          cnt += 1
-        }
-        val z: java.lang.Double =
-          if (posN < len) null
-          else if (posN == len) (if (sum == null) null else jD(sum.doubleValue() / cnt))
-          else input
-        if (z != null)
-          acc =
-            if (acc == null) z
-            else jD((1.0 - alpha) * acc.doubleValue() + alpha * z.doubleValue())
-        acc
-      }
-    }
     private val lv1 = mkLv(kind match { case "adosc" | "pvo" | "kama" => fast; case _ => n })
     private val lv2 = mkLv(kind match { case "adosc" | "pvo" => slow; case _ => n })
     private val lv3 = mkLv(kind match { case "pvo" => sig; case _ => n })
@@ -1646,6 +1647,349 @@ object StreamingTa {
     private val adRing2 = new NRing(math.max(n, 2) + 1)
   }
 
+  /** linreg TSF endpoint over an NRing's last n values (stage.linreg's
+    * closed form; gate = n non-null among the last n). */
+  private def linregTsf(r: NRing, n: Int): java.lang.Double = {
+    if (!r.gated(n)) return null
+    val nn = n.toDouble
+    val sx = (0 until n).map(_.toDouble).sum
+    val sxx = (0 until n).map(i => i.toDouble * i).sum
+    val dx = nn * sxx - sx * sx
+    var sxy = 0.0; var i = 0
+    while (i < n) { sxy += r.at(i).doubleValue() * (n - 1 - i).toDouble; i += 1 }
+    var sy = 0.0; i = n - 1
+    while (i >= 0) { sy += r.at(i).doubleValue(); i -= 1 }
+    val slope = (nn * sxy - sx * sy) / dx
+    val intercept = (sy - slope * sx) / nn
+    jD(intercept + slope * (nn - 1.0))
+  }
+
+  /** The remaining multi-stage ema-chain composites (round 10, final
+    * wave): massi, rvi, thermo, cksp, amat, kdj, rvgi, smi, squeeze(+pro),
+    * stc, inertia, aobv, kvo, stochrsi — chained SeededLvl / Ewm state
+    * over NRing frames, mirroring each batch accessor stage-for-stage. */
+  final class Comp2Stage(kind: String, p: Map[String, Any]) extends StreamStage {
+    private def ip(k: String, d: Int) = p.get(k).map(_.toString.toDouble.toInt).getOrElse(d)
+    private def dp(k: String, d: Double) = p.get(k).map(_.toString.toDouble).getOrElse(d)
+    private val n = ip("length", kind match {
+      case "rvi" => 14; case "thermo" => 20; case "kdj" => 9; case "rvgi" => 14
+      case "smi" => 10; case "inertia" => 20; case "stochrsi" => 10; case _ => 10
+    })
+    private val fast = ip("fast", kind match {
+      case "massi" => 9; case "amat" => 8; case "aobv" => 4; case "kvo" => 34
+      case "smi" => 5; case "stc" => 12; case _ => 12
+    })
+    private val slow = ip("slow", kind match {
+      case "massi" => 25; case "amat" => 21; case "aobv" => 12; case "kvo" => 55
+      case "smi" => 3; case "stc" => 26; case _ => 26
+    })
+    private val sig = ip("signal", kind match { case "kvo" => 13; case "kdj" => 3; case _ => 9 })
+    private val pP = ip("p", 10); private val xK = dp("x", 1.0); private val qQ = ip("q", 9)
+    private val tc = ip("tclength", 10)
+    private val rviN = ip("rvi_length", 14)
+    private val bbN = ip("bb_length", 20); private val kcN = ip("kc_length", 20)
+    private val momN = ip("mom_length", 12)
+    private val runN = 2
+
+    val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "massi" => Seq(dblField(s"massi_${fast}_$slow"))
+      case "rvi" => Seq(dblField(s"rvi_$n"))
+      case "thermo" => Seq(dblField("thermo"), dblField(s"thermo_ma_$n"))
+      case "cksp" => Seq(dblField(s"cksp_long_$pP"), dblField(s"cksp_short_$pP"))
+      case "amat" => Seq(dblField(s"amat_lr_$fast"), dblField(s"amat_sr_$fast"))
+      case "kdj" => Seq(s"kdj_k_$n", s"kdj_d_$n", s"kdj_j_$n").map(dblField)
+      case "rvgi" => Seq(dblField(s"rvgi_$n"), dblField(s"rvgis_$n"))
+      case "smi" => Seq(dblField(s"smi_$n"))
+      case "squeeze" => Seq("sqz_on", "sqz_off", "sqz_mom").map(dblField)
+      case "squeeze_pro" =>
+        Seq("sqzpro_on_wide", "sqzpro_on_normal", "sqzpro_on_narrow", "sqzpro_mom").map(dblField)
+      case "stc" => Seq(dblField(s"stc_$tc"), dblField(s"stc_macd_$tc"))
+      case "inertia" => Seq(dblField(s"inertia_$n"))
+      case "aobv" =>
+        Seq(s"obv_fast_$fast", s"obv_slow_$slow", "aobv_lr", "aobv_sr").map(dblField)
+      case "kvo" => Seq(dblField(s"kvo_$fast"), dblField(s"kvos_$fast"))
+      case "stochrsi" => Seq(dblField("stochrsi_k"), dblField("stochrsi_d"))
+      case other => throw new IllegalArgumentException(s"Comp2Stage: '$other'")
+    }
+
+    private val cap = Seq(n, fast, slow, pP, qQ, tc, rviN, bbN, kcN, momN).max + 2
+    private var pos = 0L
+    private val rc = new NRing(cap); private val rh = new NRing(cap); private val rl = new NRing(cap)
+    private val rA = new NRing(cap); private val rB = new NRing(cap); private val rC = new NRing(cap)
+    private def mkLv(len: Int) = new SeededLvl(2.0 / (len + 1), len)
+    private val lv1 = mkLv(kind match {
+      case "massi" => fast; case "amat" | "aobv" => fast; case "smi" => fast
+      case "squeeze" | "squeeze_pro" => kcN; case "stc" => fast; case "thermo" => n; case _ => n
+    })
+    private val lv2 = mkLv(kind match {
+      case "massi" => fast; case "amat" | "aobv" => slow; case "smi" => slow
+      case "squeeze" | "squeeze_pro" => kcN; case "stc" => slow; case _ => n
+    })
+    private val lv3 = mkLv(kind match { case "smi" => fast; case _ => n })
+    private val lv4 = mkLv(kind match { case "smi" => slow; case _ => n })
+    private val ewA = new Ewm(kind match {
+      case "kdj" => 1.0 / sig; case "stc" => 0.5
+      case "kvo" => 2.0 / (fast + 1); case _ => 0.5
+    })
+    private val ewB = new Ewm(kind match {
+      case "kdj" => 1.0 / sig; case "stc" => 0.5
+      case "kvo" => 2.0 / (slow + 1); case _ => 0.5
+    })
+    private val ewC = new Ewm(kind match { case "kvo" => 2.0 / (sig + 1); case _ => 0.5 })
+    private val wAtr = new WilderAcc(kind match { case "cksp" => pP; case _ => n })
+    private val wUp = new WilderAcc(kind match { case "stochrsi" => n; case _ => n })
+    private val wDn = new WilderAcc(kind match { case "stochrsi" => n; case _ => n })
+    private var obvAcc = 0.0
+    private var prevTick: BarTick = null
+
+    private def sdivL(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+      if (a == null || b == null || b.doubleValue() == 0.0) null
+      else jD(a.doubleValue() / b.doubleValue())
+
+    /** swma weights in lag order (Ta.rvgi's sw). */
+    private val swmaN = ip("swma_length", 4)
+    private val swW: Seq[Double] = {
+      val half = (swmaN + 1) / 2
+      val tri = ((1 to half) ++ (if (swmaN % 2 == 0) (half to 1 by -1) else ((half - 1) to 1 by -1)))
+        .map(_.toDouble)
+      val s = tri.sum
+      tri.reverse.map(_ / s)
+    }
+
+    /** long_run / short_run flags over the fast/slow MA rings at drift runN. */
+    private def runFlags(fRing: NRing, sRing: NRing): (Double, Double) = {
+      def d0(r: NRing) =
+        if (r.at(0) == null || r.at(runN) == null) null
+        else jD(r.at(0).doubleValue() - r.at(runN).doubleValue())
+      val fd = d0(fRing); val sd = d0(sRing)
+      val fInc = fd != null && fd.doubleValue() > 0
+      val fDec = fd != null && fd.doubleValue() < 0
+      val sInc = sd != null && sd.doubleValue() > 0
+      val sDec = sd != null && sd.doubleValue() < 0
+      (if ((fInc && sDec) || (fInc && sInc)) 1.0 else 0.0,
+        if ((fDec && sInc) || (fDec && sDec)) 1.0 else 0.0)
+    }
+
+    def update(t: BarTick): Array[Any] = {
+      val posN = pos + 1
+      rc.push(jD(t.close)); rh.push(jD(t.high)); rl.push(jD(t.low))
+      val pc: java.lang.Double = if (prevTick == null) null else jD(prevTick.close)
+      val out: Array[Any] = kind match {
+        case "massi" =>
+          val e1 = lv1.step(pos, posN, jD(t.high - t.low))
+          val e2 = lv2.step(pos, posN, e1)
+          rA.push(sdivL(e1, e2))
+          Array(rA.gatedSumLast(slow))
+        case "rvi" =>
+          val sd: java.lang.Double =
+            if (rc.gated(n)) { val (nn, _, m2) = rc.moments2Last(n); jD(math.sqrt(m2 / (nn - 1.0))) }
+            else null
+          val d1 = if (pc == null) null else jD(t.close - pc.doubleValue())
+          val posV: java.lang.Double =
+            if (d1 == null || sd == null) null
+            else if (d1.doubleValue() > 0) sd else jD(0.0)
+          val negV: java.lang.Double =
+            if (d1 == null || sd == null) null
+            else if (d1.doubleValue() < 0) sd else jD(0.0)
+          wUp.step(posV); wDn.step(negV)
+          val p0 = wUp.gated; val q0 = wDn.gated
+          Array(if (p0 == null || q0 == null) null
+          else {
+            val v = sdivL(p0, jD(p0.doubleValue() + q0.doubleValue()))
+            if (v == null) null else jD(100.0 * v.doubleValue())
+          })
+        case "thermo" =>
+          val th: java.lang.Double =
+            if (prevTick == null) null
+            else jD(math.max(math.abs(t.high - prevTick.high), math.abs(t.low - prevTick.low)))
+          Array(th, lv1.step(pos, posN, th))
+        case "cksp" =>
+          wAtr.step(trOrNull(t.high, t.low, pc))
+          val atr = wAtr.gated
+          val ls0: java.lang.Double =
+            if (atr == null || !rh.gated(pP)) null
+            else jD(rh.maxLast(pP) - xK * atr.doubleValue())
+          val ss0: java.lang.Double =
+            if (atr == null || !rl.gated(pP)) null
+            else jD(rl.minLast(pP) + xK * atr.doubleValue())
+          rA.push(ls0); rB.push(ss0)
+          Array(
+            if (rA.gated(qQ)) jD(rA.maxLast(qQ)) else null,
+            if (rB.gated(qQ)) jD(rB.minLast(qQ)) else null)
+        case "amat" =>
+          rA.push(lv1.step(pos, posN, jD(t.close)))
+          rB.push(lv2.step(pos, posN, jD(t.close)))
+          val (lr, sr) = runFlags(rA, rB)
+          Array(jD(lr), jD(sr))
+        case "kdj" =>
+          val rsv: java.lang.Double =
+            if (!rh.gated(n)) null
+            else {
+              val hh = rh.maxLast(n); val ll = rl.minLast(n)
+              if (hh - ll == 0.0) null else jD(100.0 * ((t.close - ll) / (hh - ll)))
+            }
+          val k0 = ewA.update(Option(rsv).map(_.doubleValue())).map(jD).orNull
+          val d0 = ewB.update(Option(k0).map(_.doubleValue())).map(jD).orNull
+          Array(k0, d0,
+            if (k0 == null || d0 == null) null
+            else jD(3.0 * k0.doubleValue() - 2.0 * d0.doubleValue()))
+        case "rvgi" =>
+          rA.push(jD(t.close - t.open)); rB.push(jD(t.high - t.low))
+          val num = if (rA.gated(swmaN)) rA.wdotLast(swW) else null
+          val den = if (rB.gated(swmaN)) rB.wdotLast(swW) else null
+          rC.push(num)
+          val rD0 = rD; rD0.push(den)
+          val rv = sdivL(rC.gatedSumLast(n), rD0.gatedSumLast(n))
+          rE.push(rv)
+          Array(rv, if (rE.gated(swmaN)) rE.wdotLast(swW) else null)
+        case "smi" =>
+          val (mV, rV): (java.lang.Double, java.lang.Double) =
+            if (!rh.gated(n)) (null, null)
+            else {
+              val hh = rh.maxLast(n); val ll = rl.minLast(n)
+              (jD(t.close - (hh + ll) / 2.0), jD(hh - ll))
+            }
+          val m1 = lv1.step(pos, posN, mV)
+          val m2 = lv2.step(pos, posN, m1)
+          val r1 = lv3.step(pos, posN, rV)
+          val r2 = lv4.step(pos, posN, r1)
+          Array(
+            if (m2 == null || r2 == null) null
+            else {
+              val v = sdivL(m2, jD(r2.doubleValue() / 2.0))
+              if (v == null) null else jD(100.0 * v.doubleValue())
+            })
+        case "squeeze" | "squeeze_pro" =>
+          val basis = lv1.step(pos, posN, jD(t.close))
+          val band = lv2.step(pos, posN, trOrNull(t.high, t.low, pc))
+          val (mid, dev): (java.lang.Double, java.lang.Double) =
+            if (!rc.gated(bbN)) (null, null)
+            else {
+              val m = rc.sumLast(bbN) / bbN
+              val (nn, _, m2) = rc.moments2Last(bbN)
+              (jD(m), jD(math.sqrt(m2 / (nn - 1.0)) * 2.0))
+            }
+          def flag(mult: Double, off: Boolean): java.lang.Double =
+            if (mid == null || basis == null || band == null) null
+            else {
+              val bbl = mid.doubleValue() - dev.doubleValue()
+              val bbu = mid.doubleValue() + dev.doubleValue()
+              val kcl = basis.doubleValue() - mult * band.doubleValue()
+              val kcu = basis.doubleValue() + mult * band.doubleValue()
+              jD(if (off) { if (bbl < kcl && bbu > kcu) 1.0 else 0.0 }
+              else { if (bbl > kcl && bbu < kcu) 1.0 else 0.0 })
+            }
+          val delta: java.lang.Double =
+            if (!rh.gated(momN) || !rc.gated(momN)) null
+            else jD(t.close -
+              ((rh.maxLast(momN) + rl.minLast(momN)) / 2.0 + rc.sumLast(momN) / momN) / 2.0)
+          rA.push(delta)
+          val mom = linregTsf(rA, momN)
+          if (kind == "squeeze") Array(flag(1.5, off = false), flag(1.5, off = true), mom)
+          else Array(flag(2.0, off = false), flag(1.5, off = false), flag(1.0, off = false), mom)
+        case "stc" =>
+          val ef = lv1.step(pos, posN, jD(t.close))
+          val es = lv2.step(pos, posN, jD(t.close))
+          val macd: java.lang.Double =
+            if (ef == null || es == null) null else jD(ef.doubleValue() - es.doubleValue())
+          rA.push(macd)
+          val st1: java.lang.Double =
+            if (!rA.gated(tc)) null
+            else {
+              val lo = rA.minLast(tc); val hi = rA.maxLast(tc)
+              if (hi - lo == 0.0) null
+              else jD(100.0 * ((macd.doubleValue() - lo) / (hi - lo)))
+            }
+          val d1 = ewA.update(Option(st1).map(_.doubleValue())).map(jD).orNull
+          rB.push(d1)
+          val st2: java.lang.Double =
+            if (!rB.gated(tc)) null
+            else {
+              val lo = rB.minLast(tc); val hi = rB.maxLast(tc)
+              if (hi - lo == 0.0) null
+              else jD(100.0 * ((d1.doubleValue() - lo) / (hi - lo)))
+            }
+          Array(ewB.update(Option(st2).map(_.doubleValue())).map(jD).orNull, macd)
+        case "inertia" =>
+          val sd: java.lang.Double =
+            if (rc.gated(rviN)) { val (nn, _, m2) = rc.moments2Last(rviN); jD(math.sqrt(m2 / (nn - 1.0))) }
+            else null
+          val d1 = if (pc == null) null else jD(t.close - pc.doubleValue())
+          val posV: java.lang.Double =
+            if (d1 == null || sd == null) null
+            else if (d1.doubleValue() > 0) sd else jD(0.0)
+          val negV: java.lang.Double =
+            if (d1 == null || sd == null) null
+            else if (d1.doubleValue() < 0) sd else jD(0.0)
+          wUp.step(posV); wDn.step(negV)
+          val p0 = wUp.gated; val q0 = wDn.gated
+          val rvi: java.lang.Double =
+            if (p0 == null || q0 == null) null
+            else {
+              val v = sdivL(p0, jD(p0.doubleValue() + q0.doubleValue()))
+              if (v == null) null else jD(100.0 * v.doubleValue())
+            }
+          rA.push(rvi)
+          Array(linregTsf(rA, n))
+        case "aobv" =>
+          val sgn =
+            if (prevTick == null) 1.0
+            else { val dc = t.close - prevTick.close; if (dc > 0) 1.0 else if (dc < 0) -1.0 else 0.0 }
+          obvAcc += sgn * t.volume
+          rA.push(lv1.step(pos, posN, jD(obvAcc)))
+          rB.push(lv2.step(pos, posN, jD(obvAcc)))
+          val (lr, sr) = runFlags(rA, rB)
+          Array(rA.at(0), rB.at(0), jD(lr), jD(sr))
+        case "kvo" =>
+          val tp = (t.high + t.low + t.close) / 3.0
+          val ptp =
+            if (prevTick == null) null
+            else jD((prevTick.high + prevTick.low + prevTick.close) / 3.0)
+          val sv: java.lang.Double =
+            if (ptp == null) null
+            else {
+              val dtp = tp - ptp.doubleValue()
+              if (dtp > 0) jD(t.volume) else if (dtp < 0) jD(-t.volume) else jD(0.0)
+            }
+          val kf = ewA.update(Option(sv).map(_.doubleValue())).map(jD).orNull
+          val ks = ewB.update(Option(sv).map(_.doubleValue())).map(jD).orNull
+          val kvoV: java.lang.Double =
+            if (kf == null || ks == null) null else jD(kf.doubleValue() - ks.doubleValue())
+          Array(kvoV, ewC.update(Option(kvoV).map(_.doubleValue())).map(jD).orNull)
+        case "stochrsi" =>
+          // rsiAs (RsiSeeded) over close, then the stoch of rsi
+          val d1 = if (pc == null) null else jD(t.close - pc.doubleValue())
+          wUp.step(if (d1 == null) null else if (d1.doubleValue() > 0) d1 else jD(0.0))
+          wDn.step(if (d1 == null) null else if (d1.doubleValue() < 0) jD(-d1.doubleValue()) else jD(0.0))
+          val ru = wUp.gated; val rd0 = wDn.gated
+          val rsi: java.lang.Double =
+            if (ru == null || rd0 == null) null
+            else {
+              val v = sdivL(ru, jD(ru.doubleValue() + rd0.doubleValue()))
+              if (v == null) null else jD(100.0 * v.doubleValue())
+            }
+          rA.push(rsi)
+          val srsi: java.lang.Double =
+            if (!rA.gated(n)) null
+            else {
+              val lo = rA.minLast(n); val hi = rA.maxLast(n)
+              if (hi - lo == 0.0) null
+              else jD(100.0 * ((rsi.doubleValue() - lo) / (hi - lo)))
+            }
+          rB.push(srsi)
+          val k0 = rB.gatedMeanLast(ip("k", 3))
+          rC.push(k0)
+          Array(k0, rC.gatedMeanLast(ip("d", 3)))
+        case other => throw new IllegalArgumentException(s"Comp2Stage: '$other'")
+      }
+      pos = posN
+      prevTick = t
+      out
+    }
+    private val rD = new NRing(cap)
+    private val rE = new NRing(cap)
+  }
+
   /** Pass-through kernel: re-emits its staged columns as outputs, so a
     * pure ring-buffer WStage rides kernelBatchStream exactly like a REC
     * kernel. */
@@ -1691,6 +2035,13 @@ object StreamingTa {
   val recurStreamKinds: Set[String] = Set(
     "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay")
 
+  /** Streamable multi-stage composites ([[Comp2Stage]], round 10 final
+    * wave) — with these, EVERY non-lookahead, non-whole-frame registry
+    * kind streams. */
+  val comp2StreamKinds: Set[String] = Set(
+    "massi", "rvi", "thermo", "cksp", "amat", "kdj", "rvgi", "smi",
+    "squeeze", "squeeze_pro", "stc", "inertia", "aobv", "kvo", "stochrsi")
+
   /** The EXACT set of registry kinds with a streaming twin, computed
     * from the live dispatchers ([[windowStream]] for the W/EW/Wilder
     * stages, [[recStream]] for the REC kernel lowerings — cusum probed
@@ -1733,6 +2084,8 @@ object StreamingTa {
       wrap(() => new RollStage(spec.kind, spec.params))
     } else if (recurStreamKinds(spec.kind)) {
       wrap(() => new RecurStage(spec.kind, spec.params))
+    } else if (comp2StreamKinds(spec.kind)) {
+      wrap(() => new Comp2Stage(spec.kind, spec.params))
     } else if (wilderStreamKinds(spec.kind)) {
       // defaults mirror the registry builders (Strategy.scala)
       val st: () => StreamStage = spec.kind match {

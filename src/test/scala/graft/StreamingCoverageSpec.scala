@@ -15,12 +15,14 @@ import graft.ta.{registry, IndicatorSpec}
   */
 class StreamingCoverageSpec extends AnyFunSuite {
 
-  /** The declared streamable set. Non-streamable registry kinds are the
+  /** The declared streamable set — EVERY registry kind except the
     * lookahead ops (ichimoku forward spans, centered dpo), the
-    * whole-frame / join-shaped ops (tos_stdevall, candle batch utils),
-    * and the deep multi-stage ema-chain composites not yet given stages
-    * (massi, thermo, rvi, stc, smi, kdj, squeeze, rvgi, inertia, amat,
-    * aobv, kvo, stochrsi, cksp, dpo). */
+    * whole-frame / batch-shaped ops (tos_stdevall, vwap anchor modes
+    * aside — plain vwap streams), the candle batch utils (cdl_* flag
+    * tables and candle_utils, which are wide ELEM batches rather than
+    * single indicators), and the signal utils that take arbitrary
+    * column pairs (long_run/short_run/tsignals/xsignals — streamable
+    * through their consumers like amat/aobv). */
   private val declared: Set[String] = Set(
     // W-class ring stages (WStage)
     "sma", "wma", "stdev", "zscore", "mom", "roc",
@@ -46,7 +48,10 @@ class StreamingCoverageSpec extends AnyFunSuite {
     "donchian", "accbands", "chop", "vortex", "ui", "uo", "brar", "aroon",
     "eom", "mfi", "cmf",
     // recursive stages (round 10)
-    "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay"
+    "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay",
+    // multi-stage composites (round 10, final wave)
+    "massi", "rvi", "thermo", "cksp", "amat", "kdj", "rvgi", "smi",
+    "squeeze", "squeeze_pro", "stc", "inertia", "aobv", "kvo", "stochrsi"
   )
 
   test("streamableKinds equals the declared contract, exactly") {

@@ -292,6 +292,23 @@ class StreamingKernelSpec extends AnyFunSuite {
     // true_range spec in the BATCH fold (stream stages are independent)
     val specs = Seq(
       IndicatorSpec("pgo", Map("length" -> 14)),
+      // composites that DROP helper columns (true_range / rvi_N) come
+      // before the specs that emit those columns in the batch fold
+      IndicatorSpec("cksp", Map("p" -> 10, "x" -> 1.0, "q" -> 9)),
+      IndicatorSpec("squeeze", Map("bb_length" -> 10, "kc_length" -> 10, "mom_length" -> 6)),
+      IndicatorSpec("squeeze_pro", Map("bb_length" -> 10, "kc_length" -> 10, "mom_length" -> 6)),
+      IndicatorSpec("inertia", Map("length" -> 10, "rvi_length" -> 10)),
+      IndicatorSpec("massi", Map("fast" -> 3, "slow" -> 10)),
+      IndicatorSpec("rvi", Map("length" -> 10)),
+      IndicatorSpec("thermo", Map("length" -> 10)),
+      IndicatorSpec("amat", Map("fast" -> 4, "slow" -> 10)),
+      IndicatorSpec("kdj", Map("length" -> 9, "signal" -> 3)),
+      IndicatorSpec("rvgi", Map("length" -> 10, "swma_length" -> 4)),
+      IndicatorSpec("smi", Map("length" -> 10, "fast" -> 5, "slow" -> 3)),
+      IndicatorSpec("stc", Map("tclength" -> 5, "fast" -> 5, "slow" -> 10)),
+      IndicatorSpec("aobv", Map("fast" -> 4, "slow" -> 12)),
+      IndicatorSpec("kvo", Map("fast" -> 5, "slow" -> 10, "signal" -> 3)),
+      IndicatorSpec("stochrsi", Map("length" -> 10)),
       // elem
       IndicatorSpec("hl2"), IndicatorSpec("hlc3"), IndicatorSpec("ohlc4"), IndicatorSpec("wcp"),
       IndicatorSpec("bop"), IndicatorSpec("true_range"), IndicatorSpec("pvol"), IndicatorSpec("pvr"),
@@ -381,7 +398,15 @@ class StreamingKernelSpec extends AnyFunSuite {
       "eom_14", "mfi_10", "cmf_10",
       "zlma_10", "t3_10", "pvo_12_26", "pvos_12_26", "pvoh_12_26",
       "adosc_3_10", "efi_10", "kama_10", "vidya_10",
-      "dmp_14", "dmn_14", "decay_5"
+      "dmp_14", "dmn_14", "decay_5",
+      "massi_3_10", "rvi_10", "thermo", "thermo_ma_10",
+      "cksp_long_10", "cksp_short_10", "amat_lr_4", "amat_sr_4",
+      "kdj_k_9", "kdj_d_9", "kdj_j_9", "rvgi_10", "rvgis_10", "smi_10",
+      "sqz_on", "sqz_off", "sqz_mom",
+      "sqzpro_on_wide", "sqzpro_on_normal", "sqzpro_on_narrow", "sqzpro_mom",
+      "stc_5", "stc_macd_5", "inertia_10",
+      "obv_fast_4", "obv_slow_12", "aobv_lr", "aobv_sr",
+      "kvo_5", "kvos_5", "stochrsi_k", "stochrsi_d"
     )
     batch.foreach { br =>
       val sr = streamed(br.getAs[Long]("ts"))
