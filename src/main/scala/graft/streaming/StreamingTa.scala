@@ -983,7 +983,9 @@ object StreamingTa {
   final class ElemStage(kind: String, n: Int) extends StreamStage {
     val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
       case "hl2" | "hlc3" | "ohlc4" | "wcp" | "bop" | "true_range" |
-           "pvol" | "pvr" | "pdist" => Seq(dblField(kind))
+           "pvol" | "pvr" | "pdist" | "cdl_inside" => Seq(dblField(kind))
+      case "candle_utils" =>
+        Seq("candle_color", "real_body", "high_low_range").map(dblField)
       case "slope" => Seq(dblField(s"slope_$n"))
       case "log_return" => Seq(dblField(s"log_return_$n"))
       case "percent_return" => Seq(dblField(s"percent_return_$n"))
@@ -991,13 +993,25 @@ object StreamingTa {
     }
     private val lagC = new NRing(math.max(n, 1) + 1)
     private val lagV = new NRing(2)
+    private val lagH = new NRing(2)
+    private val lagL = new NRing(2)
     private def sdivL(a: Double, b: Double): java.lang.Double =
       if (b == 0.0) null else jD(a / b)
     def update(t: BarTick): Array[Any] = {
       lagC.push(jD(t.close)); lagV.push(jD(t.volume))
+      lagH.push(jD(t.high)); lagL.push(jD(t.low))
       val pcN = lagC.at(n) // close n rows back (pushed already: lag n)
       val pc1 = lagC.at(1)
       kind match {
+        case "cdl_inside" =>
+          val ph = lagH.at(1); val pl = lagL.at(1)
+          Array(jD(
+            if (ph != null && t.high < ph.doubleValue() && t.low > pl.doubleValue()) 1.0 else 0.0))
+        case "candle_utils" =>
+          Array(
+            jD(if (t.close >= t.open) 1.0 else -1.0),
+            jD(math.abs(t.close - t.open)),
+            jD(t.high - t.low))
         case "hl2" => Array(jD((t.high + t.low) / 2.0))
         case "hlc3" => Array(jD((t.high + t.low + t.close) / 3.0))
         case "ohlc4" => Array(jD((t.open + t.high + t.low + t.close) / 4.0))
@@ -1122,6 +1136,7 @@ object StreamingTa {
            "er" | "cg" | "cfo" | "vhf" | "geometric_mean" | "cci" | "vwma" | "donchian" |
            "accbands" | "chop" | "vortex" | "ui" | "qstick" | "ttm_trend" | "aroon" |
            "entropy" | "coppock" => ip("length", 10)
+      case "cdl_doji" | "cdl_z" => ip("length", 10)
       case "cti" => ip("length", 12)
       case "psl" => ip("length", 12)
       case "bias" => ip("length", 26)
@@ -1138,6 +1153,9 @@ object StreamingTa {
     private val q = dp("q", 0.5)
 
     val fields: Seq[org.apache.spark.sql.types.StructField] = kind match {
+      case "cdl_doji" => Seq(dblField(s"cdl_doji_$n"))
+      case "cdl_z" =>
+        Seq("open", "high", "low", "close").map(c0 => dblField(s"${c0}_z_$n"))
       case "donchian" => Seq(s"dcl_$n", s"dcu_$n", s"dcm_$n").map(dblField)
       case "accbands" => Seq(s"accbl_$n", s"accbm_$n", s"accbu_$n").map(dblField)
       case "vortex" => Seq(s"vtxp_$n", s"vtxm_$n").map(dblField)
@@ -1193,6 +1211,21 @@ object StreamingTa {
     def update(t: BarTick): Array[Any] = {
       rc.push(jD(t.close)); rh.push(jD(t.high)); rl.push(jD(t.low))
       kind match {
+        case "cdl_doji" =>
+          rAux.push(jD(t.high - t.low))
+          val m = rAux.gatedMeanLast(n)
+          Array(if (m == null) null
+          else jD(if (math.abs(t.close - t.open) < dp("factor", 0.1) * m.doubleValue()) 1.0 else 0.0))
+        case "cdl_z" =>
+          rAux.push(jD(t.open))
+          def z(r: NRing, x: Double): java.lang.Double =
+            if (!r.gated(n)) null
+            else {
+              val (nn, _, m2) = r.moments2Last(n)
+              val sd = math.sqrt(m2 / (nn - 1.0))
+              if (sd == 0.0) null else jD((x - r.sumLast(n) / n) / sd)
+            }
+          Array(z(rAux, t.open), z(rh, t.high), z(rl, t.low), z(rc, t.close))
         case "alma" | "fwma" | "pwma" | "swma" | "sinwma" =>
           Array(if (rc.gated(n)) rc.wdotLast(maWLag) else null)
         case "hma" =>
@@ -2017,7 +2050,8 @@ object StreamingTa {
   /** Streamable ELEM / 1-lag kinds ([[ElemStage]], round 10). */
   val elemStreamKinds: Set[String] = Set(
     "hl2", "hlc3", "ohlc4", "wcp", "bop", "true_range", "pvol", "pvr",
-    "pdist", "slope", "log_return", "percent_return", "increasing", "decreasing")
+    "pdist", "slope", "log_return", "percent_return", "increasing", "decreasing",
+    "cdl_inside", "candle_utils")
 
   /** Streamable CUM kinds ([[CumStage]], round 10). */
   val cumStreamKinds: Set[String] = Set("vwap", "obv", "ad", "pvt", "nvi", "pvi", "drawdown")
@@ -2029,7 +2063,7 @@ object StreamingTa {
     "cmo", "er", "psl", "vhf", "cg", "cfo", "cti", "coppock",
     "qstick", "ttm_trend", "cci", "ao", "apo", "ppo", "bias", "vwma",
     "donchian", "accbands", "chop", "vortex", "ui", "uo", "brar", "aroon",
-    "eom", "mfi", "cmf")
+    "eom", "mfi", "cmf", "cdl_doji", "cdl_z")
 
   /** Streamable recursive kinds ([[RecurStage]], round 10). */
   val recurStreamKinds: Set[String] = Set(

@@ -51,7 +51,9 @@ class StreamingCoverageSpec extends AnyFunSuite {
     "zlma", "t3", "pvo", "adosc", "efi", "pgo", "kama", "vidya", "dm", "decay",
     // multi-stage composites (round 10, final wave)
     "massi", "rvi", "thermo", "cksp", "amat", "kdj", "rvgi", "smi",
-    "squeeze", "squeeze_pro", "stc", "inertia", "aobv", "kvo", "stochrsi"
+    "squeeze", "squeeze_pro", "stc", "inertia", "aobv", "kvo", "stochrsi",
+    // single candle kinds (the cdl_pattern* 61-flag batches stay batch)
+    "cdl_doji", "cdl_inside", "cdl_z", "candle_utils"
   )
 
   test("streamableKinds equals the declared contract, exactly") {

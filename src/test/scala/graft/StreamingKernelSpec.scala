@@ -355,7 +355,11 @@ class StreamingKernelSpec extends AnyFunSuite {
       IndicatorSpec("efi", Map("length" -> 10)),
       IndicatorSpec("kama", Map("length" -> 10, "fast" -> 2, "slow" -> 30)),
       IndicatorSpec("vidya", Map("length" -> 10)),
-      IndicatorSpec("dm", Map("length" -> 14)), IndicatorSpec("decay", Map("length" -> 5))
+      IndicatorSpec("dm", Map("length" -> 14)), IndicatorSpec("decay", Map("length" -> 5)),
+      // candle singles
+      IndicatorSpec("cdl_doji", Map("length" -> 10, "factor" -> 0.1)),
+      IndicatorSpec("cdl_inside"), IndicatorSpec("cdl_z", Map("length" -> 10)),
+      IndicatorSpec("candle_utils")
     )
     val sks = specs.map(s => StreamingTa.windowStream(s).getOrElse(fail(s"no windowStream for ${s.kind}")))
 
@@ -399,6 +403,8 @@ class StreamingKernelSpec extends AnyFunSuite {
       "zlma_10", "t3_10", "pvo_12_26", "pvos_12_26", "pvoh_12_26",
       "adosc_3_10", "efi_10", "kama_10", "vidya_10",
       "dmp_14", "dmn_14", "decay_5",
+      "cdl_doji_10", "cdl_inside", "open_z_10", "high_z_10", "low_z_10", "close_z_10",
+      "candle_color", "real_body", "high_low_range",
       "massi_3_10", "rvi_10", "thermo", "thermo_ma_10",
       "cksp_long_10", "cksp_short_10", "amat_lr_4", "amat_sr_4",
       "kdj_k_9", "kdj_d_9", "kdj_j_9", "rvgi_10", "rvgis_10", "smi_10",
