@@ -2187,6 +2187,32 @@ object StreamingTa {
     * their staging machines), and each tick emits one TYPED row
     * (series_id, ts, outs…) with each column in the kernel's declared
     * StructField type — exactly the batch perSeriesBatch schema. */
+  /** Stream an ENTIRE Strategy in one stateful pass — the streaming twin
+    * of `registry.strategy`: every spec resolves through the stage
+    * dispatchers ([[windowStream]] for the W/EW/Wilder/Elem/Cum/Roll/
+    * Recur/Comp2 stages, [[recStream]] for the REC kernels) and all
+    * stages ride a single [[kernelBatchStream]]
+    * flatMapGroupsWithState — one shuffle, one state entry per series
+    * carrying every indicator's O(1) state. Throws on a spec with no
+    * streaming twin (the [[streamableKinds]] exclusions: lookahead,
+    * whole-frame, trained-stats cusum). Specs must declare DISJOINT
+    * output columns (unlike the batch compiler there is no builder-fold
+    * fallback for same-kind/same-name collisions). */
+  def strategyStream(ticks: Dataset[BarTick], st: graft.ta.Strategy): DataFrame = {
+    val sks = st.ta.map { s =>
+      windowStream(s).orElse(recStream(s)).getOrElse(
+        throw new IllegalArgumentException(
+          s"strategy '${st.name}': kind '${s.kind}' has no streaming twin " +
+            "(see StreamingTa.streamableKinds)"))
+    }
+    val outNames = sks.flatMap(_.outs.map(_.name))
+    require(
+      outNames.distinct.size == outNames.size,
+      s"strategy '${st.name}': duplicate output columns across specs: " +
+        outNames.diff(outNames.distinct).distinct.mkString(", "))
+    kernelBatchStream(ticks, sks)
+  }
+
   def kernelBatchStream(ticks: Dataset[BarTick], specs: Seq[StreamKernel]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.{Encoder, Encoders, Row}

@@ -83,4 +83,22 @@ class StreamingCoverageSpec extends AnyFunSuite {
     val phantom = declared -- reg
     assert(phantom.isEmpty, s"declared streamable but not in the registry: $phantom")
   }
+
+  test("strategyStream rejects non-streamable specs and duplicate outputs with clear errors") {
+    import graft.ta.Strategy
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    val ticks = spark0.emptyDataset[StreamingTa.BarTick]
+    val e1 = intercept[IllegalArgumentException](
+      StreamingTa.strategyStream(ticks, Strategy("s", Seq(IndicatorSpec("tos_stdevall"))))
+    )
+    assert(e1.getMessage.contains("no streaming twin"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamingTa.strategyStream(
+        ticks,
+        Strategy("s", Seq(IndicatorSpec("sma", Map("length" -> 10)), IndicatorSpec("sma", Map("length" -> 10))))
+      )
+    )
+    assert(e2.getMessage.contains("duplicate output columns"))
+  }
 }

@@ -424,4 +424,75 @@ class StreamingKernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("strategyStream runs a mixed Strategy in one pass and equals the batch strategy") {
+    import spark.implicits._
+    import graft.ta.{registry, IndicatorSpec, Strategy}
+    val bars = Graft
+      .bars(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        unix_date(col("ts")).cast("long").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+    val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
+
+    val srcDir = Files.createTempDirectory("graft_ststream").toFile
+    ticks.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataset(chunk.toSeq).coalesce(1).write.parquet(s"$srcDir/c$i")
+      val f = new java.io.File(s"$srcDir/c$i").listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, new java.io.File(srcDir, f"s$i%03d.parquet").toPath)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("series_id STRING, ts BIGINT, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, volume DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .as[StreamingTa.BarTick]
+
+    // one spec per stage family: W ring, EW fold twin, Wilder composite,
+    // REC kernel, ELEM, CUM, rolling, recursive, composite
+    val st = Strategy("mixed-stream", Seq(
+      IndicatorSpec("sma", Map("length" -> 10)),
+      IndicatorSpec("ema", Map("length" -> 10)),
+      IndicatorSpec("atr", Map("length" -> 10)),
+      IndicatorSpec("psar"),
+      IndicatorSpec("bop"),
+      IndicatorSpec("obv"),
+      IndicatorSpec("cci", Map("length" -> 10)),
+      IndicatorSpec("kama", Map("length" -> 10, "fast" -> 2, "slow" -> 30)),
+      IndicatorSpec("kdj", Map("length" -> 9, "signal" -> 3))
+    ))
+    val q = StreamingTa
+      .strategyStream(stream, st)
+      .writeStream
+      .format("memory")
+      .queryName("strat_stream")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    def norm(v: Any): Any = v match {
+      case null => null
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case other => other
+    }
+    val streamed = spark.table("strat_stream").collect().map(r => r.getAs[Long]("ts") -> r).toMap
+    assert(streamed.size == ticks.length)
+    val batch = registry.strategy(bars, st).orderBy("ts").collect()
+    val outCols = Seq(
+      "sma_10", "ema_10", "atr_10", "psar_long", "psar_short", "bop", "obv",
+      "cci_10", "kama_10", "kdj_k_9", "kdj_d_9", "kdj_j_9"
+    )
+    batch.foreach { br =>
+      val sr = streamed(br.getAs[Long]("ts"))
+      outCols.foreach { c0 =>
+        assert(
+          norm(sr.getAs[Any](c0)) == norm(br.getAs[Any](c0)),
+          s"$c0 mismatch at ts=${br.getAs[Long]("ts")}"
+        )
+      }
+    }
+  }
 }
