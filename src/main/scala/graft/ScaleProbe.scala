@@ -461,6 +461,47 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS pr_edges_src")
     }
 
+    // ---- streaming strategy throughput (round 10): one stateful pass
+    // carrying K indicator stages over M ticks — per-tick cost should
+    // scale with the STAGE count (state updates per tick), not blow up
+    // with history (every stage is O(1)-state). Measured via
+    // MemoryStream + strategyStream at 5 vs 45 stages.
+    if (want("streamstrat")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ta.{IndicatorSpec, Strategy}
+      import graft.streaming.StreamingTa
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val small = Strategy("s5", Seq(
+        IndicatorSpec("sma", Map("length" -> 20)), IndicatorSpec("ema", Map("length" -> 20)),
+        IndicatorSpec("atr", Map("length" -> 14)), IndicatorSpec("psar"), IndicatorSpec("obv")
+      ))
+      val bigKinds = Seq(
+        "sma", "ema", "wma", "rsi", "macd", "atr", "natr", "trix", "tsi", "adx",
+        "stoch", "bbands", "kc", "psar", "supertrend", "ha", "mcgd", "ssf",
+        "obv", "ad", "pvt", "vwap", "cci", "cmo", "er", "vhf", "chop", "ui",
+        "donchian", "accbands", "alma", "hma", "trima", "kama", "vidya",
+        "t3", "adosc", "kdj", "smi", "stc", "mfi", "cmf", "aroon", "qstick", "drawdown"
+      )
+      val big = Strategy("s45", bigKinds.map(k => IndicatorSpec(k)))
+      for ((st, label) <- Seq((small, "5"), (big, "45")); m <- Seq(50000, 200000)) {
+        val ms = MemoryStream[StreamingTa.BarTick]
+        val q = StreamingTa
+          .strategyStream(ms.toDS(), st)
+          .writeStream.format("noop").outputMode("append").start()
+        val ticks = (0 until m).map { i =>
+          val v = 100.0 + 10.0 * math.sin(i / 7.0)
+          StreamingTa.BarTick((i % 8).toString, i.toLong, v, v + 1, v - 1, v + 0.2, 100.0 + i % 7)
+        }
+        val sec = time {
+          ticks.grouped(m / 4).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+          0L
+        }
+        q.stop()
+        println(s"""{"op":"streamstrat_${label}stages","n":$m,"sec":$sec}""")
+      }
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single
