@@ -203,6 +203,15 @@ object Halo {
     * exact sequence; only the cross-chunk (a, b) composition reorders
     * float ops — the [[chunkedEwm]] 6 dp contract. */
   def chunkedEmaSeeded(df: DataFrame, src: String, out: String, n: Int, chunks: Int): DataFrame = {
+    // the fold path casts its src to double inside the expression; this
+    // path reads it raw (getDouble), so normalize non-double srcs (float/
+    // int/decimal close) here instead of throwing ClassCastException only
+    // on the auto-routed single-giant-series shape
+    if (df.schema(src).dataType != DoubleType) {
+      val tmp = "__graft_halo_srcd"
+      return chunkedEmaSeeded(df.withColumn(tmp, col(src).cast("double")), tmp, out, n, chunks)
+        .drop(tmp)
+    }
     val alpha = 2.0 / (n + 1)
     val inSchema = df.schema
     val enc1 = Encoders.row(
@@ -300,7 +309,16 @@ object Halo {
           val k = (r.get(sidIdx), r.getInt(inSchema.size))
           if (k != key) {
             key = k
-            val e = entryB.value.getOrElse(k, (0L, 0.0, 0L, null: java.lang.Double))
+            // a missing key means pass-1/pass-2 partitioning DIVERGED (the
+            // persisted `parts` recomputed with a different repartitionByRange
+            // sample feeding different chunk ids) — results would be silently
+            // wrong; fail instead of defaulting to fresh per-series state
+            val e = entryB.value.getOrElse(
+              k,
+              throw new IllegalStateException(
+                s"chunkedEmaSeeded: no pass-1 entry state for (series, chunk)=$k — " +
+                  "pass-1/pass-2 chunk partitioning diverged (cache loss + " +
+                  "nondeterministic upstream?); results untrustworthy"))
             pos = e._1; s = e._2; c = e._3; acc = e._4
           }
           pos += 1
@@ -327,6 +345,12 @@ object Halo {
     * over arbitrarily long series with two parallel passes (segmented
     * scan). Appends `out`. */
   def chunkedEwm(df: DataFrame, src: String, out: String, alpha: Double, chunks: Int): DataFrame = {
+    // same non-double src normalization as chunkedEmaSeeded
+    if (df.schema(src).dataType != DoubleType) {
+      val tmp = "__graft_halo_srcd"
+      return chunkedEwm(df.withColumn(tmp, col(src).cast("double")), tmp, out, alpha, chunks)
+        .drop(tmp)
+    }
     val inSchema = df.schema
     val enc1 = Encoders.row(
       StructType(inSchema.fields :+ StructField("__chunk", IntegerType, false))
@@ -410,7 +434,17 @@ object Halo {
         var acc: Option[Double] = None
         it.map { r =>
           val k = (r.get(sidIdx), r.getInt(inSchema.size))
-          if (k != key) { key = k; acc = entryB.value.getOrElse(k, None) }
+          if (k != key) {
+            key = k
+            // entry holds key→None for a series' first chunk, so a MISSING
+            // key is never legitimate — it means pass-1/pass-2 partitioning
+            // diverged; fail rather than silently re-seed mid-series
+            acc = entryB.value.getOrElse(
+              k,
+              throw new IllegalStateException(
+                s"chunkedEwm: no pass-1 entry state for (series, chunk)=$k — " +
+                  "pass-1/pass-2 chunk partitioning diverged; results untrustworthy"))
+          }
           if (!r.isNullAt(srcIdx)) {
             val x = r.getDouble(srcIdx)
             acc = Some(acc match {

@@ -66,8 +66,10 @@ object StreamingTa {
 
   /** Streaming ema/rma/rsi(len) over ticks. REQUIRES per-key event-time
     * order across micro-batches (in-order source or replayed log; within a
-    * batch rows are sorted here). This is the streaming twin of the batch
-    * window pipeline — parity is asserted in StreamingParitySpec. */
+    * batch rows are sorted here). For the general engine with the contract
+    * ENFORCED (late ticks detected and dropped/failed per policy) use
+    * [[kernelBatchStream]]/[[strategyStream]]. This is the streaming twin of
+    * the batch window pipeline — parity is asserted in StreamingParitySpec. */
   def indicators(ticks: Dataset[Tick], len: Int = 10): Dataset[IndOut] = {
     val spark = ticks.sparkSession
     import spark.implicits._
@@ -141,7 +143,8 @@ object StreamingTa {
     * ha, mcgd, …) over an OHLCV tick stream: the kernel object itself IS
     * the per-key state (java-serialized between micro-batches), so
     * streaming output ≡ the batch mapPartitions pass row-for-row.
-    * Same per-key in-order requirement as `indicators`. */
+    * Same per-key in-order requirement as `indicators`; for the enforced
+    * late-tick contract use [[kernelBatchStream]] with one spec. */
   def kernelStream(
       ticks: Dataset[BarTick],
       make: () => graft.ta.rec.Kernel
@@ -1134,8 +1137,9 @@ object StreamingTa {
     private val n = kind match {
       case "alma" | "fwma" | "pwma" | "swma" | "sinwma" | "hma" | "trima" | "cmo" |
            "er" | "cg" | "cfo" | "vhf" | "geometric_mean" | "cci" | "vwma" | "donchian" |
-           "accbands" | "chop" | "vortex" | "ui" | "qstick" | "ttm_trend" | "aroon" |
+           "accbands" | "chop" | "vortex" | "ui" | "qstick" | "aroon" |
            "entropy" | "coppock" => ip("length", 10)
+      case "ttm_trend" => ip("length", 6) // batch default (Strategy.scala ttmTrend)
       case "cdl_doji" | "cdl_z" => ip("length", 10)
       case "cti" => ip("length", 12)
       case "psl" => ip("length", 12)
@@ -2197,8 +2201,21 @@ object StreamingTa {
     * streaming twin (the [[streamableKinds]] exclusions: lookahead,
     * whole-frame, trained-stats cusum). Specs must declare DISJOINT
     * output columns (unlike the batch compiler there is no builder-fold
-    * fallback for same-kind/same-name collisions). */
-  def strategyStream(ticks: Dataset[BarTick], st: graft.ta.Strategy): DataFrame = {
+    * fallback for same-kind/same-name collisions).
+    *
+    * SCHEMA DIFFERENCE vs the batch compiler: batch lowerings materialize
+    * their named intermediates as real output columns (natr also emits
+    * atr_n and true_range; atr also emits true_range; chop/adx similar) —
+    * streaming stages emit ONLY the indicator's own column(s), precisely
+    * so those kinds compose in one pass without column collisions. A
+    * natr-only streamed Strategy therefore yields natr_n alone; add an
+    * explicit atr spec if you want the intermediate too. */
+  def strategyStream(
+      ticks: Dataset[BarTick],
+      st: graft.ta.Strategy,
+      latePolicy: String = "",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
     val sks = st.ta.map { s =>
       windowStream(s).orElse(recStream(s)).getOrElse(
         throw new IllegalArgumentException(
@@ -2210,10 +2227,40 @@ object StreamingTa {
       outNames.distinct.size == outNames.size,
       s"strategy '${st.name}': duplicate output columns across specs: " +
         outNames.diff(outNames.distinct).distinct.mkString(", "))
-    kernelBatchStream(ticks, sks)
+    kernelBatchStream(ticks, sks, latePolicy, lateCounter)
   }
 
-  def kernelBatchStream(ticks: Dataset[BarTick], specs: Seq[StreamKernel]): DataFrame = {
+  /** Per-series state for [[kernelBatchStream]]: the kernel/stage entries
+    * plus the ENFORCED in-order watermark — `lastTs` is the highest tick ts
+    * folded so far, `lateDropped` counts cross-batch late ticks dropped for
+    * this series (policy "drop"). */
+  case class BatchKernelState(
+      lastTs: Long,
+      lateDropped: Long,
+      entries: Array[(graft.ta.rec.Kernel, StreamStage)]
+  )
+
+  /** Run many streaming kernels in ONE stateful pass (one shuffle, one state
+    * entry per series).
+    *
+    * IN-ORDER CONTRACT (enforced, not prose): within a micro-batch ticks are
+    * sorted by ts here; ACROSS micro-batches the per-series `lastTs` carried
+    * in state detects any tick with `ts <= lastTs` — a late arrival (or a
+    * duplicate ts) that, if folded, would silently corrupt every indicator's
+    * state for that series from then on. Policy (param, or conf
+    * `spark.graft.stream.latePolicy` when the param is empty):
+    *  - `"drop"` (default): the late tick is NOT folded and NOT emitted; the
+    *    drop is counted per series in state AND in the `lateCounter`
+    *    accumulator (pass your own to observe; otherwise one named
+    *    `graft.stream.late_dropped` is registered and visible in the UI).
+    *  - `"fail"`: the query fails loudly with series/ts/lastTs detail —
+    *    for feeds where a late tick means the upstream log is broken. */
+  def kernelBatchStream(
+      ticks: Dataset[BarTick],
+      specs: Seq[StreamKernel],
+      latePolicy: String = "",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     val outSchema = StructType(
@@ -2225,35 +2272,60 @@ object StreamingTa {
     val spark = ticks.sparkSession
     import spark.implicits._
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val stateEnc: Encoder[Array[(graft.ta.rec.Kernel, StreamStage)]] =
-      Encoders.javaSerialization[Array[(graft.ta.rec.Kernel, StreamStage)]]
+    implicit val stateEnc: Encoder[BatchKernelState] =
+      Encoders.javaSerialization[BatchKernelState]
+    val policy =
+      if (latePolicy.nonEmpty) latePolicy
+      else spark.conf.get("spark.graft.stream.latePolicy", "drop")
+    require(
+      policy == "drop" || policy == "fail",
+      s"latePolicy must be 'drop' or 'fail', got '$policy'")
+    val lateAcc = lateCounter.getOrElse(
+      spark.sparkContext.longAccumulator("graft.stream.late_dropped"))
 
     def step(
         key: String,
         rows: Iterator[BarTick],
-        gs: GroupState[Array[(graft.ta.rec.Kernel, StreamStage)]]
+        gs: GroupState[BatchKernelState]
     ): Iterator[Row] = {
-      val state = gs.getOption.getOrElse {
-        specs.zip(extSchemas).map { case (sp, es) =>
-          val k = sp.make(); k.init(es); k.reset()
-          (k, sp.stage())
-        }.toArray
+      var st0 = gs.getOption.getOrElse {
+        BatchKernelState(
+          Long.MinValue,
+          0L,
+          specs.zip(extSchemas).map { case (sp, es) =>
+            val k = sp.make(); k.init(es); k.reset()
+            (k, sp.stage())
+          }.toArray)
       }
-      val out = rows.toSeq.sortBy(_.ts).map { t =>
-        val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
-        val vals = state.zip(extSchemas).flatMap { case ((k, st), es) =>
-          val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-            base ++ st.update(t),
-            es
-          )
-          k.update(row)
+      val state = st0.entries
+      val out = rows.toSeq.sortBy(_.ts).flatMap { t =>
+        if (t.ts <= st0.lastTs) {
+          // late (or duplicate-ts) tick straddling micro-batches: folding it
+          // as if newest would corrupt this series' state permanently
+          if (policy == "fail")
+            throw new IllegalStateException(
+              s"late tick for series '$key': ts=${t.ts} <= lastTs=${st0.lastTs} " +
+                "(out-of-order across micro-batches; latePolicy=fail)")
+          lateAcc.add(1L)
+          st0 = st0.copy(lateDropped = st0.lateDropped + 1L)
+          None
+        } else {
+          st0 = st0.copy(lastTs = t.ts)
+          val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+          val vals = state.zip(extSchemas).flatMap { case ((k, st), es) =>
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              base ++ st.update(t),
+              es
+            )
+            k.update(row)
+          }
+          Some(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](t.series_id, t.ts) ++ vals,
+            outSchema
+          ): Row)
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          Array[Any](t.series_id, t.ts) ++ vals,
-          outSchema
-        ): Row
       }
-      gs.update(state)
+      gs.update(st0)
       out.iterator
     }
 
