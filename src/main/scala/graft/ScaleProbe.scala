@@ -502,6 +502,102 @@ object ScaleProbe {
       }
     }
 
+    // ---- streaming state serialization tax (round 11): kernelBatchStream
+    // rides Encoders.javaSerialization — every micro-batch Java-serializes
+    // the full kernel+stage array per SERIES into the state store. Two
+    // measurements decide whether that is a scale problem at 10k+ series:
+    // (1) microbench the exact state object's ser+deser roundtrip (bytes
+    // and µs for the 45-stage strategy state after 200 ticks), and
+    // (2) run the same 45-stage strategyStream at 8 vs 10,000 series over
+    // the same 200k ticks / 4 micro-batches — the per-series state-store
+    // tax (ser/de + store access) is the whole difference, since total
+    // fold work is identical.
+    if (want("streamser")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      import graft.ta.{IndicatorSpec, Strategy}
+      import graft.streaming.StreamingTa
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val bigKinds = Seq(
+        "sma", "ema", "wma", "rsi", "macd", "atr", "natr", "trix", "tsi", "adx",
+        "stoch", "bbands", "kc", "psar", "supertrend", "ha", "mcgd", "ssf",
+        "obv", "ad", "pvt", "vwap", "cci", "cmo", "er", "vhf", "chop", "ui",
+        "donchian", "accbands", "alma", "hma", "trima", "kama", "vidya",
+        "t3", "adosc", "kdj", "smi", "stc", "mfi", "cmf", "aroon", "qstick", "drawdown"
+      )
+      val st45 = Strategy("s45", bigKinds.map(k => IndicatorSpec(k)))
+      val sks = st45.ta.map(s =>
+        StreamingTa.windowStream(s).orElse(StreamingTa.recStream(s)).get)
+      val barSchema = StructType(Seq(
+        StructField("series_id", StringType), StructField("ts", LongType),
+        StructField("open", DoubleType), StructField("high", DoubleType),
+        StructField("low", DoubleType), StructField("close", DoubleType),
+        StructField("volume", DoubleType)))
+      val extSchemas = sks.map(sp => StructType(barSchema.fields ++ sp.stage().fields))
+      val entries = sks.zip(extSchemas).map { case (sp, es) =>
+        val k = sp.make(); k.init(es); k.reset(); (k, sp.stage())
+      }.toArray
+      (0 until 200).foreach { i =>
+        val v = 100.0 + 10.0 * math.sin(i / 7.0)
+        val t = StreamingTa.BarTick("s", i.toLong, v, v + 1, v - 1, v + 0.2, 100.0 + i % 7)
+        val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+        entries.zip(extSchemas).foreach { case ((k, stg), es) =>
+          k.update(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            base ++ stg.update(t), es))
+        }
+      }
+      val stateObj = StreamingTa.BatchKernelState(199L, 0L, entries)
+      def ser(o: AnyRef): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val oo = new java.io.ObjectOutputStream(bo)
+        oo.writeObject(o); oo.close(); bo.toByteArray
+      }
+      def deser(b: Array[Byte]): AnyRef =
+        new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b)).readObject()
+      val bytes = ser(stateObj).length
+      val rounds = 2000
+      deser(ser(stateObj)) // warm
+      val t0 = System.nanoTime()
+      (1 to rounds).foreach(_ => deser(ser(stateObj)))
+      val usPer = (System.nanoTime() - t0) / 1e3 / rounds
+      println(s"""{"op":"streamser_java_roundtrip45","bytes":$bytes,"us_per_roundtrip":$usPer}""")
+      // the encoder actually in use since round 11: Spark's Kryo
+      val kryo = new org.apache.spark.serializer.KryoSerializer(spark.sparkContext.getConf)
+        .newInstance()
+      def kser(o: AnyRef): Array[Byte] = {
+        val bb = kryo.serialize(o)(scala.reflect.ClassTag.AnyRef)
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }
+      def kdeser(b: Array[Byte]): AnyRef =
+        kryo.deserialize(java.nio.ByteBuffer.wrap(b))(scala.reflect.ClassTag.AnyRef)
+      val kbytes = kser(stateObj).length
+      kdeser(kser(stateObj)) // warm
+      val t1 = System.nanoTime()
+      (1 to rounds).foreach(_ => kdeser(kser(stateObj)))
+      val kusPer = (System.nanoTime() - t1) / 1e3 / rounds
+      println(s"""{"op":"streamser_kryo_roundtrip45","bytes":$kbytes,"us_per_roundtrip":$kusPer}""")
+
+      for (nSeries <- Seq(8, 10000)) {
+        val ms = MemoryStream[StreamingTa.BarTick]
+        val q = StreamingTa
+          .strategyStream(ms.toDS(), st45)
+          .writeStream.format("noop").outputMode("append").start()
+        val m = 200000
+        val ticks = (0 until m).map { i =>
+          val v = 100.0 + 10.0 * math.sin(i / 7.0)
+          StreamingTa.BarTick(
+            (i % nSeries).toString, (i / nSeries).toLong, v, v + 1, v - 1, v + 0.2, 100.0 + i % 7)
+        }
+        val sec = time {
+          ticks.grouped(m / 4).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+          0L
+        }
+        q.stop()
+        println(s"""{"op":"streamser_45stages_${nSeries}series","n":$m,"sec":$sec}""")
+      }
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single
