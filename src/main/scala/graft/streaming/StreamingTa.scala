@@ -208,6 +208,12 @@ object StreamingTa {
   trait StreamStage extends Serializable {
     def fields: Seq[org.apache.spark.sql.types.StructField]
     def update(t: BarTick): Array[Any]
+    /** Re-attach evaluator machinery a stage deliberately keeps OUT of the
+      * per-series state (marked @transient — e.g. CandleWaveStage's bound
+      * expression trees, identical for every series). Called once per
+      * series per micro-batch with a factory for a fully-armed instance;
+      * no-op for stages whose fields all serialize. */
+    def rearm(fresh: () => StreamStage): Unit = ()
   }
 
   object NoStage extends StreamStage {
@@ -2091,6 +2097,120 @@ object StreamingTa {
     * declared list, so a future registry kind that silently doesn't
     * stream — or a new stream path that forgets to declare itself —
     * fails the gate. The README streaming table is this same set. */
+  // ------------------------------------------------ candle flag batches
+  /** Flat input layout for the candle-wave expressions: the current bar,
+    * its four lags, and the two 10-bar averages — everything any of the
+    * 61 pattern flags reads. */
+  private val candleFlatNames: Array[String] =
+    Array("open", "high", "low", "close") ++
+      (1 to 4).flatMap(k => Seq(s"open_$k", s"high_$k", s"low_$k", s"close_$k")) ++
+      Array("avg_rng", "avg_body")
+
+  private lazy val candleFlatSchema = org.apache.spark.sql.types.StructType(
+    candleFlatNames.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType, true)))
+
+  private val candleWaveCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Seq[String], Array[org.apache.spark.sql.catalyst.expressions.Expression])]()
+
+  /** Wave output names without touching the analyzer (Column construction
+    * is session-free) — keeps streamableKinds usable with no session. */
+  private def candleWaveNames(i: Int): Seq[String] =
+    new graft.ta.CandleWaves(
+      name => col(name),
+      (name, k) => col(s"${name}_$k"),
+      () => col("avg_rng"),
+      () => col("avg_body")).wave(i).map(_._1)
+
+  /** The SAME wave definitions batch projects (graft.ta.CandleWaves), with
+    * the window primitives swapped for flat lag columns, run through the
+    * analyzer ONCE (type coercion included) and bound to the flat layout —
+    * so the streamed flags evaluate the identical Catalyst trees. Driver-
+    * side only (needs the active session); the bound expressions ship to
+    * executors in the task closure, never in per-series state. */
+  private def candleWaveExprs(i: Int): (Seq[String], Array[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    candleWaveCache.computeIfAbsent(
+      i,
+      _ => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val waves = new graft.ta.CandleWaves(
+          name => col(name),
+          (name, k) => col(s"${name}_$k"),
+          () => col("avg_rng"),
+          () => col("avg_body"))
+        val wave = waves.wave(i)
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], candleFlatSchema)
+        val proj = empty
+          .select(wave.map { case (n0, c0) => c0.as(n0) }: _*)
+          .queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        val childOut = proj.child.output
+        val bound = proj.projectList.map { a =>
+          require(a.dataType == org.apache.spark.sql.types.DoubleType, s"${a.name}: ${a.dataType}")
+          org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference(
+            a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child, childOut)
+        }.toArray
+        (wave.map(_._1), bound)
+      })
+
+  /** Streaming twin of one cdl_pattern* flag batch: per tick, fill the
+    * flat lag row from a 4-bar ring (+ the two 10-bar average rings, in
+    * WindowExec frame order) and interpret-eval the wave's bound
+    * expressions. The expression array is @transient — shared per task
+    * via the factory closure and re-attached by [[StreamStage.rearm]]
+    * after state deserialization, so per-series state stays O(bars). */
+  final class CandleWaveStage(
+      outNames: Seq[String],
+      exprs0: Array[org.apache.spark.sql.catalyst.expressions.Expression]
+  ) extends StreamStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = outNames.map(dblField)
+    @transient private var exprs = exprs0
+    private[StreamingTa] def armed = exprs
+    override def rearm(fresh: () => StreamStage): Unit =
+      if (exprs == null) exprs = fresh().asInstanceOf[CandleWaveStage].armed
+    // newest-first: lags(0) = previous bar's [o,h,l,c]
+    private val lags = new Array[Array[Double]](4)
+    private val hlRing = new Array[Double](10)
+    private val bodyRing = new Array[Double](10)
+    private var cnt = 0L
+    def update(t: BarTick): Array[Any] = {
+      val slot = (cnt % 10).toInt
+      hlRing(slot) = t.high - t.low
+      bodyRing(slot) = math.abs(t.close - t.open)
+      cnt += 1
+      // rmean gate (count >= n) and frame-order sum, oldest -> newest
+      var avgRng: Any = null; var avgBody: Any = null
+      if (cnt >= 10) {
+        var s1 = 0.0; var s2 = 0.0; var i = 0
+        while (i < 10) {
+          val j = ((cnt - 10 + i) % 10).toInt
+          s1 += hlRing(j); s2 += bodyRing(j); i += 1
+        }
+        avgRng = s1 / 10.0; avgBody = s2 / 10.0
+      }
+      val vals = new Array[Any](22)
+      vals(0) = t.open; vals(1) = t.high; vals(2) = t.low; vals(3) = t.close
+      var k = 0
+      while (k < 4) {
+        val b = lags(k)
+        if (b != null) {
+          vals(4 + k * 4) = b(0); vals(5 + k * 4) = b(1)
+          vals(6 + k * 4) = b(2); vals(7 + k * 4) = b(3)
+        }
+        k += 1
+      }
+      vals(20) = avgRng; vals(21) = avgBody
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      val out = new Array[Any](exprs.length)
+      var e = 0
+      while (e < exprs.length) { out(e) = exprs(e).eval(row); e += 1 }
+      lags(3) = lags(2); lags(2) = lags(1); lags(1) = lags(0)
+      lags(0) = Array(t.open, t.high, t.low, t.close)
+      out
+    }
+  }
+
   def streamableKinds: Set[String] =
     graft.ta.registry.indicators.filter { k =>
       val spec =
@@ -2114,7 +2234,26 @@ object StreamingTa {
       Some(StreamKernel(names, () => new StagePass(names.map(_.name)), st))
     }
     val cumulative = spec.params.get("cumulative").exists(_.toString.toBoolean)
-    if (elemStreamKinds(spec.kind) && !cumulative) {
+    if (spec.kind == "cdl_pattern" || spec.kind.startsWith("cdl_pattern_")) {
+      val i = if (spec.kind == "cdl_pattern") 1 else spec.kind.stripPrefix("cdl_pattern_").toInt
+      // names are session-free (the wave definition); the analyzer-bound
+      // expressions need the active session — resolved HERE (driver side)
+      // so the stage factory captures only the bound Expression array, not
+      // this object. Bare dispatch with no session (streamableKinds on a
+      // cold JVM) still answers; only building the stage then fails.
+      val names = candleWaveNames(i)
+      val exprs: Array[org.apache.spark.sql.catalyst.expressions.Expression] =
+        if (org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined)
+          candleWaveExprs(i)._2
+        else null
+      val stageF: () => StreamStage =
+        if (exprs == null)
+          () => throw new IllegalStateException(
+            s"${spec.kind}: building the streaming stage needs an active SparkSession (analyzer)")
+        else () => new CandleWaveStage(names, exprs)
+      Some(StreamKernel(names.map(dblField), () => new StagePass(names), stageF))
+    } else if (elemStreamKinds(spec.kind) && !cumulative) {
       val n = ip("length", 1)
       wrap(() => new ElemStage(spec.kind, n))
     } else if (cumStreamKinds(spec.kind) ||
@@ -2291,14 +2430,21 @@ object StreamingTa {
         rows: Iterator[BarTick],
         gs: GroupState[BatchKernelState]
     ): Iterator[Row] = {
-      var st0 = gs.getOption.getOrElse {
-        BatchKernelState(
-          Long.MinValue,
-          0L,
-          specs.zip(extSchemas).map { case (sp, es) =>
-            val k = sp.make(); k.init(es); k.reset()
-            (k, sp.stage())
-          }.toArray)
+      var st0 = gs.getOption match {
+        case Some(s) =>
+          // re-attach @transient evaluator machinery dropped by the state
+          // encoder (no-op for most stages)
+          var i = 0
+          while (i < s.entries.length) { s.entries(i)._2.rearm(specs(i).stage); i += 1 }
+          s
+        case None =>
+          BatchKernelState(
+            Long.MinValue,
+            0L,
+            specs.zip(extSchemas).map { case (sp, es) =>
+              val k = sp.make(); k.init(es); k.reset()
+              (k, sp.stage())
+            }.toArray)
       }
       val state = st0.entries
       val out = rows.toSeq.sortBy(_.ts).flatMap { t =>

@@ -2,36 +2,49 @@ package graft.ta
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import prim._
 
-/** Wave-5/6 candle flag definitions — single source for both the Ta
-  * accessor methods (`cdlPatterns5/6`) and the StrategyCompiler
-  * single-level lowerings (`cdl_pattern_5/6`), so the batch path and the
-  * per-indicator path cannot drift. Conventions as waves 1–4: real-body
-  * gap = disjoint [min,max](o,c) intervals, doji = body ≤ 0.1·range,
-  * Equal tolerance = 0.05·sma(h−l,10). */
-private[ta] object candleDefs {
+/** ALL six candle-pattern waves (the reference candles/cdl_pattern.py
+  * TA-Lib delegation re-expressed as self-contained declared specs),
+  * parameterized over their INPUTS so one definition serves three
+  * consumers that previously could drift:
+  *  - the batch Ta accessors (`cdlPatterns`..`cdlPatterns6`) and the
+  *    StrategyCompiler single-level lowerings — instance [[candleDefs]]
+  *    (inputs = the window primitives shift/rmean);
+  *  - the STREAMING stage (StreamingTa.CandleWaveStage) — an instance over
+  *    a flat lag-column schema (`open_1`..`close_4`, `avg_rng`,
+  *    `avg_body`), whose analyzed expressions are evaluated per tick from
+  *    a ring, so streamed flags are the SAME Catalyst trees batch runs.
+  *
+  * Conventions: real-body gap = disjoint [min,max](o,c) intervals, doji =
+  * body ≤ 0.1·range, Equal tolerance = 0.05·sma(h−l,10). Flags emit
+  * 1.0/0.0, null while the needed lags (or the 10-bar averages) are
+  * undefined. */
+private[graft] class CandleWaves(
+    cur: String => Column,
+    sh: (String, Int) => Column,
+    avgRngIn: () => Column,
+    avgBodyIn: () => Column
+) {
 
-  private val close = col("close")
-  private val open = col("open")
-  private val high = col("high")
-  private val low = col("low")
+  private val close = cur("close")
+  private val open = cur("open")
+  private val high = cur("high")
+  private val low = cur("low")
 
-  private val n = 10
-  private def avgRng = rmean(high - low, n)
+  private def avgRng = avgRngIn()
   private def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
   private val body = abs(close - open)
   private val rng = high - low
   private val upShadow = high - greatest(open, close)
   private val dnShadow = least(open, close) - low
-  private val po = shift(open, 1); private val pc = shift(close, 1)
-  private val ph = shift(high, 1); private val pl = shift(low, 1)
-  private val po2 = shift(open, 2); private val pc2 = shift(close, 2)
-  private val ph2 = shift(high, 2); private val pl2 = shift(low, 2)
-  private val po3 = shift(open, 3); private val pc3 = shift(close, 3)
-  private val ph3 = shift(high, 3); private val pl3 = shift(low, 3)
-  private val po4 = shift(open, 4); private val pc4 = shift(close, 4)
-  private val pl4 = shift(low, 4)
+  private val po = sh("open", 1); private val pc = sh("close", 1)
+  private val ph = sh("high", 1); private val pl = sh("low", 1)
+  private val po2 = sh("open", 2); private val pc2 = sh("close", 2)
+  private val ph2 = sh("high", 2); private val pl2 = sh("low", 2)
+  private val po3 = sh("open", 3); private val pc3 = sh("close", 3)
+  private val ph3 = sh("high", 3); private val pl3 = sh("low", 3)
+  private val po4 = sh("open", 4); private val pc4 = sh("close", 4)
+  private val ph4 = sh("high", 4); private val pl4 = sh("low", 4)
   private val bull = close > open; private val bear = close < open
   private val pBull = pc > po; private val pBear = pc < po
   private val p2Bull = pc2 > po2; private val p2Bear = pc2 < po2
@@ -64,13 +77,83 @@ private[ta] object candleDefs {
   private def flagEq3(cond: Column): Column =
     when(pc2.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
 
+  /** wave 1: the most-used single/two-candle reversals. */
+  val wave1: Seq[(String, Column)] = Seq(
+    // engulfing: current body engulfs previous opposite-color body
+    "cdl_engulfing_bull" -> flag2(bull && pBear && open <= pc && close >= po),
+    "cdl_engulfing_bear" -> flag2(bear && pBull && open >= pc && close <= po),
+    // hammer: long lower shadow (≥2×body), small upper (≤body)
+    "cdl_hammer" -> flag1(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0),
+    // shooting star: mirror of hammer
+    "cdl_shooting_star" -> flag1(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0),
+    // harami: current body inside previous opposite body
+    "cdl_harami_bull" -> flag2(bull && pBear && open >= pc && close <= po),
+    "cdl_harami_bear" -> flag2(bear && pBull && open <= pc && close >= po),
+    // marubozu: body ≥ 95% of range
+    "cdl_marubozu" -> flag1(rng > 0 && body >= lit(0.95) * rng),
+    // spinning top: small body (≤ 30% range) with both shadows longer than body
+    "cdl_spinning_top" -> flag1(
+      rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body)
+  )
+
+  /** wave 2: 2-candle reversals, 3-candle stars/soldiers, doji family. */
+  val wave2: Seq[(String, Column)] = Seq(
+    "cdl_piercing" -> flag2(pBear && bull && open <= pc && close > (po + pc) / 2.0 && close < po),
+    "cdl_dark_cloud" -> flag2(pBull && bear && open >= pc && close < (po + pc) / 2.0 && close > po),
+    "cdl_morning_star" -> flag3(p2Bear && pBody <= lit(0.3) * p2Body && bull && close > (po2 + pc2) / 2.0),
+    "cdl_evening_star" -> flag3(p2Bull && pBody <= lit(0.3) * p2Body && bear && close < (po2 + pc2) / 2.0),
+    "cdl_3_white_soldiers" -> flag3(
+      bull && pBull && p2Bull && close > pc && pc > pc2 &&
+        open > po && open < pc && po > po2 && po < pc2
+    ),
+    "cdl_3_black_crows" -> flag3(
+      bear && pBear && p2Bear && close < pc && pc < pc2 &&
+        open < po && open > pc && po < po2 && po > pc2
+    ),
+    "cdl_hanging_man" -> flag2(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0 && pBull),
+    "cdl_inverted_hammer" -> flag2(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0 && pBear),
+    "cdl_dragonfly_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && upShadow <= lit(0.1) * rng),
+    "cdl_gravestone_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && dnShadow <= lit(0.1) * rng),
+    "cdl_long_legged_doji" -> flag1(
+      rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
+    )
+  )
+
+  /** wave 3: three-inside/outside reversals, belt holds, doji stars,
+    * kicking. */
+  val wave3: Seq[(String, Column)] = Seq(
+    "cdl_3_inside_up" -> flag3(p2Bear && pBull && po >= pc2 && pc <= po2 && bull && close > po2),
+    "cdl_3_inside_down" -> flag3(p2Bull && pBear && po <= pc2 && pc >= po2 && bear && close < po2),
+    "cdl_3_outside_up" -> flag3(p2Bear && pBull && po <= pc2 && pc >= po2 && bull && close > pc),
+    "cdl_3_outside_down" -> flag3(p2Bull && pBear && po >= pc2 && pc <= po2 && bear && close < pc),
+    "cdl_belt_hold_bull" -> flag1(bull && rng > 0 && body >= lit(0.7) * rng && dnShadow <= lit(0.05) * rng),
+    "cdl_belt_hold_bear" -> flag1(bear && rng > 0 && body >= lit(0.7) * rng && upShadow <= lit(0.05) * rng),
+    "cdl_doji_star_bull" -> flag2(pBear && rng > 0 && body <= lit(0.1) * rng && greatest(open, close) < pc),
+    "cdl_doji_star_bear" -> flag2(pBull && rng > 0 && body <= lit(0.1) * rng && least(open, close) > pc),
+    "cdl_kicking_bull" -> flag2(kickUp),
+    "cdl_kicking_bear" -> flag2(kickDn)
+  )
+
+  /** wave 4: Equal-tolerance (0.05·sma(h−l,10)) two/three-candle
+    * patterns. */
+  val wave4: Seq[(String, Column)] = Seq(
+    "cdl_on_neck" -> flagEq2(pBear && bull && open < pl && nearEq(close, pl)),
+    "cdl_in_neck" -> flagEq2(pBear && bull && open < pl && close >= pc && close - pc <= lit(0.05) * avgRng),
+    "cdl_thrusting" -> flagEq2(pBear && bull && open < pl && close > pc && close < (po + pc) / 2.0),
+    "cdl_separating_lines_bull" -> flagEq2(pBear && bull && nearEq(open, po)),
+    "cdl_separating_lines_bear" -> flagEq2(pBull && bear && nearEq(open, po)),
+    "cdl_matching_low" -> flagEq2(pBear && bear && nearEq(close, pc)),
+    "cdl_stick_sandwich" -> flagEq3(p2Bear && pBull && bear && nearEq(close, pc2)),
+    "cdl_homing_pigeon" -> flagEq2(pBear && bear && open < po && close > pc)
+  )
+
   /** wave 5: gap-continuation and 5-candle formations. */
   val wave5: Seq[(String, Column)] = {
     // middles of the three-methods formation: small bodies inside the
     // first candle's high-low range
     def small(k: Int): Column = {
-      val (ok, ck, hk, lk) = (shift(open, k), shift(close, k), shift(high, k), shift(low, k))
-      abs(ck - ok) < body4 && hk <= shift(high, 4) && lk >= pl4
+      val (ok, ck, hk, lk) = (sh("open", k), sh("close", k), sh("high", k), sh("low", k))
+      abs(ck - ok) < body4 && hk <= ph4 && lk >= pl4
     }
     Seq(
       // gap continuation: third candle opens inside the second body and
@@ -134,7 +217,7 @@ private[ta] object candleDefs {
 
   /** wave 6: the rest of the TA-Lib set. */
   val wave6: Seq[(String, Column)] = {
-    val avgBody = rmean(body, n)
+    val avgBody = avgBodyIn()
     Seq(
       // three rising whites then a black engulfing all three bodies
       "cdl_3_line_strike_bull" -> flag4(
@@ -275,4 +358,24 @@ private[ta] object candleDefs {
   private def kickDn: Column =
     pBull && pRng > 0 && pBody >= lit(0.95) * pRng &&
       bear && rng > 0 && body >= lit(0.95) * rng && open < pl
+
+  /** wave lookup by registry kind suffix (1-based; "" = wave 1). */
+  def wave(i: Int): Seq[(String, Column)] = i match {
+    case 1 => wave1
+    case 2 => wave2
+    case 3 => wave3
+    case 4 => wave4
+    case 5 => wave5
+    case 6 => wave6
+    case _ => throw new IllegalArgumentException(s"no candle wave $i")
+  }
 }
+
+/** Batch instance: inputs are the canonical window primitives. */
+private[ta] object candleDefs
+    extends CandleWaves(
+      name => col(name),
+      (name, k) => prim.shift(col(name), k),
+      () => prim.rmean(col("high") - col("low"), 10),
+      () => prim.rmean(abs(col("close") - col("open")), 10)
+    )

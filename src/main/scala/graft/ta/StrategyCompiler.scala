@@ -1325,135 +1325,10 @@ private[ta] object StrategyCompiler {
         val gate0 = if (onDown) diff(volume) < 0 else diff(volume) > 0
         val term = when(gate0 && ret.isNotNull, log(lit(1.0) + ret)).otherwise(0.0)
         Some(one(spec.kind, lit(1000.0) * exp(sum(term).over(cum))))
-      case "cdl_pattern" =>
-        val body = abs(close - open)
-        val rng = high - low
-        val po = shift(open, 1); val pc = shift(close, 1)
-        val upShadow = high - greatest(open, close)
-        val dnShadow = least(open, close) - low
-        val bull = close > open
-        val bear = close < open
-        val pBull = pc > po
-        val pBear = pc < po
-        def flag(cond: Column, needsPrev: Boolean = true): Column =
-          if (needsPrev) when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-          else when(cond, 1.0).otherwise(0.0)
-        Some(ColPlan(
-          Seq(Seq(
-            "cdl_engulfing_bull" -> flag(bull && pBear && open <= pc && close >= po),
-            "cdl_engulfing_bear" -> flag(bear && pBull && open >= pc && close <= po),
-            "cdl_hammer" -> flag(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0, needsPrev = false),
-            "cdl_shooting_star" -> flag(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0, needsPrev = false),
-            "cdl_harami_bull" -> flag(bull && pBear && open >= pc && close <= po),
-            "cdl_harami_bear" -> flag(bear && pBull && open <= pc && close >= po),
-            "cdl_marubozu" -> flag(rng > 0 && body >= lit(0.95) * rng, needsPrev = false),
-            "cdl_spinning_top" -> flag(rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body, needsPrev = false)
-          )),
-          Nil
-        ))
-      case "cdl_pattern_2" =>
-        val body = abs(close - open)
-        val rng = high - low
-        val po = shift(open, 1); val pc = shift(close, 1)
-        val po2 = shift(open, 2); val pc2 = shift(close, 2)
-        val upShadow = high - greatest(open, close)
-        val dnShadow = least(open, close) - low
-        val bull = close > open; val bear = close < open
-        val pBull = pc > po; val pBear = pc < po
-        val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
-        val pBody = abs(pc - po); val p2Body = abs(pc2 - po2)
-        def flag2(cond: Column): Column =
-          when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        def flag3(cond: Column): Column =
-          when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
-        Some(ColPlan(
-          Seq(Seq(
-            "cdl_piercing" -> flag2(pBear && bull && open <= pc && close > (po + pc) / 2.0 && close < po),
-            "cdl_dark_cloud" -> flag2(pBull && bear && open >= pc && close < (po + pc) / 2.0 && close > po),
-            "cdl_morning_star" -> flag3(p2Bear && pBody <= lit(0.3) * p2Body && bull && close > (po2 + pc2) / 2.0),
-            "cdl_evening_star" -> flag3(p2Bull && pBody <= lit(0.3) * p2Body && bear && close < (po2 + pc2) / 2.0),
-            "cdl_3_white_soldiers" -> flag3(
-              bull && pBull && p2Bull && close > pc && pc > pc2 &&
-                open > po && open < pc && po > po2 && po < pc2
-            ),
-            "cdl_3_black_crows" -> flag3(
-              bear && pBear && p2Bear && close < pc && pc < pc2 &&
-                open < po && open > pc && po < po2 && po > pc2
-            ),
-            "cdl_hanging_man" -> flag2(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0 && pBull),
-            "cdl_inverted_hammer" -> flag2(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0 && pBear),
-            "cdl_dragonfly_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && upShadow <= lit(0.1) * rng),
-            "cdl_gravestone_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && dnShadow <= lit(0.1) * rng),
-            "cdl_long_legged_doji" -> flag1(
-              rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
-            )
-          )),
-          Nil
-        ))
-      case "cdl_pattern_3" =>
-        val body = abs(close - open)
-        val rng = high - low
-        val po = shift(open, 1); val pc = shift(close, 1)
-        val ph = shift(high, 1); val pl = shift(low, 1)
-        val po2 = shift(open, 2); val pc2 = shift(close, 2)
-        val upShadow = high - greatest(open, close)
-        val dnShadow = least(open, close) - low
-        val bull = close > open; val bear = close < open
-        val pBull = pc > po; val pBear = pc < po
-        val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
-        val pBody = abs(pc - po); val pRng = ph - pl
-        def flag2(cond: Column): Column =
-          when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        def flag3(cond: Column): Column =
-          when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
-        Some(ColPlan(
-          Seq(Seq(
-            "cdl_3_inside_up" -> flag3(p2Bear && pBull && po >= pc2 && pc <= po2 && bull && close > po2),
-            "cdl_3_inside_down" -> flag3(p2Bull && pBear && po <= pc2 && pc >= po2 && bear && close < po2),
-            "cdl_3_outside_up" -> flag3(p2Bear && pBull && po <= pc2 && pc >= po2 && bull && close > pc),
-            "cdl_3_outside_down" -> flag3(p2Bull && pBear && po >= pc2 && pc <= po2 && bear && close < pc),
-            "cdl_belt_hold_bull" -> flag1(bull && rng > 0 && body >= lit(0.7) * rng && dnShadow <= lit(0.05) * rng),
-            "cdl_belt_hold_bear" -> flag1(bear && rng > 0 && body >= lit(0.7) * rng && upShadow <= lit(0.05) * rng),
-            "cdl_doji_star_bull" -> flag2(pBear && rng > 0 && body <= lit(0.1) * rng && greatest(open, close) < pc),
-            "cdl_doji_star_bear" -> flag2(pBull && rng > 0 && body <= lit(0.1) * rng && least(open, close) > pc),
-            "cdl_kicking_bull" -> flag2(
-              pBear && pRng > 0 && pBody >= lit(0.95) * pRng && bull && rng > 0 && body >= lit(0.95) * rng && open > ph
-            ),
-            "cdl_kicking_bear" -> flag2(
-              pBull && pRng > 0 && pBody >= lit(0.95) * pRng && bear && rng > 0 && body >= lit(0.95) * rng && open < pl
-            )
-          )),
-          Nil
-        ))
-      case "cdl_pattern_4" =>
-        val n = 10
-        val avgRng = rmean(high - low, n)
-        def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
-        val po = shift(open, 1); val pc = shift(close, 1)
-        val pl = shift(low, 1)
-        val po2 = shift(open, 2); val pc2 = shift(close, 2)
-        val bull = close > open; val bear = close < open
-        val pBull = pc > po; val pBear = pc < po
-        val p2Bear = pc2 < po2
-        def flag2(cond: Column): Column =
-          when(pc.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        def flag3(cond: Column): Column =
-          when(pc2.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-        Some(ColPlan(
-          Seq(Seq(
-            "cdl_on_neck" -> flag2(pBear && bull && open < pl && nearEq(close, pl)),
-            "cdl_in_neck" -> flag2(pBear && bull && open < pl && close >= pc && close - pc <= lit(0.05) * avgRng),
-            "cdl_thrusting" -> flag2(pBear && bull && open < pl && close > pc && close < (po + pc) / 2.0),
-            "cdl_separating_lines_bull" -> flag2(pBear && bull && nearEq(open, po)),
-            "cdl_separating_lines_bear" -> flag2(pBull && bear && nearEq(open, po)),
-            "cdl_matching_low" -> flag2(pBear && bear && nearEq(close, pc)),
-            "cdl_stick_sandwich" -> flag3(p2Bear && pBull && bear && nearEq(close, pc2)),
-            "cdl_homing_pigeon" -> flag2(pBear && bear && open < po && close > pc)
-          )),
-          Nil
-        ))
+      case "cdl_pattern" => Some(ColPlan(Seq(candleDefs.wave1), Nil))
+      case "cdl_pattern_2" => Some(ColPlan(Seq(candleDefs.wave2), Nil))
+      case "cdl_pattern_3" => Some(ColPlan(Seq(candleDefs.wave3), Nil))
+      case "cdl_pattern_4" => Some(ColPlan(Seq(candleDefs.wave4), Nil))
       case "cdl_pattern_5" => Some(ColPlan(Seq(candleDefs.wave5), Nil))
       case "cdl_pattern_6" => Some(ColPlan(Seq(candleDefs.wave6), Nil))
       case _ => None

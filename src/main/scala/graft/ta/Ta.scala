@@ -516,181 +516,23 @@ final class Ta(private val df: DataFrame) {
     * to TA-Lib; these are self-contained declared specs for the most-used
     * patterns — no TA-Lib dependency). All emit 1.0/0.0 (null while the
     * needed lags are undefined). Body = |c−o|, range = h−l. */
-  def cdlPatterns: DataFrame = {
-    val body = abs(close - open)
-    val rng = high - low
-    val po = shift(open, 1); val pc = shift(close, 1)
-    val pBody = abs(pc - po)
-    val upShadow = high - greatest(open, close)
-    val dnShadow = least(open, close) - low
-    val bull = close > open
-    val bear = close < open
-    val pBull = pc > po
-    val pBear = pc < po
-    def flag(name: String, cond: Column, needsPrev: Boolean = true): (String, Column) =
-      name -> (if (needsPrev) when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-               else when(cond, 1.0).otherwise(0.0))
-    val defs = Seq(
-      // engulfing: current body engulfs previous opposite-color body
-      flag("cdl_engulfing_bull", bull && pBear && open <= pc && close >= po),
-      flag("cdl_engulfing_bear", bear && pBull && open >= pc && close <= po),
-      // hammer: long lower shadow (≥2×body), small upper (≤body)
-      flag("cdl_hammer", dnShadow >= lit(2.0) * body && upShadow <= body && body > 0, needsPrev = false),
-      // shooting star: mirror of hammer
-      flag("cdl_shooting_star", upShadow >= lit(2.0) * body && dnShadow <= body && body > 0, needsPrev = false),
-      // harami: current body inside previous opposite body
-      flag("cdl_harami_bull", bull && pBear && open >= pc && close <= po),
-      flag("cdl_harami_bear", bear && pBull && open <= pc && close >= po),
-      // marubozu: body ≥ 95% of range
-      flag("cdl_marubozu", rng > 0 && body >= lit(0.95) * rng, needsPrev = false),
-      // spinning top: small body (≤ 30% range) with both shadows longer than body
-      flag("cdl_spinning_top", rng > 0 && body <= lit(0.3) * rng && upShadow > body && dnShadow > body, needsPrev = false)
-    )
-    df.withColumns(defs.toMap)
-  }
+  def cdlPatterns: DataFrame = df.withColumns(candleDefs.wave1.toMap)
 
   /** Second wave of native candle patterns (reference candles/
     * cdl_pattern.py TA-Lib delegation — self-contained declared specs, no
     * TA-Lib): 2-candle reversals (piercing, dark cloud, hanging man,
     * inverted hammer), 3-candle stars and soldiers/crows, and the doji
     * family. Null while the needed lags are undefined; else 1.0/0.0. */
-  def cdlPatterns2: DataFrame = {
-    val body = abs(close - open)
-    val rng = high - low
-    val po = shift(open, 1); val pc = shift(close, 1)
-    val po2 = shift(open, 2); val pc2 = shift(close, 2)
-    val upShadow = high - greatest(open, close)
-    val dnShadow = least(open, close) - low
-    val bull = close > open; val bear = close < open
-    val pBull = pc > po; val pBear = pc < po
-    val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
-    val pBody = abs(pc - po); val p2Body = abs(pc2 - po2)
-    def flag2(cond: Column): Column =
-      when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    def flag3(cond: Column): Column =
-      when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
-    val defs: Seq[(String, Column)] = Seq(
-      // piercing: gap into the prior bear body, close above its midpoint
-      "cdl_piercing" -> flag2(pBear && bull && open <= pc && close > (po + pc) / 2.0 && close < po),
-      "cdl_dark_cloud" -> flag2(pBull && bear && open >= pc && close < (po + pc) / 2.0 && close > po),
-      // stars: long first body, small middle body, third closes past the
-      // first body's midpoint
-      "cdl_morning_star" -> flag3(p2Bear && pBody <= lit(0.3) * p2Body && bull && close > (po2 + pc2) / 2.0),
-      "cdl_evening_star" -> flag3(p2Bull && pBody <= lit(0.3) * p2Body && bear && close < (po2 + pc2) / 2.0),
-      // three advancing/declining candles, each opening within the prior body
-      "cdl_3_white_soldiers" -> flag3(
-        bull && pBull && p2Bull && close > pc && pc > pc2 &&
-          open > po && open < pc && po > po2 && po < pc2
-      ),
-      "cdl_3_black_crows" -> flag3(
-        bear && pBear && p2Bear && close < pc && pc < pc2 &&
-          open < po && open > pc && po < po2 && po > pc2
-      ),
-      // hammer/shooting-star shapes with a prior-candle trend proxy
-      "cdl_hanging_man" -> flag2(dnShadow >= lit(2.0) * body && upShadow <= body && body > 0 && pBull),
-      "cdl_inverted_hammer" -> flag2(upShadow >= lit(2.0) * body && dnShadow <= body && body > 0 && pBear),
-      // doji family: tiny body, shadow distribution decides the name
-      "cdl_dragonfly_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && upShadow <= lit(0.1) * rng),
-      "cdl_gravestone_doji" -> flag1(rng > 0 && body <= lit(0.1) * rng && dnShadow <= lit(0.1) * rng),
-      "cdl_long_legged_doji" -> flag1(
-        rng > 0 && body <= lit(0.1) * rng && upShadow >= lit(0.3) * rng && dnShadow >= lit(0.3) * rng
-      )
-    )
-    df.withColumns(defs.toMap)
-  }
+  def cdlPatterns2: DataFrame = df.withColumns(candleDefs.wave2.toMap)
 
-  /** Third wave of native candle patterns (reference candles/
-    * cdl_pattern.py TA-Lib delegation): three-inside/outside reversals,
-    * belt holds, doji stars, kicking. Null while lags are undefined. */
-  def cdlPatterns3: DataFrame = {
-    val body = abs(close - open)
-    val rng = high - low
-    val po = shift(open, 1); val pc = shift(close, 1)
-    val ph = shift(high, 1); val pl = shift(low, 1)
-    val po2 = shift(open, 2); val pc2 = shift(close, 2)
-    val upShadow = high - greatest(open, close)
-    val dnShadow = least(open, close) - low
-    val bull = close > open; val bear = close < open
-    val pBull = pc > po; val pBear = pc < po
-    val p2Bull = pc2 > po2; val p2Bear = pc2 < po2
-    val pBody = abs(pc - po); val pRng = ph - pl
-    def flag2(cond: Column): Column =
-      when(pc.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    def flag3(cond: Column): Column =
-      when(pc2.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    def flag1(cond: Column): Column = when(cond, 1.0).otherwise(0.0)
-    val defs: Seq[(String, Column)] = Seq(
-      // three inside: harami second candle, third confirms past the first open
-      "cdl_3_inside_up" -> flag3(p2Bear && pBull && po >= pc2 && pc <= po2 && bull && close > po2),
-      "cdl_3_inside_down" -> flag3(p2Bull && pBear && po <= pc2 && pc >= po2 && bear && close < po2),
-      // three outside: engulfing second candle, third confirms past the second close
-      "cdl_3_outside_up" -> flag3(p2Bear && pBull && po <= pc2 && pc >= po2 && bull && close > pc),
-      "cdl_3_outside_down" -> flag3(p2Bull && pBear && po >= pc2 && pc <= po2 && bear && close < pc),
-      // belt hold: long body opening on the extreme (no shadow on the open side)
-      "cdl_belt_hold_bull" -> flag1(bull && rng > 0 && body >= lit(0.7) * rng && dnShadow <= lit(0.05) * rng),
-      "cdl_belt_hold_bear" -> flag1(bear && rng > 0 && body >= lit(0.7) * rng && upShadow <= lit(0.05) * rng),
-      // doji star: doji gapping away from a directional candle
-      "cdl_doji_star_bull" -> flag2(pBear && rng > 0 && body <= lit(0.1) * rng && greatest(open, close) < pc),
-      "cdl_doji_star_bear" -> flag2(pBull && rng > 0 && body <= lit(0.1) * rng && least(open, close) > pc),
-      // kicking: opposite-color marubozus with a gap between them
-      "cdl_kicking_bull" -> flag2(
-        pBear && pRng > 0 && pBody >= lit(0.95) * pRng && bull && rng > 0 && body >= lit(0.95) * rng && open > ph
-      ),
-      "cdl_kicking_bear" -> flag2(
-        pBull && pRng > 0 && pBody >= lit(0.95) * pRng && bear && rng > 0 && body >= lit(0.95) * rng && open < pl
-      )
-    )
-    df.withColumns(defs.toMap)
-  }
+  /** Third wave (reference candles/cdl_pattern.py TA-Lib delegation):
+    * three-inside/outside reversals, belt holds, doji stars, kicking. */
+  def cdlPatterns3: DataFrame = df.withColumns(candleDefs.wave3.toMap)
 
-  /** Fourth wave of native candle patterns: the "price equality" family.
-    * TA-Lib's candle settings define Equal as a tolerance of the average
-    * range; here nearEq(a,b) ⇔ |a−b| ≤ 0.05·sma(h−l, 10), making the
-    * equal-price patterns (matching low, separating lines, on/in neck,
-    * stick sandwich) deterministic declared specs. Flags are null until
-    * the needed lags AND the average range are defined. */
-  def cdlPatterns4: DataFrame = {
-    val n = 10
-    val avgRng = rmean(high - low, n)
-    def nearEq(a: Column, b: Column): Column = abs(a - b) <= lit(0.05) * avgRng
-    val po = shift(open, 1); val pc = shift(close, 1)
-    val pl = shift(low, 1)
-    val po2 = shift(open, 2); val pc2 = shift(close, 2)
-    val bull = close > open; val bear = close < open
-    val pBull = pc > po; val pBear = pc < po
-    val p2Bear = pc2 < po2
-    def flag2(cond: Column): Column =
-      when(pc.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    def flag3(cond: Column): Column =
-      when(pc2.isNull || avgRng.isNull, lit(null)).otherwise(when(cond, 1.0).otherwise(0.0))
-    val defs: Seq[(String, Column)] = Seq(
-      // white candle gaps below the prior black low, closes AT the low
-      "cdl_on_neck" -> flag2(pBear && bull && open < pl && nearEq(close, pl)),
-      // ... or just inside the prior close
-      "cdl_in_neck" -> flag2(pBear && bull && open < pl && close >= pc && close - pc <= lit(0.05) * avgRng),
-      // ... or into the body but below its midpoint
-      "cdl_thrusting" -> flag2(pBear && bull && open < pl && close > pc && close < (po + pc) / 2.0),
-      // trend continuation: opposite color opening at the same price
-      "cdl_separating_lines_bull" -> flag2(pBear && bull && nearEq(open, po)),
-      "cdl_separating_lines_bear" -> flag2(pBull && bear && nearEq(open, po)),
-      // two black candles closing at the same level
-      "cdl_matching_low" -> flag2(pBear && bear && nearEq(close, pc)),
-      // black / white / black with the outer closes matching
-      "cdl_stick_sandwich" -> flag3(p2Bear && pBull && bear && nearEq(close, pc2)),
-      // harami with both candles black
-      "cdl_homing_pigeon" -> flag2(pBear && bear && open < po && close > pc)
-    )
-    df.withColumns(defs.toMap)
-  }
+  /** Fourth wave (reference candles/cdl_pattern.py TA-Lib delegation):
+    * the Equal-tolerance (0.05·sma(h−l,10)) two/three-candle patterns. */
+  def cdlPatterns4: DataFrame = df.withColumns(candleDefs.wave4.toMap)
 
-  /** Fifth wave of native candle patterns: gap-continuation and 5-candle
-    * formations (tasuki gaps, rising/falling three methods, two crows,
-    * upside-gap two crows, tristar, abandoned baby, counterattack,
-    * rickshaw man, high wave, closing marubozu). Declared specs as in
-    * waves 1–4: real-body gap = disjoint [min,max](o,c) intervals, doji =
-    * body ≤ 0.1·range, Equal tolerance = 0.05·sma(h−l,10). Null until the
-    * deepest needed lag (and avg range where used) is defined. */
   def cdlPatterns5: DataFrame =
     df.withColumns(candleDefs.wave5.toMap)
 

@@ -18,11 +18,10 @@ class StreamingCoverageSpec extends AnyFunSuite {
   /** The declared streamable set — EVERY registry kind except the
     * lookahead ops (ichimoku forward spans, centered dpo), the
     * whole-frame / batch-shaped ops (tos_stdevall, vwap anchor modes
-    * aside — plain vwap streams), the candle batch utils (cdl_* flag
-    * tables and candle_utils, which are wide ELEM batches rather than
-    * single indicators), and the signal utils that take arbitrary
-    * column pairs (long_run/short_run/tsignals/xsignals — streamable
-    * through their consumers like amat/aobv). */
+    * aside — plain vwap streams), and the signal utils that take
+    * arbitrary column pairs (long_run/short_run/tsignals/xsignals —
+    * streamable through their consumers like amat/aobv). Round 11 adds
+    * the six cdl_pattern* flag batches (61 TA-Lib patterns). */
   private val declared: Set[String] = Set(
     // W-class ring stages (WStage)
     "sma", "wma", "stdev", "zscore", "mom", "roc",
@@ -52,8 +51,12 @@ class StreamingCoverageSpec extends AnyFunSuite {
     // multi-stage composites (round 10, final wave)
     "massi", "rvi", "thermo", "cksp", "amat", "kdj", "rvgi", "smi",
     "squeeze", "squeeze_pro", "stc", "inertia", "aobv", "kvo", "stochrsi",
-    // single candle kinds (the cdl_pattern* 61-flag batches stay batch)
-    "cdl_doji", "cdl_inside", "cdl_z", "candle_utils"
+    // single candle kinds
+    "cdl_doji", "cdl_inside", "cdl_z", "candle_utils",
+    // the 61-flag cdl_pattern* batches (round 11: CandleWaveStage evals
+    // the SAME analyzed wave expressions over a flat lag ring)
+    "cdl_pattern", "cdl_pattern_2", "cdl_pattern_3", "cdl_pattern_4",
+    "cdl_pattern_5", "cdl_pattern_6"
   )
 
   test("streamableKinds equals the declared contract, exactly") {
