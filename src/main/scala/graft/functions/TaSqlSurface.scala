@@ -60,12 +60,31 @@ object TaSqlSurface {
   }
 
   // arity gate: a SQL caller passing the wrong argument count gets an
-  // argument-count error, not an IndexOutOfBoundsException from es(i)
-  private def ar(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+  // argument-count error, not an IndexOutOfBoundsException from es(i).
+  // Arities are also CAPTURED here so the generated SQL reference
+  // (SqlDocGen -> SQL_FUNCTIONS.md) reads the live registrations and
+  // cannot drift from them.
+  private val arityAcc = scala.collection.mutable.LinkedHashMap[String, Int]()
+  private def ar(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) = {
+    arityAcc(name) = n
     name -> { es =>
       require(es.length == n, s"$name expects $n arguments, got ${es.length}")
       f(es)
     }
+  }
+
+  /** name → declared argument count, in registration order (this file's
+    * functions plus phase 6's from TaSqlSurface2). */
+  lazy val arities: Map[String, Int] = {
+    builders // force registration side effects
+    (arityAcc ++ TaSqlSurface2.arities).toMap
+  }
+
+  /** registration order, for the generated doc. */
+  lazy val orderedNames: Seq[String] = {
+    builders
+    arityAcc.keys.toSeq ++ TaSqlSurface2.orderedNames
+  }
 
   /** (name, builder) pairs — W class (fixed rolling), EW class (running
     * recursions over the canonical frame), ELEM class (bar arithmetic). */

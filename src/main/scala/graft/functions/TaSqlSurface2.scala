@@ -43,11 +43,18 @@ object TaSqlSurface2 {
       throw new IllegalArgumentException(s"$fn parameter must be a numeric literal, got $other")
   }
 
-  private def ar(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+  // arity capture as in TaSqlSurface.ar — feeds the generated SQL doc
+  private val arityAcc = scala.collection.mutable.LinkedHashMap[String, Int]()
+  private def ar(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) = {
+    arityAcc(name) = n
     name -> { es =>
       require(es.length == n, s"$name expects $n arguments, got ${es.length}")
       f(es)
     }
+  }
+
+  private[functions] lazy val arities: Map[String, Int] = { builders; arityAcc.toMap }
+  private[functions] lazy val orderedNames: Seq[String] = { builders; arityAcc.keys.toSeq }
 
   private def dblE(e: Expression): Expression =
     if (e.dataType == DoubleType) e else org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
