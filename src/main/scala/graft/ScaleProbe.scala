@@ -598,6 +598,41 @@ object ScaleProbe {
       }
     }
 
+    // ---- candle-wave streaming throughput (round 11): the six
+    // cdl_pattern* stages interpret-eval ~80 analyzed expression trees
+    // per tick. Measure per-tick cost vs the 5-stage baseline strategy
+    // to decide whether interpreted eval needs a codegen path.
+    if (want("streamcdl")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ta.{IndicatorSpec, Strategy}
+      import graft.streaming.StreamingTa
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val cdl = Strategy("cdl6", Seq(
+        IndicatorSpec("cdl_pattern"), IndicatorSpec("cdl_pattern_2"),
+        IndicatorSpec("cdl_pattern_3"), IndicatorSpec("cdl_pattern_4"),
+        IndicatorSpec("cdl_pattern_5"), IndicatorSpec("cdl_pattern_6")))
+      val base = Strategy("s5", Seq(
+        IndicatorSpec("sma", Map("length" -> 20)), IndicatorSpec("ema", Map("length" -> 20)),
+        IndicatorSpec("atr", Map("length" -> 14)), IndicatorSpec("psar"), IndicatorSpec("obv")))
+      for ((st, label) <- Seq((base, "base5"), (cdl, "cdl6waves")); m <- Seq(200000)) {
+        val ms = MemoryStream[StreamingTa.BarTick]
+        val q = StreamingTa
+          .strategyStream(ms.toDS(), st)
+          .writeStream.format("noop").outputMode("append").start()
+        val ticks = (0 until m).map { i =>
+          val v = 100.0 + 10.0 * math.sin(i / 7.0)
+          StreamingTa.BarTick((i % 8).toString, i.toLong, v, v + 1, v - 1, v + 0.2, 100.0 + i % 7)
+        }
+        val sec = time {
+          ticks.grouped(m / 4).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+          0L
+        }
+        q.stop()
+        println(s"""{"op":"streamcdl_$label","n":$m,"sec":$sec}""")
+      }
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single
