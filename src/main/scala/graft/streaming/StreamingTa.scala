@@ -2483,6 +2483,192 @@ object StreamingTa {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
   }
 
+  // ------------------------------------------- lookahead kinds, delayed
+  /** Streaming for the two LOOKAHEAD indicator kinds — ichimoku (whose
+    * chikou span `ics_t = close_{t+shiftN}` reads the future; every other
+    * ichimoku column is causal) and centered dpo
+    * (`dpo_t = close_t − sma_{t+⌊n/2⌋+1}`): row t's values are fully
+    * determined once tick t+K arrives, so the stream emits row t COMPLETE
+    * at tick t+K — an explicit emit-with-latency-K contract instead of the
+    * blanket "not streamable" exclusion. The stream head's most recent K
+    * rows are pending (exactly the rows whose lookahead columns batch
+    * leaves null at the frame tail); they emit as later ticks land, so an
+    * unbounded stream emits every row exactly once. Late ticks across
+    * micro-batches are dropped under the same in-order contract as
+    * [[kernelBatchStream]] (conf `spark.graft.stream.latePolicy`).
+    *
+    * Emitted rows equal the batch computation row-for-row on the emitted
+    * prefix (IchimokuStreamSpec); max/min/mean arithmetic matches the
+    * batch window fold exactly (max/min are order-exact; the sma sums in
+    * frame order). State per series: O(spanB + K) doubles. */
+  def ichimokuStream(
+      ticks: Dataset[BarTick],
+      tenkanN: Int = 9,
+      kijunN: Int = 26,
+      spanBN: Int = 52,
+      shiftN: Int = 26
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val outSchema = StructType(Seq(
+      StructField("series_id", StringType), StructField("ts", LongType),
+      dblField(s"its_$tenkanN"), dblField(s"iks_$kijunN"),
+      dblField(s"isa_$tenkanN"), dblField(s"isb_$kijunN"), dblField(s"ics_$kijunN")))
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    // flat-array state: kryo's FieldSerializer skips Scala collections'
+    // custom (writeObject) serialization, so state must be primitive/object
+    // ARRAYS (same rule as every NRing-family stage)
+    val pcap = shiftN + 1
+    case class St(
+        lastTs: Long,
+        cnt: Long, // bars seen (rings index off this)
+        highs: Array[Double], lows: Array[Double], // spanBN rings
+        isaRaw: Array[java.lang.Double], isbRaw: Array[java.lang.Double], // shiftN rings
+        pts: Array[Long], // pending ring, pcap
+        pits: Array[java.lang.Double], piks: Array[java.lang.Double],
+        pisa: Array[java.lang.Double], pisb: Array[java.lang.Double],
+        var pn: Int // pending count (head = (cnt - pn) % pcap)
+    )
+    def freshSt = St(
+      Long.MinValue, 0L,
+      new Array[Double](spanBN), new Array[Double](spanBN),
+      new Array[java.lang.Double](shiftN), new Array[java.lang.Double](shiftN),
+      new Array[Long](pcap),
+      new Array[java.lang.Double](pcap), new Array[java.lang.Double](pcap),
+      new Array[java.lang.Double](pcap), new Array[java.lang.Double](pcap),
+      0)
+    implicit val stEnc: Encoder[St] = Encoders.kryo[St]
+
+    def step(key: String, rows: Iterator[BarTick], gs: GroupState[St]): Iterator[Row] = {
+      var st = gs.getOption.getOrElse(freshSt)
+      var lastTs = st.lastTs
+      var cnt = st.cnt
+      var pn = st.pn
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def mid(ring: Array[Double], ring2: Array[Double], n: Int): java.lang.Double =
+        if (cnt + 1 < n) null
+        else {
+          var mx = Double.NegativeInfinity; var mn = Double.PositiveInfinity
+          var i = 0L
+          val lo = cnt + 1 - n
+          while (lo + i <= cnt) {
+            val j = ((lo + i) % spanBN).toInt
+            if (ring(j) > mx) mx = ring(j)
+            if (ring2(j) < mn) mn = ring2(j)
+            i += 1
+          }
+          Double.box((mx + mn) / 2.0)
+        }
+      rows.toSeq.sortBy(_.ts).foreach { t =>
+        if (t.ts > lastTs) {
+          lastTs = t.ts
+          val slot = (cnt % spanBN).toInt
+          st.highs(slot) = t.high; st.lows(slot) = t.low
+          val its = mid(st.highs, st.lows, tenkanN)
+          val iks = mid(st.highs, st.lows, kijunN)
+          val isb0 = mid(st.highs, st.lows, spanBN)
+          val isa0: java.lang.Double =
+            if (its == null || iks == null) null
+            else Double.box((its.doubleValue() + iks.doubleValue()) / 2.0)
+          // shift(+shiftN): this row's isa/isb = raw from shiftN rows back
+          val rslot = (cnt % shiftN).toInt
+          val isa: java.lang.Double = if (cnt >= shiftN) st.isaRaw(rslot) else null
+          val isb: java.lang.Double = if (cnt >= shiftN) st.isbRaw(rslot) else null
+          st.isaRaw(rslot) = isa0; st.isbRaw(rslot) = isb0
+          val pslot = (cnt % pcap).toInt
+          st.pts(pslot) = t.ts
+          st.pits(pslot) = its; st.piks(pslot) = iks
+          st.pisa(pslot) = isa; st.pisb(pslot) = isb
+          pn += 1
+          if (pn == pcap) {
+            // row (cnt - shiftN) completes: its chikou is THIS tick's close
+            val h = ((cnt - shiftN) % pcap).toInt
+            out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](key, st.pts(h), st.pits(h), st.piks(h), st.pisa(h), st.pisb(h),
+                Double.box(t.close)), outSchema)
+            pn -= 1
+          }
+          cnt += 1
+        }
+      }
+      gs.update(st.copy(lastTs = lastTs, cnt = cnt, pn = pn))
+      out.iterator
+    }
+
+    ticks.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
+  /** Centered dpo (`dpo_t = close_t − sma_{t+K}`, K = ⌊n/2⌋+1) under the
+    * same emit-with-latency-K contract as [[ichimokuStream]]. */
+  def dpoCenteredStream(ticks: Dataset[BarTick], n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val k = n / 2 + 1
+    val outSchema = StructType(Seq(
+      StructField("series_id", StringType), StructField("ts", LongType), dblField(s"dpo_$n")))
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    // flat-array state (kryo cannot round-trip Scala collections' custom
+    // serialization — same rule as ichimokuStream)
+    val pcap = k + 1
+    case class St(
+        lastTs: Long, cnt: Long,
+        closes: Array[Double], // n-ring for the sma
+        pts: Array[Long], pcls: Array[Double], // pending ring, pcap
+        var pn: Int
+    )
+    def freshSt = St(
+      Long.MinValue, 0L, new Array[Double](n), new Array[Long](pcap), new Array[Double](pcap), 0)
+    implicit val stEnc: Encoder[St] = Encoders.kryo[St]
+
+    def step(key: String, rows: Iterator[BarTick], gs: GroupState[St]): Iterator[Row] = {
+      val st = gs.getOption.getOrElse(freshSt)
+      var lastTs = st.lastTs
+      var cnt = st.cnt
+      var pn = st.pn
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      rows.toSeq.sortBy(_.ts).foreach { t =>
+        if (t.ts > lastTs) {
+          lastTs = t.ts
+          st.closes((cnt % n).toInt) = t.close
+          // frame-order (oldest->newest) sum, min_periods gate — the batch
+          // rmean fold exactly
+          val sma: java.lang.Double =
+            if (cnt + 1 < n) null
+            else {
+              var s = 0.0; var i = 0L
+              val lo = cnt + 1 - n
+              while (lo + i <= cnt) { s += st.closes(((lo + i) % n).toInt); i += 1 }
+              Double.box(s / n)
+            }
+          val pslot = (cnt % pcap).toInt
+          st.pts(pslot) = t.ts; st.pcls(pslot) = t.close
+          pn += 1
+          if (pn == pcap) {
+            val h = ((cnt - k) % pcap).toInt
+            val v: Any =
+              if (sma == null) null else Double.box(st.pcls(h) - sma.doubleValue())
+            out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](key, st.pts(h), v), outSchema)
+            pn -= 1
+          }
+          cnt += 1
+        }
+      }
+      gs.update(st.copy(lastTs = lastTs, cnt = cnt, pn = pn))
+      out.iterator
+    }
+
+    ticks.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   /** Stream-static AS-OF enrichment (round 5, §2.E streaming): each
     * streamed tick picks up the most recent STATIC right row with
     * rts ≤ tick.ts for its key — the trades⋈quotes alignment with the
