@@ -2357,7 +2357,34 @@ object StreamingTa {
       st: graft.ta.Strategy,
       latePolicy: String = "",
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame =
+    kernelBatchStream(ticks, compileStrategy(st), latePolicy, lateCounter)
+
+  /** WARM-START strategyStream: bootstrap every series' state from BATCH
+    * history instead of replaying it through micro-batches. The history
+    * fold is one shuffle (hash on series_id) + a sorted per-partition
+    * sequential pass through the SAME kernel/stage objects the stream
+    * uses, so the state handed to the first micro-batch is bit-identical
+    * to what replaying the history tick-by-tick would have produced
+    * (StreamingBootstrapSpec) — but it runs at batch speed with
+    * full-cluster parallelism and sort-spill, which at 100 TB of history
+    * is the difference between minutes and an unbounded replay. The
+    * stream then continues seamlessly: first streamed tick folds on top
+    * of the bootstrapped state (in-order contract applies across the
+    * boundary — stream ticks must have ts > the series' last history
+    * ts, else they drop/fail per the late policy). */
+  def strategyStreamWarm(
+      ticks: Dataset[BarTick],
+      st: graft.ta.Strategy,
+      history: Dataset[BarTick],
+      latePolicy: String = "",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame = {
+    val sks = compileStrategy(st)
+    kernelBatchStream(ticks, sks, latePolicy, lateCounter, Some(bootstrapState(history, sks)))
+  }
+
+  private def compileStrategy(st: graft.ta.Strategy): Seq[StreamKernel] = {
     val sks = st.ta.map { s =>
       windowStream(s).orElse(recStream(s)).getOrElse(
         throw new IllegalArgumentException(
@@ -2369,7 +2396,52 @@ object StreamingTa {
       outNames.distinct.size == outNames.size,
       s"strategy '${st.name}': duplicate output columns across specs: " +
         outNames.diff(outNames.distinct).distinct.mkString(", "))
-    kernelBatchStream(ticks, sks, latePolicy, lateCounter)
+    sks
+  }
+
+  /** Fold BATCH history into per-series streaming state (the step function
+    * minus emission): repartition by series, sort within partitions, one
+    * sequential pass per series. Feed the result to [[kernelBatchStream]]
+    * `initialState` (or use [[strategyStreamWarm]]). */
+  def bootstrapState(
+      history: Dataset[BarTick],
+      specs: Seq[StreamKernel]
+  ): Dataset[(String, BatchKernelState)] = {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val extSchemas = specs.map(sp => StructType(barSchema.fields ++ sp.stage().fields))
+    implicit val outEnc: Encoder[(String, BatchKernelState)] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo[BatchKernelState])
+    history
+      .repartition(col("series_id"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        new Iterator[(String, BatchKernelState)] {
+          private var cur: BarTick = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): (String, BatchKernelState) = {
+            val key = cur.series_id
+            val entries = specs.zip(extSchemas).map { case (sp, es) =>
+              val k = sp.make(); k.init(es); k.reset()
+              (k, sp.stage())
+            }.toArray
+            var lastTs = Long.MinValue
+            var done = false
+            while (!done) {
+              val t = cur
+              lastTs = t.ts
+              val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+              entries.zip(extSchemas).foreach { case ((k, stg), es) =>
+                k.update(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                  base ++ stg.update(t), es))
+              }
+              if (it.hasNext) { cur = it.next(); if (cur.series_id != key) done = true }
+              else { cur = null; done = true }
+            }
+            (key, BatchKernelState(lastTs, 0L, entries))
+          }
+        }
+      }
   }
 
   /** Per-series state for [[kernelBatchStream]]: the kernel/stage entries
@@ -2401,7 +2473,8 @@ object StreamingTa {
       ticks: Dataset[BarTick],
       specs: Seq[StreamKernel],
       latePolicy: String = "",
-      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      initialState: Option[Dataset[(String, BatchKernelState)]] = None
   ): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.{Encoder, Encoders, Row}
@@ -2478,9 +2551,15 @@ object StreamingTa {
       out.iterator
     }
 
-    ticks
-      .groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+    val grouped = ticks.groupByKey(_.series_id)
+    initialState match {
+      case Some(init) =>
+        val initKV = init.groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), initKV)(step)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+    }
   }
 
   // ------------------------------------------- lookahead kinds, delayed
