@@ -2562,6 +2562,139 @@ object StreamingTa {
     }
   }
 
+  // ------------------------------------------ arbitrary-column signals
+  /** Streaming twins of the ARBITRARY-COLUMN signal utils (tsignals /
+    * xsignals / long_run / short_run) over ANY keyed ordered stream —
+    * typically the OUTPUT of [[strategyStream]] (live ma/trend columns),
+    * closing the "streamed only through their consumers amat/aobv"
+    * exclusion. Input must expose `series_id` (string) and `ts` (long);
+    * all original columns pass through with the signal columns appended —
+    * the batch `df.ta.tsignals(...)` shape exactly (SignalsStreamSpec).
+    *
+    * Modes and their O(1)/O(n) per-series state:
+    *  - `tsignals(trendCol)`: previous trend value (1 slot);
+    *  - `xsignals(a, b)`: previous a/b + the running trend bit (the batch
+    *    `last(ev) over cum` unrolled);
+    *  - `long_run(fast, slow, n)` / `short_run`: n-deep rings of both
+    *    inputs for the diff(·, n) comparisons.
+    * Cross-batch late ticks drop under the standard in-order contract. */
+  def signalsStream(
+      rows: DataFrame,
+      mode: String,
+      cols: Seq[String],
+      n: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val inSchema = rows.schema
+    require(
+      inSchema.fieldNames.contains("series_id") && inSchema.fieldNames.contains("ts"),
+      "signalsStream input needs series_id and ts columns")
+    val outFields = mode match {
+      case "tsignals" | "xsignals" => Seq("ts_trends", "ts_entries", "ts_exits")
+      case "long_run"              => Seq("long_run")
+      case "short_run"             => Seq("short_run")
+      case other => throw new IllegalArgumentException(s"signalsStream: unknown mode '$other'")
+    }
+    val nCols = mode match {
+      case "tsignals" => 1
+      case _          => 2
+    }
+    require(cols.length == nCols, s"mode '$mode' takes $nCols input column(s)")
+    val outSchema = StructType(inSchema.fields ++ outFields.map(f => StructField(f, DoubleType)))
+    val spark = rows.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val keyIdx = inSchema.fieldIndex("series_id")
+    val tsIdx = inSchema.fieldIndex("ts")
+    val colIdx = cols.map(inSchema.fieldIndex).toArray
+
+    case class SigSt(
+        lastTs: Long,
+        cnt: Long,
+        ring1: Array[java.lang.Double], // n-ring of cols(0) (run modes) / 1-slot prev
+        ring2: Array[java.lang.Double], // n-ring of cols(1) / prev b
+        var trend: Double // xsignals running trend bit
+    )
+    val ringN = mode match { case "long_run" | "short_run" => n; case _ => 1 }
+    def freshSt = SigSt(
+      Long.MinValue, 0L,
+      new Array[java.lang.Double](ringN), new Array[java.lang.Double](ringN), 0.0)
+    implicit val stEnc: Encoder[SigSt] = Encoders.kryo[SigSt]
+
+    def num(r: Row, i: Int): java.lang.Double =
+      if (r.isNullAt(i)) null
+      else r.get(i) match {
+        case d: Double => Double.box(d)
+        case f: Float  => Double.box(f.toDouble)
+        case l: Long   => Double.box(l.toDouble)
+        case i2: Int   => Double.box(i2.toDouble)
+        case other     => throw new IllegalArgumentException(s"non-numeric signal input: $other")
+      }
+
+    def step(key: String, it: Iterator[Row], gs: GroupState[SigSt]): Iterator[Row] = {
+      val st = gs.getOption.getOrElse(freshSt)
+      var lastTs = st.lastTs
+      var cnt = st.cnt
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.toSeq.sortBy(_.getAs[Long](tsIdx)).foreach { r =>
+        val ts = r.getAs[Long](tsIdx)
+        if (ts > lastTs) {
+          lastTs = ts
+          val slot = (cnt % ringN).toInt
+          val v1 = num(r, colIdx(0))
+          val v2 = if (nCols == 2) num(r, colIdx(1)) else null
+          val lag1: java.lang.Double = if (cnt >= ringN) st.ring1(slot) else null
+          val lag2: java.lang.Double = if (cnt >= ringN) st.ring2(slot) else null
+          val sig: Seq[Any] = mode match {
+            case "tsignals" =>
+              // batch: when(t === 1 && pt === 0, 1).otherwise(0) — a NULL
+              // trend makes the condition null ⇒ 0, never a signal
+              val pt = if (lag1 == null) 0.0 else lag1.doubleValue()
+              val t = if (v1 == null) Double.NaN else v1.doubleValue()
+              Seq(
+                if (v1 == null) null else v1,
+                Double.box(if (t == 1.0 && pt == 0.0) 1.0 else 0.0),
+                Double.box(if (t == 0.0 && pt == 1.0) 1.0 else 0.0))
+            case "xsignals" =>
+              val xup = v1 != null && v2 != null && lag1 != null && lag2 != null &&
+                v1.doubleValue() > v2.doubleValue() && lag1.doubleValue() <= lag2.doubleValue()
+              val xdn = v1 != null && v2 != null && lag1 != null && lag2 != null &&
+                v1.doubleValue() < v2.doubleValue() && lag1.doubleValue() >= lag2.doubleValue()
+              val prev = st.trend
+              val t = if (xup) 1.0 else if (xdn) 0.0 else prev
+              st.trend = t
+              Seq(
+                Double.box(t),
+                Double.box(if (t == 1.0 && prev == 0.0) 1.0 else 0.0),
+                Double.box(if (t == 0.0 && prev == 1.0) 1.0 else 0.0))
+            case "long_run" =>
+              val fInc = v1 != null && lag1 != null && v1.doubleValue() - lag1.doubleValue() > 0
+              val sInc = v2 != null && lag2 != null && v2.doubleValue() - lag2.doubleValue() > 0
+              val sDec = v2 != null && lag2 != null && v2.doubleValue() - lag2.doubleValue() < 0
+              Seq(Double.box(if ((fInc && sDec) || (fInc && sInc)) 1.0 else 0.0))
+            case _ => // short_run
+              val fDec = v1 != null && lag1 != null && v1.doubleValue() - lag1.doubleValue() < 0
+              val sInc = v2 != null && lag2 != null && v2.doubleValue() - lag2.doubleValue() > 0
+              val sDec = v2 != null && lag2 != null && v2.doubleValue() - lag2.doubleValue() < 0
+              Seq(Double.box(if ((fDec && sInc) || (fDec && sDec)) 1.0 else 0.0))
+          }
+          st.ring1(slot) = v1
+          if (nCols == 2) st.ring2(slot) = v2
+          cnt += 1
+          out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            (r.toSeq ++ sig).toArray, outSchema)
+        }
+      }
+      gs.update(st.copy(lastTs = lastTs, cnt = cnt))
+      out.iterator
+    }
+
+    rows
+      .groupByKey(_.getString(keyIdx))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   // ------------------------------------------- lookahead kinds, delayed
   /** Streaming for the two LOOKAHEAD indicator kinds — ichimoku (whose
     * chikou span `ics_t = close_{t+shiftN}` reads the future; every other
