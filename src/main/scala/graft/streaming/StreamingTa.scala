@@ -2562,6 +2562,123 @@ object StreamingTa {
     }
   }
 
+  // ------------------------------------------- trained-stats cusum serve
+  /** TRAIN-THEN-SERVE for the trained-stats CUSUM mode — the exclusion's
+    * honest streaming semantics: the batch mode standardizes by PER-SERIES
+    * μ/σ computed over the whole frame (which a stream cannot know), so
+    * the streaming form trains those stats on BATCH HISTORY (the exact
+    * trained-mode aggregate, 6-dp-rounded per-series avg/stddev_samp),
+    * folds the CUSUM recursion through that history for warm state, and
+    * serves live ticks against the FIXED trained stats — μ/σ drift after
+    * the training cut is what the monitor is FOR. Live rows equal a batch
+    * fixed-ref cusum run over history+live with the same per-series stats
+    * (CusumServeSpec). Per-series state: (sp, sn, lastTs); stats ride a
+    * broadcast keyed by series (keys-sized — guarded by `maxSeries`). */
+  def cusumTrainedStream(
+      ticks: Dataset[BarTick],
+      history: Dataset[BarTick],
+      k: Double = 0.5,
+      h: Double = 5.0,
+      maxSeries: Long = 10000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val statsDf = history
+      .groupBy(col("series_id"))
+      .agg(
+        round(avg(col("close")), 6).as("mu"),
+        round(stddev_samp(col("close")), 6).as("sd"))
+    val statRows = statsDf.collect()
+    require(
+      statRows.length <= maxSeries,
+      s"cusumTrainedStream: ${statRows.length} series > maxSeries=$maxSeries (stats are broadcast)")
+    val stats: Map[String, (java.lang.Double, java.lang.Double)] = statRows.map { r =>
+      r.getString(0) -> ((
+        if (r.isNullAt(1)) null else Double.box(r.getDouble(1)),
+        if (r.isNullAt(2)) null else Double.box(r.getDouble(2))))
+    }.toMap
+    val bStats = spark.sparkContext.broadcast(stats)
+
+    case class CuSt(lastTs: Long, sp: Double, sn: Double)
+    implicit val stEnc: Encoder[CuSt] = Encoders.kryo[CuSt]
+    implicit val warmEnc: Encoder[(String, CuSt)] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo[CuSt])
+
+    /** one CUSUM step; returns (sp, sn, alarm) with post-alarm reset —
+      * the rec.Cusum kernel recursion exactly */
+    def stepOne(sp0: Double, sn0: Double, x: Double, mu: Double, sd: Double): (Double, Double, Boolean) = {
+      val z = (x - mu) / sd
+      val sp = math.max(0.0, sp0 + z - k)
+      val sn = math.max(0.0, sn0 - z - k)
+      (sp, sn, sp > h || sn > h)
+    }
+
+    // warm state: fold the recursion through history, batch-parallel
+    val warm: Dataset[(String, CuSt)] = history
+      .repartition(col("series_id"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        new Iterator[(String, CuSt)] {
+          private var cur: BarTick = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): (String, CuSt) = {
+            val key = cur.series_id
+            val (mu, sd) = bStats.value.getOrElse(key, (null, null))
+            var sp = 0.0; var sn = 0.0; var lastTs = Long.MinValue
+            var done = false
+            while (!done) {
+              lastTs = cur.ts
+              if (mu != null && sd != null && sd.doubleValue() != 0.0) {
+                val (p, n0, alarm) = stepOne(sp, sn, cur.close, mu.doubleValue(), sd.doubleValue())
+                if (alarm) { sp = 0.0; sn = 0.0 } else { sp = p; sn = n0 }
+              }
+              if (it.hasNext) { cur = it.next(); if (cur.series_id != key) done = true }
+              else { cur = null; done = true }
+            }
+            (key, CuSt(lastTs, sp, sn))
+          }
+        }
+      }
+
+    val outSchema = StructType(Seq(
+      StructField("series_id", StringType), StructField("ts", LongType),
+      StructField("cusum_pos", DoubleType), StructField("cusum_neg", DoubleType),
+      StructField("cusum_alarm", LongType)))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+
+    def step(key: String, it: Iterator[BarTick], gs: GroupState[CuSt]): Iterator[Row] = {
+      val st0 = gs.getOption.getOrElse(CuSt(Long.MinValue, 0.0, 0.0))
+      var lastTs = st0.lastTs
+      var sp = st0.sp; var sn = st0.sn
+      val (mu, sd) = bStats.value.getOrElse(key, (null, null))
+      val ok = mu != null && sd != null && sd.doubleValue() != 0.0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.toSeq.sortBy(_.ts).foreach { t =>
+        if (t.ts > lastTs) {
+          lastTs = t.ts
+          val vals: Array[Any] =
+            if (!ok) Array(key, t.ts, null, null, null)
+            else {
+              val (p, n0, alarm) = stepOne(sp, sn, t.close, mu.doubleValue(), sd.doubleValue())
+              if (alarm) { sp = 0.0; sn = 0.0 } else { sp = p; sn = n0 }
+              Array(key, t.ts, Double.box(p), Double.box(n0), Long.box(if (alarm) 1L else 0L))
+            }
+          out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, outSchema)
+        }
+      }
+      gs.update(CuSt(lastTs, sp, sn))
+      out.iterator
+    }
+
+    ticks
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        warm.groupByKey(_._1).mapValues(_._2))(step)
+  }
+
   // ------------------------------------------ arbitrary-column signals
   /** Streaming twins of the ARBITRARY-COLUMN signal utils (tsignals /
     * xsignals / long_run / short_run) over ANY keyed ordered stream —
