@@ -633,6 +633,51 @@ object ScaleProbe {
       }
     }
 
+    // ---- warm-start vs replay (round 11): bootstrapping strategyStream
+    // state from 2M ticks of batch history vs replaying that history
+    // through the micro-batch engine. The bootstrap is one shuffle + a
+    // sorted per-partition fold; the replay pays per-micro-batch harness
+    // cost over the whole history.
+    if (want("streamwarm")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ta.{IndicatorSpec, Strategy}
+      import graft.streaming.StreamingTa
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val st5 = Strategy("warm5", Seq(
+        IndicatorSpec("ema", Map("length" -> 10)), IndicatorSpec("rsi", Map("length" -> 10)),
+        IndicatorSpec("atr", Map("length" -> 10)), IndicatorSpec("sma", Map("length" -> 10)),
+        IndicatorSpec("psar")))
+      val m = 2000000
+      val hist = spark.range(m).select(
+        (col("id") % 8).cast("string").as("series_id"),
+        (col("id") / 8).cast("long").as("ts"),
+        (lit(100.0) + sin(col("id") / 7.0) * 10.0).as("open"),
+        (lit(101.0) + sin(col("id") / 7.0) * 10.0).as("high"),
+        (lit(99.0) + sin(col("id") / 7.0) * 10.0).as("low"),
+        (lit(100.2) + sin(col("id") / 7.0) * 10.0).as("close"),
+        (lit(100.0) + col("id") % 7).as("volume")
+      ).as[StreamingTa.BarTick]
+      val sks = st5.ta.map(s =>
+        StreamingTa.windowStream(s).orElse(StreamingTa.recStream(s)).get)
+      val bootSec = timed {
+        StreamingTa.bootstrapState(hist, sks).collect().length.toLong
+      }
+      println(s"""{"op":"streamwarm_bootstrap","n":$m,"sec":$bootSec}""")
+      // replay the same history through the stream in 8 micro-batches
+      val ticks = hist.collect().sortBy(t => (t.series_id, t.ts))
+      val ms = MemoryStream[StreamingTa.BarTick]
+      val q = StreamingTa
+        .strategyStream(ms.toDS(), st5)
+        .writeStream.format("noop").outputMode("append").start()
+      val replaySec = time {
+        ticks.grouped(m / 8).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+        0L
+      }
+      q.stop()
+      println(s"""{"op":"streamwarm_replay8batches","n":$m,"sec":$replaySec}""")
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single

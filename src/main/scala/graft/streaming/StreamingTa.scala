@@ -2386,10 +2386,26 @@ object StreamingTa {
 
   private def compileStrategy(st: graft.ta.Strategy): Seq[StreamKernel] = {
     val sks = st.ta.map { s =>
-      windowStream(s).orElse(recStream(s)).getOrElse(
+      windowStream(s).orElse(recStream(s)).getOrElse {
+        val hint = s.kind match {
+          case "ichimoku" =>
+            " — its chikou span reads the future; use StreamingTa.ichimokuStream " +
+              "(emit-with-latency-K) as a separate query"
+          case "dpo" =>
+            " — centered dpo reads the future; use StreamingTa.dpoCenteredStream " +
+              "(emit-with-latency-K) as a separate query, or pass centered=false"
+          case "long_run" | "short_run" | "tsignals" | "xsignals" =>
+            " — signal utils take arbitrary columns; run StreamingTa.signalsStream " +
+              "over this stream's OUTPUT (or use their consumers amat/aobv here)"
+          case "cusum" =>
+            " — trained-stats mode needs whole-history μ/σ; use " +
+              "StreamingTa.cusumTrainedStream(ticks, history), or pass mu/sd for fixed-ref"
+          case _ => ""
+        }
         throw new IllegalArgumentException(
           s"strategy '${st.name}': kind '${s.kind}' has no streaming twin " +
-            "(see StreamingTa.streamableKinds)"))
+            s"(see StreamingTa.streamableKinds)$hint")
+      }
     }
     val outNames = sks.flatMap(_.outs.map(_.name))
     require(
