@@ -2521,6 +2521,15 @@ object StreamingTa {
     ): Iterator[Row] = {
       var st0 = gs.getOption match {
         case Some(s) =>
+          // a checkpoint carrying a different spec count means the query
+          // was redeployed with a CHANGED strategy against old state —
+          // folding would misalign kernels silently; the restart contract
+          // (SCALING.md) requires drain + warm-start instead
+          if (s.entries.length != specs.length)
+            throw new IllegalStateException(
+              s"restored state for series '$key' has ${s.entries.length} kernel entries " +
+                s"but the query declares ${specs.length} specs — the strategy changed " +
+                "across a checkpoint restart; drain and warm-start instead")
           // re-attach @transient evaluator machinery dropped by the state
           // encoder (no-op for most stages)
           var i = 0
@@ -2855,6 +2864,11 @@ object StreamingTa {
   ): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.{Encoder, Encoders, Row}
+    require(
+      tenkanN >= 1 && kijunN >= 1 && shiftN >= 1 && spanBN >= math.max(tenkanN, kijunN),
+      s"ichimokuStream: need spanBN >= max(tenkanN, kijunN) and positive lengths " +
+        s"(got tenkan=$tenkanN kijun=$kijunN spanB=$spanBN shift=$shiftN) — the " +
+        "spanB ring backs all three midprice windows")
     val outSchema = StructType(Seq(
       StructField("series_id", StringType), StructField("ts", LongType),
       dblField(s"its_$tenkanN"), dblField(s"iks_$kijunN"),
