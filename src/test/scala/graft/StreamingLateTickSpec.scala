@@ -135,6 +135,63 @@ class StreamingLateTickSpec extends AnyFunSuite {
     try q.stop() catch { case _: Throwable => () }
   }
 
+  test("many late ticks across many micro-batches: all dropped, state still equals the clean run") {
+    import spark.implicits._
+    import graft.ta.{registry, IndicatorSpec}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bars = Graft
+      .bars(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        unix_date(col("ts")).cast("long").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+    val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
+    // batches of 6 in-order ticks, then REPLAY 2 ticks from two batches ago
+    // into every later batch — 8 late arrivals in total across 4 batches
+    val batches: Seq[Seq[StreamingTa.BarTick]] = {
+      val clean = ticks.grouped(6).toSeq
+      clean.zipWithIndex.map { case (b, i) =>
+        if (i >= 2) b.toSeq ++ clean(i - 2).take(2) else b.toSeq
+      }
+    }
+    val nLate = batches.zipWithIndex.map { case (_, i) => if (i >= 2) 2 else 0 }.sum
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingTa.BarTick]
+    val sks = Seq(
+      StreamingTa.windowStream(IndicatorSpec("ema", Map("length" -> 10))).get,
+      StreamingTa.windowStream(IndicatorSpec("atr", Map("length" -> 10))).get,
+      StreamingTa.recStream(IndicatorSpec("psar")).get)
+    val acc = spark.sparkContext.longAccumulator("late_many_drop")
+    val q = StreamingTa
+      .kernelBatchStream(ms.toDS(), sks, latePolicy = "drop", lateCounter = Some(acc))
+      .writeStream.format("memory").queryName("late_many_stream").outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    def norm(v: Any): Any = v match {
+      case null => null
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case other => other
+    }
+    val streamed = spark.table("late_many_stream").collect().map(r => r.getAs[Long]("ts") -> r).toMap
+    assert(acc.value == nLate.toLong, s"expected $nLate drops, got ${acc.value}")
+    assert(streamed.size == ticks.length, "every clean tick emits exactly once")
+    // parity vs the batch run on the CLEAN data — replays polluted nothing
+    val batchRef = Seq(
+      IndicatorSpec("ema", Map("length" -> 10)),
+      IndicatorSpec("atr", Map("length" -> 10)))
+      .foldLeft(bars)((d, s) => registry(d, s))
+    batchRef.collect().foreach { br =>
+      val sr = streamed(br.getAs[Long]("ts"))
+      Seq("ema_10", "atr_10").foreach { c0 =>
+        assert(
+          norm(sr.getAs[Any](c0)) == norm(br.getAs[Any](c0)),
+          s"$c0 mismatch at ts=${br.getAs[Long]("ts")} — a replayed tick corrupted state")
+      }
+    }
+  }
+
   test("bad latePolicy is rejected at plan time") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
