@@ -76,13 +76,13 @@ object TaSqlSurface {
   /** name → declared argument count, in registration order (this file's
     * functions plus phase 6's from TaSqlSurface2). */
   lazy val arities: Map[String, Int] = {
-    builders // force registration side effects
+    val _ = builders // force registration side effects
     (arityAcc ++ TaSqlSurface2.arities).toMap
   }
 
   /** registration order, for the generated doc. */
   lazy val orderedNames: Seq[String] = {
-    builders
+    val _ = builders
     arityAcc.keys.toSeq ++ TaSqlSurface2.orderedNames
   }
 

@@ -53,8 +53,8 @@ object TaSqlSurface2 {
     }
   }
 
-  private[functions] lazy val arities: Map[String, Int] = { builders; arityAcc.toMap }
-  private[functions] lazy val orderedNames: Seq[String] = { builders; arityAcc.keys.toSeq }
+  private[functions] lazy val arities: Map[String, Int] = { val _ = builders; arityAcc.toMap }
+  private[functions] lazy val orderedNames: Seq[String] = { val _ = builders; arityAcc.keys.toSeq }
 
   private def dblE(e: Expression): Expression =
     if (e.dataType == DoubleType) e else org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
