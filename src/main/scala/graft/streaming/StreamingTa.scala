@@ -2598,13 +2598,19 @@ object StreamingTa {
     * the training cut is what the monitor is FOR. Live rows equal a batch
     * fixed-ref cusum run over history+live with the same per-series stats
     * (CusumServeSpec). Per-series state: (sp, sn, lastTs); stats ride a
-    * broadcast keyed by series (keys-sized — guarded by `maxSeries`). */
+    * broadcast keyed by series (keys-sized — guarded by `maxSeries`,
+    * COUNTED BEFORE the collect so an over-limit key space fails loudly
+    * instead of materializing on the driver). The default ceiling of 1M
+    * series bounds the collected+broadcast map at ~50–100 MB (two boxed
+    * doubles + a short key per entry) — the same dimension-scale budget
+    * as [[asofEnrichStream]]'s `maxDimRows`; past it, per-series stats
+    * belong in a keyed join, not a broadcast. */
   def cusumTrainedStream(
       ticks: Dataset[BarTick],
       history: Dataset[BarTick],
       k: Double = 0.5,
       h: Double = 5.0,
-      maxSeries: Long = 10000000L
+      maxSeries: Long = 1000000L
   ): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.{Encoder, Encoders, Row}
@@ -2615,10 +2621,13 @@ object StreamingTa {
       .agg(
         round(avg(col("close")), 6).as("mu"),
         round(stddev_samp(col("close")), 6).as("sd"))
-    val statRows = statsDf.collect()
+    val nSeries = statsDf.count()
     require(
-      statRows.length <= maxSeries,
-      s"cusumTrainedStream: ${statRows.length} series > maxSeries=$maxSeries (stats are broadcast)")
+      nSeries <= maxSeries,
+      s"cusumTrainedStream: $nSeries series > maxSeries=$maxSeries — the trained stats are " +
+        "collected and broadcast (driver + every executor hold the full map); raise maxSeries " +
+        "only with the memory to back it, or restructure around a keyed stats join")
+    val statRows = statsDf.collect()
     val stats: Map[String, (java.lang.Double, java.lang.Double)] = statRows.map { r =>
       r.getString(0) -> ((
         if (r.isNullAt(1)) null else Double.box(r.getDouble(1)),

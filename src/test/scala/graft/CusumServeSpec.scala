@@ -78,4 +78,21 @@ class CusumServeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("maxSeries broadcast guard fires at the boundary, before the collect") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hist = spark.createDataset(
+      Seq("A", "B", "C").flatMap(sid =>
+        (0 until 5).map(i => StreamingTa.BarTick(sid, i.toLong, 0, 0, 0, i.toDouble, 0))))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingTa.BarTick]
+    // 3 series > maxSeries=2: rejected at plan time (the count runs before
+    // the collect, so the driver never materializes the over-limit map)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingTa.cusumTrainedStream(ms.toDS(), hist, maxSeries = 2L)
+    }
+    assert(ex.getMessage.contains("maxSeries=2"))
+    // exactly at the ceiling: accepted
+    StreamingTa.cusumTrainedStream(ms.toDS(), hist, maxSeries = 3L)
+  }
 }
