@@ -27,6 +27,73 @@ object StreamingTa {
   /** Event row after ingestion (ts = epoch micros). */
   case class Tick(series_id: String, ts: Long, close: Double)
 
+  // ---------------------------------------------------- idle-series TTL
+  /** Conf-pinnable idle-series TTL for every TA state stream (round-12
+    * verdict item #1): `spark.graft.stream.idleTtl` = a duration ("30m",
+    * "12h", "500ms", or plain millis; default 0 = off, today's
+    * NoTimeout semantics exactly). With a TTL, a series that receives no
+    * ticks for that long has its ENTIRE state entry removed from the
+    * store — the bound on state growth under key churn (delisted
+    * instruments, session-scoped ids) that NoTimeout cannot give at
+    * 100× scale; RocksDB moves unbounded state off-heap but only a TTL
+    * bounds it.
+    *
+    * Contract of an eviction (StreamingIdleTtlSpec):
+    *  - the series' kernel/stage state AND its in-order watermark
+    *    (`lastTs`) are gone: if the series later resumes, it is a FRESH
+    *    series — warm-up restarts, and ticks with ts ≤ the evicted
+    *    lastTs are folded, not dropped (exactly like a brand-new key;
+    *    an idle gap longer than the TTL is the operator's declaration
+    *    that history before it no longer matters);
+    *  - for the latency-K lookahead streams ([[ichimokuStream]] /
+    *    [[dpoCenteredStream]] / mixed [[strategyStream]]) the evicted
+    *    series' pending tail rows never emit — the same rows batch
+    *    leaves lookahead-null at a frame tail;
+    *  - idleness is PROCESSING time (no data arriving), the honest
+    *    definition for a feed that stopped — event-time idleness is
+    *    undefined exactly when a series stops ticking. The timer arms
+    *    when a series is first SEEN by the stream; a warm-started
+    *    series ([[strategyStreamWarm]]) that never ticks live is never
+    *    invoked, so it holds state until its first live tick arms the
+    *    timer (drain-and-rebootstrap if that matters for a redeploy).
+    *
+    * Runtime note: with the TTL on, the micro-batch engine constructs a
+    * batch EVERY trigger interval even with no data — that is how
+    * processing-time timeouts fire — so set a real trigger interval in
+    * production (the default 0 ms busy-loops), and test harnesses must
+    * poll the sink instead of processAllAvailable (which waits for a
+    * noNewData signal that never comes; same gotcha as
+    * [[topkIvfStream]]'s dedupTtl, see StreamingIdleTtlSpec). */
+  private[graft] def idleTtlMs(spark: SparkSession): Long = {
+    val raw = spark.conf.get("spark.graft.stream.idleTtl", "0")
+    val ms = org.apache.spark.network.util.JavaUtils.timeStringAsMs(raw)
+    require(ms >= 0, s"spark.graft.stream.idleTtl must be >= 0, got '$raw'")
+    ms
+  }
+
+  private def idleTimeout(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+
+  /** Wrap a stateful step with the idle-TTL protocol: on timeout remove
+    * the state entry and emit nothing; on data, run the step and re-arm
+    * the timer (sliding — each arrival restarts the clock; dedup-stream
+    * precedent at [[topkIvfStream]]). With the TTL off this is the step
+    * itself: zero behavior change. */
+  private def withIdleTtl[K, T, S, U](ttlMs: Long)(
+      step: (K, Iterator[T], GroupState[S]) => Iterator[U]
+  ): (K, Iterator[T], GroupState[S]) => Iterator[U] =
+    if (ttlMs <= 0) step
+    else
+      (key: K, rows: Iterator[T], gs: GroupState[S]) =>
+        if (gs.hasTimedOut) { gs.remove(); Iterator.empty }
+        else {
+          // every step in this file drains `rows` and calls gs.update
+          // before returning, so arming here covers the whole batch
+          val out = step(key, rows, gs)
+          if (gs.exists) gs.setTimeoutDuration(ttlMs)
+          out
+        }
+
   /** Streaming OHLCV bars from an event stream with event-time tstamp.
     * Append-mode compatible: bars emit once the watermark passes the day.
     * open/close = value at min/max event ts (unique-ts contract Q01). */
@@ -114,9 +181,10 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     ticks
       .groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   /** OHLCV tick for kernel streaming. */
@@ -194,9 +262,10 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     ticks
       .groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   // ------------------------------------------------- streaming staging
@@ -2576,14 +2645,16 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     val grouped = ticks.groupByKey(_.series_id)
     initialState match {
       case Some(init) =>
         val initKV = init.groupByKey(_._1).mapValues(_._2)
         grouped.flatMapGroupsWithState(
-          OutputMode.Append(), GroupStateTimeout.NoTimeout(), initKV)(step)
+          OutputMode.Append(), idleTimeout(ttl), initKV)(withIdleTtl(ttl)(step))
       case None =>
-        grouped.flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
     }
   }
 
@@ -2706,11 +2777,12 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     ticks
       .groupByKey(_.series_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout(),
-        warm.groupByKey(_._1).mapValues(_._2))(step)
+        OutputMode.Append(), idleTimeout(ttl),
+        warm.groupByKey(_._1).mapValues(_._2))(withIdleTtl(ttl)(step))
   }
 
   // ------------------------------------------ arbitrary-column signals
@@ -2841,9 +2913,10 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     rows
       .groupByKey(_.getString(keyIdx))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   // ------------------------------------------- lookahead kinds, delayed
@@ -2966,8 +3039,9 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     ticks.groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   /** Centered dpo (`dpo_t = close_t − sma_{t+K}`, K = ⌊n/2⌋+1) under the
@@ -3033,8 +3107,9 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     ticks.groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   /** Stream-static AS-OF enrichment (round 5, §2.E streaming): each
@@ -3115,7 +3190,12 @@ object StreamingTa {
     *
     * Scale: state per bucket is member ids capped at `maxBucket` (the
     * hot-bucket guard batch mode applies via maxDf); shuffle is one hash
-    * exchange on bucket — docs × bands rows, constant per doc. */
+    * exchange on bucket — docs × bands rows, constant per doc. BUCKET
+    * cardinality is unbounded over the stream's lifetime, so the idle
+    * TTL (`spark.graft.stream.idleTtl`) applies here too: a bucket idle
+    * past the TTL forgets its members, and candidates spanning a silence
+    * longer than the TTL are not flagged — bounded-horizon dedup, the
+    * explicit trade for bounded state. */
   def neardupCandidatesStream(
       docs: DataFrame,
       k: Int = 3,
@@ -3162,9 +3242,10 @@ object StreamingTa {
       out.iterator
     }
 
+    val ttl = idleTtlMs(spark)
     banded
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
   }
 
   /** Streaming exact dedup: keep the first occurrence of each text hash.
