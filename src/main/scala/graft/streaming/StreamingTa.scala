@@ -2409,10 +2409,23 @@ object StreamingTa {
     * stages ride a single [[kernelBatchStream]]
     * flatMapGroupsWithState — one shuffle, one state entry per series
     * carrying every indicator's O(1) state. Throws on a spec with no
-    * streaming twin (the [[streamableKinds]] exclusions: lookahead,
-    * whole-frame, trained-stats cusum). Specs must declare DISJOINT
+    * streaming twin (the [[streamableKinds]] exclusions: whole-frame,
+    * trained-stats cusum). Specs must declare DISJOINT
     * output columns (unlike the batch compiler there is no builder-fold
     * fallback for same-kind/same-name collisions).
+    *
+    * LOOKAHEAD COMPOSITION (round 12): a strategy containing the
+    * lookahead kinds (ichimoku, centered dpo) no longer needs a second
+    * stream + join — the WHOLE strategy switches to an
+    * emit-with-latency-K contract (K = the largest lookahead distance
+    * across its specs): row t's causal columns are computed at tick t,
+    * its lookahead cells backfill as ticks t+1..t+K land, and the
+    * complete row emits at tick t+K — batch parity row-for-row on the
+    * emitted prefix (every row with ≥ K successors; exactly the rows
+    * whose lookahead cells batch leaves non-null). Causal-only
+    * strategies keep today's immediate emission; per-series state adds
+    * O(K × row width) for the pending ring. Warm-start
+    * ([[strategyStreamWarm]]) stays causal-only.
     *
     * SCHEMA DIFFERENCE vs the batch compiler: batch lowerings materialize
     * their named intermediates as real output columns (natr also emits
@@ -2427,7 +2440,10 @@ object StreamingTa {
       latePolicy: String = "",
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): DataFrame =
-    kernelBatchStream(ticks, compileStrategy(st), latePolicy, lateCounter)
+    if (st.ta.exists(s => lookaheadKinds(s.kind)))
+      strategyStreamLookahead(ticks, st, latePolicy, lateCounter)
+    else
+      kernelBatchStream(ticks, compileStrategy(st), latePolicy, lateCounter)
 
   /** WARM-START strategyStream: bootstrap every series' state from BATCH
     * history instead of replaying it through micro-batches. The history
@@ -2453,29 +2469,333 @@ object StreamingTa {
     kernelBatchStream(ticks, sks, latePolicy, lateCounter, Some(bootstrapState(history, sks)))
   }
 
-  private def compileStrategy(st: graft.ta.Strategy): Seq[StreamKernel] = {
-    val sks = st.ta.map { s =>
-      windowStream(s).orElse(recStream(s)).getOrElse {
-        val hint = s.kind match {
-          case "ichimoku" =>
-            " — its chikou span reads the future; use StreamingTa.ichimokuStream " +
-              "(emit-with-latency-K) as a separate query"
-          case "dpo" =>
-            " — centered dpo reads the future; use StreamingTa.dpoCenteredStream " +
-              "(emit-with-latency-K) as a separate query, or pass centered=false"
-          case "long_run" | "short_run" | "tsignals" | "xsignals" =>
-            " — signal utils take arbitrary columns; run StreamingTa.signalsStream " +
-              "over this stream's OUTPUT (or use their consumers amat/aobv here)"
-          case "cusum" =>
-            " — trained-stats mode needs whole-history μ/σ; use " +
-              "StreamingTa.cusumTrainedStream(ticks, history), or pass mu/sd for fixed-ref"
-          case _ => ""
+  // --------------------------------------- lookahead-in-strategy composition
+  /** Kinds whose batch lowering reads future rows (ichimoku's chikou
+    * span; centered dpo — the Strategy registry always builds dpo
+    * centered, the canonical default). Inside [[strategyStream]] they
+    * compose via [[strategyStreamLookahead]]'s latency-K emission. */
+  private val lookaheadKinds: Set[String] = Set("ichimoku", "dpo")
+
+  /** Per-series state machine for ONE lookahead spec inside a mixed
+    * strategy: `update` computes row t's CAUSAL cells (deferred cells
+    * null) and `backfill` — called on the same tick — yields the
+    * deferred cells of row t−k, defined once ≥ k+1 ticks were seen.
+    * State is flat arrays only (the kryo rule). */
+  private[graft] sealed trait LookStage extends Serializable {
+    def fields: Seq[org.apache.spark.sql.types.StructField]
+    def k: Int
+    def deferredIdx: Array[Int]
+    def update(t: BarTick): Array[Any]
+    def backfill(): Array[Any]
+  }
+
+  /** Ichimoku inside a strategy: its/iks/isa/isb are causal (the spans
+    * shift FORWARD — row t reads raws from shiftN rows back), only the
+    * chikou span ics_t = close_{t+shiftN} defers. Arithmetic is the
+    * [[ichimokuStream]] per-tick computation verbatim, so mixed-mode
+    * rows equal the dedicated stream's (and the batch lowering's). */
+  private[graft] final class IchimokuLookStage(
+      tenkanN: Int, kijunN: Int, spanBN: Int, shiftN: Int
+  ) extends LookStage {
+    require(
+      tenkanN >= 1 && kijunN >= 1 && shiftN >= 1 && spanBN >= math.max(tenkanN, kijunN),
+      s"ichimoku: need spanB >= max(tenkan, kijun) and positive lengths " +
+        s"(got tenkan=$tenkanN kijun=$kijunN spanB=$spanBN shift=$shiftN)")
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(
+      dblField(s"its_$tenkanN"), dblField(s"iks_$kijunN"),
+      dblField(s"isa_$tenkanN"), dblField(s"isb_$kijunN"), dblField(s"ics_$kijunN"))
+    val k: Int = shiftN
+    val deferredIdx: Array[Int] = Array(4)
+    private val highs = new Array[Double](spanBN)
+    private val lows = new Array[Double](spanBN)
+    private val isaRaw = new Array[java.lang.Double](shiftN)
+    private val isbRaw = new Array[java.lang.Double](shiftN)
+    private var cnt = 0L
+    private var curClose = 0.0
+    private def mid(n: Int): java.lang.Double =
+      if (cnt + 1 < n) null
+      else {
+        var mx = Double.NegativeInfinity; var mn = Double.PositiveInfinity
+        var i = 0L
+        val lo = cnt + 1 - n
+        while (lo + i <= cnt) {
+          val j = ((lo + i) % spanBN).toInt
+          if (highs(j) > mx) mx = highs(j)
+          if (lows(j) < mn) mn = lows(j)
+          i += 1
         }
-        throw new IllegalArgumentException(
-          s"strategy '${st.name}': kind '${s.kind}' has no streaming twin " +
-            s"(see StreamingTa.streamableKinds)$hint")
+        Double.box((mx + mn) / 2.0)
+      }
+    def update(t: BarTick): Array[Any] = {
+      val slot = (cnt % spanBN).toInt
+      highs(slot) = t.high; lows(slot) = t.low
+      val its = mid(tenkanN)
+      val iks = mid(kijunN)
+      val isb0 = mid(spanBN)
+      val isa0: java.lang.Double =
+        if (its == null || iks == null) null
+        else Double.box((its.doubleValue() + iks.doubleValue()) / 2.0)
+      val rslot = (cnt % shiftN).toInt
+      val isa: java.lang.Double = if (cnt >= shiftN) isaRaw(rslot) else null
+      val isb: java.lang.Double = if (cnt >= shiftN) isbRaw(rslot) else null
+      isaRaw(rslot) = isa0; isbRaw(rslot) = isb0
+      curClose = t.close
+      cnt += 1
+      Array[Any](its, iks, isa, isb, null)
+    }
+    def backfill(): Array[Any] = Array[Any](Double.box(curClose))
+  }
+
+  /** Centered dpo inside a strategy: dpo_t = close_t − sma_{t+K},
+    * K = ⌊n/2⌋+1 — the whole column defers. The sma arithmetic is the
+    * [[dpoCenteredStream]] frame-order fold verbatim. */
+  private[graft] final class DpoLookStage(n: Int) extends LookStage {
+    val fields: Seq[org.apache.spark.sql.types.StructField] = Seq(dblField(s"dpo_$n"))
+    val k: Int = n / 2 + 1
+    val deferredIdx: Array[Int] = Array(0)
+    private val closes = new Array[Double](n)
+    private val pcls = new Array[Double](k + 1)
+    private var cnt = 0L
+    private var smaCur: java.lang.Double = null
+    def update(t: BarTick): Array[Any] = {
+      closes((cnt % n).toInt) = t.close
+      smaCur =
+        if (cnt + 1 < n) null
+        else {
+          var s = 0.0; var i = 0L
+          val lo = cnt + 1 - n
+          while (lo + i <= cnt) { s += closes(((lo + i) % n).toInt); i += 1 }
+          Double.box(s / n)
+        }
+      pcls((cnt % (k + 1)).toInt) = t.close
+      cnt += 1
+      Array[Any](null)
+    }
+    def backfill(): Array[Any] = {
+      val h = (((cnt - 1) - k) % (k + 1)).toInt
+      Array[Any](
+        if (smaCur == null) null else Double.box(pcls(h) - smaCur.doubleValue()))
+    }
+  }
+
+  private def lookStream(spec: graft.ta.IndicatorSpec): Option[() => LookStage] = {
+    def i(key: String, dflt: Int) =
+      spec.params.get(key).map(_.toString.toDouble.toInt).getOrElse(dflt)
+    spec.kind match {
+      case "ichimoku" =>
+        val tN = i("tenkan", 9); val kN = i("kijun", 26)
+        val sN = i("senkou", 52); val sh = i("shift", 26)
+        Some(() => new IchimokuLookStage(tN, kN, sN, sh))
+      case "dpo" =>
+        val n = i("length", 20)
+        Some(() => new DpoLookStage(n))
+      case _ => None
+    }
+  }
+
+  /** Per-series state for the latency-K mixed mode: the causal
+    * kernel/stage entries + the lookahead state machines + the pending
+    * ring of not-yet-complete output rows (ts + values, width = the
+    * full output row). */
+  case class MixedKernelState(
+      lastTs: Long,
+      lateDropped: Long,
+      cnt: Long,
+      pn: Int,
+      entries: Array[(graft.ta.rec.Kernel, StreamStage)],
+      looks: Array[LookStage],
+      pts: Array[Long],
+      pvals: Array[Array[Any]]
+  )
+
+  /** ONE stateful pass for a strategy mixing causal and lookahead specs
+    * (dispatched from [[strategyStream]]): causal columns compute at
+    * tick t into a pending ring of depth Kmax+1; each lookahead stage
+    * backfills its deferred cells of row t−k_i on tick t; the head row
+    * emits COMPLETE when tick t+Kmax arrives. Emitted rows equal the
+    * batch strategy row-for-row on the emitted prefix
+    * (StrategyLookaheadStreamSpec); the stream head's most recent Kmax
+    * rows are pending — exactly the rows whose lookahead cells batch
+    * leaves null at the frame tail. Same in-order contract, idle TTL,
+    * and changed-spec-count restore guard as [[kernelBatchStream]]. */
+  private def strategyStreamLookahead(
+      ticks: Dataset[BarTick],
+      st: graft.ta.Strategy,
+      latePolicy: String = "",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    // compile IN STRATEGY ORDER: each spec is causal (StreamKernel) or
+    // lookahead (LookStage factory); causal-only is handled by the caller
+    val compiled: Seq[Either[StreamKernel, () => LookStage]] = st.ta.map { s =>
+      lookStream(s) match {
+        case Some(mk) => Right(mk)
+        case None     => Left(compileOne(st, s))
       }
     }
+    val causal: Seq[StreamKernel] = compiled.collect { case Left(sk) => sk }
+    val lookMk: Seq[() => LookStage] = compiled.collect { case Right(mk) => mk }
+    // column layout: per-spec offsets into the flat values row, in order
+    val widths = compiled.map {
+      case Left(sk)  => sk.outs.length
+      case Right(mk) => mk().fields.length
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    val totalW = offsets.last
+    val causalOff = compiled.zipWithIndex.collect { case (Left(_), i) => offsets(i) }
+    val lookOff = compiled.zipWithIndex.collect { case (Right(_), i) => offsets(i) }
+    val allFields = compiled.flatMap {
+      case Left(sk)  => sk.outs
+      case Right(mk) => mk().fields
+    }
+    val outNames = allFields.map(_.name)
+    require(
+      outNames.distinct.size == outNames.size,
+      s"strategy '${st.name}': duplicate output columns across specs: " +
+        outNames.diff(outNames.distinct).distinct.mkString(", "))
+    val kmax = lookMk.map(_().k).max
+    val pcap = kmax + 1
+    val outSchema = StructType(
+      StructField("series_id", StringType) +: StructField("ts", LongType) +: allFields)
+    val extSchemas = causal.map(sp => StructType(barSchema.fields ++ sp.stage().fields))
+
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val stateEnc: Encoder[MixedKernelState] = Encoders.kryo[MixedKernelState]
+    val policy =
+      if (latePolicy.nonEmpty) latePolicy
+      else spark.conf.get("spark.graft.stream.latePolicy", "drop")
+    require(
+      policy == "drop" || policy == "fail",
+      s"latePolicy must be 'drop' or 'fail', got '$policy'")
+    val lateAcc = lateCounter.getOrElse(
+      spark.sparkContext.longAccumulator("graft.stream.late_dropped"))
+
+    def step(
+        key: String,
+        rows: Iterator[BarTick],
+        gs: GroupState[MixedKernelState]
+    ): Iterator[Row] = {
+      var st0 = gs.getOption match {
+        case Some(s) =>
+          if (s.entries.length != causal.length || s.looks.length != lookMk.length)
+            throw new IllegalStateException(
+              s"restored state for series '$key' has ${s.entries.length} causal + " +
+                s"${s.looks.length} lookahead entries but the query declares " +
+                s"${causal.length} + ${lookMk.length} — the strategy changed across a " +
+                "checkpoint restart; drain and restart cold instead")
+          var i = 0
+          while (i < s.entries.length) { s.entries(i)._2.rearm(causal(i).stage); i += 1 }
+          s
+        case None =>
+          MixedKernelState(
+            Long.MinValue, 0L, 0L, 0,
+            causal.zip(extSchemas).map { case (sp, es) =>
+              val k = sp.make(); k.init(es); k.reset()
+              (k, sp.stage())
+            }.toArray,
+            lookMk.map(_()).toArray,
+            new Array[Long](pcap),
+            new Array[Array[Any]](pcap))
+      }
+      var cnt = st0.cnt
+      var pn = st0.pn
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      rows.toSeq.sortBy(_.ts).foreach { t =>
+        if (t.ts <= st0.lastTs) {
+          if (policy == "fail")
+            throw new IllegalStateException(
+              s"late tick for series '$key': ts=${t.ts} <= lastTs=${st0.lastTs} " +
+                "(out-of-order across micro-batches; latePolicy=fail)")
+          lateAcc.add(1L)
+          st0 = st0.copy(lateDropped = st0.lateDropped + 1L)
+        } else {
+          st0 = st0.copy(lastTs = t.ts)
+          val vals = new Array[Any](totalW)
+          val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+          var ci = 0
+          while (ci < st0.entries.length) {
+            val (k, stg) = st0.entries(ci)
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              base ++ stg.update(t), extSchemas(ci))
+            var j = causalOff(ci)
+            k.update(row).foreach { v => vals(j) = v; j += 1 }
+            ci += 1
+          }
+          var li = 0
+          while (li < st0.looks.length) {
+            val lk = st0.looks(li)
+            val iv = lk.update(t)
+            var j = 0
+            while (j < iv.length) { vals(lookOff(li) + j) = iv(j); j += 1 }
+            li += 1
+          }
+          val slot = (cnt % pcap).toInt
+          st0.pts(slot) = t.ts
+          st0.pvals(slot) = vals
+          pn += 1
+          li = 0
+          while (li < st0.looks.length) {
+            val lk = st0.looks(li)
+            if (cnt >= lk.k) {
+              val bf = lk.backfill()
+              val bslot = ((cnt - lk.k) % pcap).toInt
+              var j = 0
+              while (j < lk.deferredIdx.length) {
+                st0.pvals(bslot)(lookOff(li) + lk.deferredIdx(j)) = bf(j)
+                j += 1
+              }
+            }
+            li += 1
+          }
+          if (pn == pcap) {
+            val h = ((cnt - kmax) % pcap).toInt
+            out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](key, st0.pts(h)) ++ st0.pvals(h), outSchema)
+            pn -= 1
+          }
+          cnt += 1
+        }
+      }
+      gs.update(st0.copy(cnt = cnt, pn = pn))
+      out.iterator
+    }
+
+    val ttl = idleTtlMs(spark)
+    ticks
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
+  }
+
+  /** Resolve ONE causal spec to its StreamKernel, with the no-twin
+    * diagnostics (factored from [[compileStrategy]] so the mixed path
+    * shares them). */
+  private def compileOne(st: graft.ta.Strategy, s: graft.ta.IndicatorSpec): StreamKernel =
+    windowStream(s).orElse(recStream(s)).getOrElse {
+      val hint = s.kind match {
+        case "ichimoku" | "dpo" =>
+          " — it reads the future; strategyStream composes it at latency K from a " +
+            "COLD start, but warm-start/bootstrapState support causal-only strategies " +
+            "(a lookahead pending ring cannot be folded from history without also " +
+            "re-emitting its tail) — drop the lookahead specs here and run them via " +
+            "strategyStream, or use the dedicated ichimokuStream/dpoCenteredStream"
+        case "long_run" | "short_run" | "tsignals" | "xsignals" =>
+          " — signal utils take arbitrary columns; run StreamingTa.signalsStream " +
+            "over this stream's OUTPUT (or use their consumers amat/aobv here)"
+        case "cusum" =>
+          " — trained-stats mode needs whole-history μ/σ; use " +
+            "StreamingTa.cusumTrainedStream(ticks, history), or pass mu/sd for fixed-ref"
+        case _ => ""
+      }
+      throw new IllegalArgumentException(
+        s"strategy '${st.name}': kind '${s.kind}' has no streaming twin " +
+          s"(see StreamingTa.streamableKinds)$hint")
+    }
+
+  private def compileStrategy(st: graft.ta.Strategy): Seq[StreamKernel] = {
+    val sks = st.ta.map(s => compileOne(st, s))
     val outNames = sks.flatMap(_.outs.map(_.name))
     require(
       outNames.distinct.size == outNames.size,
