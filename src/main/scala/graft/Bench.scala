@@ -109,6 +109,49 @@ object Bench {
     case c            => c.toString
   }
 
+  /** Parse the `"queries":{...}` map out of a prior BENCH_out.json — the
+    * baseline for the data-driven fresh probe. A subset/probe artifact
+    * (< 50 queries) or an unparsable file yields empty: no baseline, no
+    * auto-probes, never a crash. Read BEFORE the run overwrites it. */
+  private[graft] def priorQueries(path: String): Map[String, Double] =
+    try {
+      val s = Files.readString(Paths.get(path))
+      val tag = """"queries"\s*:\s*\{""".r
+      val m0 = tag.findFirstMatchIn(s).getOrElse(return Map.empty)
+      val start = m0.end
+      val end = s.indexOf("}", start)
+      if (end < 0) return Map.empty
+      val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*([-0-9.eE]+)""".r
+      val m = pair.findAllMatchIn(s.substring(start, end))
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      if (m.size >= 50) m else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
+  /** Data-driven probe selection (round 12): the fixed headliners (5
+    * worst by in-shard time) PLUS every query whose median regressed
+    * >1.4x vs the prior committed artifact, worst ratio first, capped at
+    * 10 autos — so the artifact adjudicates its own scatter instead of a
+    * hand-picked SCALING.md essay doing it next round. Returns the probe
+    * list and, per auto-selected query, (prior, in-shard) for the
+    * probe_vs_prior artifact block. */
+  private[graft] def selectProbe(
+      timed: collection.Map[String, Double],
+      prior: Map[String, Double]
+  ): (Seq[String], Map[String, (Double, Double)]) = {
+    val worst5 = timed.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val regressed = timed.toSeq
+      .flatMap { case (n, v) =>
+        prior.get(n).filter(p => p > 0.0 && v / p > 1.4).map(p => (n, p, v))
+      }
+      .sortBy { case (_, p, v) => -(v / p) }
+    val auto = regressed.map(_._1).filterNot(worst5.contains).take(10)
+    val vsPrior = regressed
+      .filter { case (n, _, _) => worst5.contains(n) || auto.contains(n) }
+      .map { case (n, p, v) => n -> (p, v) }
+      .toMap
+    (worst5 ++ auto, vsPrior)
+  }
+
   /** Fork one fresh bench JVM over `names` (same classpath, same JVM
     * flags, SPARK_GRAFT_QUERIES subset, re-probe disabled) and return its
     * shard TSV lines. This is both the shard runner and the fresh-probe
@@ -168,6 +211,9 @@ object Bench {
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // prior committed artifact — the regression baseline for the
+    // data-driven probe; read before this run overwrites the file
+    val prior = priorQueries(outPath)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // deterministic round-robin over the sorted list: each shard gets an
     // alphabet-spanning slice, so no shard is all-iterative or all-trivial
@@ -208,11 +254,13 @@ object Bench {
           shardNames.foreach(n => failed(n) = s"shard $k timed out or died (45 min budget)")
       }
     }
-    // Self-certification: the 5 worst queries re-probed in one more fresh
-    // JVM — launched from this Spark-less parent, so the probe sees an
-    // idle machine (the fix for round-7's noisy probe channel).
-    val worst5 = timed.toSeq.sortBy(-_._2).take(5).map(_._1)
-    val probed: Map[String, Double] = forkShard(worst5, sfDir, reps, warmups, timeoutMin = 15)
+    // Self-certification: the 5 worst queries PLUS every >1.4x regression
+    // vs the prior committed artifact, re-probed in one more fresh JVM —
+    // launched from this Spark-less parent, so the probe sees an idle
+    // machine (round-7 fix); the auto-selection is the round-12 fix for
+    // recurring hand-picked scatter adjudication.
+    val (probeSet, vsPrior) = selectProbe(timed, prior)
+    val probed: Map[String, Double] = forkShard(probeSet, sfDir, reps, warmups, timeoutMin = 20)
       .map(_.flatMap { line =>
         line.split("\t", -1) match {
           case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
@@ -233,7 +281,7 @@ object Bench {
       timed = timed, ages = ages, ccFrac = ccFrac, failed = failed,
       loadStart = loadStart, loadEnd = loadEnd, jvmsStart = jvmsStart, jvmsEnd = jvmsEnd,
       contaminated = contaminated, ccUsed = ccUsedMax, ccWorst = ccWorstMax, ccPressure = ccPressure,
-      probed = probed, rerun = None, shards = shards, writeCompact = true
+      probed = probed, vsPrior = vsPrior, rerun = None, shards = shards, writeCompact = true
     )
   }
 
@@ -247,6 +295,9 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    // regression baseline for the data-driven probe (legacy SHARDS=1 full
+    // run only — shard/probe children never reprobe); read before overwrite
+    val priorArtifact = priorQueries(outPath)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -349,9 +400,11 @@ object Bench {
       case Some("1") => true
       case _         => only.isEmpty
     }
+    val (probeSet, vsPrior) =
+      if (doReprobe) selectProbe(timed, priorArtifact) else (Seq.empty[String], Map.empty[String, (Double, Double)])
     val probed: Map[String, Double] =
       if (doReprobe)
-        forkShard(timed.toSeq.sortBy(-_._2).take(5).map(_._1), sfDir, reps, warmups, timeoutMin = 15)
+        forkShard(probeSet, sfDir, reps, warmups, timeoutMin = 20)
           .map(_.flatMap { line =>
             line.split("\t", -1) match {
               case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
@@ -385,7 +438,7 @@ object Bench {
       timed = timed, ages = ages, ccFrac = ccFrac, failed = failed,
       loadStart = loadStart, loadEnd = loadEnd, jvmsStart = jvmsStart, jvmsEnd = jvmsEnd,
       contaminated = contaminatedAtStart, ccUsed = ccUsedEnd, ccWorst = ccWorstEnd, ccPressure = ccPressure,
-      probed = probed, rerun = rerun, shards = 1,
+      probed = probed, vsPrior = vsPrior, rerun = rerun, shards = 1,
       // children must not clobber the parent's sidecar
       writeCompact = !sys.env.get("SPARK_GRAFT_REPROBE").contains("0")
     )
@@ -412,6 +465,7 @@ object Bench {
       ccWorst: Double,
       ccPressure: Boolean,
       probed: Map[String, Double],
+      vsPrior: Map[String, (Double, Double)],
       rerun: Option[String],
       shards: Int,
       writeCompact: Boolean
@@ -423,14 +477,34 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = timed.values.sum
+    // headline of the self-adjudication: how many >1.4x-vs-prior movers
+    // were probed and how many reproduced fresh ("real") — the compact
+    // line carries the verdict counts, the full artifact the per-query data
+    val nReal = vsPrior.count { case (n, (prev, _)) =>
+      probed.get(n).exists(_ > prev * 1.25)
+    }
     val guard =
       s""""load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,""" +
         s""""contaminated":$contaminated,"shards":$shards,""" +
         s""""codecache_used_mb":${ccUsed / (1024 * 1024)},"codecache_worst_frac":${fmt3(ccWorst)},"codecache_pressure":$ccPressure""" +
+        (if (vsPrior.nonEmpty) s""","probe_regressed":${vsPrior.size},"probe_real":$nReal""" else "") +
         (if (probed.nonEmpty) s""","fresh_probe":$fp""" else "") +
         rerun.map(r => s""","rerun_worst":$r""").getOrElse("")
+    // Self-adjudication block (round 12, full artifact only): every query
+    // that regressed >1.4x vs the prior committed artifact AND was
+    // solo-probed carries all three numbers plus a mechanical verdict —
+    // "ambient" when the fresh probe lands within 1.25x of the prior
+    // value (the in-shard reading was machine noise), "real" otherwise
+    // (the regression reproduces on an idle fresh JVM: investigate).
+    val adjudication = vsPrior.toSeq.sortBy(_._1).flatMap { case (n, (prev, inshard)) =>
+      probed.get(n).map { fresh =>
+        val verdict = if (fresh <= prev * 1.25) "ambient" else "real"
+        "\"" + esc(n) + "\":{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
+          ",\"fresh\":" + fmt3(fresh) + ",\"verdict\":\"" + verdict + "\"}"
+      }
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"queries":$qs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"probe_vs_prior":$adjudication,"queries":$qs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json)
     // Compact copy: BASELINE.md-comparable queries first, then
     // slowest-first, greedily packed under a hard char budget so the line

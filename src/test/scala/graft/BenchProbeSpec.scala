@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-12 verdict item #2: the bench adjudicates its own scatter —
+  * probe selection is DATA-DRIVEN (every query regressed >1.4x vs the
+  * prior committed artifact joins the fixed worst-5 headliners in the
+  * fresh-JVM probe), and the artifact carries prev/inshard/fresh plus a
+  * mechanical verdict per mover. These pin the selection and the
+  * baseline parser; the end-to-end artifact shape rides the real round
+  * bench. */
+class BenchProbeSpec extends AnyFunSuite {
+
+  private def artifact(qs: Map[String, Double]): String = {
+    val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"metric":"total","value":1.0,"fresh_probe":{"x":9.9},"queries":{$body},"sf":"sf0.1"}"""
+  }
+
+  test("priorQueries parses a full artifact and ignores subset/garbage files") {
+    val full = (1 to 60).map(i => s"q$i" -> i * 0.01).toMap
+    val f1 = Files.createTempFile("bench_prior", ".json")
+    Files.writeString(f1, artifact(full))
+    val parsed = Bench.priorQueries(f1.toString)
+    assert(parsed.size == 60 && parsed("q7") == 0.07)
+
+    // a subset run's artifact (< 50 queries) must NOT become a baseline
+    val f2 = Files.createTempFile("bench_prior_sub", ".json")
+    Files.writeString(f2, artifact(Map("a" -> 1.0, "b" -> 2.0)))
+    assert(Bench.priorQueries(f2.toString).isEmpty)
+
+    val f3 = Files.createTempFile("bench_prior_bad", ".json")
+    Files.writeString(f3, "not json at all")
+    assert(Bench.priorQueries(f3.toString).isEmpty)
+    assert(Bench.priorQueries("/nonexistent/path.json").isEmpty)
+  }
+
+  test("selectProbe = worst-5 headliners + >1.4x regressions worst-ratio-first, with prev/inshard pairs") {
+    // prior: everything ran at 0.1s except the big ones
+    val prior = (1 to 60).map(i => s"q$i" -> 0.1).toMap ++
+      Map("big1" -> 5.0, "big2" -> 4.0)
+    // now: big1/big2 flat (worst by time, NOT regressed), q1 3x, q2 2x,
+    // q3 1.5x, q4 1.39x (below threshold), q5 missing from prior
+    val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (1 to 60).foreach(i => timed(s"q$i") = 0.1)
+    timed("big1") = 5.0; timed("big2") = 4.0
+    timed("q1") = 0.3; timed("q2") = 0.2; timed("q3") = 0.15; timed("q4") = 0.139
+    timed("new_query") = 0.12
+
+    val (probe, vsPrior) = Bench.selectProbe(timed, prior)
+    // headliners: the 5 worst by time — big1, big2 then three of the 0.3/0.2/0.15 tier
+    assert(probe.take(2).toSet == Set("big1", "big2"))
+    // regressions ordered by ratio: q1 (3x), q2 (2x), q3 (1.5x); q4 under
+    // the 1.4x gate; new_query has no baseline
+    assert(probe.contains("q1") && probe.contains("q2") && probe.contains("q3"))
+    assert(!probe.contains("q4") && !probe.contains("new_query"))
+    // each auto-probed mover carries (prev, inshard) for the artifact
+    assert(vsPrior("q1") == ((0.1, 0.3)))
+    assert(vsPrior("q2") == ((0.1, 0.2)))
+    // no duplicates even when a regression is also a headliner
+    assert(probe.distinct.size == probe.size)
+  }
+
+  test("selectProbe with no baseline degrades to the classic worst-5") {
+    val timed = scala.collection.mutable.LinkedHashMap(
+      "a" -> 5.0, "b" -> 4.0, "c" -> 3.0, "d" -> 2.0, "e" -> 1.0, "f" -> 0.5)
+    val (probe, vsPrior) = Bench.selectProbe(timed, Map.empty)
+    assert(probe == Seq("a", "b", "c", "d", "e"))
+    assert(vsPrior.isEmpty)
+  }
+}
