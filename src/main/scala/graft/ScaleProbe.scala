@@ -678,6 +678,41 @@ object ScaleProbe {
       println(s"""{"op":"streamwarm_replay8batches","n":$m,"sec":$replaySec}""")
     }
 
+    // ---- bootstrap skew (round 12): bootstrapState parallelizes ACROSS
+    // series — one sorted-partition sequential fold per series — so at
+    // few-series × deep-history it degenerates to that many busy tasks.
+    // Fixed 8M total rows, series count swept across the degenerate
+    // regime (1 ≈ one core folds everything) into the balanced one
+    // (256 > the 32 cores): wall-time should flatten once series ≥ cores
+    // and approach rows-per-series / per-core-fold-rate below it.
+    if (want("bootskew")) {
+      import graft.ta.{IndicatorSpec, Strategy}
+      import graft.streaming.StreamingTa
+      import spark.implicits._
+      val st5 = Strategy("bootskew5", Seq(
+        IndicatorSpec("ema", Map("length" -> 10)), IndicatorSpec("rsi", Map("length" -> 10)),
+        IndicatorSpec("atr", Map("length" -> 10)), IndicatorSpec("sma", Map("length" -> 10)),
+        IndicatorSpec("psar")))
+      val sks = st5.ta.map(s =>
+        StreamingTa.windowStream(s).orElse(StreamingTa.recStream(s)).get)
+      val m = 8000000
+      for (nSeries <- Seq(1, 4, 32, 256)) {
+        val hist = spark.range(m).select(
+          (col("id") % nSeries).cast("string").as("series_id"),
+          (col("id") / nSeries).cast("long").as("ts"),
+          (lit(100.0) + sin(col("id") / 7.0) * 10.0).as("open"),
+          (lit(101.0) + sin(col("id") / 7.0) * 10.0).as("high"),
+          (lit(99.0) + sin(col("id") / 7.0) * 10.0).as("low"),
+          (lit(100.2) + sin(col("id") / 7.0) * 10.0).as("close"),
+          (lit(100.0) + col("id") % 7).as("volume")
+        ).as[StreamingTa.BarTick]
+        val sec = timed {
+          StreamingTa.bootstrapState(hist, sks).collect().length.toLong
+        }
+        println(s"""{"op":"bootskew_${nSeries}series","n":$m,"sec":$sec}""")
+      }
+    }
+
     // ---- seeded-composite spellings (round 8): the staged multi-
     // projection ema/dema (stage.ema chains: row_number + rolling-mean
     // seed columns + LinRecur, stacked per level) vs the single
