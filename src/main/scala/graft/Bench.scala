@@ -109,6 +109,31 @@ object Bench {
     case c            => c.toString
   }
 
+  /** Machine-speed calibration: a fixed single-threaded integer workload
+    * timed once per run (~0.5 s on an idle core). Day-to-day host drift —
+    * shared-host contention, a slower machine — inflates EVERY query and
+    * this loop alike, so the probe verdict compares fresh/prev against
+    * the calibration drift instead of an absolute bound (the round-12
+    * full run measured the whole suite ~1.4× slower on a day the same
+    * commit's code was unchanged; without calibration that reads as 11
+    * "real" regressions). */
+  private[graft] def calibrate(): Double = {
+    var x = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 400000000L) { x ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // consume x: the loop must not DCE
+    sec
+  }
+
+  /** Prior run's calibration seconds, if the artifact carries one. */
+  private[graft] def priorCal(path: String): Option[Double] =
+    try {
+      val s = Files.readString(Paths.get(path))
+      """"cal_sec"\s*:\s*([0-9.eE-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
   /** Parse the `"queries":{...}` map out of a prior BENCH_out.json — the
     * baseline for the data-driven fresh probe. A subset/probe artifact
     * (< 50 queries) or an unparsable file yields empty: no baseline, no
@@ -214,6 +239,8 @@ object Bench {
     // prior committed artifact — the regression baseline for the
     // data-driven probe; read before this run overwrites the file
     val prior = priorQueries(outPath)
+    val calPrev = priorCal(outPath)
+    val calSec = calibrate()
     val names = SparkEntry.queries.keys.toSeq.sorted
     // deterministic round-robin over the sorted list: each shard gets an
     // alphabet-spanning slice, so no shard is all-iterative or all-trivial
@@ -281,7 +308,8 @@ object Bench {
       timed = timed, ages = ages, ccFrac = ccFrac, failed = failed,
       loadStart = loadStart, loadEnd = loadEnd, jvmsStart = jvmsStart, jvmsEnd = jvmsEnd,
       contaminated = contaminated, ccUsed = ccUsedMax, ccWorst = ccWorstMax, ccPressure = ccPressure,
-      probed = probed, vsPrior = vsPrior, rerun = None, shards = shards, writeCompact = true
+      probed = probed, vsPrior = vsPrior, calSec = calSec, calPrev = calPrev,
+      rerun = None, shards = shards, writeCompact = true
     )
   }
 
@@ -298,6 +326,8 @@ object Bench {
     // regression baseline for the data-driven probe (legacy SHARDS=1 full
     // run only — shard/probe children never reprobe); read before overwrite
     val priorArtifact = priorQueries(outPath)
+    val calPrev = priorCal(outPath)
+    val calSec = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -438,7 +468,8 @@ object Bench {
       timed = timed, ages = ages, ccFrac = ccFrac, failed = failed,
       loadStart = loadStart, loadEnd = loadEnd, jvmsStart = jvmsStart, jvmsEnd = jvmsEnd,
       contaminated = contaminatedAtStart, ccUsed = ccUsedEnd, ccWorst = ccWorstEnd, ccPressure = ccPressure,
-      probed = probed, vsPrior = vsPrior, rerun = rerun, shards = 1,
+      probed = probed, vsPrior = vsPrior, calSec = calSec, calPrev = calPrev,
+      rerun = rerun, shards = 1,
       // children must not clobber the parent's sidecar
       writeCompact = !sys.env.get("SPARK_GRAFT_REPROBE").contains("0")
     )
@@ -466,10 +497,21 @@ object Bench {
       ccPressure: Boolean,
       probed: Map[String, Double],
       vsPrior: Map[String, (Double, Double)],
+      calSec: Double,
+      calPrev: Option[Double],
       rerun: Option[String],
       shards: Int,
       writeCompact: Boolean
   ): Unit = {
+    // host-speed drift vs the prior artifact's calibration: >1 = this
+    // machine/day is slower per core. The probe verdict scales by it
+    // (bounded — a wild calibration reading must not disable the gate);
+    // no prior calibration (first calibrated round) → 1.0, the absolute
+    // rule.
+    val drift = calPrev
+      .filter(_ > 0)
+      .map(p => math.max(0.7, math.min(2.0, calSec / p)))
+      .getOrElse(1.0)
     val qs = timed.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val as = ages.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val cc = ccFrac.map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
@@ -481,12 +523,13 @@ object Bench {
     // were probed and how many reproduced fresh ("real") — the compact
     // line carries the verdict counts, the full artifact the per-query data
     val nReal = vsPrior.count { case (n, (prev, _)) =>
-      probed.get(n).exists(_ > prev * 1.25)
+      probed.get(n).exists(_ > prev * 1.25 * drift)
     }
     val guard =
       s""""load_start":$loadStart,"load_end":$loadEnd,"jvms_start":$jvmsStart,"jvms_end":$jvmsEnd,""" +
         s""""contaminated":$contaminated,"shards":$shards,""" +
         s""""codecache_used_mb":${ccUsed / (1024 * 1024)},"codecache_worst_frac":${fmt3(ccWorst)},"codecache_pressure":$ccPressure""" +
+        s""","cal_sec":${fmt3(calSec)},"cal_drift":${fmt3(drift)}""" +
         (if (vsPrior.nonEmpty) s""","probe_regressed":${vsPrior.size},"probe_real":$nReal""" else "") +
         (if (probed.nonEmpty) s""","fresh_probe":$fp""" else "") +
         rerun.map(r => s""","rerun_worst":$r""").getOrElse("")
@@ -498,7 +541,7 @@ object Bench {
     // (the regression reproduces on an idle fresh JVM: investigate).
     val adjudication = vsPrior.toSeq.sortBy(_._1).flatMap { case (n, (prev, inshard)) =>
       probed.get(n).map { fresh =>
-        val verdict = if (fresh <= prev * 1.25) "ambient" else "real"
+        val verdict = if (fresh <= prev * 1.25 * drift) "ambient" else "real"
         "\"" + esc(n) + "\":{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
           ",\"fresh\":" + fmt3(fresh) + ",\"verdict\":\"" + verdict + "\"}"
       }

@@ -61,6 +61,20 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(probe.distinct.size == probe.size)
   }
 
+  test("calibration: positive, repeatable-ish, and parsed back from a prior artifact") {
+    val c1 = Bench.calibrate()
+    assert(c1 > 0.0 && c1 < 30.0, s"calibration out of range: $c1")
+
+    val f = Files.createTempFile("bench_cal", ".json")
+    Files.writeString(f, s"""{"metric":"total","cal_sec":0.412,"queries":{"a":1}}""")
+    assert(Bench.priorCal(f.toString).contains(0.412))
+    // artifacts predating the calibration field -> None (verdict falls
+    // back to the absolute rule)
+    val f2 = Files.createTempFile("bench_cal_none", ".json")
+    Files.writeString(f2, s"""{"metric":"total","queries":{"a":1}}""")
+    assert(Bench.priorCal(f2.toString).isEmpty)
+  }
+
   test("selectProbe with no baseline degrades to the classic worst-5") {
     val timed = scala.collection.mutable.LinkedHashMap(
       "a" -> 5.0, "b" -> 4.0, "c" -> 3.0, "d" -> 2.0, "e" -> 1.0, "f" -> 0.5)
