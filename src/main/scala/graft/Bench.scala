@@ -33,14 +33,18 @@ import java.util.concurrent.TimeUnit
   * each shard-JVM's warm medians under the unchanged BASELINE.md
   * protocol (2 untimed warm-ups then median of 5 timed reps per query).
   *
-  * The end-of-run fresh probe (5 worst queries re-measured in one more
-  * fresh JVM) now runs from the Spark-less parent, so the child has the
-  * whole machine: in round-7 the probe child ran NEXT TO the parent's
-  * 12 GB live session and measured x_dedup_cluster at 2.18 s where a
-  * truly clean run gives 0.54 s — with the orchestrator parent (no
-  * SparkContext ever started) the same probe lands on the clean value
-  * (round-8 measurement: see BENCH_out.json fresh_probe vs queries —
-  * deltas within run-to-run noise).
+  * The end-of-run fresh probe runs from the Spark-less parent, so the
+  * child has the whole machine: in round-7 the probe child ran NEXT TO
+  * the parent's 12 GB live session and measured x_dedup_cluster at
+  * 2.18 s where a truly clean run gives 0.54 s — with the orchestrator
+  * parent (no SparkContext ever started) the same probe lands on the
+  * clean value. Since round 12 the probe set is DATA-DRIVEN: the 5
+  * worst-by-time headliners plus every query whose median regressed
+  * >1.4x vs the prior committed BENCH_out.json (ratio-ordered, capped
+  * at 10 autos), each emitted to "probe_vs_prior" with
+  * prev/inshard/fresh and a mechanical verdict whose margin scales by
+  * the host-speed calibration drift ("cal_sec" / the prior's) — the
+  * artifact adjudicates its own scatter.
   *
   * A query that throws is recorded under "failed" with its error —
   * never as a timing — so a regression cannot masquerade as a speedup.
