@@ -54,9 +54,19 @@ object ScaleUp {
     new java.io.File(outDir).mkdirs()
 
     def rd(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
-    /** stride for a key column: +1 so remapped ranges never overlap */
-    def stride(t: String, c: String): Long =
-      rd(t).agg(max(col(c))).head().getLong(0) + 1L
+    /** stride for a key column: +1 so remapped ranges never overlap.
+      * Fails with a CLEAR message on an empty table or a non-numeric key
+      * (ADVICE r12: the bare getLong NPE'd on empty input and CCE'd on a
+      * type drift with an opaque error). */
+    def stride(t: String, c: String): Long = {
+      val row = rd(t).agg(max(col(c))).head()
+      require(!row.isNullAt(0), s"ScaleUp: $t.$c has no non-null values (empty table?) — cannot compute key stride")
+      row.get(0) match {
+        case n: Number => n.longValue() + 1L
+        case other => throw new IllegalArgumentException(
+          s"ScaleUp: $t.$c must be a numeric surrogate key, got ${other.getClass.getSimpleName}")
+      }
+    }
     /** union of `factor` replicas with the given per-replica remaps */
     def up(t: String)(remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(r => remap(rd(t), r)).reduce(_ unionAll _)
@@ -92,9 +102,15 @@ object ScaleUp {
     writeOne(up("events")((d, r) =>
       d.withColumn("event_id", col("event_id") + lit(r * kEvt))
         .withColumn("user_id", col("user_id") + lit(r * kUser))), outDir, "events")
+    // n_chars recomputed ONLY for salted replicas (their text changed);
+    // replica 0 keeps the generator's original column verbatim — a
+    // recompute there would silently redefine the measure if the
+    // generator's differs from length(text) (ADVICE r12), and replica-0
+    // row identity is what the round-13 replica-parity gate hashes.
     writeOne(up("documents")((d, r) =>
-      d.withColumn("doc_id", col("doc_id") + lit(r * kDoc))
-        .withColumn("text", if (r == 0) col("text") else concat(col("text"), lit(s" zqrep$r")))
+      if (r == 0) d
+      else d.withColumn("doc_id", col("doc_id") + lit(r * kDoc))
+        .withColumn("text", concat(col("text"), lit(s" zqrep$r")))
         .withColumn("n_chars", length(col("text")))), outDir, "documents")
     writeOne(up("embeddings")((d, r) =>
       d.withColumn("vec_id", col("vec_id") + lit(r * kVec))

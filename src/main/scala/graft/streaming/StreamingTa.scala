@@ -2425,7 +2425,9 @@ object StreamingTa {
     * whose lookahead cells batch leaves non-null). Causal-only
     * strategies keep today's immediate emission; per-series state adds
     * O(K × row width) for the pending ring. Warm-start
-    * ([[strategyStreamWarm]]) stays causal-only.
+    * ([[strategyStreamWarm]]) composes too (round 13): causal kernels
+    * fold from history and the pending ring is primed with the last
+    * Kmax history rows via [[bootstrapMixedState]].
     *
     * SCHEMA DIFFERENCE vs the batch compiler: batch lowerings materialize
     * their named intermediates as real output columns (natr also emits
@@ -2464,10 +2466,21 @@ object StreamingTa {
       history: Dataset[BarTick],
       latePolicy: String = "",
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
-  ): DataFrame = {
-    val sks = compileStrategy(st)
-    kernelBatchStream(ticks, sks, latePolicy, lateCounter, Some(bootstrapState(history, sks)))
-  }
+  ): DataFrame =
+    if (st.ta.exists(s => lookaheadKinds(s.kind))) {
+      // MIXED warm-start (round 13): causal kernels fold from history as
+      // in the causal path, and each lookahead pending ring is primed
+      // with the last Kmax history rows — exactly the rows whose
+      // lookahead cells are still open at the boundary. The first live
+      // ticks backfill and emit them, so the stream's output equals a
+      // full cold replay's row-for-row after the boundary
+      // (StrategyLookaheadStreamSpec) without replaying history.
+      strategyStreamLookahead(
+        ticks, st, latePolicy, lateCounter, Some(bootstrapMixedState(history, st)))
+    } else {
+      val sks = compileStrategy(st)
+      kernelBatchStream(ticks, sks, latePolicy, lateCounter, Some(bootstrapState(history, sks)))
+    }
 
   // --------------------------------------- lookahead-in-strategy composition
   /** Kinds whose batch lowering reads future rows (ichimoku's chikou
@@ -2618,16 +2631,27 @@ object StreamingTa {
     * rows are pending — exactly the rows whose lookahead cells batch
     * leaves null at the frame tail. Same in-order contract, idle TTL,
     * and changed-spec-count restore guard as [[kernelBatchStream]]. */
-  private def strategyStreamLookahead(
-      ticks: Dataset[BarTick],
-      st: graft.ta.Strategy,
-      latePolicy: String = "",
-      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None
-  ): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import org.apache.spark.sql.{Encoder, Encoders, Row}
+  /** Compiled layout for a mixed causal+lookahead strategy — shared by
+    * [[strategyStreamLookahead]] (the live stateful pass) and
+    * [[bootstrapMixedState]] (the batch history fold), so the state the
+    * warm path hands to the first micro-batch is built by the SAME
+    * kernels/stages/offsets the stream folds with. */
+  private case class MixedCompiled(
+      causal: Seq[StreamKernel],
+      lookMk: Seq[() => LookStage],
+      totalW: Int,
+      causalOff: Seq[Int],
+      lookOff: Seq[Int],
+      allFields: Seq[org.apache.spark.sql.types.StructField],
+      kmax: Int,
+      pcap: Int,
+      extSchemas: Seq[org.apache.spark.sql.types.StructType]
+  ) extends Serializable
+
+  private def compileMixed(st: graft.ta.Strategy): MixedCompiled = {
+    import org.apache.spark.sql.types.StructType
     // compile IN STRATEGY ORDER: each spec is causal (StreamKernel) or
-    // lookahead (LookStage factory); causal-only is handled by the caller
+    // lookahead (LookStage factory)
     val compiled: Seq[Either[StreamKernel, () => LookStage]] = st.ta.map { s =>
       lookStream(s) match {
         case Some(mk) => Right(mk)
@@ -2655,10 +2679,25 @@ object StreamingTa {
       s"strategy '${st.name}': duplicate output columns across specs: " +
         outNames.diff(outNames.distinct).distinct.mkString(", "))
     val kmax = lookMk.map(_().k).max
-    val pcap = kmax + 1
-    val outSchema = StructType(
-      StructField("series_id", StringType) +: StructField("ts", LongType) +: allFields)
     val extSchemas = causal.map(sp => StructType(barSchema.fields ++ sp.stage().fields))
+    MixedCompiled(causal, lookMk, totalW, causalOff, lookOff, allFields, kmax, kmax + 1, extSchemas)
+  }
+
+  private def strategyStreamLookahead(
+      ticks: Dataset[BarTick],
+      st: graft.ta.Strategy,
+      latePolicy: String = "",
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      initialState: Option[Dataset[(String, MixedKernelState)]] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val mc = compileMixed(st)
+    val causal = mc.causal; val lookMk = mc.lookMk
+    val totalW = mc.totalW; val causalOff = mc.causalOff; val lookOff = mc.lookOff
+    val kmax = mc.kmax; val pcap = mc.pcap; val extSchemas = mc.extSchemas
+    val outSchema = StructType(
+      StructField("series_id", StringType) +: StructField("ts", LongType) +: mc.allFields)
 
     val spark = ticks.sparkSession
     import spark.implicits._
@@ -2764,9 +2803,111 @@ object StreamingTa {
     }
 
     val ttl = idleTtlMs(spark)
-    ticks
-      .groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
+    val grouped = ticks.groupByKey(_.series_id)
+    initialState match {
+      case Some(init) =>
+        val initKV = init.groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), idleTimeout(ttl), initKV)(withIdleTtl(ttl)(step))
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append(), idleTimeout(ttl))(withIdleTtl(ttl)(step))
+    }
+  }
+
+  /** Fold BATCH history into per-series MIXED (causal + lookahead) state
+    * (round-13 verdict item #4: warm-start no longer refuses lookahead
+    * strategies). Same shape as [[bootstrapState]] — one shuffle, sorted
+    * per-partition sequential pass through the SAME kernel/stage/LookStage
+    * objects the stream uses — plus the latency-K machinery: every
+    * history row folds through the lookahead stages (update + backfill)
+    * and lands in the pending ring; a row whose lookahead cells history
+    * already completed is DROPPED instead of emitted (batch owns the
+    * history output), so what remains pending is EXACTLY the last Kmax
+    * rows — the rows whose lookahead cells are still open at the
+    * history/live boundary. The first live ticks backfill and emit them,
+    * which is why warm-mixed equals a full replay row-for-row on every
+    * row emitted after the boundary (StrategyLookaheadStreamSpec).
+    * State size stays O(Kmax × row width) per series. */
+  private def bootstrapMixedState(
+      history: Dataset[BarTick],
+      st: graft.ta.Strategy
+  ): Dataset[(String, MixedKernelState)] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val mc = compileMixed(st)
+    implicit val outEnc: Encoder[(String, MixedKernelState)] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo[MixedKernelState])
+    history
+      .repartition(col("series_id"))
+      .sortWithinPartitions("series_id", "ts")
+      .mapPartitions { it =>
+        new Iterator[(String, MixedKernelState)] {
+          private var cur: BarTick = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): (String, MixedKernelState) = {
+            val key = cur.series_id
+            val entries = mc.causal.zip(mc.extSchemas).map { case (sp, es) =>
+              val k = sp.make(); k.init(es); k.reset()
+              (k, sp.stage())
+            }.toArray
+            val looks = mc.lookMk.map(_()).toArray
+            val pts = new Array[Long](mc.pcap)
+            val pvals = new Array[Array[Any]](mc.pcap)
+            var cnt = 0L
+            var pn = 0
+            var lastTs = Long.MinValue
+            var done = false
+            while (!done) {
+              val t = cur
+              lastTs = t.ts
+              // the stream step's per-tick fold, minus emission
+              val vals = new Array[Any](mc.totalW)
+              val base = Array[Any](t.series_id, t.ts, t.open, t.high, t.low, t.close, t.volume)
+              var ci = 0
+              while (ci < entries.length) {
+                val (k, stg) = entries(ci)
+                val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                  base ++ stg.update(t), mc.extSchemas(ci))
+                var j = mc.causalOff(ci)
+                k.update(row).foreach { v => vals(j) = v; j += 1 }
+                ci += 1
+              }
+              var li = 0
+              while (li < looks.length) {
+                val lk = looks(li)
+                val iv = lk.update(t)
+                var j = 0
+                while (j < iv.length) { vals(mc.lookOff(li) + j) = iv(j); j += 1 }
+                li += 1
+              }
+              val slot = (cnt % mc.pcap).toInt
+              pts(slot) = t.ts
+              pvals(slot) = vals
+              pn += 1
+              li = 0
+              while (li < looks.length) {
+                val lk = looks(li)
+                if (cnt >= lk.k) {
+                  val bf = lk.backfill()
+                  val bslot = ((cnt - lk.k) % mc.pcap).toInt
+                  var j = 0
+                  while (j < lk.deferredIdx.length) {
+                    pvals(bslot)(mc.lookOff(li) + lk.deferredIdx(j)) = bf(j)
+                    j += 1
+                  }
+                }
+                li += 1
+              }
+              // complete head row: batch output already carries it — drop
+              if (pn == mc.pcap) pn -= 1
+              cnt += 1
+              if (it.hasNext) { cur = it.next(); if (cur.series_id != key) done = true }
+              else { cur = null; done = true }
+            }
+            (key, MixedKernelState(lastTs, 0L, cnt, pn, entries, looks, pts, pvals))
+          }
+        }
+      }
   }
 
   /** Resolve ONE causal spec to its StreamKernel, with the no-twin
@@ -2776,11 +2917,10 @@ object StreamingTa {
     windowStream(s).orElse(recStream(s)).getOrElse {
       val hint = s.kind match {
         case "ichimoku" | "dpo" =>
-          " — it reads the future; strategyStream composes it at latency K from a " +
-            "COLD start, but warm-start/bootstrapState support causal-only strategies " +
-            "(a lookahead pending ring cannot be folded from history without also " +
-            "re-emitting its tail) — drop the lookahead specs here and run them via " +
-            "strategyStream, or use the dedicated ichimokuStream/dpoCenteredStream"
+          " — it reads the future; use strategyStream/strategyStreamWarm, which " +
+            "compose lookahead kinds at latency K (cold AND warm since round 13), " +
+            "or the dedicated ichimokuStream/dpoCenteredStream; the raw " +
+            "kernelBatchStream/bootstrapState path is causal-only"
         case "long_run" | "short_run" | "tsignals" | "xsignals" =>
           " — signal utils take arbitrary columns; run StreamingTa.signalsStream " +
             "over this stream's OUTPUT (or use their consumers amat/aobv here)"

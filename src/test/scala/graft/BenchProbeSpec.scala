@@ -82,4 +82,68 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(probe == Seq("a", "b", "c", "d", "e"))
     assert(vsPrior.isEmpty)
   }
+
+  // ---------------------------------------------------------------- round 13
+
+  test("calibratePar: positive, and parsed back via priorCalPar") {
+    val c = Bench.calibratePar(4)
+    assert(c > 0.0 && c < 60.0, s"parallel calibration out of range: $c")
+    val f = Files.createTempFile("bench_calpar", ".json")
+    Files.writeString(f, s"""{"metric":"total","cal_sec":0.2,"cal_par_sec":0.911,"queries":{"a":1}}""")
+    assert(Bench.priorCalPar(f.toString).contains(0.911))
+    assert(Bench.priorCal(f.toString).contains(0.2))
+    // pre-round-13 artifact: no parallel field
+    val f2 = Files.createTempFile("bench_calpar_none", ".json")
+    Files.writeString(f2, s"""{"metric":"total","cal_sec":0.2,"queries":{"a":1}}""")
+    assert(Bench.priorCalPar(f2.toString).isEmpty)
+  }
+
+  test("resolveDrift: MAX of clamped cal/cal_par/suite estimates, basis stamped") {
+    // the round-12 failure shape: single-core loop reads 1.12x while the
+    // 32-way suite runs 1.45x slower — the resolved drift must follow the
+    // larger multi-core signal, not the pinned-core one
+    val timed = scala.collection.mutable.LinkedHashMap(
+      (1 to 30).map(i => s"q$i" -> 0.145): _*)
+    val prior = (1 to 30).map(i => s"q$i" -> 0.1).toMap
+    val (basis, drift, cal, par, suite) = Bench.resolveDrift(
+      calSec = 0.205, calPrev = Some(0.183),
+      calPar = 0.95, calParPrev = Some(0.65),
+      timed = timed, prior = prior)
+    assert(cal.exists(v => math.abs(v - 0.205 / 0.183) < 1e-9))
+    assert(par.exists(v => math.abs(v - 0.95 / 0.65) < 1e-9))
+    assert(suite.exists(v => math.abs(v - 1.45) < 1e-9))
+    assert(basis == "cal_par" && math.abs(drift - 0.95 / 0.65) < 1e-9)
+
+    // clamp: a wild estimate cannot disable the gate (a genuine 10x
+    // regression at max drift: prev*1.25*2.0 << prev*10 stays "real")
+    val (_, d2, _, _, _) = Bench.resolveDrift(10.0, Some(0.1), 0.0, None, timed, Map.empty)
+    assert(d2 == 2.0)
+
+    // no basis at all (first calibrated round / child artifacts) -> 1.0
+    val (b3, d3, _, _, _) =
+      Bench.resolveDrift(0.2, None, 0.9, None, scala.collection.mutable.LinkedHashMap[String, Double](), Map.empty)
+    assert(b3 == "none" && d3 == 1.0)
+
+    // suite median needs >= 10 shared queries; 9 is not a basis
+    val few = scala.collection.mutable.LinkedHashMap((1 to 9).map(i => s"q$i" -> 0.2): _*)
+    val (_, _, _, _, s4) = Bench.resolveDrift(0.0, None, 0.0, None, few, (1 to 9).map(i => s"q$i" -> 0.1).toMap)
+    assert(s4.isEmpty)
+  }
+
+  test("priorQueries: balanced string-aware scan survives nesting, minSize adapts for suite subsets") {
+    // a future artifact where "queries" is no longer the last-ish flat
+    // map and values contain braces in names must still parse
+    val qs = (1 to 55).map(i => s""""q{$i}":${i * 0.01}""").mkString(",")
+    val f = Files.createTempFile("bench_nested", ".json")
+    Files.writeString(f, s"""{"metric":"total","queries":{$qs},"after":{"x":{"y":1}}}""")
+    val parsed = Bench.priorQueries(f.toString)
+    assert(parsed.size == 55 && math.abs(parsed("q{7}") - 0.07) < 1e-9)
+
+    // BENCH_sf1 sidecar shape: 20-query suite, minSize = 15 accepts it
+    val qs20 = (1 to 20).map(i => s""""q$i":${i * 0.01}""").mkString(",")
+    val f2 = Files.createTempFile("bench_suite", ".json")
+    Files.writeString(f2, s"""{"metric":"total","queries":{$qs20}}""")
+    assert(Bench.priorQueries(f2.toString).isEmpty) // default 50: rejected
+    assert(Bench.priorQueries(f2.toString, minSize = 15).size == 20)
+  }
 }

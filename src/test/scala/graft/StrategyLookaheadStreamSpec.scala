@@ -89,15 +89,60 @@ class StrategyLookaheadStreamSpec extends AnyFunSuite {
     assert(emittedTs == expectTs)
   }
 
-  test("warm-start refuses lookahead specs with a pointer to the cold path") {
+  test("warm-mixed ≡ full replay row-for-row after the history/live boundary (round 13)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingTa.BarTick]
-    val hist = spark.createDataset(Seq(StreamingTa.BarTick("A", 1L, 1, 1, 1, 1, 1)))
-    val ex = intercept[IllegalArgumentException] {
-      StreamingTa.strategyStreamWarm(ms.toDS(), st, hist)
+    val bars = Graft
+      .bars(spark, TestSpark.sfDir)
+      .select(
+        col("series_id").cast("string").as("series_id"),
+        unix_date(col("ts")).cast("long").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")
+      )
+    val ticks = bars.as[StreamingTa.BarTick].collect().sortBy(_.ts)
+    // live = kmax+1 ticks: enough to flush the whole primed pending tail
+    // AND emit the first live-complete row; history well past the latency
+    val h = ticks.length - (kmax + 1)
+    assert(h > kmax + 5, "need history well past the emit latency")
+    val (hist, live) = ticks.splitAt(h)
+
+    // full cold replay: every tick through the stream
+    val msAll = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingTa.BarTick]
+    val qAll = StreamingTa
+      .strategyStream(msAll.toDS(), st)
+      .writeStream.format("memory").queryName("mixed_replay_all").outputMode("append").start()
+    ticks.grouped(7).foreach { b => msAll.addData(b.toSeq); qAll.processAllAvailable() }
+    qAll.stop()
+    val replay = spark.table("mixed_replay_all").collect()
+      .map(r => r.getAs[Long]("ts") -> r).toMap
+
+    // warm: history folds at batch speed, ONLY live ticks stream
+    val msLive = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingTa.BarTick]
+    val qWarm = StreamingTa
+      .strategyStreamWarm(msLive.toDS(), st, spark.createDataset(hist.toSeq))
+      .writeStream.format("memory").queryName("mixed_warm").outputMode("append").start()
+    live.grouped(7).foreach { b => msLive.addData(b.toSeq); qWarm.processAllAvailable() }
+    qWarm.stop()
+    val warm = spark.table("mixed_warm").collect()
+      .map(r => r.getAs[Long]("ts") -> r).toMap
+
+    // the warm stream emits exactly the rows the full replay emits after
+    // the boundary: the primed pending tail (last kmax history rows,
+    // backfilled by the first live ticks) plus the live rows with >= kmax
+    // successors — one row per tick position h-kmax .. n-1-kmax
+    val expectTs = ticks.slice(h - kmax, ticks.length - kmax).map(_.ts).toSet
+    assert(warm.keySet == expectTs,
+      s"warm emitted ${warm.size} rows, expected ${expectTs.size} (pending tail + live prefix)")
+    // row-for-row equality with the full replay — every column, including
+    // lookahead cells that straddle the boundary in BOTH directions
+    // (history rows completed by live ticks, live rows completed later)
+    warm.foreach { case (ts, wr) =>
+      val rr = replay(ts)
+      outCols.foreach { c =>
+        assert(norm(wr.getAs[Any](c)) == norm(rr.getAs[Any](c)),
+          s"$c mismatch at ts=$ts (warm vs full replay)")
+      }
     }
-    assert(ex.getMessage.contains("strategyStream"))
   }
 
   test("mixed output equals the dedicated latency-K streams column-for-column") {
