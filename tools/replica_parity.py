@@ -127,6 +127,18 @@ def main():
         print("== running graft.Verify at sf1 ==", flush=True)
         run_verify(sf1, d1)
 
+    # anchor: the sf0.1 reference dumps are themselves DuckDB-certified
+    # here (tractable at sf0.1), so the derivations chain back to the
+    # oracle, not to the engine trusting itself
+    here = os.path.dirname(os.path.abspath(__file__))
+    chk = subprocess.run(
+        [sys.executable, os.path.join(here, "check.py"), sf01, d01] + [q for q, _ in QUERIES],
+        capture_output=True, text=True, timeout=1800)
+    sf01_certified = "0 fail" in chk.stdout and chk.returncode == 0
+    print(f"sf0.1 reference oracle check: {'PASS' if sf01_certified else 'FAIL'}", flush=True)
+    if not sf01_certified:
+        print(chk.stdout[-1500:], flush=True)
+
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf01}/documents.parquet')")
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf01}/embeddings.parquet')")
@@ -310,7 +322,7 @@ def main():
         WITH lab AS (SELECT doc_id, cluster_id FROM {lab}),
         rep AS (SELECT unnest(range(0, {factor})) AS r),
         mem AS (SELECT l.doc_id, l.cluster_id, rep.r,
-                       (l.doc_id + rep.r * {k_doc}) % 97 = 5 AS direct FROM lab, rep),
+                       (l.doc_id + rep.r * {k_doc}) % 97 = 5 AS direct FROM lab l, rep),
         hit AS (SELECT DISTINCT cluster_id FROM mem WHERE direct),
         j AS (SELECT m.doc_id, m.r, m.direct, h.cluster_id IS NOT NULL AS gone, d.source
               FROM mem m JOIN documents d ON d.doc_id = m.doc_id
@@ -332,6 +344,7 @@ def main():
             f"oracle-certified sf0.1 outputs via ScaleUp's disjoint-universe construction; "
             "assumptions (twin-edge existence, zero threshold promotions) are checked "
             "against the data, not assumed -- see tools/replica_parity.py header"),
+        "sf01_reference_oracle_certified": sf01_certified,
         "assumptions": assumptions,
         "queries": results,
         "n_pass": n_pass,
