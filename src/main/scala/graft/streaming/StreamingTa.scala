@@ -88,8 +88,15 @@ object StreamingTa {
         if (gs.hasTimedOut) { gs.remove(); Iterator.empty }
         else {
           // every step in this file drains `rows` and calls gs.update
-          // before returning, so arming here covers the whole batch
+          // before returning, so arming here covers the whole batch —
+          // ENFORCED: a future step that returned a lazy iterator over
+          // un-drained input would silently arm the timer before folding
+          // (r12 verdict note); fail loudly instead
           val out = step(key, rows, gs)
+          require(
+            !rows.hasNext,
+            "idle-TTL step contract: the step function must drain its input iterator " +
+              "and update state BEFORE returning (the timer arms after the step)")
           if (gs.exists) gs.setTimeoutDuration(ttlMs)
           out
         }
