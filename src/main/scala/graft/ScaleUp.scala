@@ -27,17 +27,27 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Usage: graft.ScaleUp <inDir> <outDir> <factor> */
 object ScaleUp {
 
-  private def writeOne(df: DataFrame, outDir: String, table: String): Unit = {
-    val tmp = s"$outDir/__tmp_$table"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.move(
-      part.toPath, Paths.get(s"$outDir/$table.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    new java.io.File(tmp).listFiles().foreach(_.delete())
-    new java.io.File(tmp).delete()
-  }
+  /** Default: one literal `<table>.parquet` FILE (DuckDB-side tools read
+    * literal paths). The coalesce(1) single-task write is the tool's
+    * scale ceiling (r12 verdict note) — set
+    * SPARK_GRAFT_SCALEUP_PARTITIONED=1 to write `<table>.parquet` as a
+    * parquet DIRECTORY instead (full write parallelism; Spark reads it
+    * transparently, and tools/check.py + tools/replica_parity.py glob
+    * directories since round 13), which is the route for sf10+ builds. */
+  private def writeOne(df: DataFrame, outDir: String, table: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_SCALEUP_PARTITIONED").contains("1")) {
+      df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    } else {
+      val tmp = s"$outDir/__tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(
+        part.toPath, Paths.get(s"$outDir/$table.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, fStr) = args.take(3)

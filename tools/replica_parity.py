@@ -139,10 +139,13 @@ def main():
     if not sf01_certified:
         print(chk.stdout[-1500:], flush=True)
 
+    def pq(path):  # literal single file, or a partitioned ScaleUp dir
+        return f"{path}/*.parquet" if os.path.isdir(path) else path
+
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf01}/documents.parquet')")
-    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf01}/embeddings.parquet')")
-    con.execute(f"CREATE VIEW emb1 AS SELECT * FROM read_parquet('{sf1}/embeddings.parquet')")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq(sf01 + '/documents.parquet')}')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq(sf01 + '/embeddings.parquet')}')")
+    con.execute(f"CREATE VIEW emb1 AS SELECT * FROM read_parquet('{pq(sf1 + '/embeddings.parquet')}')")
     k_doc = con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
     k_vec = con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
 
@@ -218,17 +221,30 @@ def main():
     ids = emb["vec_id"].to_numpy()
     E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)  # float32 -> exact
     n, dim = E.shape
-    G = np.zeros((n, n))
-    tmp = np.empty((n, n))
-    for d in range(dim):
-        np.multiply.outer(E[:, d], E[:, d], out=tmp)
-        G += tmp
+    # row-blocked so memory stays O(B x n) -- the same code carries an
+    # sf10 build (200k vectors) without a 320 GB gram matrix
+    B = 4096
+    acc_a, acc_b, acc_s = [], [], []
+    tmp = np.empty((min(B, n), n))
+    for i0 in range(0, n, B):
+        i1 = min(i0 + B, n)
+        nb = i1 - i0
+        Gb = np.zeros((nb, n))
+        for d in range(dim):
+            np.multiply.outer(E[i0:i1, d], E[:, d], out=tmp[:nb])
+            Gb += tmp[:nb]
+        for r in range(nb):
+            gi = i0 + r
+            row = Gb[r, gi + 1:]
+            idx = np.nonzero(row >= 0.45)[0]
+            if idx.size:
+                acc_a.append(np.full(idx.size, ids[gi]))
+                acc_b.append(ids[gi + 1 + idx])
+                acc_s.append(row[idx])
     del tmp
-    iu = np.triu_indices(n, k=1)
-    sims = G[iu]
-    mask = sims >= 0.45
-    pa, pb = ids[iu[0][mask]], ids[iu[1][mask]]
-    psim = sims[mask]
+    pa = np.concatenate(acc_a) if acc_a else np.array([], dtype=ids.dtype)
+    pb = np.concatenate(acc_b) if acc_b else np.array([], dtype=ids.dtype)
+    psim = np.concatenate(acc_s) if acc_s else np.array([])
     oracle_pairs = pd.DataFrame({"a_id": pa, "b_id": pb, "sim": np.round(psim, 6)})
     assumptions["numpy_pairs_sf1"] = int(len(oracle_pairs))
 
@@ -352,12 +368,15 @@ def main():
     }
     with open(f"{work}/replica_parity.json", "w") as f:
         json.dump(block, f, indent=1)
+    # factor 10 is THE sf1 gate block; other factors merge under their own
+    # key so a bigger-factor run never clobbers the sf1 evidence
+    key = "replica_parity" if factor == 10 else f"replica_parity_factor{factor}"
     if os.path.exists("CORRECTNESS_sf1.json"):
         doc = json.load(open("CORRECTNESS_sf1.json"))
-        doc["replica_parity"] = block
+        doc[key] = block
         with open("CORRECTNESS_sf1.json", "w") as f:
             json.dump(doc, f, indent=1)
-        print("merged replica_parity into CORRECTNESS_sf1.json", flush=True)
+        print(f"merged {key} into CORRECTNESS_sf1.json", flush=True)
     print(f"== replica parity: {n_pass} pass, {len(results) - n_pass} fail ==")
     sys.exit(0 if n_pass == len(results) else 1)
 
