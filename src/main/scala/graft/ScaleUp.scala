@@ -34,8 +34,8 @@ object ScaleUp {
     * parquet DIRECTORY instead (full write parallelism; Spark reads it
     * transparently, and tools/check.py + tools/replica_parity.py glob
     * directories since round 13), which is the route for sf10+ builds. */
-  private def writeOne(df: DataFrame, outDir: String, table: String): Unit =
-    if (sys.env.get("SPARK_GRAFT_SCALEUP_PARTITIONED").contains("1")) {
+  private def writeOne(df: DataFrame, outDir: String, table: String, partitioned: Boolean): Unit =
+    if (partitioned) {
       df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     } else {
       val tmp = s"$outDir/__tmp_$table"
@@ -52,7 +52,6 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, fStr) = args.take(3)
     val factor = fStr.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,6 +60,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, inDir, outDir, factor,
+      partitioned = sys.env.get("SPARK_GRAFT_SCALEUP_PARTITIONED").contains("1"))
+    println(s"""{"scaled":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+
+  /** The upscaler proper, callable against an existing session
+    * (ScaleUpSpec) — `main` wraps it with session lifecycle. */
+  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int,
+          partitioned: Boolean = false): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     new java.io.File(outDir).mkdirs()
 
     def rd(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
@@ -82,8 +92,8 @@ object ScaleUp {
       (0 until factor).map(r => remap(rd(t), r)).reduce(_ unionAll _)
 
     // shared dimensions: copied once, like TPC-H's fixed nation/region
-    writeOne(rd("region"), outDir, "region")
-    writeOne(rd("nation"), outDir, "nation")
+    writeOne(rd("region"), outDir, "region", partitioned)
+    writeOne(rd("nation"), outDir, "nation", partitioned)
 
     val kCust = stride("customer", "c_custkey")
     val kOrd = stride("orders", "o_orderkey")
@@ -95,23 +105,23 @@ object ScaleUp {
     val kVec = stride("embeddings", "vec_id")
 
     writeOne(up("customer")((d, r) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(r * kCust))), outDir, "customer")
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * kCust))), outDir, "customer", partitioned)
     writeOne(up("supplier")((d, r) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * kSupp))), outDir, "supplier")
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * kSupp))), outDir, "supplier", partitioned)
     writeOne(up("part")((d, r) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(r * kPart))), outDir, "part")
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * kPart))), outDir, "part", partitioned)
     writeOne(up("orders")((d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(r * kOrd))
-        .withColumn("o_custkey", col("o_custkey") + lit(r * kCust))), outDir, "orders")
+        .withColumn("o_custkey", col("o_custkey") + lit(r * kCust))), outDir, "orders", partitioned)
     writeOne(up("lineitem")((d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * kOrd))
         .withColumn("l_partkey", col("l_partkey") + lit(r * kPart))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(r * kSupp))), outDir, "lineitem")
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * kSupp))), outDir, "lineitem", partitioned)
     // events: same time range (the generator's dates are the universe's
     // calendar), disjoint event/user key spaces per replica
     writeOne(up("events")((d, r) =>
       d.withColumn("event_id", col("event_id") + lit(r * kEvt))
-        .withColumn("user_id", col("user_id") + lit(r * kUser))), outDir, "events")
+        .withColumn("user_id", col("user_id") + lit(r * kUser))), outDir, "events", partitioned)
     // n_chars recomputed ONLY for salted replicas (their text changed);
     // replica 0 keeps the generator's original column verbatim — a
     // recompute there would silently redefine the measure if the
@@ -121,16 +131,13 @@ object ScaleUp {
       if (r == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(r * kDoc))
         .withColumn("text", concat(col("text"), lit(s" zqrep$r")))
-        .withColumn("n_chars", length(col("text")))), outDir, "documents")
+        .withColumn("n_chars", length(col("text")))), outDir, "documents", partitioned)
     writeOne(up("embeddings")((d, r) =>
       d.withColumn("vec_id", col("vec_id") + lit(r * kVec))
         .withColumn("embedding",
           if (r == 0) col("embedding")
           else transform(col("embedding"), (x, i) =>
             (x + lit(r.toDouble * 1e-4) * sin(i.cast("double") + col("vec_id").cast("double")))
-              .cast("float")))), outDir, "embeddings")
-
-    println(s"""{"scaled":"$outDir","factor":$factor}""")
-    spark.stop()
+              .cast("float")))), outDir, "embeddings", partitioned)
   }
 }
