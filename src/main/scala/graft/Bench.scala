@@ -47,7 +47,13 @@ import java.util.concurrent.TimeUnit
   * clamped estimates (single-core loop, all-core loop batch, median
   * in-shard ratio of the 30 cheapest prior queries), with the chosen
   * basis stamped per mover — the artifact adjudicates its own scatter
-  * without an essay.
+  * without an essay. Round 14 hardens the probe channel itself: the
+  * margin gains an absolute noise floor (max(prev·1.25·drift,
+  * prev+0.15 s) — fixed per-query overhead scatter was tripping
+  * sub-second queries) and the 5 fixed headliners double as CHANNEL
+  * CONTROLS (fresh vs committed prior fresh; a perturbed probe child
+  * stamps probe_suspect:true and qualifies its verdicts as
+  * "real-suspect-channel" instead of emitting unqualified "real"s).
   *
   * A query that throws is recorded under "failed" with its error —
   * never as a timing — so a regression cannot masquerade as a speedup.
@@ -175,6 +181,48 @@ object Bench {
       """"cal_par_sec"\s*:\s*([0-9.eE-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
 
+  /** Prior run's fresh-probe readings (round-14, verdict item #1): the 5
+    * fixed headliners are probed EVERY round, so their committed fresh
+    * values are the probe channel's controls — a perturbed probe child
+    * inflates controls and movers alike, and the controls make it
+    * self-evident (the r13 driver artifact stamped probe_real:2 in a
+    * zero-batch-diff round while headliner x_pagerank read 2.9x its own
+    * in-shard value in the same probe JVM). Same balanced-scan parser as
+    * priorQueries; no minimum size (the probe block is always small). */
+  private[graft] def priorFreshProbe(path: String): Map[String, Double] =
+    try {
+      if (!Files.exists(Paths.get(path))) return Map.empty
+      parseNumericObject(Files.readString(Paths.get(path)), "fresh_probe").getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+
+  /** String-aware balanced scan for a top-level `"field":{...}` numeric
+    * object — shared by priorQueries and priorFreshProbe (future nesting
+    * or reordering must degrade loudly, not silently — ADVICE r12). */
+  private[graft] def parseNumericObject(s: String, field: String): Option[Map[String, Double]] = {
+    val tag = ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*\\{").r
+    val m0 = tag.findFirstMatchIn(s).getOrElse(return None)
+    val start = m0.end
+    var i = start; var depth = 1; var inStr = false; var escd = false; var end = -1
+    while (i < s.length && end < 0) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (escd) escd = false
+        else if (c == '\\') escd = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _   => ()
+      }
+      i += 1
+    }
+    if (end < 0) return None
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*([-0-9.eE]+)""".r
+    Some(pair.findAllMatchIn(s.substring(start, end))
+      .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap)
+  }
+
   /** Parse the `"queries":{...}` map out of a prior BENCH_out.json — the
     * baseline for the data-driven fresh probe. The close brace is found
     * by a string-aware balanced scan (not first-`}`: future nesting or
@@ -188,31 +236,69 @@ object Bench {
       def warn(why: String): Unit =
         System.err.println(s"[bench] prior artifact $path yields no baseline: $why — probe degrades to worst-5 only")
       val s = Files.readString(Paths.get(path))
-      val tag = """"queries"\s*:\s*\{""".r
-      val m0 = tag.findFirstMatchIn(s).getOrElse { warn("no \"queries\" object"); return Map.empty }
-      val start = m0.end
-      var i = start; var depth = 1; var inStr = false; var escd = false; var end = -1
-      while (i < s.length && end < 0) {
-        val c = s.charAt(i)
-        if (inStr) {
-          if (escd) escd = false
-          else if (c == '\\') escd = true
-          else if (c == '"') inStr = false
-        } else c match {
-          case '"' => inStr = true
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) end = i
-          case _   => ()
-        }
-        i += 1
+      val m = parseNumericObject(s, "queries").getOrElse {
+        warn("no parseable \"queries\" object"); return Map.empty
       }
-      if (end < 0) { warn("unterminated \"queries\" object"); return Map.empty }
-      val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*([-0-9.eE]+)""".r
-      val m = pair.findAllMatchIn(s.substring(start, end))
-        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
       if (m.size >= minSize) m
       else { warn(s"only ${m.size} queries (< $minSize): subset artifact, not a baseline"); Map.empty }
     } catch { case _: Throwable => Map.empty }
+
+  /** Probe margin (round-14, verdict item #2): the multiplicative term
+    * scales with host drift, and the ADDITIVE floor absorbs the fixed
+    * per-query overhead scatter (~0.1–0.3 s per BASELINE.md: session
+    * dispatch, file-index, first-task scheduling) that is independent of
+    * query cost. Without the floor, sub-second queries trip on any
+    * perturbed day (r13: rsi_10 fresh 0.249 vs margin 0.245 — 1.6% over
+    * at 0.1 s magnitude, adjudicated ambient only by essay). A genuine
+    * regression still reads "real": a 10x on a 0.1 s query lands at
+    * 1.0 s vs a floored margin of 0.25 s. */
+  private[graft] val noiseFloorSec = 0.15
+  private[graft] def probeMargin(prev: Double, drift: Double): Double =
+    math.max(prev * 1.25 * drift, prev + noiseFloorSec)
+
+  /** Probe-channel controls (round-14, verdict item #1): the 5 fixed
+    * headliners are probed every round, so their committed prior FRESH
+    * values calibrate the probe child itself. Returns (median, max) of
+    * the control ratios fresh/prior-fresh when >= 3 controls exist in
+    * both runs. A perturbed probe child (concurrent JVM landing on the
+    * probe tail — the r13 driver run measured headliner x_pagerank at
+    * 10.31 s fresh vs a 3.2–4.0 s committed band in the same JVM that
+    * stamped probe_real:2 on a zero-batch-diff round) inflates controls
+    * and movers alike; the controls make it self-evident in-artifact. */
+  private[graft] def probeChannelStats(
+      probed: Map[String, Double],
+      priorFresh: Map[String, Double],
+      controls: Seq[String]
+  ): Option[(Double, Double)] = {
+    val ratios = controls.distinct
+      .flatMap(n => for { f <- probed.get(n); p <- priorFresh.get(n) if p > 0 && f > 0 } yield f / p)
+      .sorted
+    if (ratios.size >= 3) Some((ratios(ratios.size / 2), ratios.last)) else None
+  }
+
+  /** Channel-suspect rule: median control ratio > 1.4 (broad probe-JVM
+    * perturbation — same threshold as mover selection) OR any single
+    * control > 2.5x its committed fresh value (spike perturbation: the
+    * r13 shape, where the foreign JVM landed on part of the probe run —
+    * host drift is clamped at 2.0, so 2.5x one control is not host
+    * speed). A suspect channel qualifies mover verdicts as
+    * "real-suspect-channel" — never silently flips them to ambient: a
+    * suspect channel is UNMEASURED, not clean. */
+  private[graft] def channelSuspect(stats: Option[(Double, Double)]): Boolean =
+    stats.exists { case (med, mx) => med > 1.4 || mx > 2.5 }
+
+  /** Resolve SPARK_GRAFT_SUITE against the known query set (ADVICE r13):
+    * unknown names (typos) must not silently shrink the suite — they are
+    * returned for a stderr warning and an artifact stamp, and the
+    * baseline minimum is computed from the RESOLVED list. */
+  private[graft] def resolveSuite(
+      suite: Option[Set[String]],
+      known: Set[String]
+  ): (Seq[String], Seq[String]) = {
+    val names = known.toSeq.sorted.filter(n => suite.forall(_.contains(n)))
+    val unknown = suite.map(_ -- known).getOrElse(Set.empty).toSeq.sorted
+    (names, unknown)
+  }
 
   /** Data-driven probe selection (round 12): the fixed headliners (5
     * worst by in-shard time) PLUS every query whose median regressed
@@ -307,16 +393,22 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val suite = sys.env.get("SPARK_GRAFT_SUITE").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // ADVICE r13: a typo'd suite name must not silently shrink the run —
+    // warn, stamp the artifact, and size the baseline minimum from the
+    // RESOLVED list (not the requested one)
+    val (names, suiteUnknown) = resolveSuite(suite, SparkEntry.queries.keySet)
+    if (suiteUnknown.nonEmpty)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_SUITE names not in SparkEntry.queries (typo?): ${suiteUnknown.mkString(",")} — running ${names.size} resolved queries")
     // prior committed artifact — the regression baseline for the
     // data-driven probe; read before this run overwrites the file
-    val minBaseline = suite.map(s => math.max(10, s.size * 3 / 4)).getOrElse(50)
+    val minBaseline = suite.map(_ => math.max(10, names.size * 3 / 4)).getOrElse(50)
     val prior = priorQueries(outPath, minBaseline)
+    val priorFresh = priorFreshProbe(outPath)
     val calPrev = priorCal(outPath)
     val calParPrev = priorCalPar(outPath)
     val calSec = calibrate()
     val calPar = calibratePar(cpus.toInt)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => suite.forall(_.contains(n)))
     // deterministic round-robin over the sorted list: each shard gets an
     // alphabet-spanning slice, so no shard is all-iterative or all-trivial
     val assign: Map[Int, Seq[String]] =
@@ -385,6 +477,10 @@ object Bench {
       contaminated = contaminated, ccUsed = ccUsedMax, ccWorst = ccWorstMax, ccPressure = ccPressure,
       probed = probed, vsPrior = vsPrior, calSec = calSec, calPrev = calPrev,
       calPar = calPar, calParPrev = calParPrev, prior = prior,
+      // channel controls = the 5 fixed headliners (selectProbe returns
+      // worst5 ++ autos, so the first 5 are the headliners)
+      priorFresh = priorFresh, controls = probeSet.take(5),
+      suiteUnknown = suiteUnknown,
       rerun = None, shards = shards, writeCompact = true
     )
   }
@@ -407,6 +503,7 @@ object Bench {
     // regression baseline for the data-driven probe (legacy SHARDS=1 full
     // run only); read before overwrite
     val priorArtifact = if (childMode) Map.empty[String, Double] else priorQueries(outPath)
+    val priorFresh = if (childMode) Map.empty[String, Double] else priorFreshProbe(outPath)
     val calPrev = if (childMode) None else priorCal(outPath)
     val calParPrev = if (childMode) None else priorCalPar(outPath)
     val calSec = if (childMode) 0.0 else calibrate()
@@ -553,6 +650,8 @@ object Bench {
       contaminated = contaminatedAtStart, ccUsed = ccUsedEnd, ccWorst = ccWorstEnd, ccPressure = ccPressure,
       probed = probed, vsPrior = vsPrior, calSec = calSec, calPrev = calPrev,
       calPar = calPar, calParPrev = calParPrev, prior = priorArtifact,
+      priorFresh = priorFresh, controls = probeSet.take(5),
+      suiteUnknown = Seq.empty,
       rerun = rerun, shards = 1,
       // children must not clobber the parent's sidecar
       writeCompact = !childMode
@@ -591,6 +690,25 @@ object Bench {
     (basis, resolved, driftCal, driftPar, driftSuite)
   }
 
+  /** ADVICE r13: the suite drift basis is computed from the very run
+    * being adjudicated, so a genuine broad regression (up to the 2.0
+    * clamp) inflates its own margin and adjudicates its own movers
+    * ambient. The suite basis stays in the MAX (it correctly caught the
+    * BENCH_sf1 day where both calibration loops read FAST while the
+    * 32-way suite ran 1.28x slow — capping it to the loops would have
+    * re-broken that), but when it alone carries the verdict — chosen as
+    * basis AND exceeding every loop estimate by >15% — the ambient
+    * verdicts are stamped "ambient-suite-only" so a self-masking broad
+    * regression stays visible to the artifact's consumer instead of
+    * reading as adjudicated-clean. */
+  private[graft] def suiteUncorroborated(
+      basis: String,
+      resolved: Double,
+      cal: Option[Double],
+      calPar: Option[Double]
+  ): Boolean =
+    basis == "suite" && !(cal.toSeq ++ calPar.toSeq).exists(l => resolved <= l * 1.15)
+
   private def writeArtifacts(
       outPath: String,
       sfDir: String,
@@ -615,6 +733,9 @@ object Bench {
       calPar: Double,
       calParPrev: Option[Double],
       prior: Map[String, Double],
+      priorFresh: Map[String, Double],
+      controls: Seq[String],
+      suiteUnknown: Seq[String],
       rerun: Option[String],
       shards: Int,
       writeCompact: Boolean
@@ -638,6 +759,11 @@ object Bench {
     // regression stays "real" even at max drift: prev×1.25×2.0 < prev×10.
     val (driftBasis, drift, driftCal, driftPar, driftSuite) =
       resolveDrift(calSec, calPrev, calPar, calParPrev, timed, prior)
+    val suiteOnly = suiteUncorroborated(driftBasis, drift, driftCal, driftPar)
+    // Probe-channel controls (r14): headliner fresh vs committed prior
+    // fresh — a perturbed probe child qualifies its own "real" verdicts.
+    val channel = probeChannelStats(probed, priorFresh, controls)
+    val suspect = channelSuspect(channel)
     val qs = timed.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val as = ages.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val cc = ccFrac.map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
@@ -653,10 +779,14 @@ object Bench {
     val probeFailed = vsPrior.nonEmpty && unmeasured > 0
     // headline of the self-adjudication: how many >1.4x-vs-prior movers
     // were probed and how many reproduced fresh ("real") — the compact
-    // line carries the verdict counts, the full artifact the per-query data
-    val nReal = vsPrior.count { case (n, (prev, _)) =>
-      probed.get(n).exists(_ > prev * 1.25 * drift)
+    // line carries the verdict counts, the full artifact the per-query
+    // data. On a suspect channel the reproductions count separately
+    // (probe_real_suspect): qualified, never silently ambient.
+    val nOverMargin = vsPrior.count { case (n, (prev, _)) =>
+      probed.get(n).exists(_ > probeMargin(prev, drift))
     }
+    val nReal = if (suspect) 0 else nOverMargin
+    val nRealSuspect = if (suspect) nOverMargin else 0
     val driftJson =
       s"""{"resolved":${fmt3(drift)},"basis":"$driftBasis"""" +
         driftCal.map(v => s""","cal":${fmt3(v)}""").getOrElse("") +
@@ -667,8 +797,14 @@ object Bench {
         s""""contaminated":$contaminated,"shards":$shards,""" +
         s""""codecache_used_mb":${ccUsed / (1024 * 1024)},"codecache_worst_frac":${fmt3(ccWorst)},"codecache_pressure":$ccPressure""" +
         s""","cal_sec":${fmt3(calSec)},"cal_par_sec":${fmt3(calPar)},"cal_drift":${fmt3(drift)},"drift":$driftJson""" +
+        channel.map { case (med, mx) =>
+          s""","probe_channel_median":${fmt3(med)},"probe_channel_max":${fmt3(mx)},"probe_suspect":$suspect"""
+        }.getOrElse("") +
         (if (vsPrior.nonEmpty)
-           s""","probe_regressed":${vsPrior.size},"probe_real":${if (probeFailed && nReal == 0) "null" else nReal.toString},"probe_unmeasured":$unmeasured,"probe_failed":$probeFailed"""
+           s""","probe_regressed":${vsPrior.size},"probe_real":${if (probeFailed && nOverMargin == 0) "null" else nReal.toString},"probe_real_suspect":$nRealSuspect,"probe_unmeasured":$unmeasured,"probe_failed":$probeFailed"""
+         else "") +
+        (if (suiteUnknown.nonEmpty)
+           s""","suite_unknown":${suiteUnknown.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")}"""
          else "") +
         (if (probed.nonEmpty) s""","fresh_probe":$fp""" else "") +
         rerun.map(r => s""","rerun_worst":$r""").getOrElse("")
@@ -683,15 +819,23 @@ object Bench {
     // prior artifact predates calibration — treat as unadjudicated, not
     // as a confirmed regression). Unprobed movers (dead probe channel)
     // are stamped "unmeasured".
+    // Verdict qualifications (r14): "real-suspect-channel" when the
+    // headliner controls show the probe child itself was perturbed (the
+    // mover is unmeasured-as-real, not cleared); "ambient-suite-only"
+    // when the margin rests solely on the self-referential suite basis
+    // (ADVICE r13: a broad regression could be masking itself);
+    // "real-uncalibrated" when no drift basis existed at all.
     val adjudication = vsPrior.toSeq.sortBy(_._1).map { case (n, (prev, inshard)) =>
       val body = probed.get(n) match {
         case Some(fresh) =>
+          val margin = probeMargin(prev, drift)
           val verdict =
-            if (fresh <= prev * 1.25 * drift) "ambient"
+            if (fresh <= margin) { if (suiteOnly) "ambient-suite-only" else "ambient" }
+            else if (suspect) "real-suspect-channel"
             else if (driftBasis == "none") "real-uncalibrated"
             else "real"
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
-            ",\"fresh\":" + fmt3(fresh) + ",\"margin\":" + fmt3(prev * 1.25 * drift) +
+            ",\"fresh\":" + fmt3(fresh) + ",\"margin\":" + fmt3(margin) +
             ",\"drift_basis\":\"" + driftBasis + "\",\"verdict\":\"" + verdict + "\"}"
         case None =>
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
@@ -699,8 +843,18 @@ object Bench {
       }
       "\"" + esc(n) + "\":" + body
     }.mkString("{", ",", "}")
+    // Sidecar legibility (r13 verdict item #5): x_corr_matrix is the one
+    // documented-superlinear (S^2 panel-width) query and dominates the
+    // BENCH_sf1 sidecar (54% of its total at factor 10) — a subtotal
+    // without the panel family keeps the corpus-scaling queries legible
+    // at a glance without moving the query or breaking the prior-chain.
+    val panelQueries = Set("x_corr_matrix")
+    val exclPanel =
+      if (timed.keys.exists(panelQueries.contains))
+        s""""value_excl_panel":${fmt3(timed.collect { case (n, v) if !panelQueries.contains(n) => v }.sum)},"""
+      else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"probe_vs_prior":$adjudication,"queries":$qs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"probe_vs_prior":$adjudication,"queries":$qs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json)
     // Compact copy: BASELINE.md-comparable queries first, then
     // slowest-first, greedily packed under a hard char budget so the line
@@ -731,7 +885,7 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\"" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fsCompact,$guard,"queries":${picked.values.mkString("{", ",", "}")},"queries_shown":${picked.size},"full_artifact":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fsCompact,$guard,"queries":${picked.values.mkString("{", ",", "}")},"queries_shown":${picked.size},"full_artifact":"$outPath","sf":"$sfDir"}"""
     println(compact)
     if (writeCompact) {
       val compactPath = sys.env.getOrElse("SPARK_GRAFT_COMPACT_OUT", "BENCH_compact.json")

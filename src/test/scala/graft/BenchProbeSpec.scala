@@ -146,4 +146,93 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(Bench.priorQueries(f2.toString).isEmpty) // default 50: rejected
     assert(Bench.priorQueries(f2.toString, minSize = 15).size == 20)
   }
+
+  // ---------------------------------------------------------------- round 14
+
+  test("probeMargin: additive noise floor absorbs sub-second scatter, 10x regressions still trip") {
+    // multiplicative term dominates for expensive queries
+    assert(math.abs(Bench.probeMargin(5.0, 1.0) - 6.25) < 1e-9)
+    // floor dominates for sub-second queries: the r13 false-real shape
+    // (rsi_10 fresh 0.249 vs pure-multiplicative margin 0.245) is inside
+    // the floored margin prev + 0.15
+    val rsiMargin = Bench.probeMargin(0.196, 1.0)
+    assert(rsiMargin >= 0.196 + 0.15 - 1e-9 && 0.249 <= rsiMargin)
+    // a genuine 10x regression on a 0.1 s query still reads over margin
+    assert(1.0 > Bench.probeMargin(0.1, 2.0))
+    // drift still scales the multiplicative side
+    assert(math.abs(Bench.probeMargin(5.0, 2.0) - 12.5) < 1e-9)
+  }
+
+  test("probeChannelStats + channelSuspect: headliner controls adjudicate the probe child itself") {
+    val controls = Seq("h1", "h2", "h3", "h4", "h5")
+    val priorFresh = Map("h1" -> 1.0, "h2" -> 2.0, "h3" -> 4.0, "h4" -> 0.5, "h5" -> 3.0)
+    // clean channel: all controls near their committed fresh values
+    val clean = Map("h1" -> 1.05, "h2" -> 1.9, "h3" -> 4.2, "h4" -> 0.55, "h5" -> 2.8)
+    val sClean = Bench.probeChannelStats(clean, priorFresh, controls)
+    assert(sClean.exists { case (med, mx) => med < 1.2 && mx < 1.2 })
+    assert(!Bench.channelSuspect(sClean))
+    // broad perturbation (concurrent JVM for the whole probe): median > 1.4
+    val broad = clean.view.mapValues(_ * 1.8).toMap
+    assert(Bench.channelSuspect(Bench.probeChannelStats(broad, priorFresh, controls)))
+    // spike perturbation (the r13 driver shape: x_pagerank fresh 10.31 vs
+    // committed band 3.2-4.0 while other controls were fine): max > 2.5
+    val spike = clean + ("h3" -> 11.6)
+    val sSpike = Bench.probeChannelStats(spike, priorFresh, controls)
+    assert(sSpike.exists { case (med, mx) => med < 1.4 && mx > 2.5 })
+    assert(Bench.channelSuspect(sSpike))
+    // fewer than 3 matched controls -> no stats, never suspect (first
+    // calibrated round, or a prior artifact without fresh_probe)
+    assert(Bench.probeChannelStats(clean, Map("h1" -> 1.0, "h2" -> 2.0), controls).isEmpty)
+    assert(!Bench.channelSuspect(None))
+    // a single genuine headliner regression below the spike bound does
+    // NOT poison the channel (median robust to one mover)
+    val oneReal = clean + ("h2" -> 4.5) // 2.25x: real-looking but < 2.5
+    assert(!Bench.channelSuspect(Bench.probeChannelStats(oneReal, priorFresh, controls)))
+  }
+
+  test("priorFreshProbe parses the committed fresh_probe block; absent/garbage -> empty") {
+    val f = Files.createTempFile("bench_fresh", ".json")
+    Files.writeString(f,
+      s"""{"metric":"total","fresh_probe":{"x_pagerank":3.610,"x_corr_matrix":134.582},"queries":{"a":1}}""")
+    val m = Bench.priorFreshProbe(f.toString)
+    assert(m.size == 2 && math.abs(m("x_pagerank") - 3.61) < 1e-9)
+    val f2 = Files.createTempFile("bench_fresh_none", ".json")
+    Files.writeString(f2, s"""{"metric":"total","queries":{"a":1}}""")
+    assert(Bench.priorFreshProbe(f2.toString).isEmpty)
+    assert(Bench.priorFreshProbe("/nonexistent/path.json").isEmpty)
+  }
+
+  test("suiteUncorroborated: suite-basis verdicts qualified when no loop estimate corroborates (ADVICE r13)") {
+    // BENCH_sf1 r13 shape: suite 1.282 chosen while both loops read FAST
+    // (0.887 / 0.700) -> uncorroborated, ambient verdicts get qualified
+    assert(Bench.suiteUncorroborated("suite", 1.282, Some(0.887), Some(0.700)))
+    // suite chosen but within 15% of a loop basis -> corroborated
+    assert(!Bench.suiteUncorroborated("suite", 1.30, Some(1.20), Some(1.15)))
+    // loop basis chosen -> never qualified
+    assert(!Bench.suiteUncorroborated("cal_par", 1.46, Some(1.12), Some(1.46)))
+    // suite is the ONLY basis (prior artifact predates calibration)
+    assert(Bench.suiteUncorroborated("suite", 1.05, None, None))
+  }
+
+  test("resolveSuite: unknown suite names surface instead of silently shrinking the run (ADVICE r13)") {
+    val known = Set("q1_agg", "x_pagerank", "x_corr_matrix")
+    val (names, unknown) = Bench.resolveSuite(Some(Set("x_pagerank", "x_pagernak", "q1_agg")), known)
+    assert(names == Seq("q1_agg", "x_pagerank"))
+    assert(unknown == Seq("x_pagernak"))
+    // no suite -> full run, nothing unknown
+    val (all, none) = Bench.resolveSuite(None, known)
+    assert(all == known.toSeq.sorted && none.isEmpty)
+  }
+
+  test("priorQueries tolerates the r14 value_excl_panel field and channel/suspect fields") {
+    val qs = (1 to 55).map(i => s""""q$i":${i * 0.01}""").mkString(",")
+    val f = Files.createTempFile("bench_r14", ".json")
+    Files.writeString(f,
+      s"""{"metric":"total","value":9.9,"value_excl_panel":5.5,"probe_channel_median":1.02,""" +
+        s""""probe_channel_max":1.31,"probe_suspect":false,"suite_unknown":["typo_q"],""" +
+        s""""fresh_probe":{"h":1.0},"queries":{$qs},"sf":"sf0.1"}""")
+    val parsed = Bench.priorQueries(f.toString)
+    assert(parsed.size == 55 && math.abs(parsed("q7") - 0.07) < 1e-9)
+    assert(Bench.priorFreshProbe(f.toString) == Map("h" -> 1.0))
+  }
 }

@@ -25,8 +25,12 @@ cost, by exploiting graft.ScaleUp's disjoint-universe construction:
       cosine: the 1e-4 per-replica perturbation shifts any dot by at most
         2*max||e||*max||d||+max||d||^2 (computed from the data, ~1.5e-2);
         the gate re-scores every base pair within that window below 0.45
-        against ALL 100 replica combinations in the ACTUAL sf1 file (0
-        promoted) and checks every twin dot stays >= threshold;
+        against ALL 100 replica combinations in the ACTUAL sf1 file and
+        records whether every twin dot stays >= threshold (cos_twin_ok in
+        the assumptions block -- EVIDENCE for any future twin-reliant
+        derivation, not a pass/fail input today: the cosine-family
+        queries are gated by the exact numpy oracle below, which assumes
+        nothing about twins; a violation prints a warning);
   - demotions (edges lost in salted replicas) cannot split a family:
     the replica-0 copy of every base edge is untouched and the twin
     edges glue the copies, so connected components are preserved.
@@ -138,6 +142,14 @@ def main():
     print(f"sf0.1 reference oracle check: {'PASS' if sf01_certified else 'FAIL'}", flush=True)
     if not sf01_certified:
         print(chk.stdout[-1500:], flush=True)
+        # ADVICE r13: an uncertified anchor makes every derived comparison
+        # engine-vs-engine self-consistency -- exactly the unanchored
+        # scenario this gate exists to prevent. The anchor failure FAILS
+        # every non-exact-numpy query below (and so the exit code); the
+        # exact-numpy oracle recomputes from the sf1 file directly and
+        # does not chain through the sf0.1 dumps, so it stands.
+        print("ANCHOR UNCERTIFIED: all derived/replica0-subset/full-output "
+              "queries will be marked fail", flush=True)
 
     def pq(path):  # literal single file, or a partitioned ScaleUp dir
         return f"{path}/*.parquet" if os.path.isdir(path) else path
@@ -206,6 +218,16 @@ def main():
               FROM embeddings e0, rep JOIN emb1 er ON er.vec_id = e0.vec_id + rep.r * {k_vec})
         SELECT min(sim) FROM d""").fetchone()[0]
     assumptions["cos_twin_min"] = round(float(twin), 6)
+    # ADVICE r13: the recorded twin minimum is now actually COMPARED to
+    # the threshold, not merely observed. No current query derivation
+    # relies on twin cosine edges (the cosine family uses the exact numpy
+    # oracle), so a violation warns loudly but does not gate -- any
+    # future derivation that leans on twin edges must require cos_twin_ok.
+    assumptions["cos_twin_ok"] = bool(assumptions["cos_twin_min"] >= 0.45)
+    if not assumptions["cos_twin_ok"]:
+        print(f"WARNING: cos_twin_min {assumptions['cos_twin_min']} < 0.45 -- twin cosine "
+              "edges are NOT all above threshold; no current derivation depends on them, "
+              "but do not add one without gating on cos_twin_ok", flush=True)
 
     jac_ok = (assumptions["jac_short_docs"] == 0 and assumptions["jac_promotable"] == 0)
 
@@ -277,6 +299,10 @@ def main():
 
     def record(name, ok, why, note):
         mode = dict(QUERIES)[name]
+        if mode != "exact-numpy" and not sf01_certified:
+            extra = "" if ok else " -- also: " + why
+            ok, why = False, ("sf0.1 anchor uncertified: comparison would be engine-vs-engine "
+                              "self-consistency" + extra)
         results[name] = {"mode": mode, "status": "pass" if ok else "fail", "note": note}
         if not ok:
             results[name]["why"] = why
@@ -378,7 +404,11 @@ def main():
             json.dump(doc, f, indent=1)
         print(f"merged {key} into CORRECTNESS_sf1.json", flush=True)
     print(f"== replica parity: {n_pass} pass, {len(results) - n_pass} fail ==")
-    sys.exit(0 if n_pass == len(results) else 1)
+    # exit gates on BOTH the per-query results and the anchor certification
+    # (ADVICE r13) -- record() already fails derived queries when the
+    # anchor is uncertified, so the second term is belt-and-braces should
+    # the query set ever become all-exact-numpy
+    sys.exit(0 if (n_pass == len(results) and sf01_certified) else 1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-cadence scale gate (r13 verdict item #6): a regression in
+# Dedup/Similarity must fail the replica-parity gate the SAME round it
+# lands, not when someone remembers to run the tool. Builds the upscaled
+# dataset if absent (ScaleUp partitioned write path), then runs
+# tools/replica_parity.py against it; the script's exit status IS the
+# gate. Run after `sbt compile` (classes must be current) and before the
+# round bench:
+#
+#   tools/scale_gate.sh          # factor 10  -> sf1 gate block
+#   tools/scale_gate.sh 30       # factor 30  -> replica_parity_factor30
+#   tools/scale_gate.sh 100      # factor 100 -> replica_parity_factor100
+#
+# usage: tools/scale_gate.sh [factor] [outdir] [workdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+F="${1:-10}"
+OUT="${2:-bigdata/sf$((F / 10))synth}"
+WORK="${3:-/tmp/rp_f$F}"
+SF01="${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}"
+if [ ! -e "$OUT/lineitem.parquet" ]; then
+  echo "== scale_gate: building $OUT at factor $F (partitioned write path) =="
+  SPARK_GRAFT_SCALEUP_PARTITIONED=1 tools/run_main.sh graft.ScaleUp "$SF01" "$OUT" "$F"
+fi
+exec python3 tools/replica_parity.py "$SF01" "$OUT" "$WORK" "$F"
