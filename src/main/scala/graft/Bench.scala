@@ -300,6 +300,24 @@ object Bench {
     (names, unknown)
   }
 
+  /** Probe-child timeout budget (round-14): the fixed 20-minute fork
+    * budget killed the BENCH_sf1 probe child on a slow-host day —
+    * x_corr_matrix alone is ~11 min fresh at (1 warmup + 3 reps) × 161 s
+    * when the host runs 1.3×. The orchestrator KNOWS the probe set's
+    * in-shard times, so the budget is data-driven: twice the measured
+    * probe-set cost at (warmups+reps) executions, plus 5 min of JVM/
+    * session fixed cost, floored at 20. The 2× covers fresh-JVM JIT and
+    * host drift (both clamp near 2.0 elsewhere). */
+  private[graft] def probeTimeoutMin(
+      probeSet: Seq[String],
+      timed: collection.Map[String, Double],
+      reps: Int,
+      warmups: Int
+  ): Long = {
+    val costSec = probeSet.map(timed.getOrElse(_, 0.0)).sum * (warmups + reps) * 2
+    math.max(20L, (costSec / 60.0).ceil.toLong + 5L)
+  }
+
   /** Data-driven probe selection (round 12): the fixed headliners (5
     * worst by in-shard time) PLUS every query whose median regressed
     * >1.4x vs the prior committed artifact, worst ratio first, capped at
@@ -454,14 +472,15 @@ object Bench {
     // machine (round-7 fix); the auto-selection is the round-12 fix for
     // recurring hand-picked scatter adjudication.
     val (probeSet, vsPrior) = selectProbe(timed, prior)
-    val probed: Map[String, Double] = forkShard(probeSet, sfDir, reps, warmups, timeoutMin = 20)
-      .map(_.flatMap { line =>
-        line.split("\t", -1) match {
-          case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
-          case _                        => None
-        }
-      }.toMap)
-      .getOrElse(Map.empty)
+    val probed: Map[String, Double] =
+      forkShard(probeSet, sfDir, reps, warmups, probeTimeoutMin(probeSet, timed, reps, warmups))
+        .map(_.flatMap { line =>
+          line.split("\t", -1) match {
+            case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
+            case _                        => None
+          }
+        }.toMap)
+        .getOrElse(Map.empty)
     val contaminated = parentContaminated || anyChildContaminated
     val ccPressure = ccFrac.values.foldLeft(ccWorstMax)(math.max) > 0.90
     if (contaminated) {
@@ -614,7 +633,7 @@ object Bench {
       if (doReprobe) selectProbe(timed, priorArtifact) else (Seq.empty[String], Map.empty[String, (Double, Double)])
     val probed: Map[String, Double] =
       if (doReprobe)
-        forkShard(probeSet, sfDir, reps, warmups, timeoutMin = 20)
+        forkShard(probeSet, sfDir, reps, warmups, probeTimeoutMin(probeSet, timed, reps, warmups))
           .map(_.flatMap { line =>
             line.split("\t", -1) match {
               case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
@@ -708,6 +727,32 @@ object Bench {
       calPar: Option[Double]
   ): Boolean =
     basis == "suite" && !(cal.toSeq ++ calPar.toSeq).exists(l => resolved <= l * 1.15)
+
+  /** The mechanical mover verdict (pure — BenchProbeSpec). Qualifiers:
+    *  - "ambient": fresh within margin. The "-suite-only" qualifier fires
+    *    ONLY when the verdict DEPENDS on the uncorroborated suite margin —
+    *    a fresh reading inside the NO-DRIFT margin never leaned on the
+    *    suite basis (first full r14 run: all 13 movers were inside
+    *    probeMargin(prev, 1.0) on a day the suite basis read 1.36 with
+    *    both loops at 1.0; qualifying those would overstate how much of
+    *    the adjudication rested on the self-referential basis).
+    *  - "real-suspect-channel": over margin but the headliner controls
+    *    show the probe child itself was perturbed — unmeasured, not real.
+    *  - "real-uncalibrated": over margin with no drift basis at all.
+    *  - "real": over margin on a trusted channel. Investigate. */
+  private[graft] def moverVerdict(
+      prev: Double,
+      fresh: Double,
+      drift: Double,
+      driftBasis: String,
+      suiteOnly: Boolean,
+      suspect: Boolean
+  ): String =
+    if (fresh <= probeMargin(prev, 1.0)) "ambient"
+    else if (fresh <= probeMargin(prev, drift)) { if (suiteOnly) "ambient-suite-only" else "ambient" }
+    else if (suspect) "real-suspect-channel"
+    else if (driftBasis == "none") "real-uncalibrated"
+    else "real"
 
   private def writeArtifacts(
       outPath: String,
@@ -829,11 +874,7 @@ object Bench {
       val body = probed.get(n) match {
         case Some(fresh) =>
           val margin = probeMargin(prev, drift)
-          val verdict =
-            if (fresh <= margin) { if (suiteOnly) "ambient-suite-only" else "ambient" }
-            else if (suspect) "real-suspect-channel"
-            else if (driftBasis == "none") "real-uncalibrated"
-            else "real"
+          val verdict = moverVerdict(prev, fresh, drift, driftBasis, suiteOnly, suspect)
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
             ",\"fresh\":" + fmt3(fresh) + ",\"margin\":" + fmt3(margin) +
             ",\"drift_basis\":\"" + driftBasis + "\",\"verdict\":\"" + verdict + "\"}"

@@ -224,6 +224,35 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(all == known.toSeq.sorted && none.isEmpty)
   }
 
+  test("moverVerdict: qualifiers fire only when the verdict depends on them") {
+    // inside the no-drift margin -> plain ambient even on a suite-only day
+    // (the r14 full-run shape: suite basis 1.36, loops 1.0, all movers'
+    // fresh readings at/below prior)
+    assert(Bench.moverVerdict(prev = 2.0, fresh = 2.3, drift = 1.36, "suite", suiteOnly = true, suspect = false) == "ambient")
+    // needs the suite-inflated margin to pass -> qualified
+    assert(Bench.moverVerdict(2.0, 3.0, 1.36, "suite", suiteOnly = true, suspect = false) == "ambient-suite-only")
+    // same reading with a corroborated basis -> plain ambient
+    assert(Bench.moverVerdict(2.0, 3.0, 1.36, "cal_par", suiteOnly = false, suspect = false) == "ambient")
+    // over every margin: real on a clean channel, qualified on a suspect one
+    assert(Bench.moverVerdict(2.0, 9.0, 1.36, "suite", suiteOnly = true, suspect = false) == "real")
+    assert(Bench.moverVerdict(2.0, 9.0, 1.36, "suite", suiteOnly = true, suspect = true) == "real-suspect-channel")
+    assert(Bench.moverVerdict(2.0, 9.0, 1.0, "none", suiteOnly = false, suspect = false) == "real-uncalibrated")
+    // the noise floor rides inside: sub-second scatter is ambient
+    assert(Bench.moverVerdict(0.196, 0.249, 1.0, "cal", suiteOnly = false, suspect = false) == "ambient")
+  }
+
+  test("probeTimeoutMin: budget scales with the probe set's measured cost, floored at 20") {
+    val timed = scala.collection.mutable.LinkedHashMap("cheap" -> 0.5, "x_corr_matrix" -> 161.8)
+    // cheap probe set: the 20-min floor holds
+    assert(Bench.probeTimeoutMin(Seq("cheap"), timed, reps = 3, warmups = 1) == 20L)
+    // the BENCH_sf1 shape that killed the r14 probe child: 161.8 s query
+    // at 4 executions x2 ~= 22 min of query time alone -> budget > 20
+    val b = Bench.probeTimeoutMin(Seq("cheap", "x_corr_matrix"), timed, reps = 3, warmups = 1)
+    assert(b >= 27L, s"budget $b")
+    // unknown names cost nothing (never crash)
+    assert(Bench.probeTimeoutMin(Seq("nope"), timed, 5, 2) == 20L)
+  }
+
   test("priorQueries tolerates the r14 value_excl_panel field and channel/suspect fields") {
     val qs = (1 to 55).map(i => s""""q$i":${i * 0.01}""").mkString(",")
     val f = Files.createTempFile("bench_r14", ".json")

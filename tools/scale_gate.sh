@@ -18,6 +18,10 @@ F="${1:-10}"
 OUT="${2:-bigdata/sf$((F / 10))synth}"
 WORK="${3:-/tmp/rp_f$F}"
 SF01="${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}"
+# Verify wall time scales with the factor (f100's x_cosine_pairs alone is
+# ~20G pair dots); give the dump phase factor-scaled headroom unless the
+# caller already set a budget.
+export SPARK_GRAFT_RP_VERIFY_TIMEOUT="${SPARK_GRAFT_RP_VERIFY_TIMEOUT:-$((1800 + F * 180))}"
 if [ ! -e "$OUT/lineitem.parquet" ]; then
   echo "== scale_gate: building $OUT at factor $F (partitioned write path) =="
   SPARK_GRAFT_SCALEUP_PARTITIONED=1 tools/run_main.sh graft.ScaleUp "$SF01" "$OUT" "$F"
