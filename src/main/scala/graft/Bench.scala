@@ -276,16 +276,42 @@ object Bench {
     if (ratios.size >= 3) Some((ratios(ratios.size / 2), ratios.last)) else None
   }
 
+  /** Max control ratio over controls that are NOT themselves vsPrior
+    * movers (ADVICE r14): the controls are the worst-5 headliners, which
+    * overlap the mover set — a single GENUINE >2.5x regression in one
+    * headliner would otherwise trip the spike rule, mark the whole
+    * channel suspect, and demote its own "real" verdict (and everyone
+    * else's) to "real-suspect-channel" — a real regression
+    * self-qualifying as channel noise, the same self-masking class the
+    * suite drift basis had (ADVICE r13). Spike detection must rest on
+    * controls with no stake in the adjudication. */
+  private[graft] def controlSpikeMax(
+      probed: Map[String, Double],
+      priorFresh: Map[String, Double],
+      controls: Seq[String],
+      movers: Set[String]
+  ): Option[Double] = {
+    val ratios = controls.distinct.filterNot(movers)
+      .flatMap(n => for { f <- probed.get(n); p <- priorFresh.get(n) if p > 0 && f > 0 } yield f / p)
+    if (ratios.nonEmpty) Some(ratios.max) else None
+  }
+
   /** Channel-suspect rule: median control ratio > 1.4 (broad probe-JVM
-    * perturbation — same threshold as mover selection) OR any single
-    * control > 2.5x its committed fresh value (spike perturbation: the
-    * r13 shape, where the foreign JVM landed on part of the probe run —
-    * host drift is clamped at 2.0, so 2.5x one control is not host
-    * speed). A suspect channel qualifies mover verdicts as
+    * perturbation — same threshold as mover selection; the median over
+    * ALL controls is robust to one genuine mover) OR any single
+    * NON-MOVER control > 2.5x its committed fresh value (spike
+    * perturbation: the r13 shape, where the foreign JVM landed on part
+    * of the probe run — host drift is clamped at 2.0, so 2.5x one
+    * control is not host speed; mover controls are excluded so a real
+    * headliner regression cannot poison its own channel, ADVICE r14).
+    * A suspect channel qualifies mover verdicts as
     * "real-suspect-channel" — never silently flips them to ambient: a
     * suspect channel is UNMEASURED, not clean. */
-  private[graft] def channelSuspect(stats: Option[(Double, Double)]): Boolean =
-    stats.exists { case (med, mx) => med > 1.4 || mx > 2.5 }
+  private[graft] def channelSuspect(
+      stats: Option[(Double, Double)],
+      spikeMax: Option[Double]
+  ): Boolean =
+    stats.exists { case (med, _) => med > 1.4 } || spikeMax.exists(_ > 2.5)
 
   /** Resolve SPARK_GRAFT_SUITE against the known query set (ADVICE r13):
     * unknown names (typos) must not silently shrink the suite — they are
@@ -739,7 +765,15 @@ object Bench {
     *  - "real-suspect-channel": over margin but the headliner controls
     *    show the probe child itself was perturbed — unmeasured, not real.
     *  - "real-uncalibrated": over margin with no drift basis at all.
-    *  - "real": over margin on a trusted channel. Investigate. */
+    *  - "real": over margin on a trusted channel. Investigate.
+    * The unconditional-ambient fast path uses min(1.0, drift) (ADVICE
+    * r14): on a fast-host day (drift < 1, floor 0.7) the effective
+    * margin is the SHRUNKEN drift margin — a reading over it must fall
+    * through to the real branches, not be cleared by the wider no-drift
+    * margin (the r14 driver artifact stamped probe_real:1 for
+    * x_surprisal2 at drift 0.916 while this branch read it ambient —
+    * header and verdict disagreed, and drift<1 sensitivity was silently
+    * lost). A faster host must never WIDEN the margin. */
   private[graft] def moverVerdict(
       prev: Double,
       fresh: Double,
@@ -748,11 +782,22 @@ object Bench {
       suiteOnly: Boolean,
       suspect: Boolean
   ): String =
-    if (fresh <= probeMargin(prev, 1.0)) "ambient"
+    if (fresh <= probeMargin(prev, math.min(1.0, drift))) "ambient"
     else if (fresh <= probeMargin(prev, drift)) { if (suiteOnly) "ambient-suite-only" else "ambient" }
     else if (suspect) "real-suspect-channel"
     else if (driftBasis == "none") "real-uncalibrated"
     else "real"
+
+  /** (nReal, nRealSuspect) from the mover verdicts themselves (r14
+    * verdict item: Bench.scala:831 counted movers over probeMargin(prev,
+    * raw drift) while moverVerdict floored drift at 1.0 in its fast
+    * path, so the compact header could stamp probe_real:1 while every
+    * per-mover verdict read ambient — the artifact contradicted itself.
+    * Deriving the counts from the same verdict strings makes divergence
+    * structurally impossible). */
+  private[graft] def moverCounts(verdicts: Iterable[String]): (Int, Int) =
+    (verdicts.count(v => v.startsWith("real") && v != "real-suspect-channel"),
+     verdicts.count(_ == "real-suspect-channel"))
 
   private def writeArtifacts(
       outPath: String,
@@ -807,8 +852,11 @@ object Bench {
     val suiteOnly = suiteUncorroborated(driftBasis, drift, driftCal, driftPar)
     // Probe-channel controls (r14): headliner fresh vs committed prior
     // fresh — a perturbed probe child qualifies its own "real" verdicts.
+    // Spike rule over NON-MOVER controls only (ADVICE r14): a genuine
+    // >2.5x regression in a headliner must not poison its own channel.
     val channel = probeChannelStats(probed, priorFresh, controls)
-    val suspect = channelSuspect(channel)
+    val spikeMax = controlSpikeMax(probed, priorFresh, controls, vsPrior.keySet)
+    val suspect = channelSuspect(channel, spikeMax)
     val qs = timed.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val as = ages.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val cc = ccFrac.map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
@@ -826,12 +874,14 @@ object Bench {
     // were probed and how many reproduced fresh ("real") — the compact
     // line carries the verdict counts, the full artifact the per-query
     // data. On a suspect channel the reproductions count separately
-    // (probe_real_suspect): qualified, never silently ambient.
-    val nOverMargin = vsPrior.count { case (n, (prev, _)) =>
-      probed.get(n).exists(_ > probeMargin(prev, drift))
+    // (probe_real_suspect): qualified, never silently ambient. Counts
+    // are DERIVED from the per-mover verdicts (r14 verdict item #2) so
+    // the header and the probe_vs_prior block cannot disagree.
+    val verdicts: Map[String, String] = vsPrior.flatMap { case (n, (prev, _)) =>
+      probed.get(n).map(f => n -> moverVerdict(prev, f, drift, driftBasis, suiteOnly, suspect))
     }
-    val nReal = if (suspect) 0 else nOverMargin
-    val nRealSuspect = if (suspect) nOverMargin else 0
+    val (nReal, nRealSuspect) = moverCounts(verdicts.values)
+    val nOverMargin = nReal + nRealSuspect
     val driftJson =
       s"""{"resolved":${fmt3(drift)},"basis":"$driftBasis"""" +
         driftCal.map(v => s""","cal":${fmt3(v)}""").getOrElse("") +
@@ -843,7 +893,9 @@ object Bench {
         s""""codecache_used_mb":${ccUsed / (1024 * 1024)},"codecache_worst_frac":${fmt3(ccWorst)},"codecache_pressure":$ccPressure""" +
         s""","cal_sec":${fmt3(calSec)},"cal_par_sec":${fmt3(calPar)},"cal_drift":${fmt3(drift)},"drift":$driftJson""" +
         channel.map { case (med, mx) =>
-          s""","probe_channel_median":${fmt3(med)},"probe_channel_max":${fmt3(mx)},"probe_suspect":$suspect"""
+          s""","probe_channel_median":${fmt3(med)},"probe_channel_max":${fmt3(mx)}""" +
+            spikeMax.map(s => s""","probe_channel_spike_max":${fmt3(s)}""").getOrElse("") +
+            s""","probe_suspect":$suspect"""
         }.getOrElse("") +
         (if (vsPrior.nonEmpty)
            s""","probe_regressed":${vsPrior.size},"probe_real":${if (probeFailed && nOverMargin == 0) "null" else nReal.toString},"probe_real_suspect":$nRealSuspect,"probe_unmeasured":$unmeasured,"probe_failed":$probeFailed"""
@@ -874,7 +926,7 @@ object Bench {
       val body = probed.get(n) match {
         case Some(fresh) =>
           val margin = probeMargin(prev, drift)
-          val verdict = moverVerdict(prev, fresh, drift, driftBasis, suiteOnly, suspect)
+          val verdict = verdicts(n) // same map the header counts come from
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
             ",\"fresh\":" + fmt3(fresh) + ",\"margin\":" + fmt3(margin) +
             ",\"drift_basis\":\"" + driftBasis + "\",\"verdict\":\"" + verdict + "\"}"

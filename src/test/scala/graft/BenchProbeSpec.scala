@@ -166,28 +166,43 @@ class BenchProbeSpec extends AnyFunSuite {
   test("probeChannelStats + channelSuspect: headliner controls adjudicate the probe child itself") {
     val controls = Seq("h1", "h2", "h3", "h4", "h5")
     val priorFresh = Map("h1" -> 1.0, "h2" -> 2.0, "h3" -> 4.0, "h4" -> 0.5, "h5" -> 3.0)
+    def spikeMax(p: Map[String, Double], movers: Set[String] = Set.empty) =
+      Bench.controlSpikeMax(p, priorFresh, controls, movers)
     // clean channel: all controls near their committed fresh values
     val clean = Map("h1" -> 1.05, "h2" -> 1.9, "h3" -> 4.2, "h4" -> 0.55, "h5" -> 2.8)
     val sClean = Bench.probeChannelStats(clean, priorFresh, controls)
     assert(sClean.exists { case (med, mx) => med < 1.2 && mx < 1.2 })
-    assert(!Bench.channelSuspect(sClean))
+    assert(!Bench.channelSuspect(sClean, spikeMax(clean)))
     // broad perturbation (concurrent JVM for the whole probe): median > 1.4
     val broad = clean.view.mapValues(_ * 1.8).toMap
-    assert(Bench.channelSuspect(Bench.probeChannelStats(broad, priorFresh, controls)))
+    assert(Bench.channelSuspect(Bench.probeChannelStats(broad, priorFresh, controls), spikeMax(broad)))
     // spike perturbation (the r13 driver shape: x_pagerank fresh 10.31 vs
     // committed band 3.2-4.0 while other controls were fine): max > 2.5
+    // on a NON-MOVER control
     val spike = clean + ("h3" -> 11.6)
     val sSpike = Bench.probeChannelStats(spike, priorFresh, controls)
     assert(sSpike.exists { case (med, mx) => med < 1.4 && mx > 2.5 })
-    assert(Bench.channelSuspect(sSpike))
+    assert(Bench.channelSuspect(sSpike, spikeMax(spike)))
+    // ADVICE r14: the same spike on a control that IS itself a vsPrior
+    // mover must NOT poison the channel — a genuine >2.5x headliner
+    // regression would otherwise demote its own "real" verdict to
+    // "real-suspect-channel" (self-masking). Median rule still guards
+    // broad perturbation; here the other 4 controls are clean.
+    val moverSpike = spikeMax(spike, movers = Set("h3"))
+    assert(moverSpike.exists(_ < 2.5)) // max over h1,h2,h4,h5 only
+    assert(!Bench.channelSuspect(sSpike, moverSpike))
+    // ...and the broad rule still fires even when every control moves
+    // and all are movers (spike max empty, median > 1.4)
+    assert(Bench.channelSuspect(Bench.probeChannelStats(broad, priorFresh, controls),
+      spikeMax(broad, movers = controls.toSet)))
     // fewer than 3 matched controls -> no stats, never suspect (first
     // calibrated round, or a prior artifact without fresh_probe)
     assert(Bench.probeChannelStats(clean, Map("h1" -> 1.0, "h2" -> 2.0), controls).isEmpty)
-    assert(!Bench.channelSuspect(None))
+    assert(!Bench.channelSuspect(None, None))
     // a single genuine headliner regression below the spike bound does
     // NOT poison the channel (median robust to one mover)
     val oneReal = clean + ("h2" -> 4.5) // 2.25x: real-looking but < 2.5
-    assert(!Bench.channelSuspect(Bench.probeChannelStats(oneReal, priorFresh, controls)))
+    assert(!Bench.channelSuspect(Bench.probeChannelStats(oneReal, priorFresh, controls), spikeMax(oneReal)))
   }
 
   test("priorFreshProbe parses the committed fresh_probe block; absent/garbage -> empty") {
@@ -239,6 +254,40 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(Bench.moverVerdict(2.0, 9.0, 1.0, "none", suiteOnly = false, suspect = false) == "real-uncalibrated")
     // the noise floor rides inside: sub-second scatter is ambient
     assert(Bench.moverVerdict(0.196, 0.249, 1.0, "cal", suiteOnly = false, suspect = false) == "ambient")
+  }
+
+  // ---------------------------------------------------------------- round 15
+
+  test("moverVerdict drift<1: a fast-host day shrinks the margin, never widens it (r14 verdict #2)") {
+    // the exact r14 driver-artifact shape: drift resolved 0.916 (suite
+    // basis), x_surprisal2 prev 1.157 / fresh 1.342 — over the shrunken
+    // margin max(1.157*1.25*0.916, 1.307)=1.325, inside the no-drift
+    // margin 1.446. The old fast path read it ambient while the header
+    // counted it over margin (probe_real:1, all verdicts ambient). Now
+    // the reading falls through to "real" and both agree.
+    assert(Bench.probeMargin(1.157, 0.916) < 1.342 && 1.342 < Bench.probeMargin(1.157, 1.0))
+    assert(Bench.moverVerdict(1.157, 1.342, 0.916, "suite", suiteOnly = false, suspect = false) == "real")
+    // same reading inside the shrunken margin stays ambient
+    assert(Bench.moverVerdict(1.157, 1.30, 0.916, "suite", suiteOnly = false, suspect = false) == "ambient")
+    // drift >= 1 unchanged: fast path still keys off the no-drift margin
+    assert(Bench.moverVerdict(2.0, 2.3, 1.36, "suite", suiteOnly = true, suspect = false) == "ambient")
+  }
+
+  test("moverCounts: probe_real header counts derive from the verdicts — divergence impossible") {
+    // the r14 contradiction replayed through the shared path: one real
+    // mover at drift 0.916 plus one ambient mover
+    val verdicts = Seq(
+      Bench.moverVerdict(1.157, 1.342, 0.916, "suite", suiteOnly = false, suspect = false), // real
+      Bench.moverVerdict(2.0, 2.1, 0.916, "suite", suiteOnly = false, suspect = false))     // ambient
+    assert(Bench.moverCounts(verdicts) == ((1, 0)))
+    assert(verdicts.count(_.startsWith("real")) == 1) // header == verdict block by construction
+    // suspect channel: reproductions count as suspect, never as real
+    val suspectV = Seq("real-suspect-channel", "ambient", "real-suspect-channel")
+    assert(Bench.moverCounts(suspectV) == ((0, 2)))
+    // uncalibrated reproductions still count in probe_real (unchanged
+    // semantics: nReal was "over margin on a non-suspect channel")
+    assert(Bench.moverCounts(Seq("real-uncalibrated", "ambient-suite-only")) == ((1, 0)))
+    assert(Bench.moverCounts(Nil) == ((0, 0)))
   }
 
   test("probeTimeoutMin: budget scales with the probe set's measured cost, floored at 20") {

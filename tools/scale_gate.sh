@@ -22,6 +22,16 @@ SF01="${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}"
 # ~20G pair dots); give the dump phase factor-scaled headroom unless the
 # caller already set a budget.
 export SPARK_GRAFT_RP_VERIFY_TIMEOUT="${SPARK_GRAFT_RP_VERIFY_TIMEOUT:-$((1800 + F * 180))}"
+# At factor >= 100 the exact-jaccard family's intersection exchange
+# (~15k * C(F,2) * 100 rows, ~200+ GB at F=100) exceeds one box's
+# scratch disk (SCALING.md "Factor-100 tier"; two confirmed disk-fill
+# failures in r14) -- default the run set to the two tractable
+# exact-numpy queries and stamp the rest skipped-disk-ceiling.
+# Caller-overridable: a cluster (or a bigger box) can unset/override.
+if [ "$F" -ge 100 ]; then
+  export SPARK_GRAFT_RP_ONLY="${SPARK_GRAFT_RP_ONLY:-x_cosine_pairs,x_vec_cluster}"
+  export SPARK_GRAFT_RP_SKIP_NOTE="${SPARK_GRAFT_RP_SKIP_NOTE:-skipped-disk-ceiling}"
+fi
 if [ ! -e "$OUT/lineitem.parquet" ]; then
   echo "== scale_gate: building $OUT at factor $F (partitioned write path) =="
   SPARK_GRAFT_SCALEUP_PARTITIONED=1 tools/run_main.sh graft.ScaleUp "$SF01" "$OUT" "$F"
