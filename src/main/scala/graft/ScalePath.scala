@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-PATH witness for the factor-F replica tiers (r14 verdict item
+  * #5): the exact-oracle replica-parity gate (tools/replica_parity.py)
+  * tops out where the oracle shape exceeds one box (factor 30 for the
+  * exact-jaccard family), but the PRODUCTION dedup path — MinHash-LSH —
+  * is the one a real corpus executes, and its recall claim
+  * (1 − (1 − s^r)^b per pair of Jaccard s) is checkable WITHOUT a
+  * quadratic oracle, because the replica construction derives exact twin
+  * truth from arithmetic:
+  *
+  *  - ids are `base + r·kBase` (graft.ScaleUp), so a pair is a twin
+  *    (same base doc) iff (b_id − a_id) % kBase == 0 — membership needs
+  *    no text comparison;
+  *  - replica 0 is the base corpus VERBATIM and replica r ≥ 1 appends
+  *    ONE distinct salt token, so a base doc with n ≥ 1 distinct
+  *    3-shingles has twin Jaccard exactly n/(n+1) against replica 0 and
+  *    n/(n+2) between two salted replicas (shared shingles = the n base
+  *    ones; each salt adds exactly one distinct trailing shingle when
+  *    the doc has ≥ 2 tokens — n ≥ 1 implies ≥ 3 tokens);
+  *  - therefore the expected banded-candidate count over all twin pairs
+  *    is Σ_docs[n≥1] ((F−1)·p(n/(n+1)) + C(F−1,2)·p(n/(n+2))) with
+  *    p(s) = 1 − (1 − s^rows)^bands, computed exactly from the per-doc
+  *    shingle-count histogram of the base slice — no sampling, no RNG.
+  *
+  * Two modes, split by what fits one box (SCALING.md "Factor-100 tier"):
+  *  - `cand`  (any factor; used at F=100): time the CANDIDATE stage and
+  *    measure twin-candidate recall vs the banded expectation. The
+  *    candidate exchange is docs×bands + 16 B per colliding pair (~10 GB
+  *    at F=100) — the stage whose scaling the LSH claim is about.
+  *  - `pairs` (factors where verified emission fits; used at F=30): time
+  *    full [[graft.extensions.Dedup.minhashLshPairs]], measure VERIFIED
+  *    twin recall vs truth (twins with jac ≥ 0.5: (F−1) per doc with
+  *    n ≥ 1, plus C(F−1,2) per doc with n ≥ 2), and check the replica-0
+  *    restriction of the output is pair-identical to the exact
+  *    inverted-index jaccardPairs on the base slice (which is itself
+  *    DuckDB-certified at sf0.1 by the 239-query gate) — anchoring the
+  *    whole witness back to the oracle, not to the engine trusting
+  *    itself.
+  *
+  * Output: one JSON object at `outPath` with counts, recalls, banded
+  * expectations and stage timings; tools/scale_path.py merges it into
+  * CORRECTNESS_sf1.json as the `f{F}_scale_path` block.
+  *
+  * usage: tools/run_main.sh graft.ScalePath <dir> <factor> <outPath> <cand|pairs>
+  */
+object ScalePath {
+  private val Bands = 8
+  private val RowsPerBand = 2
+
+  /** 1 − (1 − s^rows)^bands — probability a pair of Jaccard s collides in
+    * at least one band under independent uniform MinHash draws. */
+  private def pBand(s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, RowsPerBand.toDouble), Bands.toDouble)
+
+  def main(args: Array[String]): Unit = {
+    val Array(dir, factorS, outPath, mode) = args.take(4)
+    val factor = factorS.toInt
+    require(mode == "cand" || mode == "pairs", s"unknown mode $mode")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.extensions.{Dedup, TextOps}
+
+    val docs = Graft.table(spark, dir, "documents")
+    val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    require(nDocs % factor == 0, s"doc count $nDocs not divisible by factor $factor")
+    val kBase = nDocs / factor
+
+    // Per-doc distinct-shingle counts of the BASE slice (replica 0 is the
+    // base corpus verbatim) — the whole twin-truth derivation keys off
+    // this small (kBase-row) frame. Same tokenize→shingle pipeline as
+    // Dedup.shingled, so n means exactly what the engine's jac uses.
+    val nsh = docs
+      .where(col("doc_id") < kBase)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .select(size(TextOps.shingleSetFromTokens(col("__tk"), 3)).as("n"))
+      .groupBy("n").count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq
+    val f1 = (factor - 1).toLong // (0,r) twin pairs per doc
+    val f2 = f1 * (f1 - 1) / 2 // (r,s) r,s ≥ 1 twin pairs per doc
+    val cF2 = f1 * factor / 2 // C(F,2) — all twin pairs per doc
+    // candidate-stage truth: ALL twin pairs of docs with ≥ 1 shingle
+    // (zero-shingle docs have null signatures and by design never band)
+    val candTruth = nsh.collect { case (n, c) if n >= 1 => c * cF2 }.sum
+    val candExpected = nsh.collect { case (n, c) if n >= 1 =>
+      c * (f1 * pBand(n.toDouble / (n + 1)) + f2 * pBand(n.toDouble / (n + 2)))
+    }.sum
+    // verified-pairs truth: twins with jac ≥ 0.5 — n/(n+1) ≥ 0.5 iff
+    // n ≥ 1, n/(n+2) ≥ 0.5 iff n ≥ 2
+    val pairTruth = nsh.collect { case (n, c) if n >= 1 =>
+      c * (f1 + (if (n >= 2) f2 else 0L))
+    }.sum
+    val pairExpected = nsh.collect { case (n, c) if n >= 1 =>
+      c * (f1 * pBand(n.toDouble / (n + 1)) +
+        (if (n >= 2) f2 * pBand(n.toDouble / (n + 2)) else 0.0))
+    }.sum
+
+    val isTwin = (col("b_id") - col("a_id")) % kBase === 0
+    def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val fields = scala.collection.mutable.ArrayBuffer[String](
+      s""""mode":"$mode"""",
+      s""""factor":$factor""",
+      s""""n_docs":$nDocs""",
+      s""""k_base":$kBase"""
+    )
+
+    if (mode == "cand") {
+      val t0 = System.nanoTime()
+      val row = Dedup
+        .lshCandidates(docs)
+        .agg(count(lit(1)).as("n"), count(when(isTwin, 1)).as("tw"))
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (nCand, nTwin) = (row.getLong(0), row.getLong(1))
+      fields += s""""runtime_sec":${fmt(sec)}"""
+      fields += s""""n_cand_total":$nCand"""
+      fields += s""""n_twin_true":$candTruth"""
+      fields += s""""n_twin_cand":$nTwin"""
+      fields += s""""recall_twin":${fmt(nTwin.toDouble / candTruth)}"""
+      fields += s""""expected_recall_banded":${fmt(candExpected / candTruth)}"""
+      fields += s""""recall_ge_expected":${nTwin.toDouble / candTruth >= candExpected / candTruth}"""
+    } else {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      val row = pairs
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(isTwin, 1)).as("tw"),
+          count(when(col("a_id") < kBase && col("b_id") < kBase, 1)).as("r0")
+        )
+        .head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (nPairs, nTwin, nR0) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      // replica-0 anchor: the output restricted to replica-0-internal
+      // pairs must be pair-identical to exact jaccardPairs on the base
+      // slice (the sf0.1 shape, DuckDB-certified by the 239 gate)
+      val rep0 = pairs.where(col("a_id") < kBase && col("b_id") < kBase).select("a_id", "b_id")
+      val exact = Dedup
+        .jaccardPairs(docs.where(col("doc_id") < kBase), threshold = 0.5)
+        .select("a_id", "b_id")
+      val missing = exact.join(rep0, Seq("a_id", "b_id"), "left_anti").count()
+      val extra = rep0.join(exact, Seq("a_id", "b_id"), "left_anti").count()
+      fields += s""""runtime_sec":${fmt(sec)}"""
+      fields += s""""n_pairs_total":$nPairs"""
+      fields += s""""n_twin_true":$pairTruth"""
+      fields += s""""n_twin_found":$nTwin"""
+      fields += s""""recall_twin":${fmt(nTwin.toDouble / pairTruth)}"""
+      fields += s""""expected_recall_banded":${fmt(pairExpected / pairTruth)}"""
+      fields += s""""recall_ge_expected":${nTwin.toDouble / pairTruth >= pairExpected / pairTruth}"""
+      fields += s""""rep0_pairs":$nR0"""
+      fields += s""""rep0_missing_vs_exact":$missing"""
+      fields += s""""rep0_extra_vs_exact":$extra"""
+      fields += s""""rep0_anchor_ok":${missing == 0 && extra == 0}"""
+    }
+
+    Files.writeString(Paths.get(outPath), fields.mkString("{", ",", "}"))
+    println(s"scale_path $mode factor=$factor -> $outPath")
+    CacheRegistry.release(spark)
+    spark.stop()
+  }
+}

@@ -272,6 +272,35 @@ object Dedup {
     )
   }
 
+  /** The LSH CANDIDATE stage alone: banded-signature bucket self-join,
+    * distinct (a_id < b_id) pairs, no verification. Exposed separately
+    * (round 15) because the two stages scale differently and the split is
+    * the 100 TB story: the candidate exchange is docs × bands rows of
+    * (band, bsig, doc_id) plus one 16-byte row per colliding pair —
+    * corpus-linear plus true-pair-linear — while VERIFIED pair emission
+    * ([[minhashLshPairs]]) additionally ships both shingle arrays to every
+    * candidate row, which at extreme dup density (the factor-100 replica
+    * tier: every doc a 99-way twin, ~74M true pairs) multiplies the
+    * exchange by the ~2 KB array payload. Candidate recall is the
+    * quantity the 1−(1−s^r)^b S-curve predicts ([[lshCalibration]]);
+    * graft.ScalePath measures it against derived twin truth at factors
+    * the exact oracle cannot reach. */
+  def lshCandidates(
+      docs: DataFrame,
+      k: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
+    val banded = bandedSig(docs, k, bands, rowsPerBand)
+    banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bsig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       threshold: Double,
@@ -279,14 +308,7 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2
   ): DataFrame = {
-    require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
-    val banded = bandedSig(docs, k, bands, rowsPerBand)
-    val cand = banded
-      .as("x")
-      .join(banded.as("y"), Seq("band", "bsig"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cand = lshCandidates(docs, k, bands, rowsPerBand)
     // exact verification of candidates only
     val sh = shingled(docs, k)
     cand

@@ -22,6 +22,20 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
   }
 
+  test("lshCandidates is the unverified superset: covers every exact pair, no self/dup rows") {
+    // round 15: the candidate stage is exposed separately (ScalePath runs
+    // it alone at factor 100 where verified emission exceeds one box) —
+    // it must cover the exact pair set (candidate recall on this fixture
+    // is 1, same property the verified-equality test above leans on) and
+    // emit each candidate once, a < b
+    val cand = Dedup.lshCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candSet = cand.toSet
+    assert(cand.length == candSet.size, "duplicate candidate rows")
+    assert(candSet.forall { case (a, b) => a < b })
+    val exact = pairSet(Dedup.jaccardPairs(docs, 0.5))
+    assert(exact.subsetOf(candSet), s"candidates miss exact pairs: ${exact -- candSet}")
+  }
+
   test("incremental LSH against the corpus equals full-pairs restricted to the split") {
     // ground truth: every exact-jaccard pair with one side in the batch,
     // oriented (corpus, batch)
