@@ -135,7 +135,13 @@ object ScalePath {
       fields += s""""recall_ge_expected":${nTwin.toDouble / candTruth >= candExpected / candTruth}"""
     } else {
       val t0 = System.nanoTime()
-      val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      // the verified-pair RESULT is small (24 B/row) even when the
+      // emission plan is expensive — persist it so the three consumers
+      // below (stats agg, replica-0 restriction, anti-join anchor) run
+      // the big verify join once, not once each
+      val pairs = Dedup
+        .minhashLshPairs(docs, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val row = pairs
         .agg(
           count(lit(1)).as("n"),
