@@ -291,8 +291,18 @@ def main():
         E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)  # float32 -> exact
         n, dim = E.shape
         # row-blocked so memory stays O(B x n) -- the same code carries an
-        # sf10 build (200k vectors) without a 320 GB gram matrix
-        B = 4096
+        # sf10 build (200k vectors) without a 320 GB gram matrix.
+        # B is CACHE-sized, not memory-sized (r15): at B=4096 the per-dim
+        # accumulate streamed two ~6.5 GB arrays through DRAM 64 times per
+        # block (~80 TB of traffic at n=200k -- measured 4.5+ h single
+        # core); at B=16 the block gram (~25 MB) stays in L3 and the only
+        # DRAM traffic is the contiguous transposed column reads (~1.3 TB,
+        # minutes). The fold is IDENTICAL -- each gram entry accumulates
+        # s_{d+1} = s_d + a_d*b_d in ascending dim order either way, so
+        # the result is bit-equal (np.array_equal-verified vs the old
+        # blocking at n=2k) and stays the engine ArrayDot contract.
+        B = 16
+        ET = np.ascontiguousarray(E.T)
         acc_a, acc_b, acc_s = [], [], []
         tmp = np.empty((min(B, n), n))
         for i0 in range(0, n, B):
@@ -300,7 +310,7 @@ def main():
             nb = i1 - i0
             Gb = np.zeros((nb, n))
             for d in range(dim):
-                np.multiply.outer(E[i0:i1, d], E[:, d], out=tmp[:nb])
+                np.multiply.outer(ET[d, i0:i1], ET[d], out=tmp[:nb])
                 Gb += tmp[:nb]
             for r in range(nb):
                 gi = i0 + r
