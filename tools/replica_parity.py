@@ -482,12 +482,21 @@ def main():
     # factor 10 is THE sf1 gate block; other factors merge under their own
     # key so a bigger-factor run never clobbers the sf1 evidence
     key = "replica_parity" if factor == 10 else f"replica_parity_factor{factor}"
-    if os.path.exists("CORRECTNESS_sf1.json"):
-        doc = json.load(open("CORRECTNESS_sf1.json"))
-        doc[key] = block
-        with open("CORRECTNESS_sf1.json", "w") as f:
-            json.dump(doc, f, indent=1)
-        print(f"merged {key} into CORRECTNESS_sf1.json", flush=True)
+    # merge is MANDATORY (r15 verdict #2): resolve the artifact at the
+    # repo root regardless of CWD, and fail loudly if it is not there --
+    # the silent skip-on-absent is exactly how two rounds of docs claimed
+    # a block that never landed. Path overridable for tests.
+    artifact = os.environ.get(
+        "SPARK_GRAFT_CORRECTNESS_ARTIFACT",
+        os.path.join(os.path.dirname(here), "CORRECTNESS_sf1.json"))
+    if not os.path.exists(artifact):
+        sys.exit(f"FATAL: correctness artifact {artifact} not found -- the {key} "
+                 "block MUST merge into it; refusing to finish without banking evidence")
+    doc = json.load(open(artifact))
+    doc[key] = block
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"merged {key} into {artifact}", flush=True)
     print(f"== replica parity: {n_pass} pass, {len(results) - n_pass - n_skipped} fail, "
           f"{n_skipped} skipped ==")
     # exit gates on BOTH the per-query results and the anchor certification

@@ -17,9 +17,13 @@ Runs graft.ScalePath in:
     one-box ceiling the exact family hits): twin-candidate recall vs the
     banded S-curve expectation.
 
-Merges the combined block into CORRECTNESS_sf1.json as
-`f100_scale_path`. Exit status IS the gate: every mode must satisfy
-recall >= banded expectation (and the pairs-mode replica-0 anchor).
+Merges the combined block into CORRECTNESS_sf1.json as `scale_path`
+(the block carries BOTH tiers -- factor-30 verified pairs and
+factor-100 candidate stage -- so the key names the gate, not one tier;
+a legacy `f100_scale_path` key from pre-r16 runs is removed on merge).
+The artifact is resolved relative to the REPO ROOT, not the CWD, and a
+missing artifact is a HARD ERROR (r15 verdict: the silent skip is how
+two rounds of docs claimed a block that was never written).
 
 usage: python3 tools/scale_path.py [f30dir] [f100dir] [workdir]
 """
@@ -75,12 +79,23 @@ def main():
     }
     with open(f"{work}/scale_path.json", "w") as f:
         json.dump(block, f, indent=1)
-    if os.path.exists("CORRECTNESS_sf1.json"):
-        doc = json.load(open("CORRECTNESS_sf1.json"))
-        doc["f100_scale_path"] = block
-        with open("CORRECTNESS_sf1.json", "w") as f:
-            json.dump(doc, f, indent=1)
-        print("merged f100_scale_path into CORRECTNESS_sf1.json", flush=True)
+    # merge is MANDATORY (r15 verdict #2): resolve the artifact at the
+    # repo root regardless of CWD, and fail loudly if it is not there --
+    # the silent skip-on-absent is exactly how two rounds of docs claimed
+    # a block that never landed. Path overridable for tests.
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = os.environ.get(
+        "SPARK_GRAFT_CORRECTNESS_ARTIFACT",
+        os.path.join(os.path.dirname(here), "CORRECTNESS_sf1.json"))
+    if not os.path.exists(artifact):
+        sys.exit(f"FATAL: correctness artifact {artifact} not found -- the scale_path "
+                 "block MUST merge into it; refusing to finish without banking evidence")
+    doc = json.load(open(artifact))
+    doc.pop("f100_scale_path", None)  # legacy pre-r16 key (misnamed scope)
+    doc["scale_path"] = block
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"merged scale_path into {artifact}", flush=True)
     print(f"== scale path: {'PASS' if ok else 'FAIL'} ==")
     sys.exit(0 if ok else 1)
 
