@@ -43,14 +43,18 @@ import java.nio.file.{Files, Paths}
   *    itself.
   *
   * Output: one JSON object at `outPath` with counts, recalls, banded
-  * expectations and stage timings; tools/scale_path.py merges it into
-  * CORRECTNESS_sf1.json as the `f{F}_scale_path` block.
+  * expectations and stage timings; tools/scale_path.py merges the
+  * combined two-tier result into CORRECTNESS_sf1.json as the
+  * `scale_path` block.
   *
   * usage: tools/run_main.sh graft.ScalePath <dir> <factor> <outPath> <cand|pairs>
   */
 object ScalePath {
-  private val Bands = 8
-  private val RowsPerBand = 2
+  // ADVICE r15: read the banding from Dedup's single source of truth and
+  // pass it explicitly to the candidate/pair calls below — a future
+  // default change can no longer diverge the expectation from the run
+  private val Bands = graft.extensions.Dedup.DefaultBands
+  private val RowsPerBand = graft.extensions.Dedup.DefaultRowsPerBand
 
   /** 1 − (1 − s^rows)^bands — probability a pair of Jaccard s collides in
     * at least one band under independent uniform MinHash draws. */
@@ -107,6 +111,21 @@ object ScalePath {
       c * (f1 * pBand(n.toDouble / (n + 1)) +
         (if (n >= 2) f2 * pBand(n.toDouble / (n + 2)) else 0.0))
     }.sum
+    // ADVICE r15: the measured recall comes from ONE fixed hash family
+    // while the expectation is the MEAN over independent uniform draws —
+    // a correctly behaving LSH can legitimately land ε below the mean, so
+    // a strict >= on the mean is flaky, not an invariant. Gate with a
+    // 3-sigma binomial slack: the banded count is a sum of independent
+    // Bernoulli(p_i) under the model, so Var = Σ p(1−p) per twin pair,
+    // computed exactly from the same histogram as the mean.
+    def bandVar(pairsCond: Int => Boolean): Double = nsh.collect {
+      case (n, c) if n >= 1 =>
+        val p1 = pBand(n.toDouble / (n + 1))
+        val p2 = pBand(n.toDouble / (n + 2))
+        c * (f1 * p1 * (1 - p1) + (if (pairsCond(n)) f2 * p2 * (1 - p2) else 0.0))
+    }.sum
+    val candSigma = math.sqrt(bandVar(_ => true))
+    val pairSigma = math.sqrt(bandVar(_ >= 2))
 
     val isTwin = (col("b_id") - col("a_id")) % kBase === 0
     def fmt(d: Double): String = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
@@ -119,9 +138,15 @@ object ScalePath {
     )
 
     if (mode == "cand") {
+      // ADVICE r15: a degenerate corpus (every base doc < 3 tokens) has
+      // zero twin truth — NaN recall and a BigDecimal throw; fail with a
+      // message instead
+      require(candTruth > 0,
+        s"no twin truth at $dir: every base doc has < 1 distinct $factor-replica shingle " +
+          "(corpus too short for the 3-shingle pipeline) — the recall gate is undefined")
       val t0 = System.nanoTime()
       val row = Dedup
-        .lshCandidates(docs)
+        .lshCandidates(docs, bands = Bands, rowsPerBand = RowsPerBand)
         .agg(count(lit(1)).as("n"), count(when(isTwin, 1)).as("tw"))
         .head()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -132,15 +157,21 @@ object ScalePath {
       fields += s""""n_twin_cand":$nTwin"""
       fields += s""""recall_twin":${fmt(nTwin.toDouble / candTruth)}"""
       fields += s""""expected_recall_banded":${fmt(candExpected / candTruth)}"""
-      fields += s""""recall_ge_expected":${nTwin.toDouble / candTruth >= candExpected / candTruth}"""
+      fields += s""""sigma_count_banded":${fmt(candSigma)}"""
+      // gate = count >= mean − 3σ (ADVICE r15: strict >= on the mean is
+      // flaky under a fixed hash family; the slacked bound is the invariant)
+      fields += s""""recall_ge_expected":${nTwin.toDouble >= candExpected - 3.0 * candSigma}"""
     } else {
+      require(pairTruth > 0,
+        s"no twin truth at $dir: every base doc has < 1 distinct shingle " +
+          "(corpus too short for the 3-shingle pipeline) — the recall gate is undefined")
       val t0 = System.nanoTime()
       // the verified-pair RESULT is small (24 B/row) even when the
       // emission plan is expensive — persist it so the three consumers
       // below (stats agg, replica-0 restriction, anti-join anchor) run
       // the big verify join once, not once each
       val pairs = Dedup
-        .minhashLshPairs(docs, threshold = 0.5)
+        .minhashLshPairs(docs, threshold = 0.5, bands = Bands, rowsPerBand = RowsPerBand)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val row = pairs
         .agg(
@@ -166,7 +197,8 @@ object ScalePath {
       fields += s""""n_twin_found":$nTwin"""
       fields += s""""recall_twin":${fmt(nTwin.toDouble / pairTruth)}"""
       fields += s""""expected_recall_banded":${fmt(pairExpected / pairTruth)}"""
-      fields += s""""recall_ge_expected":${nTwin.toDouble / pairTruth >= pairExpected / pairTruth}"""
+      fields += s""""sigma_count_banded":${fmt(pairSigma)}"""
+      fields += s""""recall_ge_expected":${nTwin.toDouble >= pairExpected - 3.0 * pairSigma}"""
       fields += s""""rep0_pairs":$nR0"""
       fields += s""""rep0_missing_vs_exact":$missing"""
       fields += s""""rep0_extra_vs_exact":$extra"""

@@ -22,6 +22,15 @@ import graft.CacheRegistry
   */
 object Dedup {
 
+  /** The ONE place the default LSH banding lives (ADVICE r15: ScalePath's
+    * banded-expectation derivation hardcoded 8/2 separately, so a change
+    * to these defaults would silently diverge the expectation from what
+    * lshCandidates/minhashLshPairs actually run). bands × rowsPerBand
+    * must cover TextOps.minhashParams.size — the require() in each
+    * entry point enforces it. */
+  val DefaultBands = 8
+  val DefaultRowsPerBand = 2
+
   /** Hash-spread the corpus before superlinear pair work. A single parquet
     * file scans as ONE partition, serializing every interpreted HOF
     * (tokenize/shingle/hash) and both sides of the self-joins; the shuffle
@@ -288,8 +297,8 @@ object Dedup {
   def lshCandidates(
       docs: DataFrame,
       k: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand
   ): DataFrame = {
     require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
     val banded = bandedSig(docs, k, bands, rowsPerBand)
@@ -305,8 +314,8 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       k: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand
   ): DataFrame = {
     val cand = lshCandidates(docs, k, bands, rowsPerBand)
     // exact verification of candidates only
@@ -347,8 +356,8 @@ object Dedup {
       docs: DataFrame,
       minSim: Double = 0.1,
       k: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand,
       maxDocs: Long = 20000L
   ): DataFrame = {
     require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
@@ -407,8 +416,8 @@ object Dedup {
       batch: DataFrame,
       threshold: Double,
       k: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 2
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand
   ): DataFrame = {
     require(bands * rowsPerBand == TextOps.minhashParams.size, "bands×rows must cover the signature")
     val idx = bandedSig(corpus, k, bands, rowsPerBand)

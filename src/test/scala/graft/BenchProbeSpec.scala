@@ -195,14 +195,76 @@ class BenchProbeSpec extends AnyFunSuite {
     // and all are movers (spike max empty, median > 1.4)
     assert(Bench.channelSuspect(Bench.probeChannelStats(broad, priorFresh, controls),
       spikeMax(broad, movers = controls.toSet)))
-    // fewer than 3 matched controls -> no stats, never suspect (first
-    // calibrated round, or a prior artifact without fresh_probe)
-    assert(Bench.probeChannelStats(clean, Map("h1" -> 1.0, "h2" -> 2.0), controls).isEmpty)
+    // fewer than 3 matched controls -> no channel STATS (median rule off:
+    // first calibrated round, or a prior artifact without fresh_probe) —
+    // but the spike rule still stands on whatever non-mover controls DO
+    // match (ADVICE r15: this is deliberate — one control reading >2.5x
+    // its committed fresh value is not host speed regardless of how many
+    // siblings it has — and the artifact now emits probe_suspect +
+    // probe_channel_spike_max unconditionally whenever spikeMax exists,
+    // so a suspect verdict is always explained in-artifact)
+    val twoPrior = Map("h1" -> 1.0, "h2" -> 2.0)
+    assert(Bench.probeChannelStats(clean, twoPrior, controls).isEmpty)
     assert(!Bench.channelSuspect(None, None))
+    // 2 matched controls, both clean -> spikeMax defined, not suspect
+    assert(!Bench.channelSuspect(None, Bench.controlSpikeMax(clean, twoPrior, controls, Set.empty)))
+    // 2 matched controls, one spiking 3x -> suspect even without stats
+    assert(Bench.channelSuspect(None,
+      Bench.controlSpikeMax(clean + ("h2" -> 6.0), twoPrior, controls, Set.empty)))
     // a single genuine headliner regression below the spike bound does
     // NOT poison the channel (median robust to one mover)
     val oneReal = clean + ("h2" -> 4.5) // 2.25x: real-looking but < 2.5
     assert(!Bench.channelSuspect(Bench.probeChannelStats(oneReal, priorFresh, controls), spikeMax(oneReal)))
+  }
+
+  test("foreignHeavyCount: non-java processes over half a core flag; java/self/idle do not") {
+    // r15 round-16 rule: two 100%-CPU python processes ran through the
+    // whole driver bench window undetected by the jvm-count/loadavg
+    // guard. Ticks are USER_HZ=100; 1 s elapsed, so 100 ticks = 1 core.
+    val before = Map(
+      1L -> ("python3", 1000L), // busy foreign: +90 ticks in 1 s = 0.9 core
+      2L -> ("java", 500L),     // busy java: covered by the jvm-count guard
+      3L -> ("python3", 200L),  // idle foreign: +5 ticks = 0.05 core
+      4L -> ("python3", 300L),  // self (the measuring process)
+      5L -> ("duckdb", 0L)      // busy foreign, different comm
+    )
+    val after = Map(
+      1L -> ("python3", 1090L), 2L -> ("java", 600L), 3L -> ("python3", 205L),
+      4L -> ("python3", 400L), 5L -> ("duckdb", 80L),
+      6L -> ("python3", 50L) // appeared mid-sample: no before -> not counted
+    )
+    assert(Bench.foreignHeavyCount(before, after, 1.0, selfPid = 4L) == 2) // pids 1, 5
+    // threshold is a strict >: exactly 0.5 core does not flag
+    assert(Bench.foreignHeavyCount(Map(1L -> ("python3", 0L)), Map(1L -> ("python3", 50L)), 1.0, 99L) == 0)
+    // degenerate elapsed never divides by zero
+    assert(Bench.foreignHeavyCount(before, after, 0.0, 4L) == 0)
+  }
+
+  test("loadEndGate: gates only above cpus/2 — own-shard decay must not false-flag") {
+    // committed CLEAN rounds read load_end 8.56 and 9.74 on the 32-cpu
+    // box (our own just-released shards' 1-min decay) — the start
+    // threshold (cpus/4 = 8) would have false-flagged them, so the end
+    // gate sits at cpus/2 = 16
+    assert(!Bench.loadEndGate(9.74, 32))
+    assert(!Bench.loadEndGate(15.9, 32))
+    assert(Bench.loadEndGate(16.1, 32))
+  }
+
+  test("memoryPressureSignature: fast cal loops + slow suite = external DRAM pressure") {
+    // the r15 shape: suite 1.441 while cal 0.894 / cal_par 0.972 under a
+    // resident 20 GB foreign numpy job — cache-resident loops can't see
+    // memory-bandwidth saturation, the DRAM-bound suite can
+    assert(Bench.memoryPressureSignature(Some(0.894), Some(0.972), Some(1.441)))
+    // suite slow but a cal loop also slow: host drift, not the signature
+    assert(!Bench.memoryPressureSignature(Some(1.3), Some(0.972), Some(1.441)))
+    assert(!Bench.memoryPressureSignature(Some(0.894), Some(1.2), Some(1.441)))
+    // suite within band: nothing to explain
+    assert(!Bench.memoryPressureSignature(Some(0.894), Some(0.972), Some(1.25)))
+    // any basis missing -> cannot fire (children have no suite basis;
+    // first calibrated round has no loops)
+    assert(!Bench.memoryPressureSignature(None, Some(0.9), Some(1.5)))
+    assert(!Bench.memoryPressureSignature(Some(0.9), None, Some(1.5)))
+    assert(!Bench.memoryPressureSignature(Some(0.9), Some(0.9), None))
   }
 
   test("priorFreshProbe parses the committed fresh_probe block; absent/garbage -> empty") {
