@@ -70,7 +70,15 @@ object Graft {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     init(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    // Catalog-style relation cache (round 16, guide §6 file listing):
+    // `spark.read.parquet` re-lists the path and re-reads the footer
+    // schema on EVERY call (~30-60 ms driver time) — a catalog table
+    // (`spark.table`) resolves once per session instead. memoPlan gives
+    // path reads the same semantics: one resolved DataFrame per
+    // (session, dir, name), execution untouched, dropped by release().
+    CacheRegistry.memoPlan(spark, s"table:$dir:$name")(
+      spark.read.parquet(s"$dir/$name.parquet")
+    )
   }
 
   /** Canonical events: ts normalized to exact epoch-micros long (`ts_us`)

@@ -44,17 +44,21 @@ object Retrieval {
       log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
-    val orderedSum =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("s")))), x => x("s")),
-        lit(0.0),
-        (acc, x) => acc + x
+    // per-doc contributions fold in term order through the streaming
+    // running-window spelling (Similarity.orderedSumGrouped, round 16):
+    // bit-identical sum, no per-doc collect_list (term unique per doc)
+    Similarity
+      .orderedSumGrouped(
+        tf.join(broadcast(df0), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("s", score)
+          .select(col("doc_id"), col("term"), col("s")),
+        Seq("doc_id"),
+        "term",
+        "s",
+        "score",
+        Some("n_terms")
       )
-    tf.join(broadcast(df0), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("s", score)
-      .groupBy("doc_id")
-      .agg(orderedSum.as("score"), count(lit(1)).cast("long").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
@@ -190,15 +194,15 @@ object Retrieval {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
       .select(col("term"), col("doc_id"), (col("tf") / col("dl")).as("w"))
-    val rm1 = wtd
-      .groupBy("term")
-      .agg(
-        aggregate(
-          transform(array_sort(collect_list(struct(col("doc_id"), col("w")))), x => x("w")),
-          lit(0.0),
-          (acc, x) => acc + x
-        ).as("w")
-      )
+    // doc contributions fold in doc_id order — streaming running-window
+    // spelling (Similarity.orderedSumGrouped; doc_id unique per term)
+    val rm1 = Similarity.orderedSumGrouped(
+      wtd.select(col("term"), col("doc_id"), col("w")),
+      Seq("term"),
+      "doc_id",
+      "w",
+      "w"
+    )
     rm1
       .where(!col("term").isInCollection(terms))
       .orderBy(col("w").desc, col("term").asc)
@@ -352,22 +356,15 @@ object Retrieval {
     * bigrams rival corpus size. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+    // native 2-token Shingles + substring_index (round 16) — see
+    // knPerplexity for the exactness argument
     val bgt = toks
       .where(size(col("__tk")) >= 2)
       .select(
         col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(col("__tk")) - 1),
-            i =>
-              struct(
-                concat(element_at(col("__tk"), i), lit(" "), element_at(col("__tk"), i + 1)).as("b"),
-                element_at(col("__tk"), i).as("a")
-              )
-          )
-        ).as("s")
+        explode(TextOps.shinglesFromTokens(col("__tk"), 2)).as("b")
       )
-      .select(col("doc_id"), col("s.b").as("b"), col("s.a").as("a"))
+      .select(col("doc_id"), col("b"), substring_index(col("b"), " ", 1).as("a"))
     val uni = docs
       .select(explode(TextOps.tokens(col("text"))).as("a"))
       .groupBy("a")
@@ -409,23 +406,23 @@ object Retrieval {
     * [[bigramSurprisal]]. Docs with < 2 tokens emit nothing. */
   def knPerplexity(docs: DataFrame, discount: Double = 0.75): DataFrame = {
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+    // bigrams are exactly 2-token shingles: the native Shingles expression
+    // (round 16, guide §4) replaces the interpreted per-bigram
+    // transform/element_at/concat lambda chain; a/b2 split back out of the
+    // joined string with substring_index — exact because tokens cannot
+    // contain the separator (split-on-space tokenizer)
     val bgt = toks
       .where(size(col("__tk")) >= 2)
       .select(
         col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(col("__tk")) - 1),
-            i =>
-              struct(
-                concat(element_at(col("__tk"), i), lit(" "), element_at(col("__tk"), i + 1)).as("p"),
-                element_at(col("__tk"), i).as("a"),
-                element_at(col("__tk"), i + 1).as("b2")
-              )
-          )
-        ).as("s")
+        explode(TextOps.shinglesFromTokens(col("__tk"), 2)).as("p")
       )
-      .select(col("doc_id"), col("s.p").as("p"), col("s.a").as("a"), col("s.b2").as("b2"))
+      .select(
+        col("doc_id"),
+        col("p"),
+        substring_index(col("p"), " ", 1).as("a"),
+        substring_index(col("p"), " ", -1).as("b2")
+      )
     // integer-valued doubles: sums/counts of longs < 2^53 are exact in
     // any order, so these aggregates need no ordered folds
     val kab = bgt.groupBy("a", "b2").agg(count(lit(1)).cast("double").as("cab"))

@@ -241,6 +241,44 @@ object Similarity {
       (a, v) => a + v
     )
 
+  /** STREAMING spelling of groupBy(keys).agg(orderedSum(id, x)) — the
+    * round-16 guide §4/§5 rewrite of the hot-path fold. Bit-identical
+    * sum: a running window `sum(x)` adds rows in (id ASC) frame order
+    * with Sum's update `coalesce(sum, 0.0) + x`, i.e. ((0.0+x₁)+x₂)+…,
+    * exactly the HOF fold's seed-0.0 left fold; the group result is the
+    * running value at the LAST id (`max_by`). Equality is spec-asserted
+    * (SimilaritySpec) and every consuming query stays oracle-green.
+    *
+    * Why: [[orderedSum]] plans as ObjectHashAggregate — collect_list
+    * holds each group's rows in ONE task's memory and the sort+fold runs
+    * through interpreted HOF eval. This spelling is sort-based and
+    * spillable (the 100 TB-safe shape for hot groups) and stays inside
+    * codegen'd window/hash-agg operators. Requires `idCol` UNIQUE within
+    * a group (true at every call site: term/src/doc_id keys) — max_by
+    * ties would otherwise be arbitrary.
+    *
+    * Emits df.groupBy(keys) with `out` = ordered sum and, when `cnt` is
+    * set, the group row count. The window exchange establishes
+    * hashpartitioning(keys), which the following hash-agg reuses — ONE
+    * Exchange total, same as the ObjectHashAggregate plan. */
+  private[graft] def orderedSumGrouped(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      xCol: String,
+      out: String,
+      cnt: Option[String] = None
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val run = df.withColumn("__osum_run", sum(col(xCol)).over(w))
+    val aggs = max_by(col("__osum_run"), col(idCol)).as(out) +:
+      cnt.map(c => count(lit(1)).as(c)).toSeq
+    run.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic bounded-Lloyd SPHERICAL k-means — round-5 upgrade
     * from sample-as-centroid index quality. Init = the nCells lowest-id
     * vectors (the fixed "seed"); each of `iters` rounds assigns every
@@ -285,12 +323,16 @@ object Similarity {
         // interpreted for the whole stage). A Project supports
         // splitExpressions, and Generate between the two Projects stops
         // CollapseProject from undoing the staging.
-        val rows = corpus
-          .select(col("vec_id"), assign.as("c"), vecD.as("__v"))
-          .select(col("vec_id"), col("c"), posexplode(col("__v")).as(Seq("d", "x")))
-          .groupBy("c", "d")
-          .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
-          .collect()
+        val rows = orderedSumGrouped(
+          corpus
+            .select(col("vec_id"), assign.as("c"), vecD.as("__v"))
+            .select(col("vec_id"), col("c"), posexplode(col("__v")).as(Seq("d", "x"))),
+          Seq("c", "d"),
+          "vec_id",
+          "x",
+          "sx",
+          Some("cnt")
+        ).collect()
         val next = cents.map(_.clone())
         val touched = Array.fill(cents.length)(false)
         rows.foreach { r =>
@@ -360,10 +402,18 @@ object Similarity {
       groupCols: Seq[String],
       xC: String
   ): DataFrame =
-    rows
-      .withColumn("__ch", expr(s"$idC DIV $SumChunk"))
-      .groupBy((groupCols :+ "__ch").map(col): _*)
-      .agg(orderedSum(col(idC), col(xC)).as("__sx"), count(lit(1)).as("__c"))
+    // inner (data-sized) level through the streaming running-window
+    // spelling (round 16) — id unique within a chunk at every caller;
+    // the outer fold is over chunk subtotals (tiny) and keeps the
+    // list-based spelling
+    orderedSumGrouped(
+      rows.withColumn("__ch", expr(s"$idC DIV $SumChunk")),
+      groupCols :+ "__ch",
+      idC,
+      xC,
+      "__sx",
+      Some("__c")
+    )
       .groupBy(groupCols.map(col): _*)
       .agg(orderedSum(col("__ch"), col("__sx")).as("sx"), sum(col("__c")).as("cnt"))
 
@@ -840,17 +890,21 @@ object Similarity {
             transform(sv, v => v.cast("double")).as("svec")
           )
         }: _*)
-        val rows = corpus
-          .select(col("vec_id"), posexplode(perSub).as(Seq("sub", "e")))
-          .select(
-            col("vec_id"),
-            col("sub"),
-            col("e.c").as("c"),
-            posexplode(col("e.svec")).as(Seq("d", "x"))
-          )
-          .groupBy("sub", "c", "d")
-          .agg(orderedSum(col("vec_id"), col("x")).as("sx"), count(lit(1)).as("cnt"))
-          .collect()
+        val rows = orderedSumGrouped(
+          corpus
+            .select(col("vec_id"), posexplode(perSub).as(Seq("sub", "e")))
+            .select(
+              col("vec_id"),
+              col("sub"),
+              col("e.c").as("c"),
+              posexplode(col("e.svec")).as(Seq("d", "x"))
+            ),
+          Seq("sub", "c", "d"),
+          "vec_id",
+          "x",
+          "sx",
+          Some("cnt")
+        ).collect()
         val next = books.map(_.map(_.clone()))
         rows.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
         books = next

@@ -64,18 +64,26 @@ object Sketch {
   def bloomBuild(keys: DataFrame, keyCol: String, bits: Int, kHash: Int): Array[Long] = {
     require(bits % 64 == 0, "bits must be a multiple of 64")
     require(kHash >= 1 && kHash <= seeds.length, s"kHash must be 1..${seeds.length}")
-    val k = col(keyCol)
-    val hs = (0 until kHash).map(i => rehash(k, i) % bits)
-    val words = keys
-      .select(explode(array(hs: _*)).as("h"))
-      .select((col("h") / 64).cast("long").as("w"), (col("h") % 64).cast("int").as("b"))
-      .distinct()
-      .groupBy("w")
-      .agg(sum(element_at(lit(pow2), col("b") + 1)).as("mask"))
-      .collect()
-    val dense = new Array[Long](bits / 64)
-    words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
-    dense
+    // Trained-artifact memo (round 16, guide §1.2): the filter is a pure
+    // function of (key plan, bits, kHash) — the logRegTrain/kmeansCentroids
+    // contract. Before this every call re-ran the build job eagerly.
+    graft.CacheRegistry.memoStat(
+      keys.sparkSession,
+      s"sketch:bloom:$keyCol:$bits:$kHash:${graft.CacheRegistry.planKey(keys)}"
+    ) {
+      val k = col(keyCol)
+      val hs = (0 until kHash).map(i => rehash(k, i) % bits)
+      val words = keys
+        .select(explode(array(hs: _*)).as("h"))
+        .select((col("h") / 64).cast("long").as("w"), (col("h") % 64).cast("int").as("b"))
+        .distinct()
+        .groupBy("w")
+        .agg(sum(element_at(lit(pow2), col("b") + 1)).as("mask"))
+        .collect()
+      val dense = new Array[Long](bits / 64)
+      words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+      dense
+    }
   }
 
   /** Membership test against a built filter — a pure codegen'd expression

@@ -20,8 +20,18 @@ object TextOps {
 
   /** Whitespace tokens, empty strings removed (consecutive-space safety —
     * both Spark `split` and DuckDB `string_split` emit empty tokens there).
-    */
+    * Native codegen'd expression (graft.functions.Tokens): the HOF
+    * spelling's ArrayFilter is CodegenFallback, so the whole split+filter
+    * subtree ran interpreted per row — the hot inner op of every
+    * text-pipeline query (round-16 guide §4; PolyHash precedent). */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Tokens(org.apache.spark.sql.GraftBridge.expressionEager(text))
+    )
+
+  /** The original HOF spelling — kept as the executable specification of
+    * the native Tokens expression (equality asserted in TextOpsSpec). */
+  def tokensHof(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
   /** PII regex classes, written in the Java∩RE2 common dialect so the
@@ -65,6 +75,20 @@ object TextOps {
     * once per `element_at`, ~3× per shingle. Staging keeps lambda refs
     * O(1) array reads; measured 30× faster on the sf0.1 corpus.) */
   def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Shingles(
+        org.apache.spark.sql.GraftBridge.expressionEager(
+          // HOF-spelling parity: a NULL tokens array yields an EMPTY
+          // shingle array (when(size(null) >= k) falls to otherwise)
+          coalesce(toks, array().cast("array<string>"))
+        ),
+        k
+      )
+    )
+
+  /** The original HOF spelling — kept as the executable specification of
+    * the native Shingles expression (equality asserted in TextOpsSpec). */
+  def shinglesFromTokensHof(toks: Column, k: Int = 3): Column =
     when(
       size(toks) >= k,
       transform(
@@ -367,17 +391,15 @@ object TextOps {
       .select(explode(col("tk")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c"))
+    // native 2-token Shingles + substring_index (round 16, guide §4) —
+    // tokens cannot contain the separator, so the split-back is exact
     val bi = tk
       .filter(size(col("tk")) >= 2)
+      .select(explode(shinglesFromTokens(col("tk"), 2)).as("b"))
       .select(
-        explode(
-          transform(
-            sequence(lit(1), size(col("tk")) - 1),
-            i => struct(element_at(col("tk"), i).as("w1"), element_at(col("tk"), i + 1).as("w2"))
-          )
-        ).as("b")
+        substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2")
       )
-      .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("c_ab"))
     val nTot = broadcast(uni.agg(sum(col("c")).cast("double").as("n")))

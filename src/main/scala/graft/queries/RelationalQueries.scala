@@ -286,9 +286,15 @@ object RelationalQueries {
   val qSaltedRevenue = Q(
     "x_salted_revenue",
     (s: SparkSession, dir: String) => {
-      val li = Graft.table(s, dir, "lineitem")
-      val o = Graft.table(s, dir, "orders")
-      val c = Graft.table(s, dir, "customer")
+      // Project BEFORE the salted join (round 16, guide §2.3): the default
+      // salt hashes every big-side column, which forced an 11-column
+      // lineitem ReadSchema for a 3-column query. Salting only routes
+      // rows, so a narrower salt input is result-invisible.
+      val li = Graft
+        .table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Graft.table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Graft.table(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = Graft.table(s, dir, "nation")
       graft.operators.Skew
         .saltedJoin(li, o, Seq("l_orderkey"), Seq("o_orderkey"), factor = 8)
@@ -315,9 +321,12 @@ object RelationalQueries {
   val qSaltedHotRevenue = Q(
     "x_salted_hot",
     (s: SparkSession, dir: String) => {
-      val li = Graft.table(s, dir, "lineitem")
-      val o = Graft.table(s, dir, "orders")
-      val c = Graft.table(s, dir, "customer")
+      // same early projection as x_salted_revenue (guide §2.3)
+      val li = Graft
+        .table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Graft.table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Graft.table(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = Graft.table(s, dir, "nation")
       graft.operators.Skew
         .saltedJoinHot(li, o, Seq("l_orderkey"), Seq("o_orderkey"), factor = 8, hotThreshold = 12)

@@ -92,25 +92,50 @@ final class Ta(private val df: DataFrame) {
     val dev = rstd(c(src), n) * k
     // integral k → "2" (dots in column names break unquoted identifiers)
     val ks = if (k == k.floor) k.toInt.toString else k.toString.replace('.', '_')
-    df.withColumn(s"bbm_${n}_$ks", mid)
-      .withColumn(s"bbl_${n}_$ks", mid - dev)
-      .withColumn(s"bbu_${n}_$ks", mid + dev)
-      .withColumn(s"bbb_${n}_$ks", lit(100.0) * sdiv(lit(2.0) * dev, mid))
-      .withColumn(s"bbp_${n}_$ks", sdiv(c(src) - (mid - dev), lit(2.0) * dev))
+    // ONE withColumns level (round 16): the five outputs are independent
+    // given df, and identical window subtrees (rmean/rstd) dedupe inside
+    // one Project via ExtractWindowExpressions — one analyzer pass
+    // instead of five over a growing plan. ListMap pins column order.
+    df.withColumns(
+      scala.collection.immutable.ListMap(
+        s"bbm_${n}_$ks" -> mid,
+        s"bbl_${n}_$ks" -> (mid - dev),
+        s"bbu_${n}_$ks" -> (mid + dev),
+        s"bbb_${n}_$ks" -> (lit(100.0) * sdiv(lit(2.0) * dev, mid)),
+        s"bbp_${n}_$ks" -> sdiv(c(src) - (mid - dev), lit(2.0) * dev)
+      )
+    )
   }
 
   def donchian(n: Int = 10): DataFrame =
-    df.withColumn(s"dcl_$n", rmin(low, n))
-      .withColumn(s"dcu_$n", rmax(high, n))
+    // two levels: dcm REFERENCES the staged band columns — inlining the
+    // rmin/rmax expressions into dcm doubles the Window's expression list
+    // (ExtractWindowExpressions does NOT dedupe identical window exprs;
+    // caught by the round-16 plan diff: 4 → 8 window expressions)
+    df.withColumns(
+        scala.collection.immutable.ListMap(
+          s"dcl_$n" -> rmin(low, n),
+          s"dcu_$n" -> rmax(high, n)
+        )
+      )
       .withColumn(s"dcm_$n", (c(s"dcl_$n") + c(s"dcu_$n")) / 2.0)
 
   def accbands(n: Int = 10): DataFrame = {
     val ratio = lit(4.0) * sdiv(high - low, high + low)
-    df.withColumn("__au", high * (lit(1.0) + ratio))
-      .withColumn("__al", low * (lit(1.0) - ratio))
-      .withColumn(s"accbu_$n", rmean(col("__au"), n))
-      .withColumn(s"accbl_$n", rmean(col("__al"), n))
-      .withColumn(s"accbm_$n", rmean(close, n))
+    // two levels (staged __au/__al, then their means) instead of five ops
+    df.withColumns(
+        scala.collection.immutable.ListMap(
+          "__au" -> (high * (lit(1.0) + ratio)),
+          "__al" -> (low * (lit(1.0) - ratio))
+        )
+      )
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"accbu_$n" -> rmean(col("__au"), n),
+          s"accbl_$n" -> rmean(col("__al"), n),
+          s"accbm_$n" -> rmean(close, n)
+        )
+      )
       .drop("__au", "__al")
   }
 
@@ -171,8 +196,12 @@ final class Ta(private val df: DataFrame) {
     val tp = (high + low + close) / 3.0
     df.withColumn("__tp", tp)
       .withColumn("__dtp", diff(col("__tp")))
-      .withColumn("__pos", when(col("__dtp") > 0, col("__tp") * volume).otherwise(0.0))
-      .withColumn("__neg", when(col("__dtp") < 0, col("__tp") * volume).otherwise(0.0))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "__pos" -> when(col("__dtp") > 0, col("__tp") * volume).otherwise(0.0),
+          "__neg" -> when(col("__dtp") < 0, col("__tp") * volume).otherwise(0.0)
+        )
+      )
       .withColumn(
         s"mfi_$n",
         lit(100.0) * sdiv(rsum(col("__pos"), n), rsum(col("__pos"), n) + rsum(col("__neg"), n))
@@ -236,8 +265,7 @@ final class Ta(private val df: DataFrame) {
     val bp = when(pc.isNull, lit(null)).otherwise(close - least(low, pc))
     val tr = when(pc.isNull, lit(null)).otherwise(greatest(high, pc) - least(low, pc))
     def avgN(n: Int) = sdiv(rsum(col("__bp"), n), rsum(col("__tr"), n))
-    df.withColumn("__bp", bp)
-      .withColumn("__tr", tr)
+    df.withColumns(scala.collection.immutable.ListMap("__bp" -> bp, "__tr" -> tr))
       .withColumn(
         s"uo_${f}_${m}_$s",
         lit(100.0) * (lit(4.0) * avgN(f) + lit(2.0) * avgN(m) + avgN(s)) / 7.0
@@ -264,8 +292,12 @@ final class Ta(private val df: DataFrame) {
   def cmo(n: Int = 10, src: String = "close"): DataFrame = {
     val x = c(src)
     val dd = diff(x)
-    df.withColumn("__up", when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)))
-      .withColumn("__dn", when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0)))
+    df.withColumns(
+        scala.collection.immutable.ListMap(
+          "__up" -> when(dd.isNull, lit(null)).when(dd > 0, dd).otherwise(lit(0.0)),
+          "__dn" -> when(dd.isNull, lit(null)).when(dd < 0, -dd).otherwise(lit(0.0))
+        )
+      )
       .withColumn(
         s"cmo_$n",
         lit(100.0) * sdiv(
@@ -405,22 +437,24 @@ final class Ta(private val df: DataFrame) {
   /** Aroon: 100·(n − bars-since-extreme)/n over n+1 rows; ties → most
     * recent occurrence (reference reverses then argmax). */
   def aroon(n: Int = 10): DataFrame =
-    df.withColumn("__hs", collect_list(high).over(f(n + 1)))
-      .withColumn("__ls", collect_list(low).over(f(n + 1)))
-      .withColumn(
-        s"aroon_u_$n",
-        when(
-          size(col("__hs")) === n + 1,
-          lit(100.0) * (lit(n.toDouble) -
-            (expr("array_position(reverse(__hs), array_max(__hs))") - 1.0)) / n.toDouble
+    df.withColumns(
+        scala.collection.immutable.ListMap(
+          "__hs" -> collect_list(high).over(f(n + 1)),
+          "__ls" -> collect_list(low).over(f(n + 1))
         )
       )
-      .withColumn(
-        s"aroon_d_$n",
-        when(
-          size(col("__ls")) === n + 1,
-          lit(100.0) * (lit(n.toDouble) -
-            (expr("array_position(reverse(__ls), array_min(__ls))") - 1.0)) / n.toDouble
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"aroon_u_$n" -> when(
+            size(col("__hs")) === n + 1,
+            lit(100.0) * (lit(n.toDouble) -
+              (expr("array_position(reverse(__hs), array_max(__hs))") - 1.0)) / n.toDouble
+          ),
+          s"aroon_d_$n" -> when(
+            size(col("__ls")) === n + 1,
+            lit(100.0) * (lit(n.toDouble) -
+              (expr("array_position(reverse(__ls), array_min(__ls))") - 1.0)) / n.toDouble
+          )
         )
       )
       .drop("__hs", "__ls")
@@ -438,10 +472,18 @@ final class Ta(private val df: DataFrame) {
     val pl = shift(low, 1); val ph = shift(high, 1)
     val base = new Ta(df).trueRange
     base
-      .withColumn("__vmp", when(pl.isNull, lit(null)).otherwise(abs(high - pl)))
-      .withColumn("__vmm", when(ph.isNull, lit(null)).otherwise(abs(low - ph)))
-      .withColumn(s"vtxp_$n", sdiv(rsum(col("__vmp"), n), rsum(col("true_range"), n)))
-      .withColumn(s"vtxm_$n", sdiv(rsum(col("__vmm"), n), rsum(col("true_range"), n)))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "__vmp" -> when(pl.isNull, lit(null)).otherwise(abs(high - pl)),
+          "__vmm" -> when(ph.isNull, lit(null)).otherwise(abs(low - ph))
+        )
+      )
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"vtxp_$n" -> sdiv(rsum(col("__vmp"), n), rsum(col("true_range"), n)),
+          s"vtxm_$n" -> sdiv(rsum(col("__vmm"), n), rsum(col("true_range"), n))
+        )
+      )
       .drop("__vmp", "__vmm")
   }
 
@@ -466,9 +508,13 @@ final class Ta(private val df: DataFrame) {
     * from an int trend column. Row 0 with trend=1 is an entry. */
   def tsignals(trendCol: String): DataFrame = {
     val t = c(trendCol); val pt = coalesce(shift(t, 1), lit(0.0))
-    df.withColumn("ts_trends", t)
-      .withColumn("ts_entries", when(t === 1.0 && pt === 0.0, 1.0).otherwise(0.0))
-      .withColumn("ts_exits", when(t === 0.0 && pt === 1.0, 1.0).otherwise(0.0))
+    df.withColumns(
+      scala.collection.immutable.ListMap(
+        "ts_trends" -> t,
+        "ts_entries" -> when(t === 1.0 && pt === 0.0, 1.0).otherwise(0.0),
+        "ts_exits" -> when(t === 0.0 && pt === 1.0, 1.0).otherwise(0.0)
+      )
+    )
   }
 
   /** cross-above signal: a>b now, a≤b on the previous row. */
@@ -500,9 +546,13 @@ final class Ta(private val df: DataFrame) {
 
   /** Candle utils (reference utils/_candles.py): color ±1, |body|, range. */
   def candleUtils: DataFrame =
-    df.withColumn("candle_color", when(close >= open, 1.0).otherwise(-1.0))
-      .withColumn("real_body", abs(close - open))
-      .withColumn("high_low_range", high - low)
+    df.withColumns(
+      scala.collection.immutable.ListMap(
+        "candle_color" -> when(close >= open, 1.0).otherwise(-1.0),
+        "real_body" -> abs(close - open),
+        "high_low_range" -> (high - low)
+      )
+    )
 
   /** Rolling geometric mean (reference utils/_math.py::geometric_mean):
     * exp(mean(ln x)) over n, null if any x ≤ 0 in the window. */
@@ -637,10 +687,14 @@ final class Ta(private val df: DataFrame) {
       lit(af0), lit(afStep), lit(maxAf)
     ).over(prim.cum)
     df.withColumn("__ps", s)
-      .withColumn("psar_long", col("__ps.long"))
-      .withColumn("psar_short", col("__ps.short"))
-      .withColumn("psar_af", col("__ps.af"))
-      .withColumn("psar_reversal", col("__ps.rev"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "psar_long" -> col("__ps.long"),
+          "psar_short" -> col("__ps.short"),
+          "psar_af" -> col("__ps.af"),
+          "psar_reversal" -> col("__ps.rev")
+        )
+      )
       .drop("__ps")
   }
 
@@ -653,10 +707,14 @@ final class Ta(private val df: DataFrame) {
       lit(n), lit(mult)
     ).over(prim.cum)
     df.withColumn("__st", s)
-      .withColumn(s"supert_$n", col("__st.st"))
-      .withColumn(s"supertd_$n", col("__st.dir"))
-      .withColumn(s"supertl_$n", col("__st.long"))
-      .withColumn(s"superts_$n", col("__st.short"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"supert_$n" -> col("__st.st"),
+          s"supertd_$n" -> col("__st.dir"),
+          s"supertl_$n" -> col("__st.long"),
+          s"superts_$n" -> col("__st.short")
+        )
+      )
       .drop("__st")
   }
 
@@ -670,10 +728,14 @@ final class Ta(private val df: DataFrame) {
       open.cast("double"), high.cast("double"), low.cast("double"), close.cast("double")
     ).over(prim.cum)
     df.withColumn("__ha", s)
-      .withColumn("ha_open", col("__ha.ha_open"))
-      .withColumn("ha_high", col("__ha.ha_high"))
-      .withColumn("ha_low", col("__ha.ha_low"))
-      .withColumn("ha_close", col("__ha.ha_close"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "ha_open" -> col("__ha.ha_open"),
+          "ha_high" -> col("__ha.ha_high"),
+          "ha_low" -> col("__ha.ha_low"),
+          "ha_close" -> col("__ha.ha_close")
+        )
+      )
       .drop("__ha")
   }
 
@@ -689,8 +751,9 @@ final class Ta(private val df: DataFrame) {
   def kalman(q: Double = 0.01, r: Double = 1.0, src: String = "close"): DataFrame = {
     val s = call_function("graft_kalman_k", c(src).cast("double"), lit(q), lit(r)).over(prim.cum)
     df.withColumn("__kf", s)
-      .withColumn("kf", col("__kf.kf"))
-      .withColumn("kf_gain", col("__kf.kf_gain"))
+      .withColumns(
+        scala.collection.immutable.ListMap("kf" -> col("__kf.kf"), "kf_gain" -> col("__kf.kf_gain"))
+      )
       .drop("__kf")
   }
 
@@ -756,8 +819,12 @@ final class Ta(private val df: DataFrame) {
     )
     staged
       .withColumn("__fish", call_function("graft_fisher_k", col("__pos").cast("double")).over(prim.cum))
-      .withColumn(s"fisher_$n", col("__fish.fisher"))
-      .withColumn(s"fisher_signal_$n", col("__fish.signal"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"fisher_$n" -> col("__fish.fisher"),
+          s"fisher_signal_$n" -> col("__fish.signal")
+        )
+      )
       .drop("__pos", "__fish")
   }
 
@@ -767,8 +834,12 @@ final class Ta(private val df: DataFrame) {
     // four shift slots, so no staged column is needed)
     val s = call_function("graft_td_seq_k", close.cast("double")).over(prim.cum)
     df.withColumn("__td", s)
-      .withColumn("td_seq_up", col("__td.td_seq_up"))
-      .withColumn("td_seq_dn", col("__td.td_seq_dn"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "td_seq_up" -> col("__td.td_seq_up"),
+          "td_seq_dn" -> col("__td.td_seq_dn")
+        )
+      )
       .drop("__td")
   }
 
@@ -788,10 +859,14 @@ final class Ta(private val df: DataFrame) {
         call_function("graft_qqe_k", col("__rsima").cast("double"), col("__dar").cast("double"))
           .over(prim.cum)
       )
-      .withColumn(s"qqe_$n", col("__qqe.qqe"))
-      .withColumn(s"qqe_trend_$n", col("__qqe.trend"))
-      .withColumn(s"qqe_long_$n", col("__qqe.long"))
-      .withColumn(s"qqe_short_$n", col("__qqe.short"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"qqe_$n" -> col("__qqe.qqe"),
+          s"qqe_trend_$n" -> col("__qqe.trend"),
+          s"qqe_long_$n" -> col("__qqe.long"),
+          s"qqe_short_$n" -> col("__qqe.short")
+        )
+      )
       .drop("__qrsi", "__rsima", "__adr", "__matr", "__dar", "__qqe")
   }
 
@@ -818,9 +893,13 @@ final class Ta(private val df: DataFrame) {
       "graft_hwc_k", close.cast("double"), lit(na), lit(nb), lit(nc), lit(nd), lit(k)
     ).over(prim.cum)
     df.withColumn("__hwc", s)
-      .withColumn("hwc_mid", col("__hwc.hwc_mid"))
-      .withColumn("hwc_upper", col("__hwc.hwc_upper"))
-      .withColumn("hwc_lower", col("__hwc.hwc_lower"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "hwc_mid" -> col("__hwc.hwc_mid"),
+          "hwc_upper" -> col("__hwc.hwc_upper"),
+          "hwc_lower" -> col("__hwc.hwc_lower")
+        )
+      )
       .drop("__hwc")
   }
 
@@ -843,9 +922,13 @@ final class Ta(private val df: DataFrame) {
           close.cast("double"), col("__mh").cast("double"), col("__ml").cast("double")
         ).over(prim.cum)
       )
-      .withColumn("hilo", col("__hilo.hilo"))
-      .withColumn("hilo_long", col("__hilo.hilo_long"))
-      .withColumn("hilo_short", col("__hilo.hilo_short"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "hilo" -> col("__hilo.hilo"),
+          "hilo_long" -> col("__hilo.hilo_long"),
+          "hilo_short" -> col("__hilo.hilo_short")
+        )
+      )
       .drop("__mh", "__ml", "__hilo")
   }
 
@@ -896,11 +979,15 @@ final class Ta(private val df: DataFrame) {
       lit(n), lit(lensig)
     ).over(prim.cum)
     df.withColumn("__adx", a)
-      .withColumn(s"dmp_$n", col("__adx.dmp"))
-      .withColumn(s"dmn_$n", col("__adx.dmn"))
-      .withColumn(s"dip_$n", col("__adx.dip"))
-      .withColumn(s"dim_$n", col("__adx.dim"))
-      .withColumn(s"adx_$lensig", col("__adx.adx"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"dmp_$n" -> col("__adx.dmp"),
+          s"dmn_$n" -> col("__adx.dmn"),
+          s"dip_$n" -> col("__adx.dip"),
+          s"dim_$n" -> col("__adx.dim"),
+          s"adx_$lensig" -> col("__adx.adx")
+        )
+      )
       .drop("__adx")
   }
 
@@ -914,9 +1001,13 @@ final class Ta(private val df: DataFrame) {
       high.cast("double"), low.cast("double"), close.cast("double"), lit(n), lit(scalar)
     ).over(prim.cum)
     df.withColumn("__kc", s)
-      .withColumn(s"kcb_$n", col("__kc.kcb"))
-      .withColumn(s"kcl_$n", col("__kc.kcl"))
-      .withColumn(s"kcu_$n", col("__kc.kcu"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"kcb_$n" -> col("__kc.kcb"),
+          s"kcl_$n" -> col("__kc.kcl"),
+          s"kcu_$n" -> col("__kc.kcu")
+        )
+      )
       .drop("__kc")
   }
 
@@ -956,9 +1047,14 @@ final class Ta(private val df: DataFrame) {
   def aberration(n: Int = 5, atrN: Int = 15): DataFrame = {
     val d0 = new Ta(df).atr(atrN)
     val zg = rmean((high + low + close) / 3.0, n)
-    d0.withColumn(s"abe_zg_$n", zg)
-      .withColumn(s"abe_sg_$n", zg + col(s"atr_$atrN"))
-      .withColumn(s"abe_xg_$n", zg - col(s"atr_$atrN"))
+    // one level over the atr stage: identical zg window subtrees dedupe
+    d0.withColumns(
+        scala.collection.immutable.ListMap(
+          s"abe_zg_$n" -> zg,
+          s"abe_sg_$n" -> (zg + col(s"atr_$atrN")),
+          s"abe_xg_$n" -> (zg - col(s"atr_$atrN"))
+        )
+      )
       .drop(s"atr_$atrN", "true_range")
   }
 
@@ -968,10 +1064,15 @@ final class Ta(private val df: DataFrame) {
     val d0 = new Ta(df).atr(p)
     val ls0 = rmax(high, p) - lit(x) * col(s"atr_$p")
     val ss0 = rmin(low, p) + lit(x) * col(s"atr_$p")
-    d0.withColumn("__ls0", ls0)
-      .withColumn("__ss0", ss0)
-      .withColumn(s"cksp_long_$p", rmax(col("__ls0"), q))
-      .withColumn(s"cksp_short_$p", rmin(col("__ss0"), q))
+    d0.withColumns(
+        scala.collection.immutable.ListMap("__ls0" -> ls0, "__ss0" -> ss0)
+      )
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"cksp_long_$p" -> rmax(col("__ls0"), q),
+          s"cksp_short_$p" -> rmin(col("__ss0"), q)
+        )
+      )
       .drop("__ls0", "__ss0", s"atr_$p", "true_range")
   }
 
@@ -1121,9 +1222,13 @@ final class Ta(private val df: DataFrame) {
       "graft_macd_k", c(src).cast("double"), lit(fast), lit(slow), lit(sig)
     ).over(prim.cum)
     df.withColumn("__m", m)
-      .withColumn("macd", col("__m.macd"))
-      .withColumn("macds", col("__m.macds"))
-      .withColumn("macdh", col("__m.macdh"))
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          "macd" -> col("__m.macd"),
+          "macds" -> col("__m.macds"),
+          "macdh" -> col("__m.macdh")
+        )
+      )
       .drop("__m")
   }
 
@@ -1146,9 +1251,13 @@ final class Ta(private val df: DataFrame) {
   /** Drawdown family (reference performance/drawdown.py). */
   def drawdown: DataFrame = {
     val mx = cummax(close)
-    df.withColumn("dd", mx - close)
-      .withColumn("dd_pct", lit(1.0) - sdiv(close, mx))
-      .withColumn("dd_log", sln(mx) - sln(close))
+    df.withColumns(
+      scala.collection.immutable.ListMap(
+        "dd" -> (mx - close),
+        "dd_pct" -> (lit(1.0) - sdiv(close, mx)),
+        "dd_log" -> (sln(mx) - sln(close))
+      )
+    )
   }
 
   // rolling statistics (reference statistics/*.py)
@@ -1248,13 +1357,21 @@ final class Ta(private val df: DataFrame) {
     val tenkan = (rmax(high, tenkanN) + rmin(low, tenkanN)) / 2.0
     val kijun = (rmax(high, kijunN) + rmin(low, kijunN)) / 2.0
     val spanB0 = (rmax(high, spanBN) + rmin(low, spanBN)) / 2.0
-    df.withColumn("isa_raw", (tenkan + kijun) / 2.0)
-      .withColumn("isb_raw", spanB0)
-      .withColumn(s"its_$tenkanN", tenkan)
-      .withColumn(s"iks_$kijunN", kijun)
-      .withColumn(s"isa_$tenkanN", shift(col("isa_raw"), shiftN))
-      .withColumn(s"isb_$kijunN", shift(col("isb_raw"), shiftN))
-      .withColumn(s"ics_$kijunN", shift(close, -shiftN))
+    df.withColumns(
+        scala.collection.immutable.ListMap(
+          "isa_raw" -> ((tenkan + kijun) / 2.0),
+          "isb_raw" -> spanB0,
+          s"its_$tenkanN" -> tenkan,
+          s"iks_$kijunN" -> kijun
+        )
+      )
+      .withColumns(
+        scala.collection.immutable.ListMap(
+          s"isa_$tenkanN" -> shift(col("isa_raw"), shiftN),
+          s"isb_$kijunN" -> shift(col("isb_raw"), shiftN),
+          s"ics_$kijunN" -> shift(close, -shiftN)
+        )
+      )
       .drop("isa_raw", "isb_raw")
   }
 

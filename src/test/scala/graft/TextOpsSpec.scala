@@ -21,6 +21,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native Tokens equals the HOF filter(split) specification (corpus + edges)") {
+    Graft.init(spark)
+    import spark.implicits._
+    val corpus = Graft
+      .table(spark, TestSpark.sfDir, "documents")
+      .select(col("text"))
+      .union(
+        Seq("", " ", "  ", "a", " a", "a ", "  a  b  ", "a b", "a\tb", "a\nb c", "é ü  x")
+          .toDF("text")
+      )
+    val bad = corpus
+      .select(
+        TextOps.tokens(col("text")).as("fast"),
+        TextOps.tokensHof(col("text")).as("spec")
+      )
+      .where(col("fast") =!= col("spec"))
+      .count()
+    assert(bad == 0)
+    // null text: both spellings are null
+    val nr = Seq[Option[String]](None)
+      .toDF("text")
+      .select(
+        TextOps.tokens(col("text")).isNull.as("fastNull"),
+        TextOps.tokensHof(col("text")).isNull.as("specNull")
+      )
+      .head()
+    assert(nr.getBoolean(0) && nr.getBoolean(1))
+  }
+
+  test("native Shingles equals the HOF transform/concat_ws specification (corpus + edges)") {
+    Graft.init(spark)
+    import spark.implicits._
+    val corpus = Graft
+      .table(spark, TestSpark.sfDir, "documents")
+      .select(col("text"))
+      .union(Seq("", "a", "a b", "a b c", "a b c d", "é ü x y").toDF("text"))
+      .select(TextOps.tokens(col("text")).as("tk"))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val bad = corpus
+        .select(
+          TextOps.shinglesFromTokens(col("tk"), k).as("fast"),
+          TextOps.shinglesFromTokensHof(col("tk"), k).as("spec")
+        )
+        .where(col("fast") =!= col("spec"))
+        .count()
+      assert(bad == 0, s"k=$k")
+    }
+    // null tokens array: both spellings yield an EMPTY array
+    val nr = Seq[Option[String]](None)
+      .toDF("text")
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(
+        size(TextOps.shinglesFromTokens(col("tk"), 3)).as("fastN"),
+        size(TextOps.shinglesFromTokensHof(col("tk"), 3)).as("specN")
+      )
+      .head()
+    assert(nr.getInt(0) == 0 && nr.getInt(1) == 0)
+  }
+
   test("topBigramFrac equals the explode-count-max spelling, hand values") {
     Graft.init(spark)
     import spark.implicits._
