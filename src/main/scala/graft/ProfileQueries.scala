@@ -57,11 +57,17 @@ object ProfileQueries {
               fn(spark, sfDir).count()
               (System.nanoTime() - t0) / 1e9
             })
-            val noopS = med((1 to reps).map { _ =>
-              val t0 = System.nanoTime()
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            })
+            // SPARK_GRAFT_PROF_NOOP=0 skips the noop column (full-suite
+            // rebuild sweeps would otherwise be dominated by the wide
+            // batch queries' 15-50 s noop runs)
+            val noopS =
+              if (sys.env.get("SPARK_GRAFT_PROF_NOOP").contains("0")) -1.0
+              else
+                med((1 to reps).map { _ =>
+                  val t0 = System.nanoTime()
+                  fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9
+                })
             println(
               f"PROF\t$name\t$buildS%.3f\t$rebuildS%.3f\t$countS%.3f\t$noopS%.3f"
             )

@@ -91,7 +91,15 @@ object TaSqlSurface {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // ---- W class --------------------------------------------------------
     ar("graft_sma", 2)(es => x(P.rmean(c(es(0)), intLit(es(1), "graft_sma")))),
-    ar("graft_wma", 2)(es => x(P.wma(c(es(0)), intLit(es(1), "graft_wma")))),
+    ar("graft_wma", 2)(es => {
+      // P.wma's exact weights through the ungated graft_wdot_k fold
+      // (round 16) — P.wma itself has no count gate (null propagation
+      // through missing lags covers min_periods on contiguous series)
+      val n = intLit(es(1), "graft_wma")
+      val ws = (1 to n).map(_.toDouble)
+      val denom = ws.sum
+      x(TaSqlSurface2.wdotK(c(es(0)), ws.reverse.map(_ / denom), gated = false, offset = 0))
+    }),
     ar("graft_stdev", 2)(es => x(P.rstd(c(es(0)), intLit(es(1), "graft_stdev")))),
     ar("graft_variance", 2)(es => x(P.rvar(c(es(0)), intLit(es(1), "graft_variance")))),
     ar("graft_rsum", 2)(es => x(P.rsum(c(es(0)), intLit(es(1), "graft_rsum")))),
@@ -358,14 +366,17 @@ object TaSqlSurface {
       // hma(n) = wma(2·wma(n/2) − wma(n), ⌊√n⌋): outer wma's lag(h, i)
       // flattens to the inner tree on i-shifted lags of the source —
       // FP-identical to the staged Ta.hma (same tree, shifted rows)
-      import org.apache.spark.sql.functions.{lag, lit}
+      import org.apache.spark.sql.functions.lit
       val src = c(es(0)); val n = intLit(es(1), "graft_hma")
       val half = n / 2; val sq = math.sqrt(n.toDouble).toInt
       def wmaNorm(len: Int): Seq[Double] = {
         val ws = (1 to len).map(_.toDouble); val d0 = ws.sum; ws.reverse.map(_ / d0)
       }
+      // round 16: each i-shifted inner wma is one ungated offset ring
+      // fold (graft_wdot_k) instead of an (off+len)-lag unroll — 2·sq
+      // folds total, same per-term weights/order, bit-identical
       def wdotShift(wts: Seq[Double], off: Int): Column =
-        wts.zipWithIndex.map { case (wi, j) => lag(src, off + j).over(P.w) * lit(wi) }.reduce(_ + _)
+        TaSqlSurface2.wdotK(src, wts, gated = false, offset = off)
       x(wmaNorm(sq).zipWithIndex.map { case (wi, i) =>
         (lit(2.0) * wdotShift(wmaNorm(half), i) - wdotShift(wmaNorm(n), i)) * lit(wi)
       }.reduce(_ + _))
@@ -398,12 +409,15 @@ object TaSqlSurface {
       // Ta.kama's staged coefficient: sc = (ER·(2/(f+1)−2/(s+1)) + 2/(s+1))²,
       // ER = |Δₙx| / Σₙ|Δx| — the rolling sum's lag-bearing argument
       // unrolls to shifted diffs (oldest-first, Sum's fold order)
-      import org.apache.spark.sql.functions.{abs, lag, lit, pow, when}
+      import org.apache.spark.sql.functions.{abs, lag, pow}
       val x0 = c(es(0)); val n = intLit(es(1), "graft_kama_sc")
       val fast = intLit(es(2), "graft_kama_sc"); val slow = intLit(es(3), "graft_kama_sc")
       val fsc = 2.0 / (fast + 1); val ssc = 2.0 / (slow + 1)
-      def adTerm(j: Int) = abs(lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w))
-      val sumd = ((n - 1) to 0 by -1).map(adTerm).reduce(_ + _)
+      // round 16: the abs-diff rolling sum is the shared graft_adiffsum_k
+      // ring fold (same oldest-first fold order as the unroll)
+      val sumd = org.apache.spark.sql.functions
+        .call_function("graft_adiffsum_k", x0, GraftBridge.column(es(1)))
+        .over(P.cum)
       val er = P.sdiv(abs(x0 - lag(x0, n).over(P.w)), sumd)
       x(pow(er * (fsc - ssc) + ssc, 2.0))
     }),
@@ -529,11 +543,14 @@ object TaSqlSurface {
     )
   }
 
-  /** Ta.wdotMa mirror: normalized window-ordered weights → gated
-    * lag-unrolled dot (reverse to lag order, divide by Σw). */
+  /** Ta.wdotMa mirror: normalized window-ordered weights → gated dot
+    * (reverse to lag order, divide by Σw). Round 16: the lag-unrolled
+    * P.gated(P.wdot(…)) spelling is now ONE graft_wdot_k ring fold —
+    * same weights, same i-ascending fold order, same count gate
+    * (bit-identical; RollFoldSpec + the x_sql_surface oracles gate it). */
   private def wdotMaE(x0: Column, weights: Seq[Double]): Column = {
     val s = weights.sum
-    P.gated(x0, weights.size)(P.wdot(x0, weights.reverse.map(_ / s)))
+    TaSqlSurface2.wdotK(x0, weights.reverse.map(_ / s), gated = true, offset = 0)
   }
 
   /** Ta.clv: ((c−l)−(h−c))/(h−l), 0 when h = l. */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{abs, avg, count, exp, greatest, lag, lead, least, lit, log, max, min, sqrt, sum, when}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, LongType}
 import graft.ta.{prim => P}
 
 /** SQL entry points, PHASE 6 (round 10) — the remaining registry kinds a
@@ -62,7 +62,42 @@ object TaSqlSurface2 {
   private def kernel(name: String, es: Seq[Expression]): Column =
     org.apache.spark.sql.functions.call_function(name, es.map(GraftBridge.column): _*)
 
-  private def lagW(x0: Column, j: Int): Column = lag(x0, j).over(P.w)
+  private[graft] def lagW(x0: Column, j: Int): Column = lag(x0, j).over(P.w)
+
+  // ---- ring-fold kernels (round 16, RollFolds) -------------------------
+  // The lag-unrolled composites below now expand to ONE running-frame
+  // fold each instead of O(n) offset-window expressions — bit-identical
+  // arithmetic (RollFolds replicates the unrolled trees node-for-node;
+  // RollFoldSpec + the x_sql_surface* oracles gate equality), ~10x
+  // smaller analyzed trees (x_sql_surface10 rebuild 1.17 s/rep before).
+  private[functions] def dblArrLit(e: Expression, fn: String): Seq[Double] = e match {
+    case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(DoubleType, _)) =>
+      a.toDoubleArray().toSeq
+    // SQL text spells the weights as array(...), which reaches the
+    // builder as an unevaluated CreateArray of numeric literals
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map(ch => dblLit(ch, fn))
+    case other =>
+      throw new IllegalArgumentException(s"$fn weights must be a double-array literal, got $other")
+  }
+  private[functions] def boolLit(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn flag must be a boolean literal, got $other")
+  }
+
+  /** Gated/ungated rolling weighted dot via the graft_wdot_k fold —
+    * P.wdot's exact fold order (i-ascending), P.gated's count gate. */
+  private[functions] def wdotK(x0: Column, ws: Seq[Double], gated: Boolean, offset: Int): Column =
+    org.apache.spark.sql.functions
+      .call_function(
+        "graft_wdot_k",
+        x0,
+        GraftBridge.column(Literal.create(ws, ArrayType(DoubleType, containsNull = false))),
+        GraftBridge.column(Literal(gated)),
+        GraftBridge.column(Literal(offset))
+      )
+      .over(P.cum)
 
   /** Gated lag-unrolled rolling sum of a lag-bearing staged term:
     * Σ_{j=n−1..0} term(j) (Sum's oldest-first fold order), null unless
@@ -72,11 +107,15 @@ object TaSqlSurface2 {
     * needs no explicit conjunction: `+` null-propagates, so the sum is
     * null exactly when any term is — keeping the tree half the size
     * (the explicit-conj spelling doubled x_sql_surface10's codegen). */
-  private def gatedSumU(n: Int)(term: Int => Column): Column =
+  // gatedSumU/trAt are no longer used by the production builders (the
+  // ring folds replaced every lag-unrolled sum, round 16) but REMAIN as
+  // the executable specification of the unrolled spelling — RollFoldSpec
+  // asserts the fold surface is bit-identical to trees built from these.
+  private[graft] def gatedSumU(n: Int)(term: Int => Column): Column =
     ((n - 1) to 0 by -1).map(term).reduce(_ + _)
 
   /** true_range at row t−j (Ta.trueRange's exact CASE). */
-  private def trAt(h: Column, l: Column, cl: Column, j: Int): Column = {
+  private[graft] def trAt(h: Column, l: Column, cl: Column, j: Int): Column = {
     val pc = lagW(cl, j + 1)
     when(pc.isNull, lit(null)).otherwise(
       greatest(lagW(h, j) - lagW(l, j), abs(lagW(h, j) - pc), abs(lagW(l, j) - pc))
@@ -90,7 +129,9 @@ object TaSqlSurface2 {
     val sxx = (0 until n).map(i => i.toDouble * i).sum
     val dx = nn * sxx - sx * sx
     val g = count(x0).over(P.f(n)) >= n
-    val sxy = when(g, P.wdot(x0, (0 until n).map(j => (n - 1 - j).toDouble)))
+    // graft_wdot_k ring fold (round 16) — P.gated(count ≥ n) is the
+    // fold's internal gate, so the outer when(g, …) is already applied
+    val sxy = wdotK(x0, (0 until n).map(j => (n - 1 - j).toDouble), gated = true, offset = 0)
     val sy = when(g, sum(x0).over(P.f(n)))
     val syy = when(g, sum(x0 * x0).over(P.f(n)))
     val slope = (lit(nn) * sxy - lit(sx) * sy) / lit(dx)
@@ -104,7 +145,7 @@ object TaSqlSurface2 {
   /** Gated rolling max/min over a frame shifted g rows back (prim.rmax/
     * rmin of a column as it stood at row t−g — the ichimoku/ui shifted-
     * frame technique). */
-  private def rmaxShift(x0: Column, n: Int, g: Int): Column = {
+  private[graft] def rmaxShift(x0: Column, n: Int, g: Int): Column = {
     val fr = P.w.rowsBetween(-(n - 1) - g, -g)
     when(count(x0).over(fr) >= n, max(x0).over(fr))
   }
@@ -147,101 +188,46 @@ object TaSqlSurface2 {
       val m = P.rmean((h + l) / 2.0, n)
       x(when(m.isNull, lit(null)).otherwise(when(cl > m, 1.0).otherwise(-1.0)))
     }),
-    // ---- lag-unrolled rolling-sum oscillators --------------------------
-    ar("graft_cmo", 2)(es => {
-      val x0 = c(es(0)); val n = intLit(es(1), "graft_cmo")
-      def dd(j: Int) = lagW(x0, j) - lagW(x0, j + 1)
-      def upT(j: Int) = when(dd(j).isNull, lit(null)).when(dd(j) > 0, dd(j)).otherwise(lit(0.0))
-      def dnT(j: Int) = when(dd(j).isNull, lit(null)).when(dd(j) < 0, -dd(j)).otherwise(lit(0.0))
-      val su = gatedSumU(n)(upT); val sd = gatedSumU(n)(dnT)
-      x(lit(100.0) * P.sdiv(su - sd, su + sd))
-    }),
+    // ---- lag-unrolled rolling-sum oscillators — ring folds (round 16) --
+    ar("graft_cmo", 2)(es => x(kernel("graft_cmo_k", es).over(P.cum))),
     ar("graft_er", 2)(es => {
       val x0 = c(es(0)); val n = intLit(es(1), "graft_er")
-      val adS = gatedSumU(n)(j => abs(lagW(x0, j) - lagW(x0, j + 1)))
+      val adS = kernel("graft_adiffsum_k", es).over(P.cum)
       x(P.sdiv(abs(x0 - lagW(x0, n)), adS))
     }),
-    ar("graft_psl", 2)(es => {
-      val x0 = c(es(0)); val n = intLit(es(1), "graft_psl")
-      def gt(j: Int) = when(lagW(x0, j) - lagW(x0, j + 1) > 0, 1.0).otherwise(0.0)
-      val s0 = when(P.rn >= n, ((n - 1) to 0 by -1).map(gt).reduce(_ + _))
-      x(lit(100.0) * s0 / n.toDouble)
-    }),
+    ar("graft_psl", 2)(es => x(kernel("graft_psl_k", es).over(P.cum))),
     ar("graft_vhf", 2)(es => {
       val x0 = c(es(0)); val n = intLit(es(1), "graft_vhf")
-      val adS = gatedSumU(n)(j => abs(lagW(x0, j) - lagW(x0, j + 1)))
+      val adS = kernel("graft_adiffsum_k", es).over(P.cum)
       x(P.sdiv(abs(P.rmax(x0, n) - P.rmin(x0, n)), adS))
     }),
     ar("graft_cg", 2)(es => {
       val x0 = c(es(0)); val n = intLit(es(1), "graft_cg")
-      val num = P.wdot(x0, (1 to n).map(_.toDouble))
-      x(-P.sdiv(when(count(x0).over(P.f(n)) >= n, num), P.rsum(x0, n)))
+      val num = wdotK(x0, (1 to n).map(_.toDouble), gated = true, offset = 0)
+      x(-P.sdiv(num, P.rsum(x0, n)))
     }),
     ar("graft_geomean", 2)(es => {
       val x0 = c(es(0)); val n = intLit(es(1), "graft_geomean")
       x(exp(P.rmean(when(x0 > 0, log(x0)), n)))
     }),
     ar("graft_chop", 4)(es => {
-      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
+      val (h, l) = (c(es(0)), c(es(1)))
       val n = intLit(es(3), "graft_chop")
-      val trS = gatedSumU(n)(trAt(h, l, cl, _))
+      val trS = kernel("graft_trsum_k", es.take(4)).over(P.cum)
       val ratio = P.sdiv(trS, P.rmax(h, n) - P.rmin(l, n))
       x(lit(100.0) * P.sln(ratio) / lit(math.log(n.toDouble)))
     }),
-    ar("graft_vortex", 4)(es => {
-      import org.apache.spark.sql.functions.struct
-      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
-      val n = intLit(es(3), "graft_vortex")
-      def vmp(j: Int) =
-        when(lagW(l, j + 1).isNull, lit(null)).otherwise(abs(lagW(h, j) - lagW(l, j + 1)))
-      def vmm(j: Int) =
-        when(lagW(h, j + 1).isNull, lit(null)).otherwise(abs(lagW(l, j) - lagW(h, j + 1)))
-      val trS = gatedSumU(n)(trAt(h, l, cl, _))
-      x(struct(
-        P.sdiv(gatedSumU(n)(vmp), trS).as("vtxp"),
-        P.sdiv(gatedSumU(n)(vmm), trS).as("vtxm")
-      ))
-    }),
-    ar("graft_ui", 2)(es => {
-      val cl = c(es(0)); val n = intLit(es(1), "graft_ui")
-      def d2(j: Int) = {
-        val hh = rmaxShift(cl, n, j)
-        val dpct = lit(100.0) * P.sdiv(lagW(cl, j) - hh, hh)
-        dpct * dpct
-      }
-      val m = gatedSumU(n)(d2) / n.toDouble
-      x(when(m >= 0.0, sqrt(m)))
-    }),
-    ar("graft_uo", 6)(es => {
-      val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
-      val f0 = intLit(es(3), "graft_uo"); val m0 = intLit(es(4), "graft_uo")
-      val s0 = intLit(es(5), "graft_uo")
-      def bp(j: Int) = {
-        val pc = lagW(cl, j + 1)
-        when(pc.isNull, lit(null)).otherwise(lagW(cl, j) - least(lagW(l, j), pc))
-      }
-      def trn(j: Int) = {
-        val pc = lagW(cl, j + 1)
-        when(pc.isNull, lit(null)).otherwise(greatest(lagW(h, j), pc) - least(lagW(l, j), pc))
-      }
-      def avgN(k: Int) = P.sdiv(gatedSumU(k)(bp), gatedSumU(k)(trn))
-      x(lit(100.0) * (lit(4.0) * avgN(f0) + lit(2.0) * avgN(m0) + avgN(s0)) / 7.0)
-    }),
+    ar("graft_vortex", 4)(es => x(kernel("graft_vortex_k", es).over(P.cum))),
+    ar("graft_ui", 2)(es => x(kernel("graft_ui_k", es).over(P.cum))),
+    ar("graft_uo", 6)(es => x(kernel("graft_uo_k", es).over(P.cum))),
     ar("graft_brar", 5)(es => {
       import org.apache.spark.sql.functions.struct
-      val (o, h, l, cl) = (c(es(0)), c(es(1)), c(es(2)), c(es(3)))
+      val (o, h, l) = (c(es(0)), c(es(1)), c(es(2)))
       val n = intLit(es(4), "graft_brar")
-      def hcy(j: Int) = {
-        val pc = lagW(cl, j + 1)
-        when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), lagW(h, j) - pc))
-      }
-      def cyl(j: Int) = {
-        val pc = lagW(cl, j + 1)
-        when(pc.isNull, lit(null)).otherwise(greatest(lit(0.0), pc - lagW(l, j)))
-      }
+      val br = kernel("graft_br_k", Seq(es(1), es(2), es(3), es(4))).over(P.cum)
       x(struct(
         (lit(100.0) * P.sdiv(P.rsum(h - o, n), P.rsum(o - l, n))).as("ar"),
-        (lit(100.0) * P.sdiv(gatedSumU(n)(hcy), gatedSumU(n)(cyl))).as("br")
+        br.as("br")
       ))
     }),
     // ---- linreg closed forms -------------------------------------------
@@ -270,17 +256,7 @@ object TaSqlSurface2 {
         x(cl - when(count(cl).over(fr) >= n, avg(cl).over(fr)))
       } else x(lagW(cl, t) - P.rmean(cl, n))
     }),
-    ar("graft_coppock", 4)(es => {
-      val x0 = c(es(0)); val n = intLit(es(1), "graft_coppock")
-      val fast = intLit(es(2), "graft_coppock"); val slow = intLit(es(3), "graft_coppock")
-      def rsum2(j: Int) =
-        lit(100.0) * (P.sdiv(lagW(x0, j), lagW(x0, j + fast)) - 1.0) +
-          lit(100.0) * (P.sdiv(lagW(x0, j), lagW(x0, j + slow)) - 1.0)
-      val ws = (1 to n).map(_.toDouble)
-      val denom = ws.sum
-      val lagWts = ws.reverse.map(_ / denom)
-      x(lagWts.zipWithIndex.map { case (wi, j) => rsum2(j) * lit(wi) }.reduce(_ + _))
-    }),
+    ar("graft_coppock", 4)(es => x(kernel("graft_coppock_k", es).over(P.cum))),
     ar("graft_ichimoku", 7)(es => {
       import org.apache.spark.sql.functions.struct
       val (h, l, cl) = (c(es(0)), c(es(1)), c(es(2)))
@@ -333,6 +309,31 @@ object TaSqlSurface2 {
     ar("graft_pvo_k", 4)(es =>
       SeededComposites.PvoFold(dblE(es(0)), intLit(es(1), "graft_pvo_k"),
         intLit(es(2), "graft_pvo_k"), intLit(es(3), "graft_pvo_k"))),
-    ar("graft_pvo", 4)(es => x(kernel("graft_pvo_k", es).over(P.cum)))
+    ar("graft_pvo", 4)(es => x(kernel("graft_pvo_k", es).over(P.cum))),
+    // ---- ring-fold kernels (round 16, RollFolds) — the fold forms of
+    // the lag-unrolled composites above; apply over the running frame
+    ar("graft_cmo_k", 2)(es =>
+      RollFolds.CmoFold(dblE(es(0)), intLit(es(1), "graft_cmo_k"))),
+    ar("graft_adiffsum_k", 2)(es =>
+      RollFolds.AbsDiffSumFold(dblE(es(0)), intLit(es(1), "graft_adiffsum_k"))),
+    ar("graft_psl_k", 2)(es =>
+      RollFolds.PslFold(dblE(es(0)), intLit(es(1), "graft_psl_k"))),
+    ar("graft_trsum_k", 4)(es =>
+      RollFolds.TrSumFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_trsum_k"))),
+    ar("graft_vortex_k", 4)(es =>
+      RollFolds.VortexFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_vortex_k"))),
+    ar("graft_ui_k", 2)(es =>
+      RollFolds.UiFold(dblE(es(0)), intLit(es(1), "graft_ui_k"))),
+    ar("graft_uo_k", 6)(es =>
+      RollFolds.UoFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_uo_k"), intLit(es(4), "graft_uo_k"), intLit(es(5), "graft_uo_k"))),
+    ar("graft_br_k", 4)(es =>
+      RollFolds.BrFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), intLit(es(3), "graft_br_k"))),
+    ar("graft_coppock_k", 4)(es =>
+      RollFolds.CoppockFold(dblE(es(0)), intLit(es(1), "graft_coppock_k"),
+        intLit(es(2), "graft_coppock_k"), intLit(es(3), "graft_coppock_k"))),
+    ar("graft_wdot_k", 4)(es =>
+      RollFolds.WdotFold(dblE(es(0)), dblArrLit(es(1), "graft_wdot_k"),
+        boolLit(es(2), "graft_wdot_k"), intLit(es(3), "graft_wdot_k")))
   )
 }

@@ -74,7 +74,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "graft_dm_k", "graft_dm", "graft_decay_k", "graft_decay",
         "graft_nvi_k", "graft_nvi", "graft_pvi_k", "graft_pvi",
         "graft_etr_k", "graft_pgo", "graft_adosc_k", "graft_adosc",
-        "graft_t3_k", "graft_t3", "graft_pvo_k", "graft_pvo"
+        "graft_t3_k", "graft_t3", "graft_pvo_k", "graft_pvo",
+        // round 16 (optimization): ring-fold kernels replacing the
+        // lag-unrolled composite spellings (RollFolds)
+        "graft_cmo_k", "graft_adiffsum_k", "graft_psl_k", "graft_trsum_k",
+        "graft_vortex_k", "graft_ui_k", "graft_uo_k", "graft_br_k",
+        "graft_coppock_k", "graft_wdot_k"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -178,7 +183,18 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_etr_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_adosc_k(high, low, close, volume, 2, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_t3_k(close, 3, 0.7) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
-      "graft_pvo_k(volume, 2, 4, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+      "graft_pvo_k(volume, 2, 4, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      // round 16 ring-fold kernels
+      "graft_cmo_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_adiffsum_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_psl_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_trsum_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_vortex_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_ui_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_uo_k(high, low, close, 2, 3, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_br_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_coppock_k(close, 3, 2, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_wdot_k(close, array(0.5d, 0.3d, 0.2d), true, 0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)
