@@ -38,19 +38,32 @@ object Retrieval {
       .where(col("term").isInCollection(terms))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl"))
+    // Corpus-index memo (round 16, guide §1.2): (N, avgdl) are pure
+    // term-independent functions of the corpus — the statistics every
+    // real index (Lucene) stores once, not a per-query aggregate. Before
+    // this each bm25 call carried a full corpus-scan agg + crossJoin
+    // just to broadcast these two scalars; they now ride as literals
+    // (same doubles: N is an exact count and avgdl divides an exactly
+    // summed integer-valued total, deterministic across partitionings —
+    // the header's determinism note). Values match bm25Stats.
+    val (nDocs, avgdl) = graft.CacheRegistry.memoStat(
+      docs.sparkSession,
+      s"bm25:stats:${graft.CacheRegistry.planKey(docs)}"
+    ) {
+      val r = toks.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
     val df0 = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val score: Column =
-      log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     // per-doc contributions fold in term order through the streaming
     // running-window spelling (Similarity.orderedSumGrouped, round 16):
     // bit-identical sum, no per-doc collect_list (term unique per doc)
     Similarity
       .orderedSumGrouped(
         tf.join(broadcast(df0), "term")
-          .crossJoin(broadcast(stats))
           .withColumn("s", score)
           .select(col("doc_id"), col("term"), col("s")),
         Seq("doc_id"),
@@ -184,6 +197,33 @@ object Retrieval {
       b: Double = 0.75
   ): Seq[String] = {
     require(fbDocs >= 1 && fbTerms >= 0, "rm3 needs a non-empty feedback pool")
+    // Trained-artifact memo (round 16, guide §1.2): the expansion list is
+    // a pure function of (corpus plan, query, fb params) — the
+    // logRegTrain/kmeansCentroids/bloomBuild contract, and exactly how
+    // this file already describes deployment ("train offline, score
+    // elsewhere"; rm3ScoreStream carries the SAME list as literals).
+    // Before this every rm3Expand call re-ran feedback BM25 + the RM1
+    // pass eagerly at plan-construction time — two extra corpus scans
+    // per query submission. The memo key separator is unprintable so a
+    // query term cannot forge another key.
+    graft.CacheRegistry.memoStat(
+      docs.sparkSession,
+      s"rm3:exp:$fbDocs:$fbTerms:$k1:$b:${terms.mkString("\u0000")}:${graft.CacheRegistry.planKey(docs)}"
+    ) {
+      rm3ExpansionTermsUncached(docs, terms, fbDocs, fbTerms, k1, b)
+    }
+  }
+
+  /** The training computation itself (memo'd above; kept separable so
+    * specs can assert memo == fresh). */
+  private[graft] def rm3ExpansionTermsUncached(
+      docs: DataFrame,
+      terms: Seq[String],
+      fbDocs: Int,
+      fbTerms: Int,
+      k1: Double,
+      b: Double
+  ): Seq[String] = {
     val fb = bm25(docs, terms, k1, b, fbDocs).select(col("doc_id"))
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))

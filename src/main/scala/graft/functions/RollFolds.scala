@@ -74,6 +74,14 @@ object RollFolds {
     /** gatedSumU: Σ_{j=n−1..0} term(j), Sum's oldest-first left-reduce. */
     protected final def sumDesc(n: Int)(term: Int => Expression): Expression =
       ((n - 1) to 0 by -1).map(term).reduce(Add(_, _))
+    /** sum(x)/avg(x)-sum OVER a full gated frame: the aggregate's
+      * accumulator starts at 0.0 and adds oldest-first, so the first
+      * term rides an extra `0.0 +` (visible only in ±0.0 bit patterns —
+      * which the RollFoldSpec bit-equality gate checks). Callers gate on
+      * winCount ≥ n, under which no slot is null and the seeded fold is
+      * exactly the frame aggregate's arithmetic. */
+    protected final def sumSeeded(buf: AttributeReference, n: Int, j: Int): Expression =
+      ((j + n - 1) to j by -1).foldLeft(Literal(0.0): Expression)((acc, k) => Add(acc, at(buf, k)))
 
     protected final def buf(name: String): AttributeReference =
       AttributeReference(name, ArrayType(DoubleType, containsNull = true), nullable = false)()
@@ -366,6 +374,201 @@ object RollFolds {
       else num
     }
     override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): WdotFold =
+      copy(x = c0(0))
+  }
+
+  // ---- wave 3 (same round): the remaining lag-unrolled macros ----------
+
+  /** stoch(n, k, d) as one fold: fast %K at shift j reads the n-row
+    * min/max as they stood j rows back (stochStruct's shifted frames →
+    * count-gated ArrayMin/ArrayMax over ring slices, the UiFold
+    * technique), the k- and d-means sum shifted copies oldest-first /
+    * literal length. Struct(stoch_k, stoch_d), replicating
+    * TaSqlSurface.stochStruct node-for-node. */
+  case class StochFold(h: Expression, l: Expression, c: Expression, n: Int, k: Int, dN: Int)
+      extends RingFold {
+    require(n >= 1 && k >= 1 && dN >= 1, s"graft_stoch expects positive (n, k, d), got ($n, $k, $dN)")
+    protected val cap: Int = n + k + dN - 2
+    override def children: Seq[Expression] = Seq(h, l, c)
+    override def dataType: DataType = StructType(Seq(
+      StructField("stoch_k", DoubleType),
+      StructField("stoch_d", DoubleType)
+    ))
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_stoch_k"
+    private lazy val bh = buf("stochH")
+    private lazy val bl = buf("stochL")
+    private lazy val bc = buf("stochC")
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(bh, bl, bc)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit, ringInit, ringInit)
+    override lazy val updateExpressions: Seq[Expression] =
+      Seq(ringUpd(bh, h), ringUpd(bl, l), ringUpd(bc, c))
+    override lazy val evaluateExpression: Expression = {
+      def fastk(j: Int): Expression = {
+        val ll = whenE(GreaterThanOrEqual(winCount(bl, n, j), Literal(n)), ArrayMin(win(bl, n, j)))
+        val hh = whenE(GreaterThanOrEqual(winCount(bh, n, j), Literal(n)), ArrayMax(win(bh, n, j)))
+        Multiply(Literal(100.0), sdivE(Subtract(at(bc, j), ll), Subtract(hh, ll)))
+      }
+      def kAt(i: Int): Expression =
+        Divide(((i + k - 1) to i by -1).map(fastk).reduce(Add(_, _)), Literal(k.toDouble))
+      val sk = kAt(0)
+      val sd = Divide(((dN - 1) to 0 by -1).map(kAt).reduce(Add(_, _)), Literal(dN.toDouble))
+      CreateNamedStruct(Seq(Literal("stoch_k"), sk, Literal("stoch_d"), sd))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): StochFold =
+      copy(h = c0(0), l = c0(1), c = c0(2))
+  }
+
+  /** trima(n) = sma(sma(x, half), second): the outer mean's `second`
+    * shifted copies of the inner count-gated frame mean, summed
+    * oldest-first / second — each inner avg replicated as the seeded
+    * oldest-first sum / half (Average's exact arithmetic under the
+    * count ≥ half gate). */
+  case class TrimaFold(x: Expression, n: Int) extends RingFold {
+    require(n >= 1, s"graft_trima expects positive n, got $n")
+    private val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
+    private val second = n / 2 + 1
+    protected val cap: Int = half + second - 1
+    override def children: Seq[Expression] = Seq(x)
+    override def prettyName: String = "graft_trima_k"
+    private lazy val bx = buf("trimaRing")
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(bx)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit)
+    override lazy val updateExpressions: Seq[Expression] = Seq(ringUpd(bx, x))
+    override lazy val evaluateExpression: Expression = {
+      def meanShift(j: Int): Expression =
+        whenE(
+          GreaterThanOrEqual(winCount(bx, half, j), Literal(half)),
+          Divide(sumSeeded(bx, half, j), Literal(half.toDouble))
+        )
+      Divide(sumDesc(second)(meanShift), Literal(second.toDouble))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): TrimaFold =
+      copy(x = c0(0))
+  }
+
+  /** entropy(n, base) = Σ_{j=n−1..0} −p·log(p)/ln(base) with the share
+    * p = x_{t−j} / Σₙx as it stood j rows back (shifted count-gated
+    * frame sum → seeded ring-slice sum, Sum's exact arithmetic under
+    * the gate). */
+  case class EntropyFold(x: Expression, n: Int, base: Double) extends RingFold {
+    require(n >= 1, s"graft_entropy expects positive n, got $n")
+    protected val cap: Int = 2 * n - 1
+    override def children: Seq[Expression] = Seq(x)
+    override def prettyName: String = "graft_entropy_k"
+    private lazy val bx = buf("entRing")
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(bx)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit)
+    override lazy val updateExpressions: Seq[Expression] = Seq(ringUpd(bx, x))
+    override lazy val evaluateExpression: Expression = {
+      val lnB = math.log(base)
+      def etAt(j: Int): Expression = {
+        val rs = whenE(GreaterThanOrEqual(winCount(bx, n, j), Literal(n)), sumSeeded(bx, n, j))
+        val p = sdivE(at(bx, j), rs)
+        whenE(GreaterThan(p, Literal(0.0)), Divide(Multiply(UnaryMinus(p), Log(p)), Literal(lnB)))
+      }
+      sumDesc(n)(etAt)
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): EntropyFold =
+      copy(x = c0(0))
+  }
+
+  /** eom(n, divisor) = rmean(divisor·Δhl2·sdiv(h−l, v), n) — the
+    * lag-bearing raw term's shifted copies summed oldest-first / n. */
+  case class EomFold(h: Expression, l: Expression, v: Expression, n: Int, divisor: Double)
+      extends RingFold {
+    require(n >= 1, s"graft_eom expects positive n, got $n")
+    protected val cap: Int = n + 1
+    override def children: Seq[Expression] = Seq(h, l, v)
+    override def prettyName: String = "graft_eom_k"
+    private lazy val bh = buf("eomH")
+    private lazy val bl = buf("eomL")
+    private lazy val bv = buf("eomV")
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(bh, bl, bv)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit, ringInit, ringInit)
+    override lazy val updateExpressions: Seq[Expression] =
+      Seq(ringUpd(bh, h), ringUpd(bl, l), ringUpd(bv, v))
+    override lazy val evaluateExpression: Expression = {
+      def hl2(j: Int) = Divide(Add(at(bh, j), at(bl, j)), Literal(2.0))
+      def rawAt(j: Int): Expression =
+        Multiply(
+          Multiply(Literal(divisor), Subtract(hl2(j), hl2(j + 1))),
+          sdivE(Subtract(at(bh, j), at(bl, j)), at(bv, j))
+        )
+      Divide(sumDesc(n)(rawAt), Literal(n.toDouble))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): EomFold =
+      copy(h = c0(0), l = c0(1), v = c0(2))
+  }
+
+  /** mfi(n) = 100·sdiv(Σpos, Σpos+Σneg) over typical-price flows; flows
+    * are never null (null Δtp counts 0), so the min_periods gate is
+    * row_number ≥ n (PslFold's position counter). tp is evaluated once
+    * per row into its own ring — exactly lag(tp, j) on the staged
+    * column. */
+  case class MfiFold(h: Expression, l: Expression, c: Expression, v: Expression, n: Int)
+      extends RingFold {
+    require(n >= 1, s"graft_mfi expects positive n, got $n")
+    protected val cap: Int = n + 1
+    override def children: Seq[Expression] = Seq(h, l, c, v)
+    override def prettyName: String = "graft_mfi_k"
+    private lazy val btp = buf("mfiTp")
+    private lazy val bv = buf("mfiV")
+    private lazy val pos = AttributeReference("mfiPos", LongType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(btp, bv, pos)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit, ringInit, Literal(0L))
+    override lazy val updateExpressions: Seq[Expression] = Seq(
+      ringUpd(btp, Divide(Add(Add(h, l), c), Literal(3.0))),
+      ringUpd(bv, v),
+      Add(pos, Literal(1L))
+    )
+    override lazy val evaluateExpression: Expression = {
+      def dtp(j: Int) = Subtract(at(btp, j), at(btp, j + 1))
+      def posT(j: Int) =
+        CaseWhen(
+          Seq((GreaterThan(dtp(j), Literal(0.0)), Multiply(at(btp, j), at(bv, j)))),
+          Some(Literal(0.0))
+        )
+      def negT(j: Int) =
+        CaseWhen(
+          Seq((LessThan(dtp(j), Literal(0.0)), Multiply(at(btp, j), at(bv, j)))),
+          Some(Literal(0.0))
+        )
+      val g = GreaterThanOrEqual(pos, Literal(n.toLong))
+      val sp = whenE(g, sumDesc(n)(posT))
+      val sn = whenE(g, sumDesc(n)(negT))
+      Multiply(Literal(100.0), sdivE(sp, Add(sp, sn)))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): MfiFold =
+      copy(h = c0(0), l = c0(1), c = c0(2), v = c0(3))
+  }
+
+  /** vidya's staged alpha: |CMOₙ|/100 · 2/(n+1) with CMO in rolling-sum
+    * mode; up/dn are never null, so the gate is row_number ≥ n. */
+  case class VidyaAlFold(x: Expression, n: Int) extends RingFold {
+    require(n >= 1, s"graft_vidya_al expects positive n, got $n")
+    protected val cap: Int = n + 1
+    override def children: Seq[Expression] = Seq(x)
+    override def prettyName: String = "graft_vidya_al_k"
+    private lazy val bx = buf("vidyaRing")
+    private lazy val pos = AttributeReference("vidyaPos", LongType, nullable = false)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(bx, pos)
+    override lazy val initialValues: Seq[Expression] = Seq(ringInit, Literal(0L))
+    override lazy val updateExpressions: Seq[Expression] =
+      Seq(ringUpd(bx, x), Add(pos, Literal(1L)))
+    override lazy val evaluateExpression: Expression = {
+      def d1(j: Int) = Subtract(at(bx, j), at(bx, j + 1))
+      def upT(j: Int) =
+        CaseWhen(Seq((GreaterThan(d1(j), Literal(0.0)), d1(j))), Some(Literal(0.0)))
+      def dnT(j: Int) =
+        CaseWhen(Seq((LessThan(d1(j), Literal(0.0)), UnaryMinus(d1(j)))), Some(Literal(0.0)))
+      val g = GreaterThanOrEqual(pos, Literal(n.toLong))
+      val su = whenE(g, sumDesc(n)(upT))
+      val sd = whenE(g, sumDesc(n)(dnT))
+      val cmoAbs = sdivE(Abs(Subtract(su, sd)), Add(su, sd))
+      Multiply(cmoAbs, Literal(2.0 / (n + 1)))
+    }
+    override protected def withNewChildrenInternal(c0: IndexedSeq[Expression]): VidyaAlFold =
       copy(x = c0(0))
   }
 }

@@ -239,9 +239,10 @@ object TaSqlSurface {
         P.sdiv(src - (mid - dev), lit(2.0) * dev).as("bbp")
       ))
     }),
-    ar("graft_stoch", 6)(es =>
-      x(stochStruct(c(es(0)), c(es(1)), c(es(2)),
-        intLit(es(3), "graft_stoch"), intLit(es(4), "graft_stoch"), intLit(es(5), "graft_stoch")))),
+    // round 16 wave 3: one graft_stoch_k ring fold instead of the
+    // k·d-unrolled shifted-frame tree (stochStruct retained below as the
+    // executable spec; RollFoldSpec asserts bit-identity)
+    ar("graft_stoch", 6)(es => x(kernel("graft_stoch_k", es).over(P.cum))),
     // ---- phase-4 W/ELEM wrappers (round 9): every remaining kind whose
     // staged spelling is a SINGLE window level over base columns — no
     // window-in-window, so a plain prim composition suffices. Each
@@ -381,22 +382,9 @@ object TaSqlSurface {
         (lit(2.0) * wdotShift(wmaNorm(half), i) - wdotShift(wmaNorm(n), i)) * lit(wi)
       }.reduce(_ + _))
     }),
-    ar("graft_trima", 2)(es => {
-      // trima(n) = sma(sma(x, ⌈(n+1)/2⌉), ⌊n/2⌋+1): outer mean flattens
-      // to `second` shifted copies of the inner gated frame mean, summed
-      // oldest-first (Average's fold order), gated on all copies defined
-      import org.apache.spark.sql.functions.{avg, count, when}
-      val src = c(es(0)); val n = intLit(es(1), "graft_trima")
-      val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
-      val second = n / 2 + 1
-      def meanShift(j: Int): Column = {
-        val frj = P.w.rowsBetween(-(half - 1) - j, -j)
-        when(count(src).over(frj) >= half, avg(src).over(frj))
-      }
-      // min_periods gate by null propagation: the sum is null exactly
-      // when any shifted mean is (same contract as gatedSumU)
-      x(((second - 1) to 0 by -1).map(meanShift).reduce(_ + _) / second.toDouble)
-    }),
+    // round 16 wave 3: trima's `second` shifted gated frame-means are
+    // now one graft_trima_k ring fold (trimaUnrolled retained below)
+    ar("graft_trima", 2)(es => x(kernel("graft_trima_k", es).over(P.cum))),
     // kama/vidya: LinRecur folds over a STAGED per-row coefficient (the
     // hilo staged-input shape — the coefficient is itself windowed, so
     // it can't nest inside the fold's window; SQL users stage it in a
@@ -421,20 +409,9 @@ object TaSqlSurface {
       val er = P.sdiv(abs(x0 - lag(x0, n).over(P.w)), sumd)
       x(pow(er * (fsc - ssc) + ssc, 2.0))
     }),
-    ar("graft_vidya_al", 2)(es => {
-      // Ta.vidya's staged alpha: |CMOₙ|/100 · 2/(n+1) with CMO in
-      // rolling-sum mode; up/dn are never null, so the min_periods gate
-      // is exactly row_number ≥ n
-      import org.apache.spark.sql.functions.{abs, lag, lit, when}
-      val x0 = c(es(0)); val n = intLit(es(1), "graft_vidya_al")
-      def d1(j: Int) = lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w)
-      def upT(j: Int) = when(d1(j) > 0, d1(j)).otherwise(0.0)
-      def dnT(j: Int) = when(d1(j) < 0, -d1(j)).otherwise(0.0)
-      val su = when(P.rn >= n, ((n - 1) to 0 by -1).map(upT).reduce(_ + _))
-      val sd = when(P.rn >= n, ((n - 1) to 0 by -1).map(dnT).reduce(_ + _))
-      val cmoAbs = P.sdiv(abs(su - sd), su + sd)
-      x(cmoAbs * (2.0 / (n + 1)))
-    }),
+    // round 16 wave 3: vidya's staged alpha is one graft_vidya_al_k ring
+    // fold (vidyaAlUnrolled retained below)
+    ar("graft_vidya_al", 2)(es => x(kernel("graft_vidya_al_k", es).over(P.cum))),
     // volume family
     ar("graft_obv_k", 2)(es => SeededComposites.ObvFold(dblE(es(0)), dblE(es(1)))),
     ar("graft_pvt_k", 2)(es => SeededComposites.PvtFold(dblE(es(0)), dblE(es(1)))),
@@ -452,32 +429,10 @@ object TaSqlSurface {
       val n = intLit(es(4), "graft_cmf")
       x(P.sdiv(P.rsum(clvE(h, l, cl) * v, n), P.rsum(v, n)))
     }),
-    ar("graft_eom", 5)(es => {
-      // Ta.eom: rmean(divisor·Δhl2·sdiv(h−l, v), n) — the lag-bearing
-      // raw unrolls to shifted copies, summed oldest-first / n
-      import org.apache.spark.sql.functions.{lag, lit, when}
-      val (h, l, v) = (c(es(0)), c(es(1)), c(es(2)))
-      val n = intLit(es(3), "graft_eom"); val divisor = dblLit(es(4), "graft_eom")
-      val hl2 = (h + l) / 2.0
-      def rawAt(j: Int): Column =
-        lit(divisor) * (lag(hl2, j).over(P.w) - lag(hl2, j + 1).over(P.w)) *
-          P.sdiv(lag(h - l, j).over(P.w), lag(v, j).over(P.w))
-      x(((n - 1) to 0 by -1).map(rawAt).reduce(_ + _) / n.toDouble)
-    }),
-    ar("graft_mfi", 5)(es => {
-      // Ta.mfi: 100·sdiv(Σpos, Σpos+Σneg) over typical-price flows; the
-      // flows are never null (null Δtp counts 0), so the gate is rn ≥ n
-      import org.apache.spark.sql.functions.{lag, lit, when}
-      val (h, l, cl, v) = (c(es(0)), c(es(1)), c(es(2)), c(es(3)))
-      val n = intLit(es(4), "graft_mfi")
-      val tp = (h + l + cl) / 3.0
-      def dtp(j: Int) = lag(tp, j).over(P.w) - lag(tp, j + 1).over(P.w)
-      def posT(j: Int) = when(dtp(j) > 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
-      def negT(j: Int) = when(dtp(j) < 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
-      val sp = when(P.rn >= n, ((n - 1) to 0 by -1).map(posT).reduce(_ + _))
-      val sn = when(P.rn >= n, ((n - 1) to 0 by -1).map(negT).reduce(_ + _))
-      x(lit(100.0) * P.sdiv(sp, sp + sn))
-    }),
+    // round 16 wave 3: eom/mfi's lag-unrolled flow sums are one ring
+    // fold each (eomUnrolled/mfiUnrolled retained below)
+    ar("graft_eom", 5)(es => x(kernel("graft_eom_k", es).over(P.cum))),
+    ar("graft_mfi", 5)(es => x(kernel("graft_mfi_k", es).over(P.cum))),
     // returns / drawdown
     ar("graft_log_return", 2)(es => {
       val x0 = c(es(0)); val n = intLit(es(1), "graft_log_return")
@@ -513,22 +468,9 @@ object TaSqlSurface {
     ar("graft_kurtosis", 2)(es => x(P.rkurt(c(es(0)), intLit(es(1), "graft_kurtosis")))),
     ar("graft_quantile", 3)(es =>
       x(P.rquantile(c(es(0)), dblLit(es(2), "graft_quantile"), intLit(es(1), "graft_quantile")))),
-    ar("graft_entropy", 3)(es => {
-      // Ta.entropy: −Σ p·log_b(p) over the window share p = x/Σₙx; the
-      // share's rolling sum shifts per unroll position (stochStruct's
-      // shifted-frame technique), term gate = all n terms defined
-      import org.apache.spark.sql.functions.{count, lag, log, sum, when}
-      val x0 = c(es(0)); val n = intLit(es(1), "graft_entropy")
-      val base = dblLit(es(2), "graft_entropy")
-      val lnB = math.log(base)
-      def etAt(j: Int): Column = {
-        val frj = P.w.rowsBetween(-(n - 1) - j, -j)
-        val rs = when(count(x0).over(frj) >= n, sum(x0).over(frj))
-        val p = P.sdiv(lag(x0, j).over(P.w), rs)
-        when(p > 0, -p * log(p) / lnB)
-      }
-      x(((n - 1) to 0 by -1).map(etAt).reduce(_ + _))
-    })
+    // round 16 wave 3: entropy's n shifted-frame share sums are one ring
+    // fold (entropyUnrolled retained below)
+    ar("graft_entropy", 3)(es => x(kernel("graft_entropy_k", es).over(P.cum)))
   ) ++ TaSqlSurface2.builders // phase 6 (round 10) — see TaSqlSurface2
 
   /** kama/vidya recursion: y = (1−α)·y' + α·x, seeded at the first row
@@ -559,6 +501,11 @@ object TaSqlSurface {
     when(h =!= l, ((cl - l) - (h - cl)) / (h - l)).otherwise(0.0)
   }
 
+  // ---- retained executable specifications of the wave-3 unrolled
+  // spellings (round 16): no production builder uses these any more —
+  // RollFoldSpec asserts the ring folds above are bit-identical to the
+  // trees they build. ----------------------------------------------------
+
   /** stoch(n, k, d) as ONE projection: the smoothing stages can't nest a
     * window inside a window, so the k- and d-means unroll into SHIFTED
     * copies of fast %K — lag(close, j) against min/max over the j-shifted
@@ -566,7 +513,7 @@ object TaSqlSurface {
     * literal). Gating matches the staged rmean chain: a null anywhere in
     * the k (resp. k+d−1) shifted values nulls the mean, exactly the
     * count≥n gate's effect. Struct(stoch_k, stoch_d). */
-  private def stochStruct(h: Column, l: Column, cl: Column, n: Int, k: Int, dN: Int): Column = {
+  private[graft] def stochStruct(h: Column, l: Column, cl: Column, n: Int, k: Int, dN: Int): Column = {
     import org.apache.spark.sql.functions._
     def frj(j: Int) = P.w.rowsBetween(-(n - 1) - j, -j)
     def fastk(j: Int): Column = {
@@ -581,6 +528,68 @@ object TaSqlSurface {
     val sk = kAt(0)
     val sd = ((dN - 1) to 0 by -1).map(kAt).reduce(_ + _) / dN.toDouble
     struct(sk.as("stoch_k"), sd.as("stoch_d"))
+  }
+
+  /** trima(n) = sma(sma(x, ⌈(n+1)/2⌉), ⌊n/2⌋+1): outer mean flattened
+    * to `second` shifted copies of the inner gated frame mean, summed
+    * oldest-first (Average's fold order), gated on all copies defined. */
+  private[graft] def trimaUnrolled(src: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{avg, count, when}
+    val half = (n + 1) / 2 + (if ((n + 1) % 2 == 0) 0 else 1)
+    val second = n / 2 + 1
+    def meanShift(j: Int): Column = {
+      val frj = P.w.rowsBetween(-(half - 1) - j, -j)
+      when(count(src).over(frj) >= half, avg(src).over(frj))
+    }
+    ((second - 1) to 0 by -1).map(meanShift).reduce(_ + _) / second.toDouble
+  }
+
+  /** Ta.vidya's staged alpha: |CMOₙ|/100 · 2/(n+1), gate rn ≥ n. */
+  private[graft] def vidyaAlUnrolled(x0: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{abs, lag, when}
+    def d1(j: Int) = lag(x0, j).over(P.w) - lag(x0, j + 1).over(P.w)
+    def upT(j: Int) = when(d1(j) > 0, d1(j)).otherwise(0.0)
+    def dnT(j: Int) = when(d1(j) < 0, -d1(j)).otherwise(0.0)
+    val su = when(P.rn >= n, ((n - 1) to 0 by -1).map(upT).reduce(_ + _))
+    val sd = when(P.rn >= n, ((n - 1) to 0 by -1).map(dnT).reduce(_ + _))
+    P.sdiv(abs(su - sd), su + sd) * (2.0 / (n + 1))
+  }
+
+  /** Ta.eom: rmean(divisor·Δhl2·sdiv(h−l, v), n), lag-unrolled. */
+  private[graft] def eomUnrolled(h: Column, l: Column, v: Column, n: Int, divisor: Double): Column = {
+    import org.apache.spark.sql.functions.{lag, lit}
+    val hl2 = (h + l) / 2.0
+    def rawAt(j: Int): Column =
+      lit(divisor) * (lag(hl2, j).over(P.w) - lag(hl2, j + 1).over(P.w)) *
+        P.sdiv(lag(h - l, j).over(P.w), lag(v, j).over(P.w))
+    ((n - 1) to 0 by -1).map(rawAt).reduce(_ + _) / n.toDouble
+  }
+
+  /** Ta.mfi: 100·sdiv(Σpos, Σpos+Σneg) over typical-price flows,
+    * lag-unrolled, gate rn ≥ n. */
+  private[graft] def mfiUnrolled(h: Column, l: Column, cl: Column, v: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{lag, lit, when}
+    val tp = (h + l + cl) / 3.0
+    def dtp(j: Int) = lag(tp, j).over(P.w) - lag(tp, j + 1).over(P.w)
+    def posT(j: Int) = when(dtp(j) > 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
+    def negT(j: Int) = when(dtp(j) < 0, lag(tp, j).over(P.w) * lag(v, j).over(P.w)).otherwise(0.0)
+    val sp = when(P.rn >= n, ((n - 1) to 0 by -1).map(posT).reduce(_ + _))
+    val sn = when(P.rn >= n, ((n - 1) to 0 by -1).map(negT).reduce(_ + _))
+    lit(100.0) * P.sdiv(sp, sp + sn)
+  }
+
+  /** Ta.entropy: −Σ p·log_b(p) over the window share p = x/Σₙx, the
+    * share's rolling sum shifted per unroll position. */
+  private[graft] def entropyUnrolled(x0: Column, n: Int, base: Double): Column = {
+    import org.apache.spark.sql.functions.{count, lag, log, sum, when}
+    val lnB = math.log(base)
+    def etAt(j: Int): Column = {
+      val frj = P.w.rowsBetween(-(n - 1) - j, -j)
+      val rs = when(count(x0).over(frj) >= n, sum(x0).over(frj))
+      val p = P.sdiv(lag(x0, j).over(P.w), rs)
+      when(p > 0, -p * log(p) / lnB)
+    }
+    ((n - 1) to 0 by -1).map(etAt).reduce(_ + _)
   }
 
   private def dblE(e: Expression): Expression =

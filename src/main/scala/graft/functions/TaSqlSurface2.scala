@@ -334,6 +334,24 @@ object TaSqlSurface2 {
         intLit(es(2), "graft_coppock_k"), intLit(es(3), "graft_coppock_k"))),
     ar("graft_wdot_k", 4)(es =>
       RollFolds.WdotFold(dblE(es(0)), dblArrLit(es(1), "graft_wdot_k"),
-        boolLit(es(2), "graft_wdot_k"), intLit(es(3), "graft_wdot_k")))
+        boolLit(es(2), "graft_wdot_k"), intLit(es(3), "graft_wdot_k"))),
+    // wave 3 (same round): the remaining lag-unrolled macros' fold forms
+    ar("graft_stoch_k", 6)(es =>
+      RollFolds.StochFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_stoch_k"), intLit(es(4), "graft_stoch_k"),
+        intLit(es(5), "graft_stoch_k"))),
+    ar("graft_trima_k", 2)(es =>
+      RollFolds.TrimaFold(dblE(es(0)), intLit(es(1), "graft_trima_k"))),
+    ar("graft_entropy_k", 3)(es =>
+      RollFolds.EntropyFold(dblE(es(0)), intLit(es(1), "graft_entropy_k"),
+        dblLit(es(2), "graft_entropy_k"))),
+    ar("graft_eom_k", 5)(es =>
+      RollFolds.EomFold(dblE(es(0)), dblE(es(1)), dblE(es(2)),
+        intLit(es(3), "graft_eom_k"), dblLit(es(4), "graft_eom_k"))),
+    ar("graft_mfi_k", 5)(es =>
+      RollFolds.MfiFold(dblE(es(0)), dblE(es(1)), dblE(es(2)), dblE(es(3)),
+        intLit(es(4), "graft_mfi_k"))),
+    ar("graft_vidya_al_k", 2)(es =>
+      RollFolds.VidyaAlFold(dblE(es(0)), intLit(es(1), "graft_vidya_al_k")))
   )
 }

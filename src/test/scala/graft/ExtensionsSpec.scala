@@ -79,7 +79,10 @@ class ExtensionsSpec extends AnyFunSuite {
         // lag-unrolled composite spellings (RollFolds)
         "graft_cmo_k", "graft_adiffsum_k", "graft_psl_k", "graft_trsum_k",
         "graft_vortex_k", "graft_ui_k", "graft_uo_k", "graft_br_k",
-        "graft_coppock_k", "graft_wdot_k"
+        "graft_coppock_k", "graft_wdot_k",
+        // round 16 wave 3
+        "graft_stoch_k", "graft_trima_k", "graft_entropy_k",
+        "graft_eom_k", "graft_mfi_k", "graft_vidya_al_k"
       ),
       "SQL surface contract changed — update SURVEY.md §2.C and this list together"
     )
@@ -194,7 +197,14 @@ class ExtensionsSpec extends AnyFunSuite {
       "graft_uo_k(high, low, close, 2, 3, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_br_k(high, low, close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
       "graft_coppock_k(close, 3, 2, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
-      "graft_wdot_k(close, array(0.5d, 0.3d, 0.2d), true, 0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+      "graft_wdot_k(close, array(0.5d, 0.3d, 0.2d), true, 0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      // round 16 wave 3 ring-fold kernels
+      "graft_stoch_k(high, low, close, 3, 2, 2) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_trima_k(close, 4) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_entropy_k(close, 3, 2.0) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_eom_k(high, low, volume, 3, 1e8) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_mfi_k(high, low, close, volume, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)",
+      "graft_vidya_al_k(close, 3) OVER (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
     ).zipWithIndex.map { case (e, i) => s"$e AS c$i" }
     val out = spark.sql(s"SELECT series_id, ts, ${cols.mkString(", ")} FROM xs_bars").collect()
     assert(out.nonEmpty)

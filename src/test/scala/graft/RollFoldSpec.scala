@@ -260,4 +260,45 @@ class RollFoldSpec extends AnyFunSuite {
       fn("graft_kama_sc", cl, lit(kn), lit(kf), lit(ks))
     )
   }
+
+  // ---- wave 3: the remaining lag-unrolled macros, folded ---------------
+
+  test("stoch fold == unrolled (shifted-frame min/max, k/d smoothing)") {
+    import graft.functions.{TaSqlSurface => S1}
+    val (n, k, d) = (10, 3, 3)
+    check(
+      "stoch",
+      S1.stochStruct(h, l, cl, n, k, d),
+      fn("graft_stoch", h, l, cl, lit(n), lit(k), lit(d))
+    )
+    // asymmetric smoothing exercises the cap arithmetic (n+k+d−2)
+    check(
+      "stoch_5_4_2",
+      S1.stochStruct(h, l, cl, 5, 4, 2),
+      fn("graft_stoch", h, l, cl, lit(5), lit(4), lit(2))
+    )
+  }
+
+  test("trima fold == unrolled (shifted gated frame means)") {
+    import graft.functions.{TaSqlSurface => S1}
+    check("trima10", S1.trimaUnrolled(cl, 10), fn("graft_trima", cl, lit(10)))
+    check("trima7", S1.trimaUnrolled(cl, 7), fn("graft_trima", cl, lit(7)))
+  }
+
+  test("entropy fold == unrolled (shifted-frame share sums)") {
+    import graft.functions.{TaSqlSurface => S1}
+    check("entropy", S1.entropyUnrolled(cl, 10, 2.0), fn("graft_entropy", cl, lit(10), lit(2.0)))
+  }
+
+  test("eom + mfi folds == unrolled (volume flows)") {
+    import graft.functions.{TaSqlSurface => S1}
+    val v = col("volume").cast("double")
+    check("eom", S1.eomUnrolled(h, l, v, 14, 1e8), fn("graft_eom", h, l, v, lit(14), lit(1e8)))
+    check("mfi", S1.mfiUnrolled(h, l, cl, v, 10), fn("graft_mfi", h, l, cl, v, lit(10)))
+  }
+
+  test("vidya_al fold == unrolled (rn-gated cmo alpha)") {
+    import graft.functions.{TaSqlSurface => S1}
+    check("vidya_al", S1.vidyaAlUnrolled(cl, 10), fn("graft_vidya_al", cl, lit(10)))
+  }
 }

@@ -113,6 +113,11 @@ class StreamingIngestSpec extends AnyFunSuite {
       streamTop.toSeq == batch.toSeq,
       s"streamed top-$topK ${streamTop.toSeq} != batch rm3 ${batch.toSeq}"
     )
+
+    // round 16: the expansion list is a session memo (trained-artifact
+    // contract) — memo'd result must equal a fresh uncached training run
+    val fresh = Retrieval.rm3ExpansionTermsUncached(docs, terms, fbDocs, fbTerms, 1.2, 0.75)
+    assert(exp == fresh, s"memo'd expansion $exp != fresh $fresh")
   }
 
   test("magic-byte dispatcher runs on a stream: mixed-format decode equals batch per doc") {
