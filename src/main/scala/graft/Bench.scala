@@ -158,9 +158,19 @@ object Bench {
     * our own decay, with all committed-clean history (max 9.74) well
     * under it. The PRECISE end-of-run contention signal is the foreign
     * heavy-process scan, which attributes CPU instantaneously and does
-    * not see our own decay at all. Pure — BenchProbeSpec. */
-  private[graft] def loadEndGate(loadEnd: Double, cpus: Int): Boolean =
-    loadEnd > cpus / 2.0
+    * not see our own decay at all. Pure — BenchProbeSpec.
+    *
+    * `cores` is the HOST core count (r16 verdict #3): loadavg measures
+    * machine-wide runnable threads, so the threshold must scale with the
+    * machine, not with `$SPARK_GRAFT_CPUS` — the r16 8-core scaling run
+    * self-stamped contaminated at ambient load 8.37 on an idle 32-core
+    * box because the gate read threshold 8/2=4. */
+  private[graft] def loadEndGate(loadEnd: Double, cores: Int): Boolean =
+    loadEnd > cores / 2.0
+
+  /** Host core count for the load gates — the machine the loadavg is
+    * about, NOT the bench parallelism knob. */
+  private def hostCores: Int = Runtime.getRuntime.availableProcessors()
 
   /** External-memory-pressure signature (r15 verdict #3c): the r15
     * artifact read suite drift 1.441 while single-core cal measured
@@ -257,6 +267,26 @@ object Bench {
     if (sink.get() == 42L) System.err.println("")
     sec
   }
+
+  /** Prior run's core count, if the artifact carries one (round 17). The
+    * r16 driver overwrote the committed 32-core artifact with its 8-core
+    * scaling run's, and the next probe chain compared calibratePar(32)
+    * against calibratePar(8) and 8-core per-query prevs — drift read a
+    * meaningless 1.91 and two untouched queries stamped `real`. A prior
+    * recorded at a DIFFERENT cpus count is not a baseline. */
+  private[graft] def priorCpus(path: String): Option[Int] =
+    try {
+      val s = Files.readString(Paths.get(path))
+      """"cpus"\s*:\s*([0-9]+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    } catch { case _: Throwable => None }
+
+  /** True when the prior artifact exists, stamps a cpus count, and it
+    * differs from this run's — the whole prior chain (queries, fresh
+    * probes, calibrations) must then be discarded. A prior WITHOUT the
+    * stamp (pre-r17) is accepted as-is; from this round on every
+    * artifact carries it. Pure — BenchProbeSpec. */
+  private[graft] def priorCpusMismatch(priorCpusVal: Option[Int], cpusNow: Int): Boolean =
+    priorCpusVal.exists(_ != cpusNow)
 
   /** Prior run's calibration seconds, if the artifact carries one. */
   private[graft] def priorCal(path: String): Option[Double] =
@@ -536,12 +566,19 @@ object Bench {
       System.err.println(
         s"[bench] SPARK_GRAFT_SUITE names not in SparkEntry.queries (typo?): ${suiteUnknown.mkString(",")} — running ${names.size} resolved queries")
     // prior committed artifact — the regression baseline for the
-    // data-driven probe; read before this run overwrites the file
+    // data-driven probe; read before this run overwrites the file.
+    // A prior recorded at a different cpus count is NOT a baseline
+    // (r17: the driver's 8-core scaling artifact overwrote the 32-core
+    // one and poisoned the whole probe chain) — degrade to worst-5-only.
+    val cpusMismatch = priorCpusMismatch(priorCpus(outPath), cpus.toInt)
+    if (cpusMismatch)
+      System.err.println(
+        s"[bench] prior artifact $outPath was recorded at cpus=${priorCpus(outPath).getOrElse(-1)} != $cpus — discarding the prior chain (no regression baseline, no drift calibration)")
     val minBaseline = suite.map(_ => math.max(10, names.size * 3 / 4)).getOrElse(50)
-    val prior = priorQueries(outPath, minBaseline)
-    val priorFresh = priorFreshProbe(outPath)
-    val calPrev = priorCal(outPath)
-    val calParPrev = priorCalPar(outPath)
+    val prior = if (cpusMismatch) Map.empty[String, Double] else priorQueries(outPath, minBaseline)
+    val priorFresh = if (cpusMismatch) Map.empty[String, Double] else priorFreshProbe(outPath)
+    val calPrev = if (cpusMismatch) None else priorCal(outPath)
+    val calParPrev = if (cpusMismatch) None else priorCalPar(outPath)
     val calSec = calibrate()
     val calPar = calibratePar(cpus.toInt)
     // deterministic round-robin over the sorted list: each shard gets an
@@ -550,11 +587,15 @@ object Bench {
       names.zipWithIndex.groupMap { case (_, i) => i % shards } { case (n, _) => n }
     val loadStart = loadAvg(); val jvmsStart = jvmCount()
     val foreignStart = foreignHeavy()
-    val loadThreshold = cpus.toDouble / 4.0
+    // load thresholds scale with HOST cores (r16 verdict #3): loadavg is a
+    // machine-wide signal, so an 8-cpu bench run on a 32-core box must
+    // still gate at the 32-core thresholds
+    val loadThreshold = hostCores.toDouble / 4.0
     val parentContaminated = jvmsStart > 2 || loadStart > loadThreshold || foreignStart > 0
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ages = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ccFrac = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     var anyChildContaminated = false
     var ccUsedMax = 0L; var ccWorstMax = 0.0
@@ -565,6 +606,9 @@ object Bench {
         case Some(lines) =>
           lines.foreach { line =>
             line.split("\t", -1) match {
+              case Array("Q", n, med, age, cc, build) =>
+                timed(n) = med.toDouble; ages(n) = age.toDouble; ccFrac(n) = cc.toDouble
+                builds(n) = build.toDouble
               case Array("Q", n, med, age, cc) =>
                 timed(n) = med.toDouble; ages(n) = age.toDouble; ccFrac(n) = cc.toDouble
               case Array("F", n, err) => failed(n) = err
@@ -590,20 +634,52 @@ object Bench {
     // machine (round-7 fix); the auto-selection is the round-12 fix for
     // recurring hand-picked scatter adjudication.
     val (probeSet, vsPrior) = selectProbe(timed, prior)
+    def parseProbe(lines: Seq[String]): Map[String, Double] =
+      lines.flatMap { line =>
+        line.split("\t", -1) match {
+          case Array("Q", n, med, _, _*) => Some(n -> med.toDouble)
+          case _                         => None
+        }
+      }.toMap
+    // Probe-WINDOW guard (r16 verdict #1): sample load + foreign CPU
+    // around the probe fork specifically — the end-of-run burst that
+    // produced three rounds of false `real` stamps hits exactly this
+    // window, which the run-level start/end scans bracket too coarsely.
+    val probeLoad0 = loadAvg()
+    val probeTicks0 = procCpuTicks()
+    val probeT0 = System.nanoTime()
     val probed: Map[String, Double] =
       forkShard(probeSet, sfDir, reps, warmups, probeTimeoutMin(probeSet, timed, reps, warmups))
-        .map(_.flatMap { line =>
-          line.split("\t", -1) match {
-            case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
-            case _                        => None
-          }
-        }.toMap)
-        .getOrElse(Map.empty)
+        .map(parseProbe).getOrElse(Map.empty)
+    val probeElapsed = (System.nanoTime() - probeT0) / 1e9
+    val probeForeign =
+      foreignHeavyCount(probeTicks0, procCpuTicks(), probeElapsed, ProcessHandle.current().pid())
+    val probeLoad1 = loadAvg()
+    // Preliminary verdicts (same pure pipeline writeArtifacts uses) select
+    // the re-probe set: every mover whose single-probe verdict reads real*
+    // gets a SECOND fresh JVM after a settle delay — `real` survives only
+    // if both probes reproduce (r16 verdict #1; the pure confirmation rule
+    // is reprobeVerdict).
+    val (driftBasis0, drift0, driftCal0, driftPar0, _) =
+      resolveDrift(calSec, calPrev, calPar, calParPrev, timed, prior)
+    val suiteOnly0 = suiteUncorroborated(driftBasis0, drift0, driftCal0, driftPar0)
+    val suspect0 = channelSuspect(
+      probeChannelStats(probed, priorFresh, probeSet.take(5)),
+      controlSpikeMax(probed, priorFresh, probeSet.take(5), vsPrior.keySet))
+    val reprobeSet = verdictsFor(vsPrior, probed, drift0, driftBasis0, suiteOnly0, suspect0)
+      .collect { case (n, v) if v.startsWith("real") => n }.toSeq.sorted
+    val probed2: Map[String, Double] =
+      if (reprobeSet.isEmpty) Map.empty
+      else {
+        try Thread.sleep(60000) catch { case _: InterruptedException => () } // let a transient burst decay
+        forkShard(reprobeSet, sfDir, reps, warmups, probeTimeoutMin(reprobeSet, timed, reps, warmups))
+          .map(parseProbe).getOrElse(Map.empty)
+      }
     // End-of-run foreign scan (r15 verdict #3b): the second contaminating
     // python launched AFTER the run began — only an end sample sees it.
     val foreignEnd = foreignHeavy()
     val contaminated = parentContaminated || anyChildContaminated ||
-      foreignEnd > 0 || loadEndGate(loadEnd, cpus.toInt)
+      foreignEnd > 0 || loadEndGate(loadEnd, hostCores)
     val ccPressure = ccFrac.values.foldLeft(ccWorstMax)(math.max) > 0.90
     if (contaminated) {
       System.err.println(
@@ -624,7 +700,11 @@ object Bench {
       priorFresh = priorFresh, controls = probeSet.take(5),
       suiteUnknown = suiteUnknown,
       foreignStart = Some(foreignStart), foreignEnd = Some(foreignEnd),
-      rerun = None, shards = shards, writeCompact = true
+      rerun = None, shards = shards, writeCompact = true,
+      probed2 = probed2,
+      probeWindow = Some((probeLoad0, probeLoad1, probeForeign)),
+      builds = builds,
+      cpus = cpus.toInt
     )
   }
 
@@ -645,10 +725,13 @@ object Bench {
     val childMode = sys.env.get("SPARK_GRAFT_REPROBE").contains("0")
     // regression baseline for the data-driven probe (legacy SHARDS=1 full
     // run only); read before overwrite
-    val priorArtifact = if (childMode) Map.empty[String, Double] else priorQueries(outPath)
-    val priorFresh = if (childMode) Map.empty[String, Double] else priorFreshProbe(outPath)
-    val calPrev = if (childMode) None else priorCal(outPath)
-    val calParPrev = if (childMode) None else priorCalPar(outPath)
+    // cpus-mismatched priors are discarded, same rule as the orchestrator
+    val cpusMismatch = !childMode && priorCpusMismatch(priorCpus(outPath), cpus.toInt)
+    val noPrior = childMode || cpusMismatch
+    val priorArtifact = if (noPrior) Map.empty[String, Double] else priorQueries(outPath)
+    val priorFresh = if (noPrior) Map.empty[String, Double] else priorFreshProbe(outPath)
+    val calPrev = if (noPrior) None else priorCal(outPath)
+    val calParPrev = if (noPrior) None else priorCalPar(outPath)
     val calSec = if (childMode) 0.0 else calibrate()
     val calPar = if (childMode) 0.0 else calibratePar(cpus.toInt)
     val spark = SparkSession.builder()
@@ -676,6 +759,7 @@ object Bench {
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ages = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ccFrac = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val loadStart = loadAvg(); val jvmsStart = jvmCount()
     // Expected-JVM budget: standalone = this bench + at most a lingering
@@ -690,7 +774,8 @@ object Bench {
     // For shards the live-foreign-work signal is the JVM count; the
     // parent still records machine-level load at run start/end.
     val jvmsExpected = sys.env.get("SPARK_GRAFT_JVMS_EXPECTED").map(_.toInt)
-    val loadThreshold = cpus.toDouble / 4.0
+    // host cores, not $SPARK_GRAFT_CPUS (r16 verdict #3) — see loadEndGate
+    val loadThreshold = hostCores.toDouble / 4.0
     // foreign scan only outside child mode: the parent's start/end scans
     // bracket the whole orchestrated window, and a per-child scan would
     // add 8 x 0.3 s for signal the parent already has
@@ -707,7 +792,18 @@ object Bench {
       .sortBy(_._1)
       .foreach { case (name, fn) =>
         try {
-          (1 to warmups).foreach(_ => fn(spark, sfDir).count())
+          // Warmup rep 1 is where every session memo builds (indexes,
+          // trained artifacts, bloom filters) — TIME it (r16 verdict #6)
+          // so memo'd build costs stay measured in the artifact even
+          // though the timed reps reuse the memo. The timed action and
+          // warmup count are unchanged; this only stamps a clock around
+          // the first warmup that always ran.
+          if (warmups >= 1) {
+            val tb0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            builds(name) = (System.nanoTime() - tb0) / 1e9
+            (2 to warmups).foreach(_ => fn(spark, sfDir).count())
+          }
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
@@ -760,17 +856,35 @@ object Bench {
     }
     val (probeSet, vsPrior) =
       if (doReprobe) selectProbe(timed, priorArtifact) else (Seq.empty[String], Map.empty[String, (Double, Double)])
+    def parseProbe(lines: Seq[String]): Map[String, Double] =
+      lines.flatMap { line =>
+        line.split("\t", -1) match {
+          case Array("Q", n, med, _, _*) => Some(n -> med.toDouble)
+          case _                         => None
+        }
+      }.toMap
     val probed: Map[String, Double] =
       if (doReprobe)
         forkShard(probeSet, sfDir, reps, warmups, probeTimeoutMin(probeSet, timed, reps, warmups))
-          .map(_.flatMap { line =>
-            line.split("\t", -1) match {
-              case Array("Q", n, med, _, _) => Some(n -> med.toDouble)
-              case _                        => None
-            }
-          }.toMap)
-          .getOrElse(Map.empty)
+          .map(parseProbe).getOrElse(Map.empty)
       else Map.empty
+    // second-probe confirmation, mirroring the orchestrator (r16 verdict #1)
+    val probed2: Map[String, Double] = if (doReprobe && vsPrior.nonEmpty) {
+      val (basis0, drift0, cal0, par0, _) =
+        resolveDrift(calSec, calPrev, calPar, calParPrev, timed, priorArtifact)
+      val suspect0 = channelSuspect(
+        probeChannelStats(probed, priorFresh, probeSet.take(5)),
+        controlSpikeMax(probed, priorFresh, probeSet.take(5), vsPrior.keySet))
+      val rs = verdictsFor(vsPrior, probed, drift0, basis0,
+        suiteUncorroborated(basis0, drift0, cal0, par0), suspect0)
+        .collect { case (n, v) if v.startsWith("real") => n }.toSeq.sorted
+      if (rs.isEmpty) Map.empty
+      else {
+        try Thread.sleep(60000) catch { case _: InterruptedException => () }
+        forkShard(rs, sfDir, reps, warmups, probeTimeoutMin(rs, timed, reps, warmups))
+          .map(parseProbe).getOrElse(Map.empty)
+      }
+    } else Map.empty
     val (ccUsedEnd, ccWorstEnd) = codeCache()
     val ccPressure = ccFrac.values.foldLeft(ccWorstEnd)(math.max) > 0.90
     if (contaminatedAtStart) {
@@ -785,7 +899,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SHARD_TSV").foreach { tsvPath =>
       val sb = new StringBuilder
       timed.foreach { case (n, v) =>
-        sb.append(s"Q\t$n\t$v\t${ages(n)}\t${ccFrac(n)}\n")
+        sb.append(s"Q\t$n\t$v\t${ages(n)}\t${ccFrac(n)}\t${builds.getOrElse(n, -1.0)}\n")
       }
       failed.foreach { case (n, e) => sb.append(s"F\t$n\t${esc(e)}\n") }
       sb.append(s"G\t$loadStart\t$loadEnd\t$jvmsStart\t$jvmsEnd\t$contaminatedAtStart\t$ccUsedEnd\t$ccWorstEnd\n")
@@ -796,7 +910,7 @@ object Bench {
       timed = timed, ages = ages, ccFrac = ccFrac, failed = failed,
       loadStart = loadStart, loadEnd = loadEnd, jvmsStart = jvmsStart, jvmsEnd = jvmsEnd,
       contaminated = contaminatedAtStart || foreignEnd.exists(_ > 0) ||
-        (!childMode && loadEndGate(loadEnd, cpus.toInt)),
+        (!childMode && loadEndGate(loadEnd, hostCores)),
       ccUsed = ccUsedEnd, ccWorst = ccWorstEnd, ccPressure = ccPressure,
       probed = probed, vsPrior = vsPrior, calSec = calSec, calPrev = calPrev,
       calPar = calPar, calParPrev = calParPrev, prior = priorArtifact,
@@ -805,7 +919,9 @@ object Bench {
       foreignStart = foreignStart, foreignEnd = foreignEnd,
       rerun = rerun, shards = 1,
       // children must not clobber the parent's sidecar
-      writeCompact = !childMode
+      writeCompact = !childMode,
+      probed2 = probed2, probeWindow = None, builds = builds,
+      cpus = cpus.toInt
     )
     CacheRegistry.release(spark)
     spark.stop()
@@ -894,16 +1010,60 @@ object Bench {
     else if (driftBasis == "none") "real-uncalibrated"
     else "real"
 
+  /** Second-probe confirmation (r16 verdict #1): three consecutive rounds
+    * produced false `real` stamps from a single fresh-probe JVM that ran
+    * inside an end-of-run load burst the run-level guards don't see
+    * (r15 x_resample_ffill; r16 runs 5/6 x_forget; the r16 driver run's
+    * x_ann_ivfpq_topk/x_forget/x_ann_pq_topk trio, contradicted by the
+    * same driver's 8-core run an hour later). Any mover whose FIRST
+    * verdict reads real* is therefore re-probed in a SECOND fresh JVM
+    * launched after a settle delay; `real` survives only when BOTH
+    * probes reproduce the regression:
+    *  - fresh2 within margin  → "ambient-reprobe" (the first probe was
+    *    the burst — the r15/r16 false-positive shape);
+    *  - fresh2 over margin    → the first verdict stands (reproduced
+    *    twice, minutes apart, on two fresh JVMs);
+    *  - fresh2 missing (re-probe child died/timed out) → "real-unconfirmed"
+    *    (an unmeasured channel must not stamp an unqualified real).
+    * Pure — BenchProbeSpec. */
+  private[graft] def reprobeVerdict(
+      first: String,
+      prev: Double,
+      fresh2: Option[Double],
+      drift: Double
+  ): String =
+    if (!first.startsWith("real")) first
+    else fresh2 match {
+      case Some(f2) => if (f2 <= probeMargin(prev, drift)) "ambient-reprobe" else first
+      case None     => "real-unconfirmed"
+    }
+
+  /** Per-mover verdicts from the probe readings — shared by the
+    * orchestrator (re-probe selection) and writeArtifacts (the emitted
+    * block), so the selection and the artifact cannot disagree. */
+  private[graft] def verdictsFor(
+      vsPrior: Map[String, (Double, Double)],
+      probed: Map[String, Double],
+      drift: Double,
+      driftBasis: String,
+      suiteOnly: Boolean,
+      suspect: Boolean
+  ): Map[String, String] =
+    vsPrior.flatMap { case (n, (prev, _)) =>
+      probed.get(n).map(f => n -> moverVerdict(prev, f, drift, driftBasis, suiteOnly, suspect))
+    }
+
   /** (nReal, nRealSuspect) from the mover verdicts themselves (r14
     * verdict item: Bench.scala:831 counted movers over probeMargin(prev,
     * raw drift) while moverVerdict floored drift at 1.0 in its fast
     * path, so the compact header could stamp probe_real:1 while every
     * per-mover verdict read ambient — the artifact contradicted itself.
     * Deriving the counts from the same verdict strings makes divergence
-    * structurally impossible). */
+    * structurally impossible). "real-unconfirmed" (dead re-probe channel)
+    * counts as suspect, not real: unmeasured, never unqualified. */
   private[graft] def moverCounts(verdicts: Iterable[String]): (Int, Int) =
-    (verdicts.count(v => v.startsWith("real") && v != "real-suspect-channel"),
-     verdicts.count(_ == "real-suspect-channel"))
+    (verdicts.count(v => v.startsWith("real") && v != "real-suspect-channel" && v != "real-unconfirmed"),
+     verdicts.count(v => v == "real-suspect-channel" || v == "real-unconfirmed"))
 
   private def writeArtifacts(
       outPath: String,
@@ -936,7 +1096,11 @@ object Bench {
       foreignEnd: Option[Int],
       rerun: Option[String],
       shards: Int,
-      writeCompact: Boolean
+      writeCompact: Boolean,
+      probed2: Map[String, Double],
+      probeWindow: Option[(Double, Double, Int)],
+      builds: collection.Map[String, Double],
+      cpus: Int
   ): Unit = {
     // Host-speed drift vs the prior artifact: >1 = this machine/day is
     // slower. Three independent estimates, each clamped to [0.7, 2.0]
@@ -997,8 +1161,12 @@ object Bench {
     // (probe_real_suspect): qualified, never silently ambient. Counts
     // are DERIVED from the per-mover verdicts (r14 verdict item #2) so
     // the header and the probe_vs_prior block cannot disagree.
-    val verdicts: Map[String, String] = vsPrior.flatMap { case (n, (prev, _)) =>
-      probed.get(n).map(f => n -> moverVerdict(prev, f, drift, driftBasis, suiteOnly, suspect))
+    // First-probe verdicts, then the second-probe confirmation rule
+    // (r16 verdict #1): a real* verdict stands only if the delayed
+    // second fresh JVM reproduced it (reprobeVerdict).
+    val firstVerdicts = verdictsFor(vsPrior, probed, drift, driftBasis, suiteOnly, suspect)
+    val verdicts: Map[String, String] = firstVerdicts.map { case (n, v) =>
+      n -> reprobeVerdict(v, vsPrior(n)._1, probed2.get(n), drift)
     }
     val (nReal, nRealSuspect) = moverCounts(verdicts.values)
     val nOverMargin = nReal + nRealSuspect
@@ -1031,6 +1199,14 @@ object Bench {
            s""","suite_unknown":${suiteUnknown.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")}"""
          else "") +
         (if (probed.nonEmpty) s""","fresh_probe":$fp""" else "") +
+        (if (probed2.nonEmpty) {
+           val fp2 = probed2.toSeq.sortBy(_._1)
+             .map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
+           s""","fresh_probe2":$fp2"""
+         } else "") +
+        probeWindow.map { case (l0, l1, fh) =>
+          s""","probe_window_load_start":${fmt3(l0)},"probe_window_load_end":${fmt3(l1)},"probe_window_foreign":$fh"""
+        }.getOrElse("") +
         rerun.map(r => s""","rerun_worst":$r""").getOrElse("")
     // Self-adjudication block (round 12; round 13 stamps the basis into
     // the artifact so a consumer needs no SCALING.md essay): every query
@@ -1055,7 +1231,9 @@ object Bench {
           val margin = probeMargin(prev, drift)
           val verdict = verdicts(n) // same map the header counts come from
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
-            ",\"fresh\":" + fmt3(fresh) + ",\"margin\":" + fmt3(margin) +
+            ",\"fresh\":" + fmt3(fresh) +
+            probed2.get(n).map(f2 => ",\"fresh2\":" + fmt3(f2)).getOrElse("") +
+            ",\"margin\":" + fmt3(margin) +
             ",\"drift_basis\":\"" + driftBasis + "\",\"verdict\":\"" + verdict + "\"}"
         case None =>
           "{\"prev\":" + fmt3(prev) + ",\"inshard\":" + fmt3(inshard) +
@@ -1073,8 +1251,13 @@ object Bench {
       if (timed.keys.exists(panelQueries.contains))
         s""""value_excl_panel":${fmt3(timed.collect { case (n, v) if !panelQueries.contains(n) => v }.sum)},"""
       else ""
+    // Memo build costs (r16 verdict #6): warmup rep 1 is where session
+    // memos (indexes, trained artifacts, bloom builds) execute — its wall
+    // time per query keeps build-cost regressions measurable even though
+    // the timed reps reuse the memo. -1.0 = not measured (warmups=0).
+    val bs = builds.map { case (k, v) => "\"" + esc(k) + "\":" + fmt3(v) }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"probe_vs_prior":$adjudication,"queries":$qs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"cpus":$cpus,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fs,$guard,"probe_vs_prior":$adjudication,"queries":$qs,"build_first_rep":$bs,"session_age_at_measure":$as,"codecache_frac":$cc,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json)
     // Compact copy: BASELINE.md-comparable queries first, then
     // slowest-first, greedily packed under a hard char budget so the line
@@ -1105,8 +1288,25 @@ object Bench {
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\"" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt3(total)},${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fsCompact,$guard,"queries":${picked.values.mkString("{", ",", "}")},"queries_shown":${picked.size},"full_artifact":"$outPath","sf":"$sfDir"}"""
-    println(compact)
+      s"""{"metric":"total","value":${fmt3(total)},${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"cpus":$cpus,"n_ok":${timed.size},"n_failed":${failed.size},"failed":$fsCompact,$guard,"queries":${picked.values.mkString("{", ",", "}")},"queries_shown":${picked.size},"full_artifact":"$outPath","sf":"$sfDir"}"""
+    // STDOUT gets a SLIM line (r16 verdict #2): the driver keeps only a
+    // ~2 KB stdout tail, and the compact line grew to ~3.4 KB (guard +
+    // fresh_probe + 50 queries) — nine consecutive rounds of parsed:null,
+    // and in r16 it finally cost the round its PERF comparison. The slim
+    // line carries totals, the guard verdicts, the probe counts and the
+    // artifact pointers — every per-query number lives in BENCH_out.json
+    // (full) and BENCH_compact.json (the prefix-free sidecar, unchanged).
+    val probeCounts =
+      if (vsPrior.nonEmpty)
+        s""","probe_regressed":${vsPrior.size},"probe_real":${if (probeFailed && nOverMargin == 0) "null" else nReal.toString},"probe_real_suspect":$nRealSuspect,"probe_reprobed":${probed2.size},"probe_failed":$probeFailed"""
+      else ""
+    val slim =
+      s"""{"metric":"total","value":${fmt3(total)},${exclPanel}"unit":"sec","reps":$reps,"warmups":$warmups,"cpus":$cpus,"n_ok":${timed.size},"n_failed":${failed.size},"contaminated":$contaminatedFinal,"mem_pressure":$memPressure,"shards":$shards,"load_end":${fmt3(loadEnd)},"foreign_heavy_end":${foreignEnd.getOrElse(-1)},"drift":$driftJson$probeCounts,"queries":{},"queries_shown":0,"full_artifact":"$outPath","compact_artifact":"BENCH_compact.json","sf":"$sfDir"}"""
+    // hard tail-capture budget: a pathological outPath/sfDir must degrade
+    // to a still-parseable minimal line, never to a clipped JSON
+    println(
+      if (slim.length <= 1900) slim
+      else s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_ok":${timed.size},"n_failed":${failed.size},"contaminated":$contaminatedFinal,"queries":{},"queries_shown":0,"full_artifact":"BENCH_out.json","sf":"sf"}""")
     if (writeCompact) {
       val compactPath = sys.env.getOrElse("SPARK_GRAFT_COMPACT_OUT", "BENCH_compact.json")
       try Files.writeString(Paths.get(compactPath), compact + "\n")

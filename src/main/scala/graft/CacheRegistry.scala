@@ -130,6 +130,22 @@ object CacheRegistry {
     }
   }
 
+  /** Targeted invalidation hook for scalar-stat memos (ADVICE r16): a
+    * corpus that mutates WITHIN a session (streaming ingest compaction,
+    * file-backed table rewritten in place) keeps its canonicalized plan,
+    * so plan-keyed snapshot stats (bm25's (N, avgdl), rm3 expansions)
+    * would silently serve the first call's values. Dropping by key
+    * prefix re-snapshots on next use without unpinning the session's
+    * persisted indexes the way full release() does. */
+  def invalidateStats(spark: SparkSession, keyPrefix: String): Unit = {
+    val uuid = sid(spark)
+    val sit = stats.entrySet().iterator()
+    while (sit.hasNext) {
+      val e = sit.next()
+      if (e.getKey._1 == uuid && e.getKey._2.startsWith(keyPrefix)) sit.remove()
+    }
+  }
+
   /** Unpersist and forget everything this session pinned. */
   def release(spark: SparkSession): Unit = {
     val uuid = sid(spark)

@@ -46,12 +46,26 @@ object Retrieval {
     // (same doubles: N is an exact count and avgdl divides an exactly
     // summed integer-valued total, deterministic across partitionings —
     // the header's determinism note). Values match bm25Stats.
+    //
+    // SNAPSHOT SEMANTICS (ADVICE r16): the memo keys on the corpus's
+    // canonicalized PLAN, so a path-backed corpus whose files gain/lose
+    // rows mid-session keeps serving the first call's stats — exactly a
+    // search index's behaviour (stats refresh on index rebuild, not per
+    // query). For a corpus that mutates within one session, invalidate
+    // with CacheRegistry.release(spark) (drops every session memo) or
+    // CacheRegistry.invalidateStats(spark, "bm25:stats:") between
+    // versions; streaming ingest carries its own frozen snapshot via
+    // bm25ScoreStream/bm25Stats instead of this memo.
     val (nDocs, avgdl) = graft.CacheRegistry.memoStat(
       docs.sparkSession,
       s"bm25:stats:${graft.CacheRegistry.planKey(docs)}"
     ) {
       val r = toks.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
-      (r.getDouble(0), r.getDouble(1))
+      // empty corpus: avg(dl) is NULL — getDouble would throw eagerly at
+      // plan-construction time where the old crossJoin spelling was lazy
+      // (ADVICE r16). avgdl=0.0 keeps the plan buildable; the tf side is
+      // empty so the query still returns zero rows, like before.
+      (r.getDouble(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
     val df0 = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val score: Column =
@@ -204,11 +218,14 @@ object Retrieval {
     // elsewhere"; rm3ScoreStream carries the SAME list as literals).
     // Before this every rm3Expand call re-ran feedback BM25 + the RM1
     // pass eagerly at plan-construction time — two extra corpus scans
-    // per query submission. The memo key separator is unprintable so a
-    // query term cannot forge another key.
+    // per query submission. Terms are LENGTH-PREFIXED in the key (ADVICE
+    // r16): a bare separator is forgeable by a term that contains it
+    // (Seq("a\u0000b") collides with Seq("a","b")), and term text could
+    // blur into the un-length-prefixed planKey suffix; "<len>:<term>"
+    // makes every encoding unambiguous.
     graft.CacheRegistry.memoStat(
       docs.sparkSession,
-      s"rm3:exp:$fbDocs:$fbTerms:$k1:$b:${terms.mkString("\u0000")}:${graft.CacheRegistry.planKey(docs)}"
+      s"rm3:exp:$fbDocs:$fbTerms:$k1:$b:${terms.map(t => s"${t.length}:$t").mkString(",")}:${graft.CacheRegistry.planKey(docs)}"
     ) {
       rm3ExpansionTermsUncached(docs, terms, fbDocs, fbTerms, k1, b)
     }

@@ -375,4 +375,60 @@ class BenchProbeSpec extends AnyFunSuite {
     assert(parsed.size == 55 && math.abs(parsed("q7") - 0.07) < 1e-9)
     assert(Bench.priorFreshProbe(f.toString) == Map("h" -> 1.0))
   }
+
+  // ---------------------------------------------------------------- round 17
+
+  test("loadEndGate takes HOST cores: an 8-cpu bench run on a 32-core box gates at 16 (r16 verdict #3)") {
+    // the r16 8-core scaling run self-stamped contaminated at ambient
+    // load 8.37 because the gate read SPARK_GRAFT_CPUS/2 = 4; with host
+    // cores (32) the same reading is clean
+    assert(Bench.loadEndGate(8.37, 8))   // the old, wrong call shape
+    assert(!Bench.loadEndGate(8.37, 32)) // the host-core call the bench now makes
+  }
+
+  test("reprobeVerdict: real survives only when BOTH fresh probes reproduce (r16 verdict #1)") {
+    val prev = 1.37; val drift = 0.948
+    val margin = Bench.probeMargin(prev, drift) // 1.37+0.15 floor
+    // the r16 driver shape: x_ann_ivfpq_topk fresh 10.77 vs prev 1.37 —
+    // a second delayed probe at its clean 0.8 s band demotes it
+    assert(Bench.reprobeVerdict("real", prev, Some(0.80), drift) == "ambient-reprobe")
+    // a genuine regression reproduces in the second JVM too -> stands
+    assert(Bench.reprobeVerdict("real", prev, Some(10.5), drift) == "real")
+    assert(10.5 > margin && 0.80 <= margin)
+    // dead re-probe channel: unmeasured, never an unqualified real
+    assert(Bench.reprobeVerdict("real", prev, None, drift) == "real-unconfirmed")
+    // qualified reals clear the same way, keep their qualifier otherwise
+    assert(Bench.reprobeVerdict("real-suspect-channel", prev, Some(0.80), drift) == "ambient-reprobe")
+    assert(Bench.reprobeVerdict("real-suspect-channel", prev, Some(10.5), drift) == "real-suspect-channel")
+    assert(Bench.reprobeVerdict("real-uncalibrated", prev, None, drift) == "real-unconfirmed")
+    // non-real verdicts pass through untouched (no second probe ran)
+    assert(Bench.reprobeVerdict("ambient", prev, None, drift) == "ambient")
+    assert(Bench.reprobeVerdict("ambient-suite-only", prev, Some(9.9), drift) == "ambient-suite-only")
+  }
+
+  test("moverCounts: real-unconfirmed and ambient-reprobe count as suspect/clean, never as real (r17)") {
+    assert(Bench.moverCounts(Seq("real-unconfirmed", "ambient-reprobe", "real")) == ((1, 1)))
+    assert(Bench.moverCounts(Seq("ambient-reprobe")) == ((0, 0)))
+  }
+
+  test("priorCpus/priorCpusMismatch: a prior recorded at another core count is not a baseline (r17)") {
+    val f = Files.createTempFile("bench_cpus", ".json")
+    Files.writeString(f, s"""{"metric":"total","value":9.9,"cpus":8,"queries":{"a":1.0}}""")
+    assert(Bench.priorCpus(f.toString).contains(8))
+    // the r16 shape: driver's 8-core artifact vs a 32-core run — discard
+    assert(Bench.priorCpusMismatch(Some(8), 32))
+    assert(!Bench.priorCpusMismatch(Some(32), 32))
+    // legacy artifact without the stamp: accepted (no mismatch evidence)
+    assert(!Bench.priorCpusMismatch(None, 32))
+    assert(Bench.priorCpus("/nonexistent/path.json").isEmpty)
+  }
+
+  test("verdictsFor: the orchestrator's re-probe selection and the artifact block share one pipeline") {
+    val vsPrior = Map("a" -> (1.0, 3.0), "b" -> (1.0, 2.0), "c" -> (1.0, 9.0))
+    val probed = Map("a" -> 5.0, "b" -> 1.05) // c unmeasured
+    val v = Bench.verdictsFor(vsPrior, probed, drift = 1.0, driftBasis = "cal",
+      suiteOnly = false, suspect = false)
+    assert(v == Map("a" -> "real", "b" -> "ambient")) // c absent, stamped unmeasured downstream
+    assert(v.collect { case (n, s) if s.startsWith("real") => n }.toSeq == Seq("a"))
+  }
 }

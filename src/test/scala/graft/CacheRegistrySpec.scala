@@ -28,4 +28,16 @@ class CacheRegistrySpec extends AnyFunSuite {
     assert(a eq b, "second memo call must reuse the first handle")
     CacheRegistry.release(spark)
   }
+
+  test("invalidateStats drops only the prefixed stat memos (ADVICE r16: mid-session corpus mutation)") {
+    var builds = 0
+    def stat(key: String): java.lang.Integer =
+      CacheRegistry.memoStat(spark, key) { builds += 1; Int.box(builds) }
+    assert(stat("bm25:stats:k1") == 1 && stat("bm25:stats:k1") == 1) // memo hit
+    assert(stat("rm3:exp:k2") == 2)
+    CacheRegistry.invalidateStats(spark, "bm25:stats:")
+    assert(stat("rm3:exp:k2") == 2, "other prefixes survive the targeted drop")
+    assert(stat("bm25:stats:k1") == 3, "the dropped prefix re-snapshots on next use")
+    CacheRegistry.release(spark)
+  }
 }
