@@ -37,6 +37,21 @@ object Graft {
     // nested cached rounds) make that rendering the bottleneck. 64 KiB
     // keeps descriptions useful and the cost bounded.
     spark.conf.set("spark.sql.maxPlanStringLength", "65536")
+    // Let AQE re-optimize CACHED plans (round 17, guide §2.2 scale-
+    // adaptive partitioning): off, a cached fixture materializes with the
+    // static shuffle-partition count (32 here; cluster-sized in prod), so
+    // a 450-row persisted fixture occupies 32 near-empty partitions and
+    // EVERY downstream stage over it runs 32 map tasks, each opening its
+    // own shuffle file pair — thread dumps of a hot loop showed all 32
+    // task threads inside FileOutputStream.open (contended file creation,
+    // ~300 ms/task at local[32] for 14-row partitions). With AQE allowed
+    // inside InMemoryRelation the cached exchange coalesces to the
+    // advisory size — partition count follows DATA SIZE at any scale
+    // (tiny fixture → 1 partition; 100 TB fixture → many), which is
+    // exactly the guide's "derive partitioning from input size" rule.
+    // Results are partitioning-invariant by the engine's determinism
+    // contract (ordered folds; oracle re-verified 239/239 on this flag).
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     functions.Registry.register(spark)
     // programmatic-path registration of the opt-in count(DISTINCT) rewrite
     // (config-path sessions get it from GraftExtensions); no-op while

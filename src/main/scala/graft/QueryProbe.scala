@@ -35,6 +35,8 @@ object QueryProbe {
     @volatile var stageWallMs = 0L
     @volatile var runMs = 0L
     @volatile var deserMs = 0L
+    // SPARK_GRAFT_QP_STAGES=1: per-stage detail lines (wall, run, GC, name)
+    val stageDetail = sys.env.get("SPARK_GRAFT_QP_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -44,6 +46,12 @@ object QueryProbe {
         stageWallMs += si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
         runMs += si.taskMetrics.executorRunTime
         deserMs += si.taskMetrics.executorDeserializeTime
+        if (stageDetail)
+          println(
+            s"  ST stage=${si.stageId} tasks=${si.numTasks} " +
+              s"wall=${si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)}ms " +
+              s"run=${si.taskMetrics.executorRunTime}ms gc=${si.taskMetrics.jvmGCTime}ms " +
+              s"cpu=${si.taskMetrics.executorCpuTime / 1000000}ms :: ${si.name.take(120)}")
       }
     })
     names.foreach { name =>
