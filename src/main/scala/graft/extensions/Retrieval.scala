@@ -382,24 +382,41 @@ object Retrieval {
     *
     * Scale: one unigram aggregate (map-side combine) joined back to the
     * postings — both shuffles are key-sized, the corpus scans twice. */
+  /** Retained HOF spelling of the per-group ordered MEAN (the pre-r17
+    * fold of the surprisal/perplexity family): sort struct(sortC, x) —
+    * ties in sortC carry identical x at every site — then left-fold x
+    * from 0.0 and divide by the group count. Kept as the executable
+    * specification gating [[Similarity.orderedSumGroupedTies]]'s
+    * bit-equality (RetrievalFoldSpec); production paths use the
+    * streaming window fold. */
+  private[graft] def orderedMeanHof(sortC: org.apache.spark.sql.Column, xC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(sortC.as("s"), xC.as("x")))), s => s("x")),
+      lit(0.0),
+      (acc, x) => acc + x
+    ) / count(lit(1))
+
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
       .select(col("doc_id"), explode(col("__tk")).as("term"))
     val uni = toks.groupBy("term").agg(count(lit(1)).cast("double").as("cnt"))
     val total = uni.agg(sum(col("cnt")).as("__total"))
-    val orderedMean =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("nll")))), x => x("nll")),
-        lit(0.0),
-        (acc, x) => acc + x
-      ) / count(lit(1))
-    toks
+    // streaming ties-fold (round 17, verdict #7 family): nll is a pure
+    // function of the term string, so repeated terms within a doc carry
+    // identical values and the running-window fold is bit-identical to
+    // the sorted HOF fold (orderedMeanHof, spec-gated) — no per-doc
+    // collect_list ObjectHashAggregate (§5 hot-doc safety)
+    val scored = toks
       .join(broadcast(uni), "term")
       .crossJoin(broadcast(total))
       .withColumn("nll", -log(col("cnt") / col("__total")))
-      .groupBy("doc_id")
-      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_tok"))
+    Similarity
+      .orderedSumGroupedTies(
+        scored.select(col("doc_id"), col("term"), col("nll")),
+        Seq("doc_id"), "term", "nll", "__snll", Some("n_tok")
+      )
+      .select(col("doc_id"), (col("__snll") / col("n_tok")).as("mean_nll"), col("n_tok"))
   }
 
   /** Per-doc mean BIGRAM surprisal under an add-one-smoothed corpus
@@ -428,19 +445,19 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("ca"))
     val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
     val cb = bgt.groupBy("b").agg(count(lit(1)).cast("double").as("cb"))
-    val orderedMean =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("b"), col("nll")))), x => x("nll")),
-        lit(0.0),
-        (acc, x) => acc + x
-      ) / count(lit(1))
-    bgt
+    // streaming ties-fold (round 17): nll is a pure function of the
+    // bigram string b — see unigramSurprisal / orderedMeanHof
+    val scored = bgt
       .join(broadcast(cb), "b")
       .join(broadcast(uni), "a")
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("cb") + lit(1.0)) / (col("ca") + col("__v"))))
-      .groupBy("doc_id")
-      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_bigram"))
+    Similarity
+      .orderedSumGroupedTies(
+        scored.select(col("doc_id"), col("b"), col("nll")),
+        Seq("doc_id"), "b", "nll", "__snll", Some("n_bigram")
+      )
+      .select(col("doc_id"), (col("__snll") / col("n_bigram")).as("mean_nll"), col("n_bigram"))
   }
 
   /** Per-doc perplexity under an interpolated Kneser–Ney bigram LM
@@ -496,17 +513,23 @@ object Retrieval {
         (greatest(col("cab") - d, lit(0.0)) / col("ca") +
           d * col("n1fa") / col("ca") * (col("n1pb") / col("__t"))).as("pkn")
       )
-    val orderedMean =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("p"), col("nll")))), x => x("nll")),
-        lit(0.0),
-        (acc, x) => acc + x
-      ) / count(lit(1))
-    bgt
+    // streaming ties-fold (round 17, verdict #7): the per-doc bigram key
+    // is NOT unique (a repeated bigram recurs), which is exactly why the
+    // r16 orderedSumGrouped swap skipped this site — but pkn (hence nll)
+    // is a pure function of the bigram string p, so ties carry identical
+    // values and orderedSumGroupedTies' row_number tiebreak folds
+    // bit-identically to the sorted HOF fold (orderedMeanHof, spec-gated).
+    // Removes the last per-doc collect_list ObjectHashAggregate in a
+    // query path (§5 hot-doc safety at 100 TB).
+    val scored = bgt
       .join(broadcast(kp), "p")
       .withColumn("nll", -log(col("pkn")))
-      .groupBy("doc_id")
-      .agg(orderedMean.as("mean_nll"), count(lit(1)).cast("long").as("n_bigram"))
+    Similarity
+      .orderedSumGroupedTies(
+        scored.select(col("doc_id"), col("p"), col("nll")),
+        Seq("doc_id"), "p", "nll", "__snll", Some("n_bigram")
+      )
+      .select(col("doc_id"), (col("__snll") / col("n_bigram")).as("mean_nll"), col("n_bigram"))
       .withColumn("ppl", exp(col("mean_nll")))
   }
 }

@@ -279,6 +279,44 @@ object Similarity {
     run.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[orderedSumGrouped]] for NON-unique sort keys whose ties carry
+    * IDENTICAL x values (round 17, verdict #7 — the knPerplexity family:
+    * a repeated bigram/term within a doc has one corpus-wide nll, so any
+    * tie order folds the same value sequence and the running sum is
+    * bit-identical to `array_sort(collect_list(struct(sortCol, x)))` +
+    * left fold). A per-group `row_number` over (sortCol) makes the
+    * running-sum endpoint well-defined for `max_by` — the tiebreak the
+    * plain spelling cannot provide. Same §4/§5 rationale as
+    * orderedSumGrouped: sort-based, spillable, codegen, ONE Exchange
+    * (both windows share the group partitioning, which the final
+    * aggregate then reuses); replaces the last per-doc collect_list
+    * ObjectHashAggregates in query paths.
+    *
+    * PRECONDITION (caller-checked): rows equal on (keys, sortCol) have
+    * equal xCol — true when x is a pure function of sortCol, as at every
+    * call site. */
+  private[graft] def orderedSumGroupedTies(
+      df: DataFrame,
+      keys: Seq[String],
+      sortCol: String,
+      xCol: String,
+      out: String,
+      cnt: Option[String] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(sortCol))
+    val wRun = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(sortCol), col("__ost_rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = df
+      .withColumn("__ost_rn", row_number().over(wOrd))
+      .withColumn("__ost_run", sum(col(xCol)).over(wRun))
+    val aggs = max_by(col("__ost_run"), col("__ost_rn")).as(out) +:
+      cnt.map(c => count(lit(1)).as(c)).toSeq
+    run.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic bounded-Lloyd SPHERICAL k-means — round-5 upgrade
     * from sample-as-centroid index quality. Init = the nCells lowest-id
     * vectors (the fixed "seed"); each of `iters` rounds assigns every

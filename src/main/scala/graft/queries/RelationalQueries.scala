@@ -290,9 +290,26 @@ object RelationalQueries {
       // salt hashes every big-side column, which forced an 11-column
       // lineitem ReadSchema for a 3-column query. Salting only routes
       // rows, so a narrower salt input is result-invisible.
+      //
+      // AGGREGATE before the shuffle (round 17, guide §2.3): the query
+      // only consumes per-order revenue and item count, so lineitem is
+      // reduced to one row per l_orderkey BEFORE the salted join — the
+      // map-side partial aggregate collapses most rows before any
+      // exchange, the salted join then routes ~4× fewer big-side rows,
+      // and its output is order-sized, not lineitem-sized. Result is
+      // bit-identical: per-item revenue terms are cast to DECIMAL(30,6)
+      // exactly as before, and decimal/long addition is exact, so
+      // regrouping the sum (per order, then per nation) cannot change
+      // the final doubles. Oracle unchanged and re-verified.
       val li = Graft
         .table(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
+        .groupBy("l_orderkey")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)))
+            .as("__rev"),
+          count(lit(1)).as("__n")
+        )
       val o = Graft.table(s, dir, "orders").select("o_orderkey", "o_custkey")
       val c = Graft.table(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = Graft.table(s, dir, "nation")
@@ -302,10 +319,8 @@ object RelationalQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6)))
-            .cast("double")
-            .as("revenue"),
-          count(lit(1)).as("n_items")
+          sum(col("__rev")).cast("double").as("revenue"),
+          sum(col("__n")).as("n_items")
         )
         .select(col("n_name"), P.normd(col("revenue")).as("revenue"), col("n_items"))
         .orderBy("n_name")
@@ -373,36 +388,60 @@ object RelationalQueries {
   /** Ordered funnel (signup → view → purchase) over the events stream:
     * per user, the first signup, the first view strictly after it, the
     * first purchase strictly after that; output = users reaching each
-    * step. Three conditional hash aggregates chained by user_id joins —
-    * no per-user window sort, no event explosion, so the plan is three
-    * map-side-combined exchanges regardless of events-per-user. */
+    * step.
+    *
+    * ONE-PASS spelling (round 17, guide §2.4/§1.2): the old chain of
+    * three conditional aggregates joined back on user_id duplicated its
+    * own subtrees — Spark shares nothing across a plan, so s1 was
+    * computed 3×, v1 2×, and the events table was SCANNED SIX TIMES per
+    * run (probed: 9 AQE jobs). The rewrite sorts each user's events once
+    * and reads the funnel off running minima:
+    *   rs1 = min signup ts so far; a view qualifies iff ts > rs1 — for
+    *   the FIRST qualifying view this equals "ts > s1" exactly (if
+    *   ts > s1 the signup at s1 precedes it in (ts_us, event_id) order,
+    *   so rs1 = s1 at that row; if ts ≤ s1 no earlier signup exists and
+    *   the condition is false either way) — and min(qualifying view ts)
+    *   = v1; rv1/purchase repeats the argument one level up.
+    * One scan, one exchange (the window's hashpartitioning(user_id) is
+    * reused by the per-user aggregate), two stacked Window ops sharing
+    * one sort, then a global conditional count. All-integer mins — no FP
+    * contract. Steps with zero users emit no row, like the old union. */
   val qFunnel = Q(
     "x_funnel",
     (s: SparkSession, dir: String) => {
       val ev = Graft
         .events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts_us"))
-      val s1 = ev
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = ev
+        .withColumn("rs1", min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+        .withColumn(
+          "rv1",
+          min(when(col("event_type") === "view" && col("ts_us") > col("rs1"), col("ts_us"))).over(w)
+        )
+      val perUser = staged
         .groupBy("user_id")
-        .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s1"))
-        .where(col("s1").isNotNull)
-      val v1 = ev
-        .join(s1, "user_id")
-        .groupBy(col("user_id"), col("s1"))
-        .agg(min(when(col("event_type") === "view" && col("ts_us") > col("s1"), col("ts_us"))).as("v1"))
-        .where(col("v1").isNotNull)
-      val p1 = ev
-        .join(v1, "user_id")
-        .groupBy(col("user_id"), col("v1"))
-        .agg(min(when(col("event_type") === "purchase" && col("ts_us") > col("v1"), col("ts_us"))).as("p1"))
-        .where(col("p1").isNotNull)
-      val steps = Seq(
-        ("1_signup", s1), ("2_view", v1), ("3_purchase", p1)
-      ).map { case (name, df) => df.select(lit(name).as("step"), col("user_id")) }
-      steps
-        .reduce(_ unionByName _)
-        .groupBy("step")
-        .agg(countDistinct("user_id").as("n_users"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts_us"))).as("s1"),
+          min(when(col("event_type") === "view" && col("ts_us") > col("rs1"), col("ts_us"))).as("v1"),
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("rv1"), col("ts_us"))).as("p1")
+        )
+      perUser
+        .agg(count(col("s1")).as("n1"), count(col("v1")).as("n2"), count(col("p1")).as("n3"))
+        .select(
+          explode(
+            array(
+              struct(lit("1_signup").as("step"), col("n1").as("n_users")),
+              struct(lit("2_view").as("step"), col("n2").as("n_users")),
+              struct(lit("3_purchase").as("step"), col("n3").as("n_users"))
+            )
+          ).as("r")
+        )
+        .select(col("r.step").as("step"), col("r.n_users").as("n_users"))
+        .where(col("n_users") > 0)
         .orderBy("step")
     },
     Some(
