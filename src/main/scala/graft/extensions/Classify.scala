@@ -258,21 +258,33 @@ object Classify {
   }
 
   /** Keep rows whose `score` is at or above the input's mean score — a
-    * deterministic, data-derived gate (no hand-tuned threshold), still
-    * ONE lazy plan: the mean travels as a broadcast 1-row aggregate
-    * computed with the same two-level chunked fold the trainers use, so
-    * the DuckDB oracle replays the cut bit-for-bit. */
+    * deterministic, data-derived gate (no hand-tuned threshold): the mean
+    * travels as a broadcast 1-row aggregate computed with the same
+    * two-level chunked fold the trainers use, so the DuckDB oracle
+    * replays the cut bit-for-bit.
+    *
+    * The input is LAZILY localCheckpointed at the branch point (round 17,
+    * guide §5 lineage cut / §2.4 share one computation): the mean
+    * aggregate and the filtered main branch both reference `scored`, and
+    * Spark shares nothing across a plan — without the checkpoint the
+    * whole upstream (tokenization, scoring, any dedup) executes once per
+    * branch, and a downstream operator that branches again (sourceCap)
+    * doubles it again (probed 4× upstream executions per action in
+    * x_pipeline2). Nothing materializes until the consumer's first
+    * action; blocks free when the frame is GC'd (the pagerank-round
+    * lifecycle). */
   def gateAboveMean(scored: DataFrame): DataFrame = {
+    val s = scored.localCheckpoint(false)
     val mean = broadcast(
       Similarity
         .chunkedGroupSum(
-          scored.select(col("doc_id"), lit(1).as("__g"), col("score")),
+          s.select(col("doc_id"), lit(1).as("__g"), col("score")),
           "doc_id",
           Seq("__g"),
           "score"
         )
         .select((col("sx") / col("cnt")).as("__mean"))
     )
-    scored.crossJoin(mean).where(col("score") >= col("__mean")).drop("__mean")
+    s.crossJoin(mean).where(col("score") >= col("__mean")).drop("__mean")
   }
 }

@@ -194,12 +194,18 @@ object Mixture {
   def sourceCap(docs: DataFrame, tokenCount: Column, capFrac: Double): DataFrame = {
     require(capFrac > 0.0 && capFrac <= 1.0, "capFrac must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // Lazy localCheckpoint at the branch point (round 17, guide §5/§2.4):
+    // `base` feeds both the total-token aggregate and the admission
+    // window; without it the whole upstream (tokenize + hash + whatever
+    // produced `docs` — in x_pipeline2 the dedup/score/gate chain)
+    // executes once per branch. Narrow columns only — text is not
+    // carried. Materializes at the consumer's first action.
     val base = docs.select(
       col("doc_id"),
       col("source"),
       tokenCount.cast("long").as("n_tok"),
       TextOps.polyHash(col("text")).as("__h")
-    )
+    ).localCheckpoint(false)
     val tot = broadcast(base.agg(sum(col("n_tok")).cast("double").as("__total")))
     val w = Window.partitionBy("source").orderBy(col("__h").asc, col("doc_id").asc)
     base
