@@ -70,7 +70,7 @@ object Graphs {
     // checkpoint materializations + the count action (measured ~2.5 s of
     // the 4.4 s bench rep at sf0.1); the power iterations themselves are
     // the recurring cost.
-    val (ew, nodesF, n, nOut) = CacheRegistry.memoStat(
+    val (ew, nodesF, noIn, n, nOut, nNoIn) = CacheRegistry.memoStat(
       spark,
       s"graphs:prindex:${CacheRegistry.planKey(edges)}"
     ) {
@@ -102,15 +102,24 @@ object Graphs {
           .join(srcSet, Seq("node"), "left")
           .select(col("node"), coalesce(col("__has_out"), lit(false)).as("has_out"))
           .localCheckpoint(false)
+        // static NO-INBOUND node set (round 17): in the no-dangling fast
+        // path a node with no in-edges always lands at the constant
+        // (1−d)/N, so the per-round nodesF left join (one AQE broadcast
+        // job per round) collapses to a static unionByName of this table
+        val noInC = nodesFC
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+          .select(col("node"))
+          .localCheckpoint(false)
         // ONE setup action: n + dangling count off the nodesF checkpoint
         // materialization (separate nodes.count/ew.count jobs cost ~1.5 s).
         val cnts = nodesFC
           .agg(count(lit(1)).as("n"), count(when(col("has_out"), 1)).as("nOut"))
           .head()
-        // materialize ew's checkpoint now (one job, while e is still
-        // cached) so the first round starts from the flat LogicalRDD
+        // materialize the ew/noIn checkpoints now (one job each, while e
+        // is still cached) so the first round starts from flat LogicalRDDs
         ewC.count()
-        (ewC, nodesFC, cnts.getLong(0), cnts.getLong(1))
+        val nNoInC = noInC.count()
+        (ewC, nodesFC, noInC, cnts.getLong(0), cnts.getLong(1), nNoInC)
       } finally e.unpersist(blocking = false)
     }
     if (n == 0) {
@@ -187,9 +196,32 @@ object Graphs {
           // every few rounds to bound plan depth. 10 rounds run as ~2
           // AQE executions instead of 10 barriered jobs — measured
           // 9.5 s → ~5 s at sf0.1.
+          //
+          // Specialized round (round 17): with dm pinned at 0.0 a node's
+          // update is L + d·cin for inbound nodes and exactly L = (1−d)/N
+          // otherwise, so the per-round nodesF LEFT JOIN (one extra AQE
+          // broadcast job per round) collapses to a static unionByName of
+          // the no-inbound set. Bit-identical to round(ranks, 0.0): cin is
+          // a sum of positive terms (never −0.0), so dropping `+ 0.0` and
+          // `+ d·(0.0/N)` cannot flip a bit, and a missing cin folded to
+          // L + d·(0.0 + 0.0) = L before. Probed 36 → ~25 jobs per call.
+          val base = lit((1.0 - damping) / nD)
+          def roundND(r: DataFrame): DataFrame = {
+            val cin = Similarity.orderedSumGrouped(
+              ew.join(hintRanks(r.select(col("node").as("src"), col("rank"))), "src")
+                .select(col("src"), col("dst"), (col("rank") * col("p")).as("c")),
+              Seq("dst"),
+              "src",
+              "c",
+              "cin"
+            )
+            val inbound = cin.select(col("dst").as("node"), (base + lit(damping) * col("cin")).as("rank"))
+            if (nNoIn == 0) inbound
+            else inbound.unionByName(noIn.select(col("node"), base.as("rank")))
+          }
           var sinceCkpt = 0
           for (t <- 1 to iters) {
-            ranks = round(ranks, 0.0)
+            ranks = roundND(ranks)
             sinceCkpt += 1
             if (sinceCkpt == 5 || t == iters) {
               ranks = ranks.localCheckpoint(false)
