@@ -37,7 +37,22 @@ object Dedup {
     * is O(corpus) — always worth it when the downstream is O(pairs). At
     * 100 TB the input arrives pre-split, but the explicit spread also
     * decouples compute parallelism from file layout. */
-  private def spread(docs: DataFrame): DataFrame = docs.repartition(col("doc_id"))
+  /** Spread the CPU-bound index computation (tokenize/shingle/hash per
+    * doc) — and the candidate self-joins that read the CACHED result
+    * map-side — over the cluster's compute parallelism. The explicit
+    * numPartitions matters (round 17): a bare `repartition(col)` is a
+    * REPARTITION_BY_COL shuffle that AQE's byte-targeted coalescing may
+    * fold to 1 partition once cached plans are re-optimizable
+    * (canChangeCachedPlanOutputPartitioning), and every pair join over
+    * the index — whose cost is per-CANDIDATE CPU (set intersection,
+    * Levenshtein), not per byte — then serializes onto one core
+    * (measured: x_containment_pairs 0.57 → 2.82 s, x_neardup_jaccard
+    * 0.50 → 1.87, caught by the new second-probe machinery). An
+    * explicit count is a REPARTITION_BY_NUM shuffle, which AQE never
+    * coalesces. The count follows the session's defaultParallelism —
+    * cluster-sized at any scale, not a local constant. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Exact duplicate groups: one row per distinct text with > minGroup
     * occurrences; keeper = min doc_id (deterministic). */
