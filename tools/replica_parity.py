@@ -476,6 +476,11 @@ def main():
         "n_pass": n_pass,
         "n_fail": len(results) - n_pass - n_skipped,
         "n_skipped": n_skipped,
+        # run stamp (round 17): a re-run whose counts happen to match the
+        # committed block was previously byte-identical, leaving no
+        # committed evidence the gate actually re-ran this round
+        "run_utc": __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
     with open(f"{work}/replica_parity.json", "w") as f:
         json.dump(block, f, indent=1)

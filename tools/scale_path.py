@@ -76,6 +76,10 @@ def main():
             "(SCALING.md 'Factor-100 tier')."),
         "results": results,
         "pass": ok,
+        # run stamp (round 17): committed evidence that the gate re-ran
+        # this round even when counts match the prior block byte-for-byte
+        "run_utc": __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
     with open(f"{work}/scale_path.json", "w") as f:
         json.dump(block, f, indent=1)
