@@ -402,21 +402,22 @@ object Retrieval {
       .select(col("doc_id"), explode(col("__tk")).as("term"))
     val uni = toks.groupBy("term").agg(count(lit(1)).cast("double").as("cnt"))
     val total = uni.agg(sum(col("cnt")).as("__total"))
-    // streaming ties-fold (round 17, verdict #7 family): nll is a pure
-    // function of the term string, so repeated terms within a doc carry
-    // identical values and the running-window fold is bit-identical to
-    // the sorted HOF fold (orderedMeanHof, spec-gated) — no per-doc
-    // collect_list ObjectHashAggregate (§5 hot-doc safety)
-    val scored = toks
+    // DELIBERATELY the HOF ordered mean, not the r17 ties-fold: the fold
+    // was tried here and in bigramSurprisal and REVERTED on measurement
+    // (BENCH_sf1: x_surprisal2 0.84 → 1.46 s — the extra full sort +
+    // window machinery costs more than the per-doc collect_list it
+    // replaces, and these groups are doc-bounded, so the §5 hot-group
+    // hazard does not apply). knPerplexity keeps the fold, where its
+    // ObjectHashAggregate removal measured −16% at sf1.
+    toks
       .join(broadcast(uni), "term")
       .crossJoin(broadcast(total))
       .withColumn("nll", -log(col("cnt") / col("__total")))
-    Similarity
-      .orderedSumGroupedTies(
-        scored.select(col("doc_id"), col("term"), col("nll")),
-        Seq("doc_id"), "term", "nll", "__snll", Some("n_tok")
+      .groupBy("doc_id")
+      .agg(
+        orderedMeanHof(col("term"), col("nll")).as("mean_nll"),
+        count(lit(1)).as("n_tok")
       )
-      .select(col("doc_id"), (col("__snll") / col("n_tok")).as("mean_nll"), col("n_tok"))
   }
 
   /** Per-doc mean BIGRAM surprisal under an add-one-smoothed corpus
@@ -445,19 +446,19 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("ca"))
     val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
     val cb = bgt.groupBy("b").agg(count(lit(1)).cast("double").as("cb"))
-    // streaming ties-fold (round 17): nll is a pure function of the
-    // bigram string b — see unigramSurprisal / orderedMeanHof
-    val scored = bgt
+    // HOF ordered mean on purpose — see the unigramSurprisal note (the
+    // r17 ties-fold was tried and reverted on BENCH_sf1 measurement;
+    // doc-bounded groups carry no §5 hazard)
+    bgt
       .join(broadcast(cb), "b")
       .join(broadcast(uni), "a")
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("cb") + lit(1.0)) / (col("ca") + col("__v"))))
-    Similarity
-      .orderedSumGroupedTies(
-        scored.select(col("doc_id"), col("b"), col("nll")),
-        Seq("doc_id"), "b", "nll", "__snll", Some("n_bigram")
+      .groupBy("doc_id")
+      .agg(
+        orderedMeanHof(col("b"), col("nll")).as("mean_nll"),
+        count(lit(1)).as("n_bigram")
       )
-      .select(col("doc_id"), (col("__snll") / col("n_bigram")).as("mean_nll"), col("n_bigram"))
   }
 
   /** Per-doc perplexity under an interpolated Kneser–Ney bigram LM
